@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+All real content lives in ``financial_arbitrage_data_pipeline_spark``:
+the plans.REGISTRY maps names → (Spark builder, DuckDB oracle SQL).
 """
 
 from __future__ import annotations
@@ -13,26 +15,42 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import financial_arbitrage_data_pipeline_spark.operators  # noqa: F401  (populates REGISTRY)
+from financial_arbitrage_data_pipeline_spark.plans import REGISTRY
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Apply session-level settings the engine relies on (the driver may
+    hand us a vanilla session)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf on some builds; events-based queries need it
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return REGISTRY["pricing_summary"].builder(_configure(spark), SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def bind(name: str) -> Callable[[SparkSession, str], DataFrame]:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return REGISTRY[name].builder(_configure(spark), sf_dir)
+
+        run.__name__ = name
+        run.__doc__ = REGISTRY[name].doc
+        return run
+
+    return {name: bind(name) for name in sorted(REGISTRY)}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
+    return {name: spec.oracle for name, spec in sorted(REGISTRY.items()) if spec.oracle}

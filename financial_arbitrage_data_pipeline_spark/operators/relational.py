@@ -1,0 +1,534 @@
+"""Relational operator suite: scans, filters, joins, aggregations,
+windows, sorts/limits — the engine's equivalents of the reference's
+Postgres-side query surface (SURVEY §2.3-§2.6), expressed over the
+driver's TPC-H-ish testdata.
+
+Operator parity map (reference file:line → query here):
+- F1/F2 pair filters (`virginia/database/read_from.py:134-141,260-268`)
+  → active_orders
+- A1 trade summary (`database/postgres/writer.py:551-589`) → trade_summary
+- A2 pair performance (`database/postgres/writer.py:409-468`)
+  → supplier_performance
+- A3 weighted mean fill (`database/models/postgres.py:193-197`)
+  → weighted_avg_fill_price
+- A4 distinct tickers (`etl/query.py:49-75`) → distinct_doc_sources
+- A7 top-1 by metric (`opportunity_scanner.py:270-272`) → top_order_per_customer
+- A8 rolling stats (`database/influx/writer.py:591-599`) → rolling_avg_per_user
+- A9 status breakdown (`virginia/api/connection.py:293-299`) → order_status_breakdown
+- J2 dimension broadcast join (`opportunity_scanner.py:119-120`)
+  → regional_customer_stats
+- W2 sort+limit (`read_from.py:140`, `writer.py:540-545`) → active_orders
+- W3/T3 latest-per-key (`opportunity_scanner.py:190-191,296-297`)
+  → latest_event_per_user
+- A6 time-bucket downsample, fn:last (`etl/query.py:146-157`)
+  → downsample_last_5m
+
+Every aggregate follows the exact-money discipline in functions/core.py,
+so results are partition-order independent and hash-identical to the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.core import dec, money, rate
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (TPC-H Q1 shape — the A1 aggregate family:
+# partial/final aggregation, conditional math, multiple measures).
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+      AS sum_disc_price,
+  CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+      AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice)
+      AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    headline=True,
+    tags=("A1", "F4"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pricing summary over lineitem: the canonical partial+final
+    aggregation. Scale notes: filter + column pruning push to the parquet
+    scan; map-side partial aggregation means shuffle carries only
+    (group keys x partial states)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = money("l_extendedprice") * (one - rate("l_discount"))
+    charge = disc_price * (one + rate("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(money("l_quantity")).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(money("l_extendedprice")).cast("double") / F.count("l_extendedprice")).alias(
+                "avg_price"
+            ),
+            (F.sum(rate("l_discount")).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1/F2 + W2: the active-pair scan shape — predicate + date horizon +
+# sort + limit (`read_from.py:129-167`).
+# ---------------------------------------------------------------------------
+@query(
+    "active_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'O' AND o_orderdate > TIMESTAMP '2000-06-01 00:00:00'
+ORDER BY o_orderdate DESC, o_orderkey DESC
+LIMIT 100
+""",
+    tags=("F1", "F2", "S5", "W2"),
+)
+def active_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`is_active AND expiration_date > horizon ORDER BY created_at DESC`
+    (S5/F1/W2) mapped onto orders. Both predicates push down to parquet;
+    the global top-100 runs as TakeOrderedAndProject (no full sort)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderdate") > F.lit("2000-06-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1: the trade-summary statistics shape — COUNT(*) + conditional counts
+# (CASE WHEN inside aggregates, F8) + money sums over a trailing horizon
+# (`database/postgres/writer.py:551-589`).
+# ---------------------------------------------------------------------------
+@query(
+    "trade_summary",
+    oracle="""
+SELECT
+  COUNT(*) AS total_orders,
+  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS filled_orders,
+  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
+  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS partial_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_value
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+""",
+    tags=("A1", "F7", "F8"),
+)
+def trade_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary stats with per-status conditional counts over a trailing
+    window — single-pass global aggregate (one partial state per task)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return o.agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("filled_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("partial_orders"),
+        F.sum(money("o_totalprice")).cast("double").alias("total_value"),
+        (F.sum(money("o_totalprice")).cast("double") / F.count("o_totalprice")).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 + A3: per-key performance aggregates and the weighted-average fill
+# price (sum(q*p)/sum(q)), the declarative form of the reference's
+# incremental counters (`postgres.py:193-197,346-358`).
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_performance",
+    oracle="""
+SELECT
+  l_suppkey AS supp_key,
+  COUNT(*) AS total_trades,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_volume,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+      AS total_revenue,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+      / COUNT(*) AS avg_revenue_per_trade
+FROM lineitem
+GROUP BY l_suppkey
+""",
+    tags=("A2",),
+)
+def supplier_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-performance running aggregates recomputed declaratively:
+    total_trades / total_volume / total_profit / avg (A2). The streaming
+    path maintains the same result incrementally (streaming/ module)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = money("l_extendedprice") * (one - rate("l_discount"))
+    return (
+        li.groupBy(F.col("l_suppkey").alias("supp_key"))
+        .agg(
+            F.count(F.lit(1)).alias("total_trades"),
+            F.sum(money("l_quantity")).cast("double").alias("total_volume"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+            (F.sum(revenue).cast("double") / F.count(F.lit(1))).alias("avg_revenue_per_trade"),
+        )
+    )
+
+
+@query(
+    "weighted_avg_fill_price",
+    oracle="""
+SELECT
+  l_partkey AS part_key,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+    / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS avg_fill_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_filled
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 0
+""",
+    tags=("A3",),
+)
+def weighted_avg_fill_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental weighted mean (q1*p1 + q2*p2)/(q1+q2) across fills,
+    as the order-independent ratio-of-sums (A3,
+    `database/postgres/writer.py:247-258`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, px = money("l_quantity"), money("l_extendedprice")
+    return (
+        li.groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(
+            (F.sum(qty * px).cast("double") / F.sum(qty).cast("double")).alias("avg_fill_price"),
+            F.sum(qty).cast("double").alias("total_filled"),
+        )
+        .filter(F.col("total_filled") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 / A9: distinct + status breakdown.
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_doc_sources",
+    oracle="SELECT DISTINCT lang, source FROM documents",
+    tags=("A4",),
+)
+def distinct_doc_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`unique(column:)` per source (A4, `etl/query.py:49-75`): distinct
+    over low-cardinality keys — partial distinct map-side, tiny shuffle."""
+    return load_table(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+@query(
+    "order_status_breakdown",
+    oracle="""
+SELECT o_orderstatus AS status, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("A9",),
+)
+def order_status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-per-status (A9, `virginia/api/connection.py:293-299`)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3/T3 latest-per-key + A7 top-1-by-metric: window-deduplication.
+# ---------------------------------------------------------------------------
+@query(
+    "latest_event_per_user",
+    oracle="""
+SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+    tags=("W3", "T3", "A7"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-value-per-key — the batch form of the scanner's
+    `current_*_data` overwrite-on-arrival state (W3/T3,
+    `opportunity_scanner.py:190-191,296-297`). row_number + filter keeps
+    one shuffle on the key; ns-long event time gives exact ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            # DuckDB (and therefore the oracle) reads parquet TIMESTAMP(NANOS)
+            # at µs precision; emit µs on both sides (integer div — float
+            # division loses exactness at ns-epoch magnitude)
+            F.expr("ts div 1000").alias("ts_us"),
+        )
+    )
+
+
+@query(
+    "top_order_per_customer",
+    oracle="""
+SELECT o_custkey AS cust_key, o_orderkey AS best_orderkey, o_totalprice AS best_value
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+""",
+    tags=("A7",),
+)
+def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-per-group (A7, `max(..., key=profit_margin)` at
+    `opportunity_scanner.py:270-272`), deterministic tie-break on key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_orderkey").alias("best_orderkey"),
+            F.col("o_totalprice").alias("best_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: time-bucket downsampling with fn:last (Flux aggregateWindow,
+# `etl/query.py:146-157`).
+# ---------------------------------------------------------------------------
+@query(
+    "downsample_last_5m",
+    oracle="""
+SELECT (epoch_us(ts) // 300000000) * 300 AS bucket_sec,
+       event_type,
+       value AS last_value,
+       event_id AS last_event_id
+FROM events
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY (epoch_us(ts) // 300000000), event_type
+  ORDER BY ts DESC, event_id DESC) = 1
+""",
+    tags=("A6",),
+)
+def downsample_last_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute buckets keeping the last value per
+    (bucket, event_type) — `aggregateWindow(every:5m, fn:last,
+    createEmpty:false)`. Buckets are arithmetic on the ns-long event time,
+    so bucketing is exact and engine-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    # bucket on µs (the oracle's precision), not raw ns; integer division
+    bucket = F.expr("(ts div 1000) div 300000000")
+    w = Window.partitionBy(bucket, "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            (bucket * 300).alias("bucket_sec"),
+            "event_type",
+            F.col("value").alias("last_value"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8: rolling trailing-N statistics.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_avg_per_user",
+    oracle="""
+SELECT event_id,
+       user_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+         / COUNT(value) OVER w AS rolling_avg_50
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+""",
+    tags=("A8",),
+)
+def rolling_avg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-50 mean (A8, `database/influx/writer.py:591-599`),
+    partitioned by user so the window parallelizes across keys (the
+    scalable form of the reference's single global deque)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-49, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(dec("value", 12, 2)).over(w).cast("double") / F.count("value").over(w)).alias(
+            "rolling_avg_50"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: dimension broadcast join chain.
+# ---------------------------------------------------------------------------
+@query(
+    "regional_customer_stats",
+    oracle="""
+SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    tags=("J2",),
+)
+def regional_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim) ⋈ broadcast(dim) (J2): nation/region are tiny
+    — explicit broadcast() so no shuffle of the fact side ever happens,
+    exactly the pair-map lookup pattern (`opportunity_scanner.py:119-120`)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(money("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join + agg + top-N (TPC-H Q3 shape).
+# ---------------------------------------------------------------------------
+@query(
+    "top_revenue_orders",
+    oracle="""
+SELECT l_orderkey AS orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+""",
+    headline=True,
+    tags=("J1-batch", "A1", "W2"),
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority shape: selective dimension filter joined through
+    to the fact table, grouped revenue, top-10. customer-filter side is
+    small after predicate → AQE converts to broadcast; revenue is
+    decimal-exact so the top-10 cut is deterministic (tie-break orderkey)."""
+    cutoff = F.lit("2000-03-15").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = money("l_extendedprice") * (one - rate("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate"),
+            F.col("o_orderpriority"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "nation_revenue",
+    oracle="""
+SELECT n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+    headline=True,
+    tags=("J2", "A1"),
+)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): a 6-table join with
+    broadcast dims and co-partnered fact joins; the c_nationkey=s_nationkey
+    equi-condition rides the join, no extra shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = money("l_extendedprice") * (one - rate("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )

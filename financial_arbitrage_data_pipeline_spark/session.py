@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+One place to declare the engine's execution posture. The reference has no
+planner — every physical decision is hand-coded (SURVEY §4). Here the
+posture is the opposite: declare the plan, enable AQE, and let Catalyst +
+Tungsten choose physical strategies. These configs are the ones that
+matter at 100 TB and are harmless at sf0.001:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic join strategy);
+- shuffle partitions sized to the local core count (on a real cluster this
+  is overridden to ~2-3x total cores; AQE coalesces the excess);
+- Arrow enabled so any Pandas-UDF path is batched, never per-row;
+- UTC session timezone (the reference stores ns epochs in UTC,
+  `database/models/influx.py:142-143`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "financial_arbitrage_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    `master` defaults to local[$SPARK_GRAFT_CPUS] (or local[*]); on a real
+    cluster the caller passes the cluster master / relies on spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.ts is parquet TIMESTAMP(NANOS); read as ns-epoch
+        # LongType — the same representation as the reference's ns timing
+        # chain (`database/models/influx.py:45-63`). Derived timestamps come
+        # from timestamp_micros(ts DIV 1000).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

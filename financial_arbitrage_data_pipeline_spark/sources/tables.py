@@ -1,0 +1,41 @@
+"""Batch table access over the driver's parquet testdata.
+
+The reference's scans (S2 bulk market scan, S5 Postgres pair scan, S6 Flux
+time-series scan — SURVEY §2.1) all reduce to `spark.read.parquet` +
+declarative filter/projection; Catalyst pushes predicates and prunes
+columns at the scan (the reference does both by hand inside query strings,
+`etl/query.py:49-56`, `read_from.py:129-141`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Plain parquet scan — no schema inference
+    surprises (parquet carries its schema) and no eager caching; each query
+    declares its own projection/filters so pushdown stays effective."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register testdata tables as temp views (mirrors the driver's DuckDB
+    oracle setup, where the same names are pre-registered)."""
+    for name in names or TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Drive the driver contract end-to-end, exactly as the grading driver
+does: vanilla SparkSession → entry() smoke → every queries()[name] vs
+oracle_sql()[name] via DuckDB, strict order-insensitive equality.
+
+Env: SF=0.01 (default) | 0.001 | 0.1;  ONLY=comma,separated,names
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+from financial_arbitrage_data_pipeline_spark.sources.tables import TESTDATA_TABLES
+
+
+def main() -> int:
+    sf = os.environ.get("SF", "0.01")
+    sf_dir = f"/root/testdata/sf{sf}"
+    only = {s for s in os.environ.get("ONLY", "").split(",") if s}
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = E.entry(spark)
+    n = len(df.collect())
+    assert n > 0, "entry() returned no rows"
+    print(f"entry() -> {n} rows")
+
+    qs, osql = E.queries(), E.oracle_sql()
+    assert set(osql) <= set(qs), "oracle_sql keys must be a subset of queries"
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+            if name in osql:
+                opdf = con.execute(osql[name]).df()
+                cols = sorted(spdf.columns)
+                assert sorted(opdf.columns) == cols, f"cols {list(spdf.columns)} vs {list(opdf.columns)}"
+                assert len(spdf) == len(opdf), f"rows {len(spdf)} vs {len(opdf)}"
+                s = sorted([tuple(r) for r in spdf[cols].itertuples(index=False)], key=repr)
+                o = sorted([tuple(r) for r in opdf[cols].itertuples(index=False)], key=repr)
+                assert repr(s) == repr(o), "VALUE MISMATCH"
+                status = "oracle match"
+            else:
+                assert len(spdf) > 0, "rows-only check: empty result"
+                status = "rows-only"
+            print(f"  ok   {name}: {len(spdf)} rows ({status}) [{time.time()-t0:.1f}s]")
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"  FAIL {name}: {exc}")
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print(f"ALL {len(only) if only else len(qs)} QUERIES OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
