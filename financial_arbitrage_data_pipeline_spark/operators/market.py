@@ -1,0 +1,429 @@
+"""Market-domain queries: the reference's orderbook/ETL/scan semantics
+(SURVEY §2.2, §2.3, §3.3, §3.4) exercised over deterministic derivations
+of the driver's testdata (TESTDATA.md forbids synthesizing our own input
+tables, so books and quotes are pure functions of testdata rows).
+
+Derivation conventions (identical in the Spark builders and the DuckDB
+oracles):
+- Kalshi books from lineitem: ticker = l_orderkey; level price_cents =
+  l_partkey % 97 + 1, qty = int(l_quantity); odd line numbers are YES
+  levels, even are NO levels.
+- Market quotes from events: pair key = user_id; cents values derived
+  with round(value*100) so double→int conversion is engine-independent
+  (Spark casts truncate, DuckDB casts round — round() first makes them
+  agree).
+
+The Spark side uses the real engine operators (JSON round-trip +
+higher-order functions from operators/orderbook.py); the oracle computes
+the same *result* with plain SQL — parity checks semantics, not plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+from . import orderbook as ob
+
+# ---------------------------------------------------------------------------
+# Shared derivations
+# ---------------------------------------------------------------------------
+
+
+def _kalshi_books(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → one Kalshi book per order, then a JSON round-trip through
+    the engine's snapshot format: the book is serialized exactly as
+    Virginia does (`virginia/coordinator.py:458` json.dumps of the raw
+    dict) and re-parsed with from_json (P11) — so every downstream op
+    consumes the same parsed shape a stored snapshot would yield."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = (F.col("l_partkey") % 97 + 1).cast("int")
+    qty = F.col("l_quantity").cast("int")
+    level = F.array(price, qty)
+    odd = F.col("l_linenumber") % 2 == 1
+    books = li.groupBy(F.col("l_orderkey").alias("ticker")).agg(
+        F.collect_list(F.when(odd, level)).alias("yes"),
+        F.collect_list(F.when(~odd, level)).alias("no"),
+    )
+    # serialize → market_snapshot.full_orderbook → parse (P11)
+    snap = books.select(
+        "ticker",
+        F.to_json(F.struct("yes", "no")).alias("full_orderbook"),
+    )
+    return snap.select("ticker", ob.parse_kalshi_book("full_orderbook").alias("book"))
+
+
+_KALSHI_LEVELS_SQL = """
+  SELECT l_orderkey AS ticker,
+         (l_partkey % 97 + 1) AS price,
+         CAST(l_quantity AS BIGINT) AS qty,
+         (l_linenumber % 2 = 1) AS is_yes
+  FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3 + P11 + F9: best-of-book summary
+# ---------------------------------------------------------------------------
+@query(
+    "kalshi_book_summary",
+    oracle=f"""
+WITH lv AS ({_KALSHI_LEVELS_SQL})
+SELECT ticker,
+       MAX(CASE WHEN is_yes THEN price END) AS yes_best_bid,
+       MIN(CASE WHEN is_yes THEN price END) AS yes_best_ask,
+       MAX(CASE WHEN NOT is_yes THEN price END) AS no_best_bid,
+       MIN(CASE WHEN NOT is_yes THEN price END) AS no_best_ask,
+       COUNT(CASE WHEN is_yes THEN 1 END) AS yes_depth,
+       CAST(SUM(CASE WHEN is_yes THEN qty ELSE 0 END) AS BIGINT) AS yes_qty
+FROM lv
+GROUP BY ticker
+HAVING COUNT(CASE WHEN is_yes THEN 1 END) > 0
+   AND COUNT(CASE WHEN NOT is_yes THEN 1 END) > 0
+""",
+    headline=True,
+    tags=("P3", "P11", "F9"),
+)
+def kalshi_book_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-book per ticker through the full snapshot path: build book →
+    to_json (the stored `full_orderbook` blob) → from_json (P11) →
+    higher-order-function extraction (P3) → null/shape guards (F9,
+    `opportunity_scanner.py:155-157`). All JVM-side codegen; one shuffle
+    (the groupBy building the books)."""
+    books = _kalshi_books(spark, sf_dir)
+    yes, no = F.col("book.yes"), F.col("book.no")
+    return (
+        books.filter((F.size(yes) > 0) & (F.size(no) > 0))
+        .select(
+            "ticker",
+            ob.best_bid_cents(yes).cast("long").alias("yes_best_bid"),
+            ob.best_ask_cents(yes).cast("long").alias("yes_best_ask"),
+            ob.best_bid_cents(no).cast("long").alias("no_best_bid"),
+            ob.best_ask_cents(no).cast("long").alias("no_best_ask"),
+            ob.side_depth(yes).cast("long").alias("yes_depth"),
+            ob.side_quantity(yes).alias("yes_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8: VWAP fill-price book walk
+# ---------------------------------------------------------------------------
+@query(
+    "book_vwap_fill",
+    oracle=f"""
+WITH lv AS ({_KALSHI_LEVELS_SQL}),
+yes AS (SELECT ticker, price, qty FROM lv WHERE is_yes),
+w AS (
+  SELECT ticker, price, qty,
+         COALESCE(SUM(qty) OVER (PARTITION BY ticker ORDER BY price DESC, qty
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM yes
+)
+SELECT ticker,
+       CASE WHEN SUM(qty) >= 100
+            THEN CAST(SUM(LEAST(qty, GREATEST(100 - cum_before, 0)) * price) AS DOUBLE) / 100.0
+            ELSE 0.0 END AS vwap_cents
+FROM w
+GROUP BY ticker
+""",
+    tags=("P8",),
+)
+def book_vwap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-price walk (P8, `virginia/api/data_feed.py:99-126`): average
+    price to fill 100 contracts walking the YES side best-first; 0.0 if
+    the book is too thin. Implemented as an `aggregate()` HOF with a
+    (remaining, cost) struct accumulator — stays in codegen, no UDF."""
+    books = _kalshi_books(spark, sf_dir)
+    yes_sorted = ob.sort_levels_best_first(F.col("book.yes"))
+    return (
+        # guard (F9): only books with a non-empty YES side, matching the
+        # oracle's grouped-CTE domain
+        books.filter(F.size(F.col("book.yes")) > 0)
+        .select(
+            "ticker",
+            ob.vwap_fill_cents(yes_sorted, 100).alias("vwap_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 / P6 / P7: ETL price normalization (§3.4)
+# ---------------------------------------------------------------------------
+@query(
+    "normalized_prices",
+    oracle="""
+WITH q AS (
+  SELECT event_id,
+         CASE WHEN user_id % 2 = 0 THEN 'kalshi' ELSE 'polymarket' END AS source,
+         (CAST(round(value * 100) AS BIGINT) % 99 + 1) / 100.0 AS yes_raw,
+         (CAST(round(value * 100) AS BIGINT) % 89 + 1) / 100.0 AS no_raw
+  FROM events
+)
+SELECT event_id, source,
+       CASE WHEN source = 'kalshi' THEN yes_raw
+            WHEN yes_raw > 0.5 THEN no_raw ELSE yes_raw END AS yes_price,
+       CASE WHEN source = 'kalshi' THEN 1.0 - yes_raw
+            WHEN yes_raw > 0.5 THEN yes_raw ELSE no_raw END AS no_price
+FROM q
+""",
+    tags=("P5", "P6", "P7"),
+)
+def normalized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ETL normalization branch (`etl/query.py:182-238`): Kalshi rows
+    get cents→dollars (P5) + YES→NO complement (P6); Polymarket rows get
+    the direction swap at yes_mid > 0.5 (P7, strict boundary). Narrow
+    per-row expressions — no shuffle at all."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    yes_raw = ob.cents_to_dollars(cents % 99 + 1)
+    no_raw = ob.cents_to_dollars(cents % 89 + 1)
+    src = F.when(F.col("user_id") % 2 == 0, F.lit("kalshi")).otherwise(F.lit("polymarket"))
+    swapped = ob.direction_swap(yes_raw, no_raw)
+    return ev.select(
+        "event_id",
+        src.alias("source"),
+        F.when(src == "kalshi", yes_raw)
+        .otherwise(swapped.getField("yes_price"))
+        .alias("yes_price"),
+        F.when(src == "kalshi", ob.yes_to_no(yes_raw))
+        .otherwise(swapped.getField("no_price"))
+        .alias("no_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 + J2 + F5 + F6 + A7: the opportunity scan, batch form (§3.3)
+# ---------------------------------------------------------------------------
+_SCAN_ORACLE = """
+WITH bounds AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+kalshi AS (
+  SELECT user_id,
+         (CAST(round(value * 100) AS BIGINT) % 97 + 1) / 100.0 AS yes_bid,
+         (CAST(round(value * 100) AS BIGINT) % 89 + 1) / 100.0 AS no_bid,
+         epoch_us(ts) AS ts_us
+  FROM events
+  WHERE event_type IN ('click', 'view')
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+poly AS (
+  SELECT user_id,
+         (CAST(round(value * 100) AS BIGINT) % 99 + 1) / 100.0 AS yes_price,
+         1.0 - (CAST(round(value * 100) AS BIGINT) % 99 + 1) / 100.0 AS no_price,
+         epoch_us(ts) AS ts_us
+  FROM events
+  WHERE event_type IN ('purchase', 'signup', 'error')
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+pairs AS (
+  SELECT c_custkey AS pair_id FROM customer
+  WHERE c_custkey < 200 AND c_custkey % 10 <> 0
+),
+joined AS (
+  SELECT p.pair_id,
+         k.yes_bid AS kalshi_yes_bid, k.no_bid AS kalshi_no_bid,
+         m.yes_price AS poly_yes, m.no_price AS poly_no
+  FROM pairs p
+  JOIN kalshi k ON k.user_id = p.pair_id
+  JOIN poly m ON m.user_id = p.pair_id
+  CROSS JOIN bounds b
+  WHERE k.ts_us >= b.max_us - 86400000000 AND m.ts_us >= b.max_us - 86400000000
+),
+scored AS (
+  SELECT *,
+         (kalshi_yes_bid - poly_yes) / poly_yes AS margin_yes,
+         (kalshi_no_bid - poly_no) / poly_no AS margin_no,
+         (poly_yes < kalshi_yes_bid) AS yes_ok,
+         (poly_no < kalshi_no_bid) AS no_ok
+  FROM joined
+)
+SELECT pair_id,
+       CASE WHEN yes_ok AND (NOT no_ok OR margin_yes >= margin_no)
+            THEN 'kalshi_yes_polymarket_no' ELSE 'kalshi_no_polymarket_yes' END
+         AS arbitrage_type,
+       CASE WHEN yes_ok AND (NOT no_ok OR margin_yes >= margin_no)
+            THEN kalshi_yes_bid ELSE kalshi_no_bid END AS kalshi_price,
+       CASE WHEN yes_ok AND (NOT no_ok OR margin_yes >= margin_no)
+            THEN poly_yes ELSE poly_no END AS poly_price,
+       CASE WHEN yes_ok AND (NOT no_ok OR margin_yes >= margin_no)
+            THEN margin_yes ELSE margin_no END AS profit_margin
+FROM scored
+WHERE (yes_ok OR no_ok)
+  AND (CASE WHEN yes_ok AND (NOT no_ok OR margin_yes >= margin_no)
+            THEN margin_yes ELSE margin_no END) > 0.02
+"""
+
+
+@query("arbitrage_scan", oracle=_SCAN_ORACLE, headline=True, tags=("J1", "J2", "F5", "F6", "A7"))
+def arbitrage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE core operator (J1, `opportunity_scanner.py:376-500`), batch
+    form: latest fresh state per venue per pair key (W3), inner-joined
+    through a broadcast pair universe (J2) with an active-pair filter
+    (F1), freshness gate on event time (F5 — 24h horizon here so the
+    static fixture keeps both sides alive; the streaming form uses the
+    reference's 60s), YES/NO margin math on normalized prices
+    (`_detect_simple_arbitrage`, the non-shadowed definition at
+    `opportunity_scanner.py:431-500`), profit threshold (F6, 0.02 per
+    `virginia/utils/config.py:270`), best side per pair (A7).
+
+    Scale shape: two latest-per-key window aggregations (one shuffle each
+    on the pair key), a broadcast dim join (no shuffle), scalar freshness
+    bound via a 1-row broadcast cross join. At 100 TB the latest-per-key
+    state lives in Structured Streaming (streaming/scan.py) — this plan
+    is its deterministic batch equivalent for the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    kalshi = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("k_user"),
+            ob.cents_to_dollars(cents % 97 + 1).alias("kalshi_yes_bid"),
+            ob.cents_to_dollars(cents % 89 + 1).alias("kalshi_no_bid"),
+            F.expr("ts div 1000").alias("k_ts_us"),
+        )
+    )
+    poly_yes = ob.cents_to_dollars(cents % 99 + 1)
+    poly = (
+        ev.filter(F.col("event_type").isin("purchase", "signup", "error"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("p_user"),
+            poly_yes.alias("poly_yes"),
+            ob.yes_to_no(poly_yes).alias("poly_no"),
+            F.expr("ts div 1000").alias("p_ts_us"),
+        )
+    )
+    pairs = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") < 200) & (F.col("c_custkey") % 10 != 0))
+        .select(F.col("c_custkey").alias("pair_id"))
+    )
+    bounds = ev.agg(F.max(F.expr("ts div 1000")).alias("max_us"))
+
+    horizon = 86_400_000_000  # µs; batch-fixture freshness window (F5)
+    joined = (
+        kalshi.join(F.broadcast(pairs), F.col("k_user") == F.col("pair_id"))
+        .join(poly, F.col("p_user") == F.col("pair_id"))
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("k_ts_us") >= F.col("max_us") - horizon)
+            & (F.col("p_ts_us") >= F.col("max_us") - horizon)
+        )
+    )
+    margin_yes = (F.col("kalshi_yes_bid") - F.col("poly_yes")) / F.col("poly_yes")
+    margin_no = (F.col("kalshi_no_bid") - F.col("poly_no")) / F.col("poly_no")
+    yes_ok = F.col("poly_yes") < F.col("kalshi_yes_bid")
+    no_ok = F.col("poly_no") < F.col("kalshi_no_bid")
+    take_yes = yes_ok & (~no_ok | (margin_yes >= margin_no))
+    return (
+        joined.select(
+            "pair_id",
+            F.when(take_yes, F.lit("kalshi_yes_polymarket_no"))
+            .otherwise(F.lit("kalshi_no_polymarket_yes"))
+            .alias("arbitrage_type"),
+            F.when(take_yes, F.col("kalshi_yes_bid")).otherwise(F.col("kalshi_no_bid")).alias(
+                "kalshi_price"
+            ),
+            F.when(take_yes, F.col("poly_yes")).otherwise(F.col("poly_no")).alias("poly_price"),
+            F.when(take_yes, margin_yes).otherwise(margin_no).alias("profit_margin"),
+            (yes_ok | no_ok).alias("any_ok"),
+        )
+        .filter(F.col("any_ok") & (F.col("profit_margin") > 0.02))
+        .drop("any_ok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: snapshot-correlation semi-join (array_contains)
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_correlation",
+    oracle="""
+SELECT o.o_orderkey AS orderkey, o.o_totalprice
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND (l.l_partkey = 100 OR (l.l_linenumber = 1 AND l.l_partkey % 1000 = 100))
+)
+""",
+    tags=("J3",),
+)
+def snapshot_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trades correlated to a snapshot id: `executed_snapshot_id = x OR
+    analyzed_snapshot_ids @> x` (J3, `database/postgres/writer.py:470-497`
+    — replacing its JSONB LIKE-pattern hack with array_contains). Built by
+    aggregating lineitem into per-order id arrays, then filtering with
+    array_contains — the declarative LEFT SEMI shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("analyzed_snapshot_ids"),
+        # l_linenumber is not unique per order in this testdata: the
+        # "executed" correlation holds if ANY first-line row matches
+        F.max(
+            F.when((F.col("l_linenumber") == 1) & (F.col("l_partkey") % 1000 == 100), True)
+        ).alias("executed_hit"),
+    )
+    hits = per_order.filter(
+        F.array_contains("analyzed_snapshot_ids", F.lit(100)) | F.col("executed_hit")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.join(hits, o.o_orderkey == hits.l_orderkey, "left_semi").select(
+        F.col("o_orderkey").alias("orderkey"), "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9: timing-chain latency derivations
+# ---------------------------------------------------------------------------
+@query(
+    "timing_chain_stats",
+    oracle="""
+WITH chain AS (
+  SELECT event_type,
+         epoch_us(ts) * 1000 AS api_call_start_ns,
+         epoch_us(ts) * 1000 + (event_id % 500 + 1) * 1000000 AS api_response_ns,
+         epoch_us(ts) * 1000 + (event_id % 500 + 1) * 1000000 + (user_id + 1) * 100000
+           AS processing_complete_ns
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM((api_response_ns - api_call_start_ns) / 1000) AS DOUBLE) / COUNT(*)
+         AS avg_api_latency_us,
+       MAX((processing_complete_ns - api_call_start_ns) / 1000) AS max_pipeline_latency_us,
+       COUNT(*) AS n
+FROM chain
+GROUP BY event_type
+""",
+    tags=("P9",),
+)
+def timing_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency derivations over a ns timing chain (P9: `(t2-t1)/1000` µs,
+    `ireland/api/data_feed.py:95-114`). The chain is derived
+    deterministically from events so the math — not the fixture — is under
+    test. Integer-exact throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    start = F.expr("(ts div 1000) * 1000")
+    resp = start + (F.col("event_id") % 500 + 1) * 1_000_000
+    done = resp + (F.col("user_id") + 1) * 100_000
+    chain = ev.select(
+        "event_type",
+        start.alias("api_call_start_ns"),
+        resp.alias("api_response_ns"),
+        done.alias("processing_complete_ns"),
+    )
+    api_lat = ob.latency_us("api_call_start_ns", "api_response_ns")
+    pipe_lat = ob.pipeline_latency_us("api_call_start_ns", "processing_complete_ns")
+    return chain.groupBy("event_type").agg(
+        (F.sum(api_lat).cast("double") / F.count(F.lit(1))).alias("avg_api_latency_us"),
+        F.max(pipe_lat).alias("max_pipeline_latency_us"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -47,6 +47,13 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
     )
+    # dtype *kind* must agree (int vs float) — the driver's value-hash is
+    # unlikely to treat 44 and 44.0 as equal
+    for c in spark_pdf.columns:
+        sk, ok = spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind
+        if "O" in (sk, ok):
+            continue  # strings/objects/empty-result columns
+        assert (sk == "f") == (ok == "f"), f"{name}.{c}: dtype kind {sk} vs {ok}"
     srows, orows = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)
     mismatches = [(i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[0]}"
