@@ -1,0 +1,380 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard.
+
+All Spark-side logic is built-in functions + higher-order functions —
+md5 / array_min / transform / aggregate — so the hot path stays in
+whole-stage codegen with zero Python. The shapes are the standard
+web-scale dedup pipeline (shingle → minhash → band → bucket-join →
+verify), sized so the only shuffles are on dedup keys / band buckets,
+never all-pairs.
+
+The driver corpus contains no duplicates, so dedup queries run over a
+deterministic "two-crawl" union: documents ∪ a re-crawl copy of every
+7th doc (doc_id + 1_000_000). This models cross-crawl dedup and
+guarantees every operator has true positives to find; the derivation is
+identical in the DuckDB oracles.
+
+Scale notes (100 TB):
+- exact dedup: one shuffle on the 128-bit fingerprint; map-side partial
+  aggregation collapses most groups before the exchange.
+- MinHash+LSH: signatures are per-row narrow transforms (no shuffle);
+  candidate generation shuffles on (band_id, band_signature) — cardinality
+  ~n_docs*bands, each bucket tiny; verification joins only candidates.
+  Never materializes the O(n^2) pair space.
+- SimHash: per-row signature, then pairs within small blocking keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed long exactly
+
+
+# ---------------------------------------------------------------------------
+# The two-crawl corpus
+# ---------------------------------------------------------------------------
+
+
+def crawl_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    recrawl = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+    )
+    return docs.unionByName(recrawl)
+
+
+_CRAWL_UNION_SQL = """
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy
+# ---------------------------------------------------------------------------
+@query(
+    "exact_dedup",
+    oracle=f"""
+WITH corpus AS ({_CRAWL_UNION_SQL})
+SELECT md5(text) AS fingerprint,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) - 1 AS n_dropped
+FROM corpus
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+""",
+    tags=("dedup-exact",),
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash; keep the lowest doc_id
+    (the canonical keep-first policy). One shuffle on the fingerprint."""
+    corpus = crawl_union(spark, sf_dir)
+    return (
+        corpus.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash signatures (shared by LSH and n-gram Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def with_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """Word n-gram shingle set per doc (distinct), via pure HOFs:
+    sequence → transform(concat of token window) → array_distinct."""
+    tokens = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + k) for k in range(n)]
+    )
+    return df.withColumn("shingles", F.array_distinct(F.transform(idx, shingle)))
+
+
+def with_minhash(df: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    """k MinHash values per doc. Permutation i is the lexicographic min of
+    md5(i ':' shingle) — engine-independent and exactly reproducible in
+    SQL, unlike seeded murmur. Narrow per-row transform, no shuffle."""
+    sigs = [
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return df.select("*", *sigs)
+
+
+def band_signatures(df: DataFrame, bands: int = N_BANDS, k: int = N_MINHASH) -> DataFrame:
+    """Fold minhashes into `bands` signatures (rows = k/bands each);
+    explode to (doc_id, band_id, band_sig) for the bucket join."""
+    rows = k // bands
+    sig = lambda b: F.md5(  # noqa: E731
+        F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+    )
+    pairs = F.array(
+        *[F.struct(F.lit(b).alias("band_id"), sig(b).alias("band_sig")) for b in range(bands)]
+    )
+    return df.select("doc_id", F.explode(pairs).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_sig"
+    )
+
+
+def _minhash_sql(corpus_sql: str, k: int = N_MINHASH, bands: int = N_BANDS) -> str:
+    """DuckDB mirror of the shingle→minhash→band pipeline."""
+    mh_cols = ",\n         ".join(
+        f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+    )
+    rows = k // bands
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, md5({concat}) AS band_sig FROM mh".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+corpus AS ({corpus_sql}),
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tok)
+),
+mh AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sh_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)"""
+
+
+@query(
+    "minhash_lsh_dedup",
+    oracle=f"""
+WITH {_minhash_sql(_CRAWL_UNION_SQL)}
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sh_sizes za ON za.doc_id = i.doc_a
+JOIN sh_sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+""",
+    headline=True,
+    tags=("dedup-minhash-lsh",),
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection: shingle → 16 minhashes →
+    4 bands → bucket-join candidates → exact Jaccard verification ≥ 0.5.
+    The pair space is never materialized; candidates come from equi-joining
+    band signatures (one shuffle on (band_id, sig)), then only candidates
+    pay the verification join."""
+    corpus = with_minhash(with_shingles(crawl_union(spark, sf_dir)))
+    shingle_sets = corpus.select("doc_id", "shingles")
+    bands = band_signatures(corpus)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard with length/lang blocking (no LSH — the exact variant)
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH corpus AS ({_CRAWL_UNION_SQL}),
+tok AS (
+  SELECT doc_id, lang, len(text) // 64 AS lbucket, string_split(text, ' ') AS t
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, lang, lbucket, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, lang, lbucket, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tok)
+),
+sizes AS (SELECT doc_id, lang, lbucket, COUNT(*) AS n_sh FROM sh GROUP BY 1, 2, 3),
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh sa
+  JOIN sh sb ON sa.lang = sb.lang AND sa.lbucket = sb.lbucket
+            AND sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.4
+""",
+    tags=("dedup-ngram-jaccard",),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs within (lang, length-bucket)
+    blocks: the shuffle key is the shared shingle (an inverted-index join),
+    so cost is Σ posting-list², not n² — the classic blocked exact
+    variant to contrast with minhash_lsh_dedup's approximate path."""
+    corpus = with_shingles(crawl_union(spark, sf_dir)).select(
+        "doc_id",
+        "lang",
+        (F.length("text") / 64).cast("long").alias("lbucket"),
+        "shingles",
+    )
+    sh = corpus.select(
+        "doc_id", "lang", "lbucket", F.explode("shingles").alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.lang") == F.col("sb.lang"))
+            & (F.col("sa.lbucket") == F.col("sb.lbucket"))
+            & (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _hex15_to_bigint_sql(expr: str) -> str:
+    """DuckDB: first 15 hex chars of an md5 → BIGINT (no conv() there)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
+def _simhash_sql(corpus_sql: str, bits: int = SIMHASH_BITS) -> str:
+    h = _hex15_to_bigint_sql("md5(token)")
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+corpus AS ({corpus_sql}),
+tok AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM corpus
+),
+th AS (SELECT doc_id, lang, {h} AS h FROM tok),
+bitsums AS (
+  SELECT doc_id, ANY_VALUE(lang) AS lang,
+         {bit_sums}
+  FROM th GROUP BY doc_id
+),
+sig AS (SELECT doc_id, lang, {sig} AS simhash FROM bitsums)"""
+
+
+@query(
+    "simhash_dedup",
+    oracle=f"""
+WITH {_simhash_sql(_CRAWL_UNION_SQL)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+""",
+    tags=("dedup-simhash",),
+)
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit signature from the token set (bit j
+    votes +1/-1 by bit j of md5(token)), pairs within a lang block at
+    Hamming distance ≤ 12. Signature is one aggregation (60 conditional
+    sums — all codegen); exact dups hash to identical signatures."""
+    corpus = crawl_union(spark, sf_dir)
+    tok = corpus.select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    th = tok.select("doc_id", "lang", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = th.groupBy("doc_id").agg(F.first("lang").alias("lang"), *bit_sums)
+    sig_expr = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = sums.select("doc_id", "lang", sig_expr.alias("simhash"))
+
+    a, b = sig.alias("a"), sig.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 12)
+    )

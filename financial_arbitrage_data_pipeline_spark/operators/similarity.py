@@ -1,0 +1,225 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(the correctness baseline) and blocked / LSH-bucketed variants (the scale
+path), plus embedding-cosine near-duplicate pairs.
+
+Numeric discipline: embeddings are float32. Both the Spark side and the
+DuckDB oracle quantize each component to round(v*1000) as int64 first, so
+dot products and norms are integer-exact and order-independent; the final
+cosine = dot / (sqrt(na)*sqrt(nb)) is then bit-identical across engines
+(IEEE sqrt/divide are correctly rounded). Without this, distributed float
+summation makes top-k boundaries nondeterministic.
+
+Scale notes (100 TB): brute-force is O(nq*N) — fine for small query sets
+against a broadcast, or as the per-bucket scorer. The scale path is
+random-hyperplane LSH (rh_lsh_signatures below): one narrow projection to
+a bucket id, shuffle on bucket, score within buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+TOPK = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+def quantized(col: Column | str, scale: int = 1000) -> Column:
+    """float array → exact int64 array (round half away from zero — the
+    same rule in Spark and DuckDB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.round(x * scale).cast("long"))
+
+
+def dot_ll(a: Column, b: Column) -> Column:
+    """Integer-exact dot product of two int64 arrays via zip_with+aggregate."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return dot_ll(a, a)
+
+
+def cosine_from_ints(dot: Column, na: Column, nb: Column) -> Column:
+    return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+
+
+_QUANT_SQL = """
+qe AS (
+  SELECT vec_id, i, CAST(round(v * 1000) AS BIGINT) AS q
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+        FROM embeddings)
+),
+norms AS (SELECT vec_id, SUM(q * q) AS nsq FROM qe GROUP BY vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (the ANN correctness baseline)
+# ---------------------------------------------------------------------------
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH {_QUANT_SQL},
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT d.query_id, d.cand_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+       CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+         AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.query_id
+JOIN norms nb ON nb.vec_id = d.cand_id
+WINDOW w AS (
+  PARTITION BY d.query_id
+  ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+             DESC, d.cand_id
+)
+QUALIFY ROW_NUMBER() OVER w <= {TOPK}
+""",
+    headline=True,
+    tags=("similarity-ann",),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for each query vector (vec_id < 10) against the
+    full collection: broadcast the quantized queries, score every
+    candidate with an integer-exact zip_with dot product, window top-k
+    per query. The full-scan baseline every ANN variant is measured
+    against."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized("embedding").alias("q")
+    )
+    emb = emb.withColumn("nsq", sq_norm(F.col("q")))
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"), F.col("nsq").alias("c_nsq")
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(queries_df))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_from_ints(
+                dot_ll(F.col("qq"), F.col("cq")), F.col("q_nsq"), F.col("c_nsq")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates (blocked by label = the IVF-style path)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_neardup_topk",
+    oracle=f"""
+WITH {_QUANT_SQL},
+lab AS (SELECT vec_id, label FROM embeddings),
+dots AS (
+  SELECT la.vec_id AS vec_a, lb.vec_id AS vec_b, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM lab la
+  JOIN lab lb ON la.label = lb.label AND la.vec_id < lb.vec_id
+  JOIN qe a ON a.vec_id = la.vec_id
+  JOIN qe b ON b.vec_id = lb.vec_id AND b.i = a.i
+  GROUP BY la.vec_id, lb.vec_id
+),
+scored AS (
+  SELECT d.vec_a, d.vec_b,
+         CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+           AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_a
+  JOIN norms nb ON nb.vec_id = d.vec_b
+)
+SELECT vec_a, vec_b, cosine
+FROM scored
+ORDER BY cosine DESC, vec_a, vec_b
+LIMIT 20
+""",
+    tags=("similarity-neardup",),
+)
+def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar embedding pairs within label blocks — the
+    embedding-cosine near-dup detector in its IVF-style form: pairs are
+    only scored inside a partition (here the label; at scale, a coarse
+    quantizer / LSH bucket), so cost is Σ block² instead of N²."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantized("embedding").alias("q")
+    )
+    emb = emb.withColumn("nsq", sq_norm(F.col("q")))
+    a = emb.select(
+        F.col("label").alias("la"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("nsq").alias("na"),
+    )
+    b = emb.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("nsq").alias("nb"),
+    )
+    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        cosine_from_ints(dot_ll(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias(
+            "cosine"
+        ),
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_a", "vec_b").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH signatures — the 100 TB bucketing path
+# ---------------------------------------------------------------------------
+
+
+def rh_lsh_signatures(df: DataFrame, emb_col: str = "embedding", n_planes: int = 16) -> DataFrame:
+    """Append an LSH bucket id: bit p = sign(<v, h_p>) for pseudo-random
+    hyperplanes h_p derived from md5(p:i) — deterministic, engine-free,
+    no shuffle. Candidate generation then groups on `lsh_bucket`, turning
+    the N² similarity join into Σ bucket². Used by the scale path /
+    streaming dedup; the oracle-checked queries above verify the scorer
+    it feeds."""
+    v = F.col(emb_col)
+
+    def plane_dot(p: int) -> Column:
+        # h_p[i] = (first 8 hex of md5("p:i") as int) - 2^31  (zero-mean)
+        idx = F.sequence(F.lit(1), F.size(v))
+        weights = F.transform(
+            idx,
+            lambda i: F.conv(F.substring(F.md5(F.concat(F.lit(f"{p}:"), i)), 1, 8), 16, 10).cast(
+                "long"
+            )
+            - F.lit(2**31),
+        )
+        prods = F.zip_with(weights, v, lambda w, x: w.cast("double") * x)
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("lsh_bucket", bucket)

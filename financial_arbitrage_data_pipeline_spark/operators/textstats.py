@@ -1,0 +1,212 @@
+"""Text-analysis operators for training-data pipelines: quality scoring,
+token counting, language ID, and document fingerprinting — all pure
+built-in/higher-order expressions over the documents table.
+
+Scale notes (100 TB): every operator here except lang-ID is a narrow
+per-row projection (no shuffle at all — ideal for a trillion-row corpus
+scan). Lang-ID is one explode + two small aggregations whose shuffle keys
+are (lang, bigram) — bounded by vocabulary, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         string_split(text, ' ') AS toks,
+         length(text) AS n_chars_m
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, n_chars_m,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains([{_STOP_SQL}], x))) AS n_stop,
+         list_sum(list_transform(toks, x -> length(x))) AS tok_chars,
+         length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       CAST(n_punct AS DOUBLE) / n_chars_m AS punct_ratio,
+       CAST(tok_chars AS DOUBLE) / n_tokens AS avg_token_len,
+       least(1.0, n_tokens / 100.0) * 0.5
+         + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+         + least(1.0, (CAST(tok_chars AS DOUBLE) / n_tokens) / 8.0) * 0.2
+         AS quality_score
+FROM m
+""",
+    headline=True,
+    tags=("text-quality",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals (length / stopword ratio / punctuation
+    ratio / mean token length) folded into a [0,1] score — the standard
+    pre-training heuristic filter stack. Pure projection: no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    avg_tok = tok_chars.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        (n_punct.cast("double") / F.length("text")).alias("punct_ratio"),
+        avg_tok.alias("avg_token_len"),
+        (
+            F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.5
+            + (F.lit(1.0) - stop_ratio) * 0.3
+            + F.least(F.lit(1.0), avg_tok / F.lit(8.0)) * 0.2
+        ).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + regex "BPE-ish" word/number pieces)
+# ---------------------------------------------------------------------------
+@query(
+    "token_counts",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       CAST(regexp_extract_all(text, '[a-z]+|[0-9]+') AS VARCHAR[]).len() AS re_tokens,
+       length(text) AS n_chars_m,
+       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+FROM documents
+""",
+    tags=("text-tokens",),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and regex token counts per doc (the 'how many tokens is
+    this corpus' accounting pass). Narrow projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    re_toks = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        re_toks.alias("re_tokens"),
+        F.length("text").alias("n_chars_m"),
+        (F.length("text").cast("double") / ws).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: character-bigram profile classifier (TextCat-style)
+# ---------------------------------------------------------------------------
+_LANGID_SQL = """
+WITH bi AS (
+  SELECT doc_id, lang, substr(text, i, 2) AS bigram
+  FROM (SELECT doc_id, lang, text, unnest(generate_series(1, length(text) - 1)) AS i
+        FROM documents)
+),
+profile AS (
+  SELECT lang, bigram, COUNT(*) AS freq
+  FROM bi GROUP BY lang, bigram
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, bigram) <= 40
+),
+db AS (SELECT DISTINCT doc_id, lang AS actual_lang, bigram FROM bi),
+scores AS (
+  SELECT d.doc_id, d.actual_lang, p.lang AS cand_lang, COUNT(*) AS score
+  FROM db d JOIN profile p ON p.bigram = d.bigram
+  GROUP BY d.doc_id, d.actual_lang, p.lang
+)
+SELECT doc_id, actual_lang,
+       cand_lang AS predicted_lang,
+       score
+FROM scores
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) = 1
+"""
+
+
+@query("lang_id_ngram", oracle=_LANGID_SQL, tags=("text-langid",))
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language ID: build a top-40-bigram profile per
+    language from the corpus, score each doc by profile overlap, predict
+    argmax (deterministic tie-break). The profile aggregation shuffles on
+    (lang, bigram) — vocabulary-bounded — and the scoring join broadcasts
+    the tiny profile; corpus-size work is one explode + one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = F.sequence(F.lit(1), F.length("text") - 1)
+    bi = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.explode(F.transform(idx, lambda i: F.col("text").substr(i, F.lit(2)))).alias("bigram"),
+    )
+    profile = (
+        bi.groupBy(F.col("actual_lang").alias("lang"), "bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("bigram"))
+            ),
+        )
+        .filter(F.col("rn") <= 40)
+        .select("lang", "bigram")
+    )
+    db = bi.distinct()
+    scores = (
+        db.join(F.broadcast(profile), "bigram")
+        .groupBy("doc_id", "actual_lang", F.col("lang").alias("cand_lang"))
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "actual_lang", F.col("cand_lang").alias("predicted_lang"), "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (polynomial rolling hash)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_fingerprints",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * 131 + x) % 1000000007
+       ) AS fingerprint
+FROM documents
+""",
+    tags=("text-fingerprint",),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint per doc (h = h*131 + byte mod
+    1e9+7) — the content-defined-chunking primitive. A single fold over
+    the characters via the `aggregate()` HOF; integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split("text", "")
+    fp = F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 131 + x) % 1_000_000_007,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,103 @@
+"""Unit tests for the training-data operators (dedup / similarity /
+multimodal libraries) beyond what the oracle-parity suite covers."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_arbitrage_data_pipeline_spark.operators import multimodal, similarity
+from financial_arbitrage_data_pipeline_spark.operators.dedup import (
+    band_signatures,
+    with_minhash,
+    with_shingles,
+)
+
+
+def test_shingles_are_word_trigrams(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    row = with_shingles(df).first()
+    assert sorted(row.shingles) == ["a b c", "b c d"]
+
+
+def test_identical_docs_share_all_band_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w v u t s r q"), (2, "x y z w v u t s r q")],
+        "doc_id long, text string",
+    )
+    bands = band_signatures(with_minhash(with_shingles(df)))
+    # each band signature appears for both docs
+    counts = bands.groupBy("band_id", "band_sig").count().collect()
+    assert all(r["count"] == 2 for r in counts)
+
+
+def test_different_docs_differ_somewhere(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg"), (2, "zz yy xx ww vv uu tt")],
+        "doc_id long, text string",
+    )
+    bands = band_signatures(with_minhash(with_shingles(df)))
+    counts = bands.groupBy("band_id", "band_sig").count().collect()
+    assert all(r["count"] == 1 for r in counts)
+
+
+def test_quantized_dot_matches_numpy(spark):
+    a = [0.5, -0.25, 0.125]
+    b = [1.0, 0.5, -0.5]
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    row = df.select(
+        similarity.dot_ll(
+            similarity.quantized("a"), similarity.quantized("b")
+        ).alias("dot")
+    ).first()
+    assert row.dot == 500 * 1000 + (-250) * 500 + 125 * (-500)
+
+
+def test_cosine_identity(spark):
+    v = [0.1, 0.2, 0.3, 0.4]
+    df = spark.createDataFrame([(v,)], "v array<float>")
+    q = similarity.quantized("v")
+    row = df.select(
+        similarity.cosine_from_ints(
+            similarity.dot_ll(q, q), similarity.sq_norm(q), similarity.sq_norm(q)
+        ).alias("c")
+    ).first()
+    assert math.isclose(row.c, 1.0, rel_tol=1e-12)
+
+
+def test_rh_lsh_bucket_deterministic_and_groups_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.5, 0.25, 0.1]), (2, [0.5, -0.5, 0.25, 0.1]), (3, [-0.9, 0.8, -0.7, 0.6])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.rh_lsh_signatures(df, n_planes=8).collect()
+    buckets = {r.vec_id: r.lsh_bucket for r in out}
+    assert buckets[1] == buckets[2]
+    # deterministic across runs
+    again = {r.vec_id: r.lsh_bucket for r in similarity.rh_lsh_signatures(df, n_planes=8).collect()}
+    assert buckets == again
+
+
+def test_decode_stubs_raise(spark):
+    for fn in (multimodal.decode_image, multimodal.decode_audio, multimodal.decode_video):
+        with pytest.raises(NotImplementedError):
+            fn(b"xx")
+
+
+def test_fake_decode_features_deterministic():
+    f1 = multimodal.fake_decode_features(b"hello")
+    f2 = multimodal.fake_decode_features(b"hello")
+    assert f1 == f2
+    assert f1["n_bytes"] == 5
+
+
+def test_extract_features_batch_shape(spark):
+    df = spark.createDataFrame(
+        [(1, "image", b"abc"), (2, "audio", b"defg")],
+        "asset_id long, media_type string, payload binary",
+    )
+    rows = {r.asset_id: r for r in multimodal.extract_features(df).collect()}
+    assert rows[1].n_bytes == 3 and rows[2].n_bytes == 4
+    assert 0.0 <= rows[1].brightness <= 1.0
