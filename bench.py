@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is forced to full execution with a count-style action
+(``df.write.format("noop")`` would skip result exchange; we use
+``collect`` on the small result sets the headline queries produce, which
+matches what the driver's correctness harness pays).
+
+Usage: python bench.py [--all] [--repeat N]
+  --all     time every registered query, not just headline ones
+  --repeat  best-of-N timing per query (default 2; first run pays JVM/JIT
+            warmup, and per-query scan caching is cold each time because
+            we do not cache() inputs)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import financial_arbitrage_data_pipeline_spark.operators  # noqa: F401  (populate REGISTRY)
+from financial_arbitrage_data_pipeline_spark.plans import REGISTRY
+from financial_arbitrage_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true", help="bench every query")
+    ap.add_argument("--repeat", type=int, default=2)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark(app_name="bench")
+
+    names = sorted(
+        name for name, spec in REGISTRY.items() if args.all or spec.headline
+    )
+
+    # one warmup action so JVM startup / codegen compilation is not billed
+    # to the first query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        best = float("inf")
+        for _ in range(max(1, args.repeat)):
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
