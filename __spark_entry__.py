@@ -25,6 +25,11 @@ def _configure(spark: SparkSession) -> SparkSession:
     """Apply session-level settings the engine relies on (the driver may
     hand us a vanilla session)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Runtime-settable; the driver's vanilla session defaults to 200, which
+    # at sf<=0.1 just multiplies task/state-store overhead (esp. for the
+    # streaming stateful operators — one state store per partition).
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, n_cores)))
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

@@ -1,6 +1,22 @@
 """Operator modules. Importing this package registers every named query
 into `plans.REGISTRY` (each module's @query decorators run at import)."""
 
-from . import dedup, market, multimodal, relational, similarity, textstats  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    market,
+    multimodal,
+    relational,
+    similarity,
+    streaming_queries,
+    textstats,
+)
 
-__all__ = ["dedup", "market", "multimodal", "relational", "similarity", "textstats"]
+__all__ = [
+    "dedup",
+    "market",
+    "multimodal",
+    "relational",
+    "similarity",
+    "streaming_queries",
+    "textstats",
+]

@@ -1,0 +1,237 @@
+"""Oracle-checked entry points for the streaming layer.
+
+Each builder runs a real Structured Streaming query (availableNow
+trigger) over a deterministic replay of the events fixture, then returns
+the materialized result as a batch DataFrame. The streaming semantics
+under test — micro-batched source (T1), enrichment (P1/P2), bifurcated
+storage lane (T4/K1), stateful latest-per-key scan with freshness gate
+(T3/T2/F5 + J1/J2/F6/A7), watermarked windowed downsample (A6/T2) — are
+the reference's continuous pipeline (SURVEY §3.1-3.3); because the fold
+is by event time, the final results are deterministic functions of the
+input and therefore exactly SQL-expressible, giving these streaming
+operators full value-hash oracles instead of rows-only checks.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..streaming import ingest, scan
+
+
+def _workdir() -> str:
+    return tempfile.mkdtemp(prefix="sgstream_")
+
+
+def _replay(spark: SparkSession, sf_dir: str, root: str, n_chunks: int = 4) -> str:
+    replay_dir = os.path.join(root, "replay")
+    ingest.write_replay_chunks(spark, sf_dir, replay_dir, n_chunks=n_chunks)
+    return replay_dir
+
+
+# ---------------------------------------------------------------------------
+# Storage lane: replay → enrich → partitioned append (T1/P1/P2/T4/K1)
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_ingest_storage",
+    oracle="""
+SELECT CASE WHEN user_id % 2 = 0 THEN 'kalshi' ELSE 'polymarket' END AS source,
+       COUNT(*) AS n_snapshots,
+       COUNT(DISTINCT user_id) AS n_tickers,
+       MIN(epoch_us(ts)) AS min_ts_us,
+       MAX(epoch_us(ts)) AS max_ts_us,
+       CAST(SUM(epoch_us(ts) * 1000 + 1000000 - epoch_us(ts) * 1000) AS BIGINT)
+         AS total_transport_ns
+FROM events
+GROUP BY 1
+""",
+    tags=("T1", "T4", "T5", "K1", "P1", "P2", "streaming"),
+)
+def streaming_ingest_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the ingest storage lane end-to-end — micro-batched replay
+    source → P1/P2 enrichment (venue tag, JSON payload, ns timing stamps)
+    → append parquet partitioned by source (the market_snapshot table) —
+    then aggregate the landed table per venue. The oracle recomputes the
+    same stats straight from events: equality proves no rows were lost,
+    duplicated, or mis-stamped across micro-batch boundaries
+    (exactly-once file sink, K1/T6)."""
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        table_dir = os.path.join(root, "market_snapshot")
+        q = ingest.start_storage_lane(
+            ingest.enrich_snapshots(ingest.replay_stream(spark, replay_dir)),
+            table_dir,
+            os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+        snap = spark.read.parquet(table_dir)
+        return (
+            snap.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_snapshots"),
+                F.countDistinct("ticker").alias("n_tickers"),
+                F.min("ts_us").alias("min_ts_us"),
+                F.max("ts_us").alias("max_ts_us"),
+                F.sum(F.col("virginia_received_ns") - F.col("api_call_start_ns")).alias(
+                    "total_transport_ns"
+                ),
+            )
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Trading lane: the continuous opportunity scan (T2/T3/F5 + J1/J2/F6/A7)
+# ---------------------------------------------------------------------------
+_STREAM_SCAN_ORACLE = f"""
+WITH kalshi AS (
+  SELECT user_id,
+         (CAST(round(value * 100) AS BIGINT) % 97 + 1) / 100.0 AS yes_bid,
+         (CAST(round(value * 100) AS BIGINT) % 89 + 1) / 100.0 AS no_bid,
+         epoch_us(ts) AS ts_us
+  FROM events
+  WHERE event_type IN ('click', 'view')
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+poly AS (
+  SELECT user_id,
+         (CAST(round(value * 100) AS BIGINT) % 99 + 1) / 100.0 AS yes_price,
+         1.0 - (CAST(round(value * 100) AS BIGINT) % 99 + 1) / 100.0 AS no_price,
+         epoch_us(ts) AS ts_us
+  FROM events
+  WHERE event_type IN ('purchase', 'signup', 'error')
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+pairs AS (
+  SELECT c_custkey AS pair_id FROM customer
+  WHERE c_custkey < 200 AND c_custkey % 10 <> 0
+),
+joined AS (
+  SELECT p.pair_id,
+         k.yes_bid AS kalshi_yes_bid, k.no_bid AS kalshi_no_bid,
+         m.yes_price AS poly_yes, m.no_price AS poly_no
+  FROM pairs p
+  JOIN kalshi k ON k.user_id = p.pair_id
+  JOIN poly m ON m.user_id = p.pair_id
+  WHERE abs(k.ts_us - m.ts_us) <= {scan.FRESHNESS_US_DEFAULT}
+),
+scored AS (
+  SELECT *,
+         (kalshi_yes_bid - poly_yes) / poly_yes AS margin_yes,
+         (kalshi_no_bid - poly_no) / poly_no AS margin_no,
+         (poly_yes < kalshi_yes_bid) AS yes_ok,
+         (poly_no < kalshi_no_bid) AS no_ok
+  FROM joined
+)
+SELECT pair_id,
+       CASE WHEN yes_ok AND (NOT no_ok OR margin_yes >= margin_no)
+            THEN 'kalshi_yes_polymarket_no' ELSE 'kalshi_no_polymarket_yes' END
+         AS arbitrage_type,
+       CASE WHEN yes_ok AND (NOT no_ok OR margin_yes >= margin_no)
+            THEN kalshi_yes_bid ELSE kalshi_no_bid END AS kalshi_price,
+       CASE WHEN yes_ok AND (NOT no_ok OR margin_yes >= margin_no)
+            THEN poly_yes ELSE poly_no END AS poly_price,
+       CASE WHEN yes_ok AND (NOT no_ok OR margin_yes >= margin_no)
+            THEN margin_yes ELSE margin_no END AS profit_margin
+FROM scored
+WHERE (yes_ok OR no_ok)
+  AND (CASE WHEN yes_ok AND (NOT no_ok OR margin_yes >= margin_no)
+            THEN margin_yes ELSE margin_no END) > {scan.THRESHOLD_DEFAULT}
+"""
+
+
+@query(
+    "streaming_arbitrage_scan",
+    oracle=_STREAM_SCAN_ORACLE,
+    tags=("J1", "T2", "T3", "F5", "F6", "A7", "streaming"),
+)
+def streaming_arbitrage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous scan run as a real stream: replay → enrich → quotes
+    → broadcast pair join → applyInPandasWithState latest-per-key fold
+    with the freshness gate → per-batch decision emissions → last
+    emission per pair. Because the fold is by (event_time, event_id), the
+    final per-pair state — and therefore this result — is independent of
+    how the replay is chunked into micro-batches; the oracle is the
+    equivalent one-shot SQL over the same input."""
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        sink_dir = os.path.join(root, "opportunities")
+        quotes = scan.quotes_from_snapshots(
+            ingest.enrich_snapshots(ingest.replay_stream(spark, replay_dir))
+        )
+        q = scan.start_scan_lane(
+            scan.opportunity_stream(quotes, scan.pair_universe(spark, sf_dir)),
+            sink_dir,
+            os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+        return scan.final_opportunities(spark, sink_dir).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Watermarked downsample (A6/T2 streaming form)
+# ---------------------------------------------------------------------------
+_DOWNSAMPLE_ORACLE = """
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL 10 MINUTE AS watermark FROM events
+),
+bucketed AS (
+  SELECT time_bucket(INTERVAL 1 MINUTE, ts) AS window_start,
+         event_type, value, ts, event_id
+  FROM events
+),
+ranked AS (
+  SELECT b.window_start, b.event_type, b.value,
+         ROW_NUMBER() OVER (PARTITION BY b.window_start, b.event_type
+                            ORDER BY b.ts DESC, b.event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY b.window_start, b.event_type) AS n_events
+  FROM bucketed b CROSS JOIN wm
+  WHERE b.window_start + INTERVAL 1 MINUTE <= wm.watermark
+)
+SELECT window_start, event_type, value AS last_value, n_events
+FROM ranked WHERE rn = 1
+"""
+
+
+@query(
+    "streaming_downsample_1m",
+    oracle=_DOWNSAMPLE_ORACLE,
+    tags=("A6", "T2", "W1", "streaming"),
+)
+def streaming_downsample_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregateWindow(every: 1m, fn: last) with a 10-minute
+    watermark, append mode: a window emits exactly once when the
+    watermark passes its end, so the materialized table contains exactly
+    the windows whose end ≤ final watermark (max event time − 10 min) —
+    which is what the oracle states. Late rows inside the watermark are
+    folded correctly; the deterministic 'last' is max_by((ts, event_id))."""
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        sink_dir = os.path.join(root, "downsampled")
+        down = scan.downsample_stream(
+            ingest.enrich_snapshots(ingest.replay_stream(spark, replay_dir))
+        )
+        q = (
+            down.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink_dir).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

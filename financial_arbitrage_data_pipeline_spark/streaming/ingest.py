@@ -1,0 +1,178 @@
+"""Streaming ingest: replay source, snapshot enrichment, bifurcation.
+
+Reference semantics being re-expressed (SURVEY §2.9, §3.1):
+
+- T1 micro-batch pacing: the venue fetch loops hold a 1-2 s cycle
+  (`virginia/api/data_feed.py:352-398`, `ireland/api/data_feed.py:418-487`)
+  → `trigger(processingTime=...)` in production, `availableNow` in replay.
+- T5 buffered sink flush (1000 rows / 5 s, `database/influx/writer.py:70-86`)
+  → micro-batch boundaries; nothing to hand-code.
+- T8 backpressure (ZMQ HWM, rate limiter) → `maxFilesPerTrigger` /
+  source rate options.
+- P1/P2 enrichment (`virginia/coordinator.py:433-537`): add source/ticker,
+  serialize the book, stamp the receive/enrich points of the ns timing
+  chain.
+- T4 bifurcation (`virginia/coordinator.py:539-616`): one input feeding a
+  storage lane and a trading lane → two writeStream queries on one source.
+- K1 buffered time-series sink → append parquet partitioned by `source`
+  (the 2-tag minimal-cardinality design of `database/models/influx.py:5-11`
+  as a partitioning scheme).
+
+At 100 TB the source is Kafka (`readStream.format("kafka")`) with the
+same downstream plan; the file-replay source here exists so tests and the
+driver can run the identical pipeline on deterministic fixtures without a
+broker. Partition counts: the storage lane writes one file per shuffle
+partition per trigger — at production rates coalesce to keep file sizes
+~128 MB and compact small files offline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+# Replay rows: the driver's events table reduced to the fields the
+# snapshot pipeline consumes, with event time in µs (ns precision beyond
+# µs carries no information in the fixtures and µs is what DuckDB's
+# TIMESTAMP holds, keeping oracles exact).
+REPLAY_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ]
+)
+
+
+def write_replay_chunks(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+) -> int:
+    """Materialize the events table as `n_chunks` parquet files so the
+    file source replays it across that many micro-batches
+    (`maxFilesPerTrigger=1`). Chunking is by event_id range — arrival
+    order across chunks does not affect the stateful scan, whose fold is
+    by (event time, event_id), not arrival (SURVEY risk #1: the reference
+    gates on *latest value per key*, which is order-free).
+
+    Returns the row count. Files are written via pyarrow (one file per
+    chunk, deterministic contents); fixture sizes are small, and at
+    production scale this function does not exist — Kafka does.
+    """
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .orderBy("event_id")
+    )
+    pdf = ev.toPandas()
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(pdf)
+    per = max(1, (n + n_chunks - 1) // n_chunks)
+    for i in range(0, n_chunks):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        if len(chunk) == 0:
+            continue
+        table = pa.Table.from_pandas(chunk, preserve_index=False)
+        pq.write_table(table, os.path.join(out_dir, f"chunk-{i:04d}.parquet"))
+    return n
+
+
+def replay_stream(
+    spark: SparkSession, replay_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the replay chunks — one chunk per
+    micro-batch (T1 pacing; `maxFilesPerTrigger` is the backpressure knob,
+    T8)."""
+    return (
+        spark.readStream.schema(REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(replay_dir)
+    )
+
+
+def enrich_snapshots(df: DataFrame) -> DataFrame:
+    """P1/P2 snapshot enrichment (`virginia/coordinator.py:433-537`): tag
+    the venue (source), name the key (ticker), serialize the quote payload
+    to the stored-JSON shape, and stamp the receive/enrich points of the
+    ns timing chain. Stamps are derived deterministically from event time
+    (the reference stamps wall clock; wall clock in a replay breaks
+    reproducibility, so the replay models the chain as fixed per-hop
+    offsets — the *columns and their arithmetic* are what downstream
+    consumers depend on)."""
+    recv_ns = F.col("ts_us") * 1000 + F.lit(1_000_000)  # +1ms transport
+    enr_ns = recv_ns + F.lit(250_000)  # +0.25ms enrichment
+    return df.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("kalshi"))
+        .otherwise(F.lit("polymarket"))
+        .alias("source"),
+        F.col("user_id").cast("string").alias("ticker"),
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("event_id"),
+                F.col("value").alias("value"),
+                F.col("event_type").alias("event_type"),
+            )
+        ).alias("full_orderbook"),
+        (F.col("ts_us") * 1000).alias("api_call_start_ns"),
+        recv_ns.alias("virginia_received_ns"),
+        enr_ns.alias("virginia_enriched_ns"),
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts_us",
+    )
+
+
+def start_storage_lane(
+    snapshots: DataFrame, table_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """K1: append the enriched snapshot stream to the `market_snapshot`
+    table, partitioned by `source` — the Influx 2-tag cardinality design
+    (`database/models/influx.py:5-11,65-74`) realized as partition
+    pruning. Retry/DLQ (T6) is checkpoint + task retries: a failed batch
+    replays from the checkpoint with exactly-once file-sink semantics."""
+    return (
+        snapshots.writeStream.format("parquet")
+        .option("path", table_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("source")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_bifurcated_ingest(
+    spark: SparkSession,
+    replay_dir: str,
+    storage_dir: str,
+    checkpoint_root: str,
+    trading_lane: "callable[[DataFrame], StreamingQuery]",
+) -> tuple[StreamingQuery, StreamingQuery]:
+    """T4 bifurcation (`virginia/coordinator.py:539-616`): ONE source,
+    two independent streaming queries — the storage lane appending the
+    snapshot table and the trading lane (built by `trading_lane` from the
+    same enriched stream). Each query has its own checkpoint; the file
+    source serves both without re-reading cost worth caring about at
+    fixture scale (Kafka serves both consumer groups in production)."""
+    enriched = enrich_snapshots(replay_stream(spark, replay_dir))
+    storage_q = start_storage_lane(
+        enriched, storage_dir, os.path.join(checkpoint_root, "storage")
+    )
+    trading_q = trading_lane(enriched)
+    return storage_q, trading_q

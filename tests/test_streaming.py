@@ -1,0 +1,196 @@
+"""Streaming-layer tests (SURVEY §2.9 / §5).
+
+Golden test #1 is the reference's own scanner demo scenario
+(`virginia/logic/opportunity_scanner.py:659-724`): Kalshi yes_bid 45¢ /
+no_bid 47¢ vs Polymarket yes $0.40 / no $0.60 ⇒ YES-side margin
+(0.45-0.40)/0.40 = 12.5% > 2% threshold ⇒ one kalshi_yes_polymarket_no
+opportunity. The oracle-parity checks of the full replay pipeline live in
+the driver contract (operators/streaming_queries.py); here we test the
+semantics that SQL can't see: micro-batch folding, retraction, freshness
+gating, bifurcation, and sustained throughput.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from financial_arbitrage_data_pipeline_spark.streaming import ingest, scan
+
+HOUR_US = 3_600_000_000
+
+
+def _write_quote_chunks(path: str, chunks: list[list[tuple]]) -> None:
+    """Each chunk = one micro-batch of quote rows
+    (pair_id, venue, yes, no, ts_us, event_id)."""
+    os.makedirs(path, exist_ok=True)
+    cols = ["pair_id", "venue", "yes", "no", "ts_us", "event_id"]
+    for i, rows in enumerate(chunks):
+        pdf = pd.DataFrame(rows, columns=cols).astype(
+            {"pair_id": "int64", "yes": "float64", "no": "float64",
+             "ts_us": "int64", "event_id": "int64"}
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(path, f"chunk-{i:04d}.parquet"))
+
+
+def _run_scan(spark, tmp_path, chunks, pairs_ids, freshness_us=HOUR_US):
+    qdir = str(tmp_path / "quotes")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _write_quote_chunks(qdir, chunks)
+    quotes = (
+        spark.readStream.schema(scan.QUOTE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    pairs = spark.createDataFrame([(p,) for p in pairs_ids], "pair_id long")
+    q = scan.start_scan_lane(
+        scan.opportunity_stream(quotes, pairs, freshness_us=freshness_us),
+        sink,
+        ckpt,
+    )
+    q.awaitTermination()
+    emissions = spark.read.parquet(sink)
+    final = scan.final_opportunities(spark, sink)
+    return emissions, final
+
+
+def test_golden_scanner_demo(spark, tmp_path):
+    """The reference's hand-built demo scenario, replayed as a stream."""
+    chunks = [
+        [(1, "kalshi", 0.45, 0.47, 1_000_000, 1)],
+        [(1, "polymarket", 0.40, 0.60, 2_000_000, 2)],
+    ]
+    _, final = _run_scan(spark, tmp_path, chunks, [1])
+    rows = final.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.arbitrage_type == "kalshi_yes_polymarket_no"
+    assert r.kalshi_price == 0.45 and r.poly_price == 0.40
+    assert r.profit_margin == pytest.approx(0.125)
+
+
+def test_one_sided_state_emits_nothing(spark, tmp_path):
+    """Pair incomplete (only one venue seen) → no opportunity (F9/F5)."""
+    chunks = [[(1, "kalshi", 0.45, 0.47, 1_000_000, 1)]]
+    emissions, final = _run_scan(spark, tmp_path, chunks, [1])
+    assert final.count() == 0
+    assert emissions.filter(F.col("has_opp")).count() == 0
+
+
+def test_freshness_gate_drops_stale_side(spark, tmp_path):
+    """Both venues present but quotes further apart than the freshness
+    horizon → gated out (T2/F5, `opportunity_scanner.py:330-344`)."""
+    chunks = [
+        [(1, "kalshi", 0.45, 0.47, 1_000_000, 1)],
+        [(1, "polymarket", 0.40, 0.60, 1_000_000 + 2 * HOUR_US, 2)],
+    ]
+    _, final = _run_scan(spark, tmp_path, chunks, [1], freshness_us=HOUR_US)
+    assert final.count() == 0
+
+
+def test_newer_quote_retracts_opportunity(spark, tmp_path):
+    """Latest-per-key semantics (T3/W3): a newer Kalshi quote that kills
+    the margin must retract the earlier opportunity — last emission per
+    pair has has_opp=False."""
+    chunks = [
+        [
+            (1, "kalshi", 0.45, 0.47, 1_000_000, 1),
+            (1, "polymarket", 0.40, 0.60, 2_000_000, 2),
+        ],
+        [(1, "kalshi", 0.40, 0.60, 3_000_000, 3)],  # margin gone
+    ]
+    emissions, final = _run_scan(spark, tmp_path, chunks, [1])
+    assert emissions.filter(F.col("has_opp")).count() == 1  # batch 0 had it
+    assert final.count() == 0  # batch 1 retracted it
+
+
+def test_out_of_order_arrival_same_final_state(spark, tmp_path):
+    """The fold is by (event_time, event_id), not arrival: replaying the
+    chunks in reverse arrival order yields the same final decision."""
+    a = [(1, "kalshi", 0.45, 0.47, 1_000_000, 1),
+         (1, "polymarket", 0.40, 0.60, 2_000_000, 2)]
+    b = [(1, "kalshi", 0.30, 0.55, 5_000_000, 3)]  # the true latest: no opp
+    # (yes_ok: 0.40 < 0.30 false; no_ok: 0.60 < 0.55 false)
+    _, fwd = _run_scan(spark, tmp_path / "fwd", [a, b], [1])
+    _, rev = _run_scan(spark, tmp_path / "rev", [b, a], [1])
+    assert fwd.count() == rev.count() == 0
+
+
+def test_unmapped_pair_never_enters_state(spark, tmp_path):
+    """J2: quotes for keys outside the pair universe are dropped by the
+    broadcast join before the state shuffle."""
+    chunks = [
+        [(99, "kalshi", 0.45, 0.47, 1_000_000, 1),
+         (99, "polymarket", 0.40, 0.60, 2_000_000, 2)],
+    ]
+    emissions, final = _run_scan(spark, tmp_path, chunks, [1])
+    assert emissions.count() == 0 and final.count() == 0
+
+
+def test_bifurcation_both_lanes(spark, sf_dir, tmp_path):
+    """T4: one replay source feeds the storage lane (partitioned
+    market_snapshot table) and the trading lane (stateful scan); both
+    complete and the storage lane preserves every input row exactly once."""
+    replay_dir = str(tmp_path / "replay")
+    n = ingest.write_replay_chunks(spark, sf_dir, replay_dir, n_chunks=3)
+    storage_dir = str(tmp_path / "market_snapshot")
+    ckpt_root = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "opps")
+
+    def trading_lane(enriched):
+        quotes = scan.quotes_from_snapshots(enriched)
+        pairs = scan.pair_universe(spark, sf_dir)
+        return scan.start_scan_lane(
+            scan.opportunity_stream(quotes, pairs),
+            sink,
+            os.path.join(ckpt_root, "scan"),
+        )
+
+    storage_q, trading_q = ingest.start_bifurcated_ingest(
+        spark, replay_dir, storage_dir, ckpt_root, trading_lane
+    )
+    storage_q.awaitTermination()
+    trading_q.awaitTermination()
+
+    snap = spark.read.parquet(storage_dir)
+    assert snap.count() == n
+    assert snap.select("event_id").distinct().count() == n
+    # partitioned by source (K1's 2-tag design)
+    assert sorted(p.source for p in snap.select("source").distinct().collect()) == [
+        "kalshi",
+        "polymarket",
+    ]
+    # timing chain stamped and ordered (P1/P2)
+    bad = snap.filter(
+        ~(
+            (F.col("api_call_start_ns") < F.col("virginia_received_ns"))
+            & (F.col("virginia_received_ns") < F.col("virginia_enriched_ns"))
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_ingest_throughput_anchor(spark, sf_dir, tmp_path):
+    """BASELINE.md anchor: sustain >=100 snapshot-rows/s through
+    ingest→enrich→sink (the reference's ~93 msg/s average). Measured over
+    the storage lane's micro-batch execution time, not JVM startup."""
+    replay_dir = str(tmp_path / "replay")
+    n = ingest.write_replay_chunks(spark, sf_dir, replay_dir, n_chunks=2)
+    q = ingest.start_storage_lane(
+        ingest.enrich_snapshots(ingest.replay_stream(spark, replay_dir)),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    total_rows = sum(p["numInputRows"] for p in progress)
+    total_ms = sum(p["durationMs"]["triggerExecution"] for p in progress)
+    assert total_rows == n
+    assert total_rows / (total_ms / 1000.0) >= 100, (total_rows, total_ms)
