@@ -9,6 +9,8 @@ from . import (  # noqa: F401
     similarity,
     streaming_queries,
     textstats,
+    universe,
+    upsert,
 )
 
 __all__ = [
@@ -19,4 +21,6 @@ __all__ = [
     "similarity",
     "streaming_queries",
     "textstats",
+    "universe",
+    "upsert",
 ]

@@ -1,0 +1,238 @@
+"""Pair-universe and market-catalog operators — the reference's
+subscription/diffing/catalog surface (SURVEY §2.1 S2, §2.4 J5, §2.5 A5,
+§2.6 W2/W4, §2.7 set ops) plus the Polymarket best-of-book metrics (P4).
+
+These are the operators around the hot path: maintaining which markets
+are watched (set algebra on subscription keys), cataloging venues'
+markets (bulk scan + ticker filter), and the per-book derived metrics.
+All built-ins; every shuffle is on small dimension-sized data except the
+book build (one keyed aggregation, same shape as kalshi_book_summary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+from . import orderbook as ob
+
+# ---------------------------------------------------------------------------
+# P4: Polymarket best-of-book + derived metrics, through the JSON path
+# ---------------------------------------------------------------------------
+_POLY_LEVELS_SQL = """
+  SELECT l_orderkey AS ticker,
+         (l_partkey % 97 + 1) / 100.0 AS bid_price,
+         (l_partkey % 89 + 3) / 100.0 AS ask_price,
+         CAST(l_quantity AS DOUBLE) AS size,
+         (l_linenumber % 2 = 1) AS is_bid
+  FROM lineitem
+"""
+
+
+@query(
+    "poly_book_summary",
+    oracle=f"""
+WITH lv AS ({_POLY_LEVELS_SQL})
+SELECT ticker,
+       MAX(CASE WHEN is_bid THEN bid_price END) AS best_bid,
+       MIN(CASE WHEN NOT is_bid THEN ask_price END) AS best_ask,
+       (MAX(CASE WHEN is_bid THEN bid_price END)
+        + MIN(CASE WHEN NOT is_bid THEN ask_price END)) / 2.0 AS midpoint,
+       MIN(CASE WHEN NOT is_bid THEN ask_price END)
+        - MAX(CASE WHEN is_bid THEN bid_price END) AS spread,
+       COUNT(CASE WHEN is_bid THEN 1 END) AS n_bids,
+       COUNT(CASE WHEN NOT is_bid THEN 1 END) AS n_asks
+FROM lv
+GROUP BY ticker
+HAVING COUNT(CASE WHEN is_bid THEN 1 END) > 0
+   AND COUNT(CASE WHEN NOT is_bid THEN 1 END) > 0
+""",
+    tags=("P4", "P11", "F9"),
+)
+def poly_book_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymarket best-of-book + derived metrics (P4,
+    `ireland/api/data_feed.py:70-93`): books built best-first (bids sorted
+    price-desc, asks price-asc — the API contract `data_feed.py:81` that
+    `bids[0]` relies on), serialized to the stored JSON blob, re-parsed
+    with from_json (P11), then element_at-based extraction with
+    midpoint/spread arithmetic and level counts. F9 shape guard: both
+    sides non-empty."""
+    li = load_table(spark, sf_dir, "lineitem")
+    is_bid = F.col("l_linenumber") % 2 == 1
+    bid_level = F.struct(
+        ((F.col("l_partkey") % 97 + 1) / 100.0).alias("price"),
+        F.col("l_quantity").cast("double").alias("size"),
+    )
+    ask_level = F.struct(
+        ((F.col("l_partkey") % 89 + 3) / 100.0).alias("price"),
+        F.col("l_quantity").cast("double").alias("size"),
+    )
+    books = li.groupBy(F.col("l_orderkey").alias("ticker")).agg(
+        F.sort_array(F.collect_list(F.when(is_bid, bid_level)), asc=False).alias("bids"),
+        F.sort_array(F.collect_list(F.when(~is_bid, ask_level))).alias("asks"),
+    )
+    snap = books.select(
+        "ticker",
+        F.to_json(F.struct(F.struct("bids", "asks").alias("orderbook"))).alias(
+            "full_orderbook"
+        ),
+    )
+    parsed = snap.select(
+        "ticker", ob.parse_polymarket_book("full_orderbook").alias("book")
+    )
+    bids, asks = F.col("book.orderbook.bids"), F.col("book.orderbook.asks")
+    return parsed.filter((F.size(bids) > 0) & (F.size(asks) > 0)).select(
+        "ticker",
+        ob.poly_best_bid(bids).alias("best_bid"),
+        ob.poly_best_ask(asks).alias("best_ask"),
+        ob.poly_midpoint(bids, asks).alias("midpoint"),
+        ob.poly_spread(bids, asks).alias("spread"),
+        F.size(bids).cast("long").alias("n_bids"),
+        F.size(asks).cast("long").alias("n_asks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set ops: subscription diffing (SUBSCRIBE / UNSUBSCRIBE)
+# ---------------------------------------------------------------------------
+@query(
+    "pair_universe_diff",
+    oracle="""
+WITH old AS (
+  SELECT c_custkey AS pair_id FROM customer WHERE c_custkey < 200 AND c_custkey % 10 <> 0
+),
+new AS (
+  SELECT c_custkey AS pair_id FROM customer WHERE c_custkey < 220 AND c_custkey % 7 <> 0
+)
+SELECT pair_id, 'subscribe' AS change FROM (SELECT pair_id FROM new EXCEPT SELECT pair_id FROM old)
+UNION ALL
+SELECT pair_id, 'unsubscribe' AS change FROM (SELECT pair_id FROM old EXCEPT SELECT pair_id FROM new)
+""",
+    tags=("set-ops", "S4"),
+)
+def pair_universe_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-universe diffing (§2.7): the reference refreshes its active
+    set from the DB and sends SUBSCRIBE for added keys / UNSUBSCRIBE for
+    removed (`virginia/api/data_feed.py:185-198`,
+    `ireland/broker/client.py:199-213`). Declaratively: two `exceptAll`s
+    over the key DataFrames, unioned with a change label. Dimension-sized
+    data — every exchange is trivial; at scale this is still correct
+    because the universe is orders of magnitude smaller than the stream."""
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.filter((F.col("c_custkey") < 200) & (F.col("c_custkey") % 10 != 0)).select(
+        F.col("c_custkey").alias("pair_id")
+    )
+    new = cust.filter((F.col("c_custkey") < 220) & (F.col("c_custkey") % 7 != 0)).select(
+        F.col("c_custkey").alias("pair_id")
+    )
+    added = new.exceptAll(old).select("pair_id", F.lit("subscribe").alias("change"))
+    removed = old.exceptAll(new).select("pair_id", F.lit("unsubscribe").alias("change"))
+    return added.unionByName(removed)
+
+
+# ---------------------------------------------------------------------------
+# A5: order-preserving dedup (first occurrence wins)
+# ---------------------------------------------------------------------------
+@query(
+    "ticker_first_seen",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id AS ticker, MIN(event_id) AS first_event_id
+  FROM events GROUP BY user_id
+)
+SELECT ticker, first_event_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY first_event_id) AS BIGINT) AS position
+FROM firsts
+""",
+    tags=("A5",),
+)
+def ticker_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving dedup (A5, `read_from.py:169-183`
+    `dict.fromkeys(tickers)`): first occurrence of each key, with its
+    position in first-seen order. Declaratively: min(event_id) per key +
+    a rank — `dropDuplicates` keeps *a* row; keeping the *first* needs
+    the explicit min, which is also the deterministic choice."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy(F.col("user_id").alias("ticker")).agg(
+        F.min("event_id").alias("first_event_id")
+    )
+    w = Window.orderBy("first_event_id")
+    return firsts.select(
+        "ticker",
+        "first_event_id",
+        F.row_number().over(w).cast("long").alias("position"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 + J5: bulk market scan projected + ticker-list filter
+# ---------------------------------------------------------------------------
+_TICKER_LIST = list(range(1, 400, 13))
+
+
+@query(
+    "bulk_market_scan",
+    oracle=f"""
+SELECT p_partkey AS market_id,
+       p_name AS title,
+       p_brand AS category,
+       p_type AS market_type,
+       p_size AS tick_size,
+       p_retailprice AS last_price,
+       CASE WHEN p_retailprice > 1500 THEN 'active' ELSE 'settled' END AS status
+FROM part
+WHERE p_partkey IN ({", ".join(str(t) for t in _TICKER_LIST)})
+""",
+    tags=("S2", "J5", "A9"),
+)
+def bulk_market_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk market catalog scan (S2, `virginia/api/connection.py:223-304`:
+    one call returns <=1000 markets projected to a fixed record) filtered
+    to a requested ticker list (J5, `read_from.py:319-322`). `isin` over a
+    literal list compiles to an in-set predicate pushed to the parquet
+    scan — no join, no shuffle. With a DataFrame of tickers instead, the
+    same query is a broadcast semi-join."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey").isin(_TICKER_LIST)).select(
+        F.col("p_partkey").alias("market_id"),
+        F.col("p_name").alias("title"),
+        F.col("p_brand").alias("category"),
+        F.col("p_type").alias("market_type"),
+        F.col("p_size").alias("tick_size"),
+        F.col("p_retailprice").alias("last_price"),
+        F.when(F.col("p_retailprice") > 1500, F.lit("active"))
+        .otherwise(F.lit("settled"))
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2/W4/F7: the keep-last-N recency ring
+# ---------------------------------------------------------------------------
+@query(
+    "recent_events_ring",
+    oracle="""
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 100
+""",
+    tags=("W2", "W4", "F7"),
+)
+def recent_events_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-last-100 ring buffer (W4,
+    `opportunity_scanner.py:519-521` `[-100:]`) as a query: global top-100
+    by recency with a deterministic tiebreak (W2 sort+limit, F7 recency
+    filter). Spark executes this as a per-partition top-K + single-reduce
+    TakeOrderedAndProject — no full sort, no full shuffle — which is the
+    100 TB-safe form of 'the last N things'."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        "value",
+    ).orderBy(F.col("ts_us").desc(), F.col("event_id").desc()).limit(100)

@@ -1,0 +1,51 @@
+"""Unit tests for the parquet MERGE primitive (K4/J4) beyond the
+oracle-checked lifecycle query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_arbitrage_data_pipeline_spark.operators.upsert import merge_into_parquet
+
+
+def _seed(spark, path):
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "id long, v long, tag string"
+    ).write.mode("overwrite").parquet(path)
+
+
+def test_merge_updates_matched_rows_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    updates = spark.createDataFrame([(2, 5)], "id long, dv long")
+    merge_into_parquet(
+        spark, path, updates, key="id", set_exprs={"v": F.col("t.v") + F.col("u.dv")}
+    )
+    rows = {r.id: (r.v, r.tag) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: (10, "a"), 2: (25, "b")}
+
+
+def test_merge_insert_missing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    updates = spark.createDataFrame([(3, 7)], "id long, dv long")
+    merge_into_parquet(
+        spark,
+        path,
+        updates,
+        key="id",
+        set_exprs={"v": F.coalesce(F.col("t.v"), F.lit(0)) + F.col("u.dv")},
+        insert_missing=True,
+    )
+    rows = {r.id: (r.v, r.tag) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: (10, "a"), 2: (20, "b"), 3: (7, None)}
+
+
+def test_merge_is_idempotent_on_empty_updates(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    updates = spark.createDataFrame([], "id long, dv long")
+    merge_into_parquet(
+        spark, path, updates, key="id", set_exprs={"v": F.col("t.v") + F.col("u.dv")}
+    )
+    assert spark.read.parquet(path).count() == 2
