@@ -105,25 +105,52 @@ def with_shingles(df: DataFrame, n: int = 3) -> DataFrame:
     return df.withColumn("shingles", F.array_distinct(F.transform(idx, shingle)))
 
 
+MINHASH_MOD = (1 << 59) - 55  # 16*M - 16 < 2^63-1: h1%M + 15*(h2%M) can't overflow
+
+
 def with_minhash(df: DataFrame, k: int = N_MINHASH) -> DataFrame:
-    """k MinHash values per doc. Permutation i is the lexicographic min of
-    md5(i ':' shingle) — engine-independent and exactly reproducible in
-    SQL, unlike seeded murmur. Narrow per-row transform, no shuffle."""
+    """k MinHash values per doc via double hashing: ONE md5 per shingle
+    split into two 60-bit halves (h1, h2), permutation i = min over
+    shingles of (h1 + i*h2) mod M — the standard Kirsch-Mitzenmacher
+    construction, engine-independent and exactly reproducible in SQL
+    (unlike seeded murmur), at 1/k of the crypto-hash cost of hashing
+    per-permutation. Narrow per-row transforms, no shuffle."""
+    hashed = F.transform(
+        F.col("shingles"),
+        lambda s: F.struct(
+            (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_MOD).alias(
+                "h1"
+            ),
+            (F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long") % MINHASH_MOD).alias(
+                "h2"
+            ),
+        ),
+    )
+    # materialize `hashed` at a projection boundary so the k min-scans
+    # reference one computed array instead of re-hashing k times
+    df = df.withColumn("_hashed", hashed)
+
+    # NB: the lambda must take exactly ONE parameter — F.transform treats a
+    # two-parameter lambda as (element, index) and would bind the index over
+    # a default arg, silently replacing the permutation number.
+    def perm(i: int):
+        return lambda h: (h.getField("h1") + F.lit(i) * h.getField("h2")) % MINHASH_MOD
+
     sigs = [
-        F.array_min(
-            F.transform(F.col("shingles"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh{i}")
+        F.array_min(F.transform(F.col("_hashed"), perm(i))).alias(f"mh{i}")
         for i in range(k)
     ]
-    return df.select("*", *sigs)
+    return df.select(*[c for c in df.columns if c != "_hashed"], *sigs)
 
 
 def band_signatures(df: DataFrame, bands: int = N_BANDS, k: int = N_MINHASH) -> DataFrame:
     """Fold minhashes into `bands` signatures (rows = k/bands each);
-    explode to (doc_id, band_id, band_sig) for the bucket join."""
+    explode to (doc_id, band_id, band_sig) for the bucket join. The
+    signature is the plain '|'-joined minhash tuple — a join key needs
+    equality, not another hash pass."""
     rows = k // bands
-    sig = lambda b: F.md5(  # noqa: E731
-        F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+    sig = lambda b: F.concat_ws(  # noqa: E731
+        "|", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
     )
     pairs = F.array(
         *[F.struct(F.lit(b).alias("band_id"), sig(b).alias("band_sig")) for b in range(bands)]
@@ -133,16 +160,30 @@ def band_signatures(df: DataFrame, bands: int = N_BANDS, k: int = N_MINHASH) -> 
     )
 
 
+def _hex15_at_to_bigint_sql(expr: str, start: int) -> str:
+    """DuckDB: 15 hex chars of `expr` starting at 1-based `start` → BIGINT
+    (no conv() in DuckDB)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
 def _minhash_sql(corpus_sql: str, k: int = N_MINHASH, bands: int = N_BANDS) -> str:
-    """DuckDB mirror of the shingle→minhash→band pipeline."""
+    """DuckDB mirror of the shingle→minhash→band pipeline (one md5 per
+    shingle, double-hashed into k permutations — same construction as
+    with_minhash)."""
     mh_cols = ",\n         ".join(
-        f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+        f"MIN((h1 + {i} * h2) % {MINHASH_MOD}) AS mh{i}" for i in range(k)
     )
     rows = k // bands
     band_selects = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band_id, md5({concat}) AS band_sig FROM mh".format(
+        "  SELECT doc_id, {b} AS band_id, {concat} AS band_sig FROM mh".format(
             b=b,
-            concat=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+            concat=" || '|' || ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
         )
         for b in range(bands)
     )
@@ -153,10 +194,16 @@ sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
   FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tok)
 ),
+shh AS (
+  SELECT doc_id,
+         {_hex15_at_to_bigint_sql("md5(shingle)", 1)} % {MINHASH_MOD} AS h1,
+         {_hex15_at_to_bigint_sql("md5(shingle)", 16)} % {MINHASH_MOD} AS h2
+  FROM sh
+),
 mh AS (
   SELECT doc_id,
          {mh_cols}
-  FROM sh GROUP BY doc_id
+  FROM shh GROUP BY doc_id
 ),
 bands AS (
 {band_selects}
@@ -197,8 +244,11 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band signatures (one shuffle on (band_id, sig)), then only candidates
     pay the verification join."""
     corpus = with_minhash(with_shingles(crawl_union(spark, sf_dir)))
-    shingle_sets = corpus.select("doc_id", "shingles")
-    bands = band_signatures(corpus)
+    # Both derived tables feed two join branches each; persist so the
+    # shingle→hash pipeline runs once, not four times. (At warehouse scale
+    # the same move is writing the signature table out once per crawl.)
+    shingle_sets = corpus.select("doc_id", "shingles").persist()
+    bands = band_signatures(corpus).persist()
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
