@@ -269,36 +269,57 @@ def arbitrage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     `opportunity_scanner.py:431-500`), profit threshold (F6, 0.02 per
     `virginia/utils/config.py:270`), best side per pair (A7).
 
-    Scale shape: two latest-per-key window aggregations (one shuffle each
-    on the pair key), a broadcast dim join (no shuffle), scalar freshness
-    bound via a 1-row broadcast cross join. At 100 TB the latest-per-key
-    state lives in Structured Streaming (streaming/scan.py) — this plan
-    is its deterministic batch equivalent for the oracle."""
+    Scale shape: ONE scan of events and ONE shuffle on the pair key —
+    both venues' latest states come from venue-conditional max_by in a
+    single aggregation (partial map-side combine applies) — then a
+    broadcast dim join (no shuffle) and a scalar freshness bound via a
+    1-row broadcast cross join. At 100 TB the latest-per-key state lives
+    in Structured Streaming (streaming/scan.py) — this plan is its
+    deterministic batch equivalent for the oracle."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-
-    kalshi = (
-        ev.filter(F.col("event_type").isin("click", "view"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("user_id").alias("k_user"),
-            ob.cents_to_dollars(cents % 97 + 1).alias("kalshi_yes_bid"),
-            ob.cents_to_dollars(cents % 89 + 1).alias("kalshi_no_bid"),
-            F.expr("ts div 1000").alias("k_ts_us"),
-        )
-    )
+    is_kalshi = F.col("event_type").isin("click", "view")
+    ts_us = F.expr("ts div 1000")
+    order_key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
     poly_yes = ob.cents_to_dollars(cents % 99 + 1)
-    poly = (
-        ev.filter(F.col("event_type").isin("purchase", "signup", "error"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+
+    # Both venues' latest-per-key states in ONE scan + ONE shuffle:
+    # venue-conditional max_by (the ordering key is null for the other
+    # venue's rows, which max_by ignores) replaces the two windowed
+    # row_number passes — at 100 TB this halves the dominant scan and
+    # removes a per-key sort.
+    latest = (
+        ev.filter(
+            F.col("event_type").isin("click", "view", "purchase", "signup", "error")
+        )
+        .groupBy(F.col("user_id").alias("pair_key"))
+        .agg(
+            F.max_by(
+                F.struct(
+                    ob.cents_to_dollars(cents % 97 + 1).alias("yes_bid"),
+                    ob.cents_to_dollars(cents % 89 + 1).alias("no_bid"),
+                    ts_us.alias("ts_us"),
+                ),
+                F.when(is_kalshi, order_key),
+            ).alias("k"),
+            F.max_by(
+                F.struct(
+                    poly_yes.alias("yes_price"),
+                    ob.yes_to_no(poly_yes).alias("no_price"),
+                    ts_us.alias("ts_us"),
+                ),
+                F.when(~is_kalshi, order_key),
+            ).alias("p"),
+        )
+        .filter(F.col("k").isNotNull() & F.col("p").isNotNull())
         .select(
-            F.col("user_id").alias("p_user"),
-            poly_yes.alias("poly_yes"),
-            ob.yes_to_no(poly_yes).alias("poly_no"),
-            F.expr("ts div 1000").alias("p_ts_us"),
+            "pair_key",
+            F.col("k.yes_bid").alias("kalshi_yes_bid"),
+            F.col("k.no_bid").alias("kalshi_no_bid"),
+            F.col("k.ts_us").alias("k_ts_us"),
+            F.col("p.yes_price").alias("poly_yes"),
+            F.col("p.no_price").alias("poly_no"),
+            F.col("p.ts_us").alias("p_ts_us"),
         )
     )
     pairs = (
@@ -310,8 +331,7 @@ def arbitrage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     horizon = 86_400_000_000  # µs; batch-fixture freshness window (F5)
     joined = (
-        kalshi.join(F.broadcast(pairs), F.col("k_user") == F.col("pair_id"))
-        .join(poly, F.col("p_user") == F.col("pair_id"))
+        latest.join(F.broadcast(pairs), F.col("pair_key") == F.col("pair_id"))
         .crossJoin(F.broadcast(bounds))
         .filter(
             (F.col("k_ts_us") >= F.col("max_us") - horizon)

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..streaming import ingest, scan
+from ..streaming import ingest, liveness, scan
 
 
 def _workdir() -> str:
@@ -233,5 +233,72 @@ def streaming_downsample_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         return spark.read.parquet(sink_dir).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# T7: session liveness with event-time timeout eviction
+# ---------------------------------------------------------------------------
+_LIVENESS_TTL_S = 3 * 86400  # 3 days against the 30-day fixture span
+
+_LIVENESS_ORACLE = f"""
+WITH wm AS (SELECT MAX(epoch_us(ts)) AS wm_us FROM events),
+per_sub AS (
+  SELECT user_id AS subscriber_id,
+         MAX(epoch_us(ts)) AS last_seen_us,
+         COUNT(*) AS n_heartbeats
+  FROM events GROUP BY user_id
+)
+SELECT p.subscriber_id,
+       CASE WHEN p.last_seen_us + {_LIVENESS_TTL_S * 1_000_000} < w.wm_us
+            THEN 'evicted' ELSE 'active' END AS status,
+       p.last_seen_us,
+       p.n_heartbeats
+FROM per_sub p CROSS JOIN wm w
+"""
+
+
+@query(
+    "streaming_subscriber_liveness",
+    oracle=_LIVENESS_ORACLE,
+    tags=("T7", "T2", "streaming"),
+)
+def streaming_subscriber_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 session liveness (`virginia/broker/publisher.py:224-320`) over
+    the events replay: every event is a heartbeat for its user; a user
+    silent for >3 days of event time is evicted by the stateful
+    operator's event-time timeout. The oracle states the resulting
+    invariant: final status is 'evicted' iff last_seen + ttl < final
+    watermark (max event time; 0s watermark delay)."""
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        sink_dir = os.path.join(root, "liveness")
+        hb = (
+            ingest.replay_stream(spark, replay_dir)
+            .select(
+                F.col("user_id").alias("subscriber_id"),
+                F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            )
+        )
+        out = liveness.liveness_stream(hb, ttl_seconds=_LIVENESS_TTL_S)
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(sink_dir)
+            )
+
+        q = (
+            out.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return liveness.final_liveness(spark, sink_dir).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -194,3 +194,62 @@ def test_ingest_throughput_anchor(spark, sf_dir, tmp_path):
     total_ms = sum(p["durationMs"]["triggerExecution"] for p in progress)
     assert total_rows == n
     assert total_rows / (total_ms / 1000.0) >= 100, (total_rows, total_ms)
+
+
+# ---------------------------------------------------------------------------
+# T7: session liveness with event-time timeout eviction
+# ---------------------------------------------------------------------------
+def _write_heartbeat_chunks(path, chunks):
+    os.makedirs(path, exist_ok=True)
+    for i, rows in enumerate(chunks):
+        pdf = pd.DataFrame(rows, columns=["subscriber_id", "ts"])
+        pdf["subscriber_id"] = pdf["subscriber_id"].astype("int64")
+        # µs precision: ns-precision parquet would hit the session's
+        # nanosAsLong legacy read path and come back as INT64
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(path, f"chunk-{i:04d}.parquet"))
+
+
+def test_liveness_evicts_silent_subscriber(spark, tmp_path):
+    """T7 (`virginia/broker/publisher.py:224-320`): subscriber A stops
+    heartbeating and is evicted when the watermark passes last_seen+ttl;
+    B keeps beating and stays active."""
+    from financial_arbitrage_data_pipeline_spark.streaming import liveness
+
+    hb_dir = str(tmp_path / "hb")
+    sink = str(tmp_path / "sink")
+    # base offset keeps t>0: rows at exactly the initial watermark (epoch
+    # 0) would be dropped as late data
+    t0 = 10_000
+    _write_heartbeat_chunks(
+        hb_dir,
+        [
+            [(1, t0), (2, t0)],      # A and B at t0
+            [(2, t0 + 100)],         # only B; watermark -> t0 during this batch
+            [(2, t0 + 200)],         # only B; watermark -> t0+100, A deadline t0+50 passes
+        ],
+    )
+    hb = (
+        spark.readStream.schema(liveness.HEARTBEAT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(hb_dir)
+    )
+    out = liveness.liveness_stream(hb, ttl_seconds=50)
+
+    def write_batch(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sink)
+
+    q = (
+        out.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = {r.subscriber_id: r for r in liveness.final_liveness(spark, sink).collect()}
+    assert final[1].status == "evicted"
+    assert final[2].status == "active"
+    assert final[2].n_heartbeats == 3
+    assert final[1].n_heartbeats == 1
