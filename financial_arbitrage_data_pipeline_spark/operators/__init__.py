@@ -3,6 +3,7 @@ into `plans.REGISTRY` (each module's @query decorators run at import)."""
 
 from . import (  # noqa: F401
     dedup,
+    etl_queries,
     market,
     multimodal,
     relational,
@@ -15,6 +16,7 @@ from . import (  # noqa: F401
 
 __all__ = [
     "dedup",
+    "etl_queries",
     "market",
     "multimodal",
     "relational",
