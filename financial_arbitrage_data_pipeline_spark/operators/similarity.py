@@ -192,34 +192,154 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Random-hyperplane LSH signatures — the 100 TB bucketing path
+# Random-hyperplane LSH — the 100 TB bucketing path
 # ---------------------------------------------------------------------------
 
+LSH_PLANES = 4  # 2^4 buckets; tune bits to target candidates-per-bucket
 
-def rh_lsh_signatures(df: DataFrame, emb_col: str = "embedding", n_planes: int = 16) -> DataFrame:
-    """Append an LSH bucket id: bit p = sign(<v, h_p>) for pseudo-random
-    hyperplanes h_p derived from md5(p:i) — deterministic, engine-free,
-    no shuffle. Candidate generation then groups on `lsh_bucket`, turning
-    the N² similarity join into Σ bucket². Used by the scale path /
-    streaming dedup; the oracle-checked queries above verify the scorer
-    it feeds."""
-    v = F.col(emb_col)
 
-    def plane_dot(p: int) -> Column:
-        # h_p[i] = (first 8 hex of md5("p:i") as int) - 2^31  (zero-mean)
-        idx = F.sequence(F.lit(1), F.size(v))
-        weights = F.transform(
-            idx,
-            lambda i: F.conv(F.substring(F.md5(F.concat(F.lit(f"{p}:"), i)), 1, 8), 16, 10).cast(
-                "long"
-            )
-            - F.lit(2**31),
-        )
-        prods = F.zip_with(weights, v, lambda w, x: w.cast("double") * x)
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+def plane_weights(n_planes: int, dim: int) -> list[list[int]]:
+    """Pseudo-random integer hyperplanes, fixed by construction:
+    w[p][i] = (first 8 hex digits of md5("p:i")) - 2^31 (zero-mean).
+    Computed driver-side once — they are data-independent constants — and
+    inlined as literals, so the per-row work is pure integer arithmetic
+    and the same table is a 256-row VALUES list in the SQL oracle."""
+    import hashlib
 
+    return [
+        [
+            int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) - 2**31
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket(q: Column, weights: list[list[int]]) -> Column:
+    """Bucket id over a *quantized* (int64) embedding: bit p =
+    sign(<q, w_p>) via an integer-exact zip_with dot — float summation
+    order can flip a near-zero sign between engines; integers can't.
+    |dot| <= dim * 1000 * 2^31 ≈ 2^47 — no overflow."""
     bucket = None
-    for p in range(n_planes):
-        bit = F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    for p, w in enumerate(weights):
+        lits = F.array(*[F.lit(x).cast("long") for x in w])
+        d = dot_ll(q, lits)
+        bit = F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("lsh_bucket", bucket)
+    return bucket
+
+
+def rh_lsh_signatures(
+    df: DataFrame, emb_col: str = "embedding", n_planes: int = LSH_PLANES, dim: int | None = None
+) -> DataFrame:
+    """Append `lsh_bucket` to a raw-embedding DataFrame. Candidate
+    generation then groups on the bucket, turning the N² similarity join
+    into Σ bucket². No shuffle; one narrow projection."""
+    if dim is None:
+        dim = len(df.select(emb_col).first()[0])
+    q = quantized(emb_col)
+    return df.withColumn("lsh_bucket", lsh_bucket(q, plane_weights(n_planes, dim)))
+
+
+def _weights_values_sql(weights: list[list[int]]) -> str:
+    rows = ", ".join(
+        f"({p}, {i}, {w})" for p, ws in enumerate(weights) for i, w in enumerate(ws)
+    )
+    return f"(VALUES {rows}) AS pw(p, i, w)"
+
+
+def _lsh_oracle(n_planes: int, dim: int) -> str:
+    """DuckDB mirror: bucket per vector from the same literal weight
+    table, then exact cosine top-k within (query bucket = cand bucket)."""
+    weights = plane_weights(n_planes, dim)
+    return f"""
+WITH {_QUANT_SQL},
+pdots AS (
+  SELECT qe.vec_id, pw.p, CAST(SUM(qe.q * pw.w) AS BIGINT) AS d
+  FROM qe JOIN {_weights_values_sql(weights)} ON pw.i = qe.i - 1
+  GROUP BY qe.vec_id, pw.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM pdots GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM qe a
+  JOIN buckets ba ON ba.vec_id = a.vec_id AND a.vec_id < {N_QUERIES}
+  JOIN buckets bb ON bb.bucket = ba.bucket AND bb.vec_id <> a.vec_id
+  JOIN qe b ON b.vec_id = bb.vec_id AND b.i = a.i
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT d.query_id, d.cand_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+       CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+         AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.query_id
+JOIN norms nb ON nb.vec_id = d.cand_id
+WINDOW w AS (
+  PARTITION BY d.query_id
+  ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+             DESC, d.cand_id
+)
+QUALIFY ROW_NUMBER() OVER w <= {TOPK}
+"""
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=_lsh_oracle(LSH_PLANES, 64),
+    headline=True,
+    tags=("similarity-ann-lsh",),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path: random-hyperplane LSH bucketing (4 planes → 16
+    buckets), candidates restricted to the query's bucket, exact
+    integer-quantized cosine + top-5 within candidates. Versus the
+    brute-force baseline (ann_cosine_topk) the scored pair count drops by
+    ~the bucket count; at 100 TB the bucket id is the shuffle/partition
+    key and each bucket's scoring is local. Recall is tunable by planes
+    and multi-probe; the oracle reproduces the same buckets exactly, so
+    this checks the bucketed semantics end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized("embedding").alias("q")
+    )
+    dim = 64
+    weights = plane_weights(LSH_PLANES, dim)
+    emb = emb.withColumn("nsq", sq_norm(F.col("q"))).withColumn(
+        "bucket", lsh_bucket(F.col("q"), weights)
+    )
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("cq"),
+        F.col("nsq").alias("c_nsq"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        cands.join(
+            F.broadcast(queries_df),
+            (F.col("c_bucket") == F.col("q_bucket")) & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_from_ints(
+                dot_ll(F.col("qq"), F.col("cq")), F.col("q_nsq"), F.col("c_nsq")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )
