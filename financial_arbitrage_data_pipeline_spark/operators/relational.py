@@ -532,3 +532,65 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 full family: multi-resolution rollup (1m / 5m / 1h / 24h in one pass)
+# ---------------------------------------------------------------------------
+_ROLLUP_RES = [("1m", 60), ("5m", 300), ("1h", 3600), ("24h", 86400)]
+
+_ROLLUP_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{name}' AS resolution,
+       epoch_us(time_bucket(INTERVAL {secs} SECOND, ts)) AS bucket_us,
+       event_type,
+       arg_max(value, ts) AS last_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 2, 3"""
+    for name, secs in _ROLLUP_RES
+)
+
+
+@query(
+    "rollup_multi_resolution",
+    oracle=_ROLLUP_ORACLE,
+    headline=True,
+    tags=("A6", "rollup"),
+)
+def rollup_multi_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's aggregateWindow family (1m/5m/1h/24h, fn: last —
+    `etl/query.py:146-157`) materialized as one hypertable-style rollup:
+    every row fans out to its four (resolution, bucket) keys via a
+    literal-array explode, then ONE shuffle aggregates all resolutions
+    together (vs four scans + four shuffles for query-time windows). The
+    deterministic 'last' is max_by(event time); at 100 TB this is the
+    continuous-aggregate maintenance job, run per partition-day."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("resolution"),
+                (ts_us - ts_us % (secs * 1_000_000)).alias("bucket_us"),
+            )
+            for name, secs in _ROLLUP_RES
+        ]
+    )
+    return (
+        ev.select(
+            F.explode(keys).alias("k"),
+            "event_type",
+            "value",
+            ts_us.alias("ts_us"),
+        )
+        .groupBy(
+            F.col("k.resolution").alias("resolution"),
+            F.col("k.bucket_us").alias("bucket_us"),
+            "event_type",
+        )
+        .agg(
+            F.max_by("value", "ts_us").alias("last_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

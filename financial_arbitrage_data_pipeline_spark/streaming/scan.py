@@ -155,14 +155,16 @@ def make_scan_fn(
         else:
             s = [0.0, 0.0, -1, -1, 0.0, 0.0, -1, -1]
         for pdf in pdfs:
-            for row in pdf.itertuples(index=False):
-                ts, eid = int(row.ts_us), int(row.event_id)
-                if row.venue == "kalshi":
-                    if (ts, eid) > (s[2], s[3]):
-                        s[0], s[1], s[2], s[3] = float(row.yes), float(row.no), ts, eid
-                else:
-                    if (ts, eid) > (s[6], s[7]):
-                        s[4], s[5], s[6], s[7] = float(row.yes), float(row.no), ts, eid
+            # vectorized fold: per venue, take the (ts_us, event_id)-max row
+            # of the batch, then compare against state — no per-row Python
+            for is_kalshi, base in ((True, 0), (False, 4)):
+                sub = pdf[(pdf["venue"] == "kalshi") == is_kalshi]
+                if len(sub) == 0:
+                    continue
+                top = sub.sort_values(["ts_us", "event_id"]).iloc[-1]
+                ts, eid = int(top.ts_us), int(top.event_id)
+                if (ts, eid) > (s[base + 2], s[base + 3]):
+                    s[base : base + 4] = [float(top.yes), float(top.no), ts, eid]
         state.update(tuple(s))
         has_opp, typ, kp, pp, margin = _decide(tuple(s), freshness_us, threshold)
         yield pd.DataFrame(
