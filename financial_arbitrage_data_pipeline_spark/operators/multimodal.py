@@ -112,6 +112,95 @@ def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Resize / frame-sample kernels (stubbed codecs, real batch plumbing)
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 64  # fake "frame" = fixed byte window of the payload
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize (Pillow). Not available in this container."""
+    raise NotImplementedError("image codecs not installed; use fake_resize")
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: truncate/tile the payload to width*height
+    bytes — preserves the contract that output size is a pure function of
+    the target dims, which is what partition sizing depends on."""
+    target = width * height
+    if not payload:
+        return bytes(target)
+    reps = (target + len(payload) - 1) // len(payload)
+    return (payload * reps)[:target]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas resize: binary in → binary out, one Python crossing per
+    Arrow batch. The output column is again an opaque payload — resize
+    composes with decode/feature kernels in the same pipeline."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [fake_resize(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "payload": out,
+                    "n_bytes": [len(p) for p in out],
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_sampled", T.LongType(), True),
+        T.StructField("sampled_bytes", T.LongType(), True),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling plumbing: the payload is treated as a sequence of
+    fixed-size frames (a real kernel would demux with pyav); every
+    `stride`-th frame is kept. Emits per-asset frame accounting — the
+    shape a downstream per-frame feature extractor consumes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_frames, n_sampled, s_bytes = [], [], []
+            for p in pdf["payload"]:
+                frames = [p[i : i + frame_bytes] for i in range(0, len(p), frame_bytes)]
+                sampled = frames[::stride]
+                n_frames.append(len(frames))
+                n_sampled.append(len(sampled))
+                s_bytes.append(sum(len(f) for f in sampled))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "n_frames": n_frames,
+                    "n_sampled": n_sampled,
+                    "sampled_bytes": s_bytes,
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(kernel, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Oracle-checked query: metadata stats through the binary+mapInPandas path
 # ---------------------------------------------------------------------------
 @query(
@@ -146,3 +235,37 @@ def media_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_bytes").cast("double") / F.count(F.lit(1))).alias("avg_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     )
+
+
+@query(
+    "video_frame_sample",
+    oracle=f"""
+WITH assets AS (
+  SELECT doc_id AS asset_id, octet_length(encode(text)) AS len
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT asset_id, len,
+         (len + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS n_frames
+  FROM assets
+)
+SELECT asset_id,
+       n_frames,
+       (n_frames + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS n_sampled,
+       (n_frames + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} * {FRAME_BYTES}
+         - CASE WHEN (n_frames - 1) % {FRAME_STRIDE} = 0
+                THEN {FRAME_BYTES} - (len - {FRAME_BYTES} * (n_frames - 1))
+                ELSE 0 END AS sampled_bytes
+FROM fr
+""",
+    tags=("multimodal-frames",),
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over the video assets: payloads chunk into
+    {FRAME_BYTES}-byte frames inside the mapInPandas kernel, every
+    {FRAME_STRIDE}th frame is kept, and the per-asset accounting comes
+    back out. The oracle restates the arithmetic from octet_length alone,
+    so what's verified is that the batched binary path really chunks and
+    strides the payload bytes it was handed."""
+    assets = assets_from_documents(spark, sf_dir).filter(F.col("media_type") == "video")
+    return sample_frames(assets)

@@ -139,3 +139,36 @@ def test_line_protocol_format(spark):
     ).first().lp
     assert line.startswith("market_snapshot,source=kalshi,ticker=TICK ")
     assert line.endswith(" 1753400000000000000")
+
+
+def test_vwap_walk_matches_python_reference_on_random_books(spark):
+    """Randomized cross-check of the aggregate()-HOF book walk (P8)
+    against a literal Python transcription of the reference's walk
+    (`virginia/api/data_feed.py:99-126`)."""
+    import random
+
+    rng = random.Random(42)
+    books = []
+    for i in range(200):
+        n = rng.randint(0, 8)
+        books.append((i, [[rng.randint(1, 99), rng.randint(0, 60)] for _ in range(n)]))
+
+    def py_walk(levels, target=100):
+        levels = sorted(levels, key=lambda x: (-x[0], -x[1]))
+        remaining, cost = target, 0
+        for price, qty in levels:
+            fill = min(qty, remaining)
+            remaining -= fill
+            cost += fill * price
+        return 0.0 if remaining > 0 else cost / target
+
+    df = spark.createDataFrame(books, "book_id long, levels array<array<int>>")
+    got = {
+        r.book_id: r.vwap
+        for r in df.select(
+            "book_id",
+            ob.vwap_fill_cents(ob.sort_levels_best_first(F.col("levels")), 100).alias("vwap"),
+        ).collect()
+    }
+    for book_id, levels in books:
+        assert got[book_id] == py_walk(levels), (book_id, levels)

@@ -101,3 +101,27 @@ def test_extract_features_batch_shape(spark):
     rows = {r.asset_id: r for r in multimodal.extract_features(df).collect()}
     assert rows[1].n_bytes == 3 and rows[2].n_bytes == 4
     assert 0.0 <= rows[1].brightness <= 1.0
+
+
+def test_fake_resize_output_size_contract():
+    assert len(multimodal.fake_resize(b"abc", 8, 4)) == 32
+    assert len(multimodal.fake_resize(b"", 8, 4)) == 32
+    assert multimodal.fake_resize(b"ab", 2, 2) == b"abab"
+
+
+def test_resize_assets_batch(spark):
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, b"defgh")], "asset_id long, payload binary"
+    )
+    rows = {r.asset_id: r for r in multimodal.resize_assets(df, 4, 4).collect()}
+    assert rows[1].n_bytes == 16 and rows[2].n_bytes == 16
+    assert bytes(rows[1].payload) == (b"abc" * 6)[:16]
+
+
+def test_sample_frames_stride_arithmetic(spark):
+    payload = bytes(range(200))  # 4 frames of 64 (last=8 bytes)
+    df = spark.createDataFrame([(1, payload)], "asset_id long, payload binary")
+    r = multimodal.sample_frames(df).first()
+    assert r.n_frames == 4       # 64+64+64+8
+    assert r.n_sampled == 1      # frames[::4] -> frame 0
+    assert r.sampled_bytes == 64
