@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the scale properties the engine is
+designed around (broadcast dims, pushdown, pruning, per-partition top-K,
+narrow projections) asserted on the optimized plans so they can't
+silently regress into shuffles or full scans."""
+
+from __future__ import annotations
+
+import pytest
+
+import financial_arbitrage_data_pipeline_spark.operators  # noqa: F401
+from financial_arbitrage_data_pipeline_spark.plans import REGISTRY
+
+
+def plan_of(spark, name: str, sf_dir: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].builder(spark, sf_dir)
+    return spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_arbitrage_scan_broadcasts_dims_one_event_shuffle(spark, sf_dir):
+    p = plan_of(spark, "arbitrage_scan", sf_dir)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # one scan of events feeding the latest-per-key aggregation: the
+    # events file appears in scans, and only one Exchange carries user_id
+    assert p.count("hashpartitioning(user_id") <= 2  # partial+final pair
+
+
+def test_bulk_market_scan_pushes_in_list_and_prunes(spark, sf_dir):
+    p = plan_of(spark, "bulk_market_scan", sf_dir)
+    assert "PushedFilters: [In(p_partkey" in p
+    assert "Exchange" not in p  # pure scan+project, no shuffle
+
+
+def test_pricing_summary_pushes_date_filter(spark, sf_dir):
+    p = plan_of(spark, "pricing_summary", sf_dir)
+    assert "LessThanOrEqual(l_shipdate" in p
+
+
+def test_recent_events_ring_is_topk_not_full_sort(spark, sf_dir):
+    p = plan_of(spark, "recent_events_ring", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p  # no global sort
+
+
+def test_kalshi_book_summary_prunes_columns(spark, sf_dir):
+    p = plan_of(spark, "kalshi_book_summary", sf_dir)
+    # lineitem has 11 columns; the book build needs 4
+    assert "l_extendedprice" not in p
+    assert "l_discount" not in p
+    assert "l_shipdate" not in p
+
+
+def test_text_quality_is_narrow(spark, sf_dir):
+    p = plan_of(spark, "text_quality", sf_dir)
+    assert "Exchange" not in p  # per-row projection: zero shuffles
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    offenders = []
+    for name in sorted(REGISTRY):
+        if name.startswith("streaming_") or name == "ticket_fill_merge":
+            continue  # these execute work in the builder; covered elsewhere
+        p = plan_of(spark, name, sf_dir)
+        if "CartesianProduct" in p:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_ann_lsh_broadcasts_queries(spark, sf_dir):
+    p = plan_of(spark, "ann_lsh_topk", sf_dir)
+    assert "BroadcastHashJoin" in p
+
+
+@pytest.mark.parametrize("name", ["pricing_summary", "nation_revenue", "text_quality"])
+def test_wholestage_codegen_present(spark, sf_dir, name):
+    # AQE reveals the final (codegen-annotated) plan only after execution
+    df = REGISTRY[name].builder(spark, sf_dir)
+    df.collect()
+    p = spark._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "*(" in p, p[:400]  # WholeStageCodegen stage markers
