@@ -253,3 +253,44 @@ def test_liveness_evicts_silent_subscriber(spark, tmp_path):
     assert final[2].status == "active"
     assert final[2].n_heartbeats == 3
     assert final[1].n_heartbeats == 1
+
+
+def test_checkpoint_restart_preserves_state_and_exactly_once(spark, tmp_path):
+    """T6: stop the scan after batch 1, then restart from the same
+    checkpoint with new chunks present. The file source must not reread
+    chunk 1 (exactly-once) and the state store must carry the Kalshi
+    quote across the restart — the opportunity appears only when the
+    Polymarket leg arrives in run 2."""
+    qdir = str(tmp_path / "quotes")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    pairs = spark.createDataFrame([(1,)], "pair_id long")
+
+    def run():
+        quotes = (
+            spark.readStream.schema(scan.QUOTE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qdir)
+        )
+        q = scan.start_scan_lane(
+            scan.opportunity_stream(quotes, pairs, freshness_us=HOUR_US), sink, ckpt
+        )
+        q.awaitTermination()
+
+    # run 1: only the kalshi leg exists
+    _write_quote_chunks(qdir, [[(1, "kalshi", 0.45, 0.47, 1_000_000, 1)]])
+    run()
+    emissions1 = spark.read.parquet(sink)
+    assert emissions1.count() == 1 and emissions1.filter(F.col("has_opp")).count() == 0
+
+    # run 2: the polymarket leg lands; restart from the same checkpoint
+    _write_quote_chunks(
+        qdir, [[], [(1, "polymarket", 0.40, 0.60, 2_000_000, 2)]]  # chunk-0001
+    )
+    run()
+    final = scan.final_opportunities(spark, sink).collect()
+    assert len(final) == 1
+    assert final[0].profit_margin == pytest.approx(0.125)  # state crossed restart
+    # chunk-0000 was not reprocessed: exactly one emission per batch
+    emissions = spark.read.parquet(sink)
+    assert emissions.count() == 2
