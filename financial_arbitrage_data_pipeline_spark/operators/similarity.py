@@ -29,9 +29,13 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 
 def quantized(col: Column | str, scale: int = 1000) -> Column:
     """float array → exact int64 array (round half away from zero — the
-    same rule in Spark and DuckDB)."""
+    same rule in Spark and DuckDB). The f32 component is promoted to
+    double BEFORE the multiply — multiplying in f32 can land exactly on
+    .5 (e.g. 0.3195f*1000 = 319.5f) while the double path stays below it
+    (319.4999…), flipping the rounded value between engines; the oracle
+    casts to DOUBLE identically."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: F.round(x * scale).cast("long"))
+    return F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
 
 
 def dot_ll(a: Column, b: Column) -> Column:
@@ -53,7 +57,7 @@ def cosine_from_ints(dot: Column, na: Column, nb: Column) -> Column:
 
 _QUANT_SQL = """
 qe AS (
-  SELECT vec_id, i, CAST(round(v * 1000) AS BIGINT) AS q
+  SELECT vec_id, i, CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS q
   FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
         FROM embeddings)
 ),

@@ -30,8 +30,6 @@ from __future__ import annotations
 
 import os
 
-import pyarrow as pa
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -57,36 +55,42 @@ def write_replay_chunks(
 ) -> int:
     """Materialize the events table as `n_chunks` parquet files so the
     file source replays it across that many micro-batches
-    (`maxFilesPerTrigger=1`). Chunking is by event_id range — arrival
-    order across chunks does not affect the stateful scan, whose fold is
-    by (event time, event_id), not arrival (SURVEY risk #1: the reference
-    gates on *latest value per key*, which is order-free).
+    (`maxFilesPerTrigger=1`). Chunking is by EVENT-TIME range — a replay
+    of a log is time-ordered, exactly like the live feed it stands in
+    for, so watermarks advance monotonically and nothing is spuriously
+    late. (The stateful operators themselves don't need this: their fold
+    is by (event time, event_id), and dedicated tests replay disordered
+    chunks. The watermark-dropping policy for genuinely late rows is
+    tested with crafted late data.)
 
-    Returns the row count. Files are written via pyarrow (one file per
-    chunk, deterministic contents); fixture sizes are small, and at
+    Returns the row count. The write is fully distributed
+    (`repartitionByRange` → one file per range, no driver collect); at
     production scale this function does not exist — Kafka does.
     """
-    ev = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .select(
-            "event_id",
-            F.expr("ts div 1000").alias("ts_us"),
-            "user_id",
-            "event_type",
-            "value",
-        )
-        .orderBy("event_id")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
     )
-    pdf = ev.toPandas()
-    os.makedirs(out_dir, exist_ok=True)
-    n = len(pdf)
-    per = max(1, (n + n_chunks - 1) // n_chunks)
-    for i in range(0, n_chunks):
-        chunk = pdf.iloc[i * per : (i + 1) * per]
-        if len(chunk) == 0:
-            continue
-        table = pa.Table.from_pandas(chunk, preserve_index=False)
-        pq.write_table(table, os.path.join(out_dir, f"chunk-{i:04d}.parquet"))
+    n = ev.count()
+    ev.repartitionByRange(n_chunks, "ts_us", "event_id").write.mode("overwrite").parquet(
+        out_dir
+    )
+    # The file source picks micro-batches oldest-modification-time-first;
+    # concurrently written part files don't guarantee that order matches
+    # the time ranges. Rename to chunk-#### and stamp strictly increasing
+    # mtimes so batch order == time order deterministically.
+    import glob
+    import time as _time
+
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    base = _time.time() - len(parts)
+    for i, p in enumerate(parts):
+        dst = os.path.join(out_dir, f"chunk-{i:04d}.parquet")
+        os.rename(p, dst)
+        os.utime(dst, (base + i, base + i))
     return n
 
 

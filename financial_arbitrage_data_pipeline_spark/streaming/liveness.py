@@ -74,8 +74,14 @@ def make_liveness_fn(ttl_seconds: int) -> Callable[..., Iterator[pd.DataFrame]]:
                 last_seen = max(last_seen, batch_max)
                 n += len(pdf)
         state.update((last_seen, n))
-        # deadline in event time: watermark passing it triggers eviction
-        state.setTimeoutTimestamp(last_seen // 1000 + ttl_seconds * 1000)
+        # deadline in event time: watermark passing it triggers eviction.
+        # If the heartbeat was already older than (watermark - ttl) — e.g.
+        # a disordered replay — the deadline is in the past; Spark rejects
+        # timeouts <= watermark, so clamp to watermark+1ms, which evicts
+        # at the next batch (the semantics the deadline implies anyway).
+        deadline_ms = last_seen // 1000 + ttl_seconds * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
         yield pd.DataFrame(
             {
                 "subscriber_id": [key[0]],
