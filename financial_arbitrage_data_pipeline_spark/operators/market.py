@@ -362,6 +362,51 @@ def arbitrage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P10: line-protocol export
+# ---------------------------------------------------------------------------
+_LP_ORACLE = """
+WITH src AS (
+  SELECT event_id,
+         CASE WHEN user_id % 2 = 0 THEN 'kalshi' ELSE 'polymarket' END AS source,
+         'MKT-' || CAST(user_id AS VARCHAR) AS ticker,
+         replace(CASE WHEN event_id % 7 = 0 THEN event_type || '"x"'
+                      ELSE event_type END, '"', '\\"') AS v,
+         epoch_us(ts) * 1000 AS ts_ns
+  FROM events
+)
+SELECT event_id,
+       'market_snapshot,source=' || source || ',ticker=' || ticker
+         || ' status="' || v || '" ' || CAST(ts_ns AS VARCHAR) AS line
+FROM src
+"""
+
+
+@query("line_protocol_export", oracle=_LP_ORACLE, tags=("P10",))
+def line_protocol_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-protocol export lane (P10, `database/models/influx.py:105-146`):
+    every snapshot row rendered as a `measurement,tags field="v" ts_ns`
+    string, including the double-quote escaping rule (rows where
+    event_id % 7 = 0 get a quoted token injected to exercise it). Pure
+    narrow projection — no shuffle; at scale this is a map-only export
+    stage feeding whatever Influx-compatible consumer remains."""
+    ev = load_table(spark, sf_dir, "events")
+    src = F.when(F.col("user_id") % 2 == 0, F.lit("kalshi")).otherwise(
+        F.lit("polymarket")
+    )
+    ticker = F.concat(F.lit("MKT-"), F.col("user_id").cast("string"))
+    status = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.col("event_type"), F.lit('"x"'))
+    ).otherwise(F.col("event_type"))
+    ts_ns = F.expr("(ts div 1000) * 1000")
+    return ev.select(
+        "event_id",
+        ob.line_protocol("market_snapshot", src, ticker, "status", status, ts_ns).alias(
+            "line"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J3: snapshot-correlation semi-join (array_contains)
 # ---------------------------------------------------------------------------
 @query(
