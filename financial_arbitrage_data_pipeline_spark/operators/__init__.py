@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     market,
     multimodal,
     relational,
+    sessions,
     similarity,
     streaming_queries,
     textstats,
@@ -20,6 +21,7 @@ __all__ = [
     "market",
     "multimodal",
     "relational",
+    "sessions",
     "similarity",
     "streaming_queries",
     "textstats",

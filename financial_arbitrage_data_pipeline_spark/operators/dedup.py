@@ -243,6 +243,10 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair space is never materialized; candidates come from equi-joining
     band signatures (one shuffle on (band_id, sig)), then only candidates
     pay the verification join."""
+    return _lsh_verified_pairs(spark, sf_dir)
+
+
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = with_minhash(with_shingles(crawl_union(spark, sf_dir)))
     # Both derived tables feed two join branches each; persist so the
     # shingle→hash pipeline runs once, not four times. (At warehouse scale
@@ -271,6 +275,112 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-components dedup clustering over the near-dup pair graph
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_minhash_sql(_CRAWL_UNION_SQL)},
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sh_sizes za ON za.doc_id = i.doc_a
+  JOIN sh_sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM nodes
+  UNION
+  SELECT e.dst AS doc_id, r.r
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+labeled AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       (doc_id = cluster_id) AS is_canonical
+FROM labeled
+""",
+    tags=("dedup-clusters", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    LSH-verified near-dup graph, labeling every clustered doc with the
+    min doc_id of its component (the canonical keeper — everything else
+    is droppable). This is the step an actual training-data pipeline
+    needs after pair finding: near-dup is not transitive, so A~B and B~C
+    must collapse into one keep-group even when A~C wasn't found.
+
+    Spark-first shape: iterative min-label propagation (the standard
+    distributed CC — GraphX/GraphFrames run the same loop). Each round is
+    one join + one aggregation, all keyed shuffles; `localCheckpoint`
+    cuts lineage per round so plans don't grow with iterations. Rounds
+    needed = graph diameter, which for dup clusters is tiny (single-digit
+    even at web scale — see the large/small-star literature). The oracle
+    states the same fixpoint declaratively as a recursive CTE, so the
+    loop's convergence is value-checked, not just asserted.
+    """
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Min-label propagation over an undirected pair graph → (doc_id,
+    label) where label = min doc_id reachable. Each round: one keyed join
+    + one min-aggregation; `localCheckpoint` cuts lineage so the plan
+    stays round-sized. Converges in O(diameter) rounds."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):  # diameter bound; real dup graphs converge in ~2-3
+        msgs = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("connected_components: no fixpoint in "
+                           f"{max_rounds} rounds")
+    edges.unpersist()
+    return labels
 
 
 # ---------------------------------------------------------------------------
@@ -464,15 +574,3 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-
-    a, b = sig.alias("a"), sig.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 12)
-    )

@@ -1,0 +1,152 @@
+"""Sessionization + exact percentile analytics over the events stream.
+
+Two operators the reference's ops layer implies but never got to declare
+relationally:
+
+- `user_sessions` — gap-based sessionization (the batch twin of the
+  subscriber-liveness session state in `streaming/liveness.py`, reference
+  `virginia/broker/publisher.py:224-320`: a subscriber "session" ends
+  after a quiet TTL). Expressed with Spark's native `session_window`
+  aggregation — one shuffle on the session key, mergeable across
+  partitions, and the exact same operator Structured Streaming would run
+  with a watermark at 100 TB.
+- `latency_percentiles` — rank-based (nearest-rank) latency percentiles
+  per event type (the reference tracks rolling latency means at
+  `database/influx/writer.py:591-599`; percentiles are what you actually
+  alert on). Exact semantics here so the DuckDB oracle can hash-match;
+  the 100 TB path swaps the windowed rank for `approx_percentile`
+  (KLL/GK sketch, one pass, mergeable) — same query shape, documented
+  trade-off.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+SESSION_GAP = "30 minutes"
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "user_sessions",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > {_GAP_US}
+              OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_last_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sid
+""",
+    tags=("sessionization", "A6", "T7"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user: events closer than 30 minutes chain
+    into one session; a gap >= 30 min starts a new one. Spark's
+    `session_window` is the native operator — sessions are merged
+    map-side per partition and across the single shuffle on
+    (user_id, overlapping-window), so the plan scales like any other
+    keyed aggregation (no windowed sort over the whole stream). The
+    oracle states the same semantics as the classic gaps-and-islands
+    SQL (LAG → boundary flags → running-sum session ids).
+
+    Boundary parity (verified by test_session_window_exact_gap_splits):
+    Spark merges TOUCHING windows — an event exactly `gap` after the
+    previous one still chains; only a strictly larger gap splits. The
+    oracle's boundary flag is therefore `diff > gap`, not `>=`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.expr("ts div 1000").alias("ts_us"))
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window(F.timestamp_micros(F.col("ts_us")), SESSION_GAP).alias("w"),
+        )
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_last_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start_us", "session_last_us", "n_events")
+    )
+
+
+@query(
+    "latency_percentiles",
+    oracle="""
+WITH v AS (
+  SELECT event_type,
+         (event_id % 500 + 1) * 1000 + user_id AS v,
+         event_id
+  FROM events
+),
+r AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type,
+       MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN v END) AS p50_us,
+       MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN v END) AS p95_us,
+       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS p99_us,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM r
+GROUP BY event_type
+""",
+    tags=("A8", "percentiles"),
+)
+def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-rank p50/p95/p99 of the per-event API latency (derived
+    from events exactly as `timing_chain_stats` derives its chain) per
+    event type. Exact semantics — rank = ceil(q*n) over a (value,
+    event_id)-ordered per-group sort — so the oracle hash-matches; both
+    engines evaluate the identical `ceil(q * n)` double expression, so
+    the boundary rank agrees bit-for-bit.
+
+    Scale note: the exact form pays one sort per group (fine when groups
+    are few and fit a partition's spill budget). At 100 TB the same
+    query swaps the window for `approx_percentile(v, [.5,.95,.99])` —
+    a one-pass mergeable sketch with no sort; the exact variant stays as
+    the correctness anchor at test SF.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (F.col("event_id") % 500 + 1) * 1000 + F.col("user_id")
+    base = ev.select("event_type", v.alias("v"), "event_id")
+    wo = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "v",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(q: float) -> Column:
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"), F.col("v"))
+        )
+
+    return ranked.groupBy("event_type").agg(
+        at(0.50).alias("p50_us"),
+        at(0.95).alias("p95_us"),
+        at(0.99).alias("p99_us"),
+        F.max("n").alias("n"),
+    )
