@@ -148,14 +148,17 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     language from the corpus, score each doc by profile overlap, predict
     argmax (deterministic tie-break). The profile aggregation shuffles on
     (lang, bigram) — vocabulary-bounded — and the scoring join broadcasts
-    the tiny profile; corpus-size work is one explode + one aggregation."""
+    the tiny profile; corpus-size work is one explode + one aggregation.
+    The per-doc DISTINCT bigram set is `array_distinct` BEFORE the
+    explode — per-row inside codegen — so no corpus-sized distinct
+    shuffle exists anywhere in the plan."""
     docs = load_table(spark, sf_dir, "documents")
     idx = F.sequence(F.lit(1), F.length("text") - 1)
-    bi = docs.select(
-        "doc_id",
-        F.col("lang").alias("actual_lang"),
-        F.explode(F.transform(idx, lambda i: F.col("text").substr(i, F.lit(2)))).alias("bigram"),
+    arr = F.transform(idx, lambda i: F.col("text").substr(i, F.lit(2)))
+    base = docs.select(
+        "doc_id", F.col("lang").alias("actual_lang"), arr.alias("bigrams")
     )
+    bi = base.select("doc_id", "actual_lang", F.explode("bigrams").alias("bigram"))
     profile = (
         bi.groupBy(F.col("actual_lang").alias("lang"), "bigram")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -168,17 +171,45 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 40)
         .select("lang", "bigram")
     )
-    db = bi.distinct()
-    scores = (
-        db.join(F.broadcast(profile), "bigram")
-        .groupBy("doc_id", "actual_lang", F.col("lang").alias("cand_lang"))
-        .agg(F.count(F.lit(1)).alias("score"))
+    # Score WITHOUT re-exploding the corpus: fold each language's top-40
+    # profile into one array (a handful of rows), broadcast-cross-join,
+    # and count overlap per doc with array_intersect — per-row codegen.
+    # The only corpus-sized shuffle left in the whole plan is the profile
+    # frequency aggregation. lang_rank makes the argmax tie-break
+    # (score DESC, cand_lang ASC) expressible as a single max_by — no
+    # per-doc sort window.
+    prof_arrays = (
+        profile.groupBy("lang")
+        .agg(F.collect_list("bigram").alias("prof"))
+        .withColumn("lang_rank", F.row_number().over(Window.orderBy("lang")))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang"))
+    distinct_bigrams = base.select(
+        "doc_id", "actual_lang", F.array_distinct("bigrams").alias("dbig")
+    )
+    scored = (
+        distinct_bigrams.join(F.broadcast(prof_arrays))
+        .select(
+            "doc_id",
+            "actual_lang",
+            "lang",
+            "lang_rank",
+            F.size(F.array_intersect("dbig", "prof")).alias("score"),
+        )
+        .filter(F.col("score") >= 1)
+    )
+    best = F.max_by(
+        F.struct(F.col("lang"), F.col("score")),
+        F.struct(F.col("score"), (-F.col("lang_rank")).alias("neg_rank")),
+    )
     return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "actual_lang", F.col("cand_lang").alias("predicted_lang"), "score")
+        scored.groupBy("doc_id", "actual_lang")
+        .agg(best.alias("b"))
+        .select(
+            "doc_id",
+            "actual_lang",
+            F.col("b.lang").alias("predicted_lang"),
+            F.col("b.score").alias("score"),
+        )
     )
 
 
