@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     similarity,
     streaming_queries,
     textstats,
+    timeseries,
     universe,
     upsert,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "similarity",
     "streaming_queries",
     "textstats",
+    "timeseries",
     "universe",
     "upsert",
 ]

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.core import dec, money, rate
+from ..functions.core import dec, money, rate, sum_money
 from ..plans.registry import query
 from ..sources.tables import load_table
 
@@ -592,5 +592,45 @@ def rollup_multi_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max_by("value", "ts_us").alias("last_value"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP grouping sets (free in Spark per SURVEY §2.5's note; declared so
+# the surface actually exposes it)
+# ---------------------------------------------------------------------------
+@query(
+    "order_status_rollup",
+    oracle="""
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+    tags=("A9", "rollup"),
+)
+def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical status/priority totals via ROLLUP grouping sets —
+    the A9 breakdown (`virginia/api/connection.py:293-299`) extended with
+    subtotal and grand-total rows in a single aggregation pass (Spark
+    expands grouping sets map-side; still one shuffle). `gid`
+    disambiguates rollup NULLs from data NULLs on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_money(money("o_totalprice"), "total_value"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "gid",
+            "n_orders",
+            "total_value",
         )
     )

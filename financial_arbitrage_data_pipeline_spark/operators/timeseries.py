@@ -1,0 +1,162 @@
+"""Time-series join operators: as-of join and bucketed range join.
+
+The reference never declares these relationally, but they are the two
+joins its ETL users reach for next: "what was the quote when this trade
+printed?" (as-of) and "what happened around this event?" (range). The
+reference approximates the first imperatively — the scanner keeps only
+the latest value per key and reads it at decision time
+(`virginia/logic/opportunity_scanner.py:190-191,296-297`), i.e. an
+as-of lookup frozen at "now". Declared as a batch operator it becomes a
+point-in-time join over the whole history, which Spark lacks as a
+builtin; both operators here are compositions of shuffle-friendly
+primitives chosen for 100 TB behavior:
+
+- **As-of join** = union both sides with a side marker, one shuffle on
+  the pair key, and a per-key `last(value, ignorenulls)` running window
+  ordered by (event-time, side). No per-row probe, no range explosion;
+  cost is exactly one sort-shuffle of quotes+trades — the same merge
+  strategy kdb/QuestDB use, expressed declaratively so Catalyst keeps
+  the sort inside the window exchange. Skewed keys salt like any other
+  keyed window (functions/salting.py).
+- **Range join** = equi-join on a time bucket of the window radius,
+  with the left side exploded into the 3 candidate buckets and the
+  residual |dt| <= radius filter applied post-join. This turns an
+  O(n·m) interval predicate (which Spark would execute as
+  BroadcastNestedLoopJoin or a cross product) into a hash join whose
+  fan-out is bounded by 3x, then a single aggregation — the standard
+  distributed interval-join decomposition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+# 5-minute attribution radius, in µs (events.ts is ns in Spark — always
+# compare at µs so the DuckDB oracle, which reads the same column at µs,
+# agrees; see ns_to_us discipline in functions/core.py).
+_RADIUS_US = 300_000_000
+
+
+@query(
+    "asof_quote_join",
+    oracle="""
+WITH q AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         MAX(CAST(round(value*100) AS BIGINT)) AS quote_cents
+  FROM events
+  WHERE event_type = 'view' AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT t.event_id, t.user_id, t.ts_us AS trade_ts_us, q.quote_cents
+FROM t ASOF LEFT JOIN q
+  ON t.user_id = q.user_id AND t.ts_us >= q.ts_us
+""",
+    tags=("asof-join", "J1", "W3"),
+)
+def asof_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase gets the latest view-quote at or
+    before its timestamp for the same pair key (user_id, the market.py
+    convention) — the batch generalization of the scanner's latest-value
+    lookup. Quotes are first reduced to one deterministic value per
+    (key, µs) so ties are engine-independent; then one union + one
+    keyed running window implements the as-of merge. The oracle states
+    the same semantics with DuckDB's native ASOF LEFT JOIN (inclusive
+    >=, matching quotes-sort-first in the window ordering)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")
+    quotes = (
+        ev.filter((F.col("event_type") == "view") & F.col("value").isNotNull())
+        .groupBy("user_id", ts_us.alias("ts_us"))
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("quote_cents"))
+    )
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us.alias("ts_us")
+    )
+    merged = quotes.select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        "quote_cents",
+    ).unionByName(
+        trades.select(
+            "user_id",
+            "ts_us",
+            F.lit(1).alias("side"),
+            "event_id",
+            F.lit(None).cast("long").alias("quote_cents"),
+        )
+    )
+    # quotes (side=0) sort before trades at the same µs → inclusive as-of
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("asof_q", F.last("quote_cents", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_us").alias("trade_ts_us"),
+            F.col("asof_q").alias("quote_cents"),
+        )
+    )
+
+
+@query(
+    "purchase_click_attribution",
+    oracle=f"""
+WITH c AS (
+  SELECT epoch_us(ts) AS c_ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id, epoch_us(ts) AS p_ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.p_ts AS purchase_ts_us,
+       CAST(COUNT(c.c_ts) AS BIGINT) AS nearby_clicks
+FROM p LEFT JOIN c
+  ON c.c_ts BETWEEN p.p_ts - {_RADIUS_US} AND p.p_ts + {_RADIUS_US}
+GROUP BY 1, 2
+""",
+    tags=("range-join", "F4"),
+)
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join without an equi key: count clicks (any user) within
+    +/-5 minutes of each purchase. Naively this is an interval predicate
+    Spark can only run as a nested-loop/cross join; the bucketed
+    decomposition makes it a plain hash join: clicks land in one
+    radius-wide bucket, each purchase probes its 3 candidate buckets
+    (explode), and the exact |dt| <= radius residual filters post-join.
+    The grouped count collapses the 3x fan-out, and an unmatched
+    purchase keeps its row via the left join (counting only matched
+    rows). The oracle is the direct inequality join (DuckDB IEJoin)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")
+    clicks = ev.filter(F.col("event_type") == "click").select(ts_us.alias("c_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", ts_us.alias("p_ts")
+    )
+    b = F.expr(f"p_ts div {_RADIUS_US}")
+    pb = purchases.withColumn("bucket", F.explode(F.array(b - 1, b, b + 1)))
+    cb = clicks.withColumn("bucket", F.expr(f"c_ts div {_RADIUS_US}"))
+    hit = F.abs(F.col("c_ts") - F.col("p_ts")) <= F.lit(_RADIUS_US)
+    return (
+        pb.join(cb, "bucket", "left")
+        .groupBy("event_id", "p_ts")
+        .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("nearby_clicks"))
+        .select(
+            "event_id",
+            F.col("p_ts").alias("purchase_ts_us"),
+            "nearby_clicks",
+        )
+    )
