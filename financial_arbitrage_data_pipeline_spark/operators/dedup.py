@@ -130,14 +130,12 @@ def with_minhash(df: DataFrame, k: int = N_MINHASH) -> DataFrame:
     # reference one computed array instead of re-hashing k times
     df = df.withColumn("_hashed", hashed)
 
-    # NB: the lambda must take exactly ONE parameter — F.transform treats a
-    # two-parameter lambda as (element, index) and would bind the index over
-    # a default arg, silently replacing the permutation number.
-    def perm(i: int):
-        return lambda h: (h.getField("h1") + F.lit(i) * h.getField("h2")) % MINHASH_MOD
-
+    # one F.expr per permutation (the sql lambda `h -> ...` has no
+    # two-parameter-transform pitfall and no per-literal py4j cost)
     sigs = [
-        F.array_min(F.transform(F.col("_hashed"), perm(i))).alias(f"mh{i}")
+        F.expr(
+            f"array_min(transform(_hashed, h -> (h.h1 + {i}L * h.h2) % {MINHASH_MOD}L))"
+        ).alias(f"mh{i}")
         for i in range(k)
     ]
     return df.select(*[c for c in df.columns if c != "_hashed"], *sigs)
@@ -526,17 +524,18 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     th = tok.select("doc_id", h.alias("h"))
+    # one F.expr per bit (and one for the signature fold) instead of
+    # hand-built Column trees: 60 bits x ~14 py4j calls is ~1 s of driver
+    # plan-construction time; sql strings ship the same expressions to
+    # Catalyst in 61 calls total
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
+        F.expr(f"sum(if((shiftright(h, {j}) & 1) = 1, 1, -1)) AS s{j}")
         for j in range(SIMHASH_BITS)
     ]
     sums = th.groupBy("doc_id").agg(*bit_sums)
-    sig_expr = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig_expr = term if sig_expr is None else sig_expr + term
+    sig_expr = F.expr(
+        " + ".join(f"if(s{j} > 0, {1 << j}L, 0L)" for j in range(SIMHASH_BITS))
+    )
     sig = sums.select("doc_id", sig_expr.alias("simhash")).persist()
 
     band_bits = SIMHASH_BITS // SIMHASH_BANDS

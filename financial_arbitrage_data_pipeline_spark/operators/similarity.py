@@ -219,18 +219,24 @@ def plane_weights(n_planes: int, dim: int) -> list[list[int]]:
     ]
 
 
-def lsh_bucket(q: Column, weights: list[list[int]]) -> Column:
-    """Bucket id over a *quantized* (int64) embedding: bit p =
-    sign(<q, w_p>) via an integer-exact zip_with dot — float summation
-    order can flip a near-zero sign between engines; integers can't.
-    |dot| <= dim * 1000 * 2^31 ≈ 2^47 — no overflow."""
-    bucket = None
+def lsh_bucket(q_sql: str, weights: list[list[int]]) -> Column:
+    """Bucket id over a *quantized* (int64) embedding column (referenced
+    by name/SQL fragment): bit p = sign(<q, w_p>) via an integer-exact
+    zip_with dot — float summation order can flip a near-zero sign
+    between engines; integers can't. |dot| <= dim * 1000 * 2^31 ≈ 2^47 —
+    no overflow.
+
+    Built as ONE sql expression string: the literal planes are dim × n
+    int64 constants, and building them as `F.lit` Column objects costs a
+    py4j round-trip per literal (~0.5 s of driver time for 4×64 — pure
+    plan-construction overhead, billed per query build). A single
+    `F.expr` ships the whole thing to Catalyst in one call."""
+    terms = []
     for p, w in enumerate(weights):
-        lits = F.array(*[F.lit(x).cast("long") for x in w])
-        d = dot_ll(q, lits)
-        bit = F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
+        arr = "array(" + ",".join(f"{x}L" for x in w) + ")"
+        dot = f"aggregate(zip_with({q_sql}, {arr}, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+        terms.append(f"if({dot} > 0, {1 << p}L, 0L)")
+    return F.expr(" + ".join(terms))
 
 
 def rh_lsh_signatures(
@@ -241,8 +247,9 @@ def rh_lsh_signatures(
     into Σ bucket². No shuffle; one narrow projection."""
     if dim is None:
         dim = len(df.select(emb_col).first()[0])
-    q = quantized(emb_col)
-    return df.withColumn("lsh_bucket", lsh_bucket(q, plane_weights(n_planes, dim)))
+    return df.withColumn("__q", quantized(emb_col)).withColumn(
+        "lsh_bucket", lsh_bucket("__q", plane_weights(n_planes, dim))
+    ).drop("__q")
 
 
 def _weights_values_sql(weights: list[list[int]]) -> str:
@@ -314,7 +321,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 64
     weights = plane_weights(LSH_PLANES, dim)
     emb = emb.withColumn("nsq", sq_norm(F.col("q"))).withColumn(
-        "bucket", lsh_bucket(F.col("q"), weights)
+        "bucket", lsh_bucket("q", weights)
     )
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
