@@ -30,8 +30,25 @@ TESTDATA_TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Plain parquet scan — no schema inference
     surprises (parquet carries its schema) and no eager caching; each query
-    declares its own projection/filters so pushdown stays effective."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    declares its own projection/filters so pushdown stays effective.
+
+    The unresolved DataFrame is memoized per (session, path): source
+    tables are immutable inputs, and `spark.read.parquet` pays file
+    listing + footer schema read (~80 ms) every call — a 6-table query
+    otherwise spends ~0.5 s of its build just re-discovering the same
+    files. The cache lives on the session object so a new session (e.g.
+    the driver's vanilla one) never sees another session's plans. Only
+    the logical plan is cached — no data is pinned."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    cache = getattr(spark, "_fadp_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._fadp_table_cache = cache
+    df = cache.get(path)
+    if df is None:
+        df = spark.read.parquet(path)
+        cache[path] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
