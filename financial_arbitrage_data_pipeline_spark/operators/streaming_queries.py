@@ -302,3 +302,102 @@ def streaming_subscriber_liveness(spark: SparkSession, sf_dir: str) -> DataFrame
         return liveness.final_liveness(spark, sink_dir).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest dedup of an at-least-once source (T6 + training-data
+# dedup family): the exactly-once gate every LLM-ingest pipeline needs
+# in front of a redelivering upstream (Kafka producer retries, here a
+# replay that re-delivers a subset of each chunk in the next one)
+# ---------------------------------------------------------------------------
+def _write_redelivered_chunks(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+) -> None:
+    """Replay chunks with simulated at-least-once delivery: chunk i also
+    re-delivers chunk i-1's `event_id % 7 == 0` rows, so ~14% of events
+    arrive twice and always in a LATER micro-batch than the original —
+    cross-batch duplicates that only stateful dedup can catch."""
+    import glob
+    import time as _time
+
+    base_dir = os.path.join(out_dir + "_base")
+    ingest.write_replay_chunks(spark, sf_dir, base_dir, n_chunks=n_chunks)
+    chunks = sorted(glob.glob(os.path.join(base_dir, "chunk-*.parquet")))
+    os.makedirs(out_dir, exist_ok=True)
+    base = _time.time() - n_chunks
+    prev = None
+    for i, c in enumerate(chunks):
+        df = spark.read.schema(ingest.REPLAY_SCHEMA).parquet(c)
+        if prev is not None:
+            dup = (
+                spark.read.schema(ingest.REPLAY_SCHEMA)
+                .parquet(prev)
+                .filter(F.col("event_id") % 7 == 0)
+            )
+            df = df.unionByName(dup)
+        tmp = os.path.join(out_dir, f"_tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(out_dir, f"chunk-{i:04d}.parquet")
+        os.replace(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + i, base + i))
+        prev = c
+
+
+@query(
+    "streaming_dedup_ingest",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redelivered_class
+FROM events
+GROUP BY event_type
+""",
+    tags=("T6", "dedup-streaming", "streaming"),
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest over an at-least-once source: the replay
+    re-delivers ~14% of each chunk one micro-batch later;
+    `dropDuplicatesWithinWatermark` on the event key drops the replays
+    while bounding state — keys are evicted once the event-time
+    watermark (8 days > the widest chunk span) passes, so state holds
+    ~one chunk of keys, not the whole history. The oracle aggregates the
+    ORIGINAL events: equality proves every duplicate was dropped and no
+    original was lost across batch boundaries. The landed
+    `n_redelivered_class` column counts the twice-delivered id class —
+    if any replay slipped through, both columns inflate and the
+    value-hash breaks."""
+    root = _workdir()
+    try:
+        replay_dir = os.path.join(root, "replay")
+        _write_redelivered_chunks(spark, sf_dir, replay_dir)
+        table_dir = os.path.join(root, "deduped")
+        deduped = (
+            ingest.replay_stream(spark, replay_dir)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .withWatermark("ts", "8 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", table_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        landed = spark.read.parquet(table_dir)
+        return (
+            landed.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_unique"),
+                F.sum(F.when(F.col("event_id") % 7 == 0, 1).otherwise(0)).alias(
+                    "n_redelivered_class"
+                ),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -241,3 +241,95 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 131 + x) % 1_000_000_007,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (hash-based stratified sampling)
+# ---------------------------------------------------------------------------
+_SPLIT_HEX8 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {1 + i}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@query(
+    "train_val_test_split",
+    oracle=f"""
+WITH b AS (
+  SELECT lang, n_chars, ({_SPLIT_HEX8}) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b
+GROUP BY 1, 2
+""",
+    tags=("sampling-split",),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split: bucket = first 8 hex digits
+    of md5(doc_id) mod 100 — a pure projection, so membership is stable
+    under re-runs, re-partitioning, and incremental appends (the property
+    `df.randomSplit` does NOT have: seeded RNG sampling depends on
+    partition layout). At 100 TB the split is a free WHERE clause on any
+    scan, no materialization needed; here summarized per (split, lang)
+    to verify both the assignment and the strata proportions against the
+    oracle's identical hash arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.groupBy(split.alias("split"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary (top-K tokens — the BPE/tokenizer-training first pass)
+# ---------------------------------------------------------------------------
+@query(
+    "token_vocabulary",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+FROM tok
+WHERE token <> ''
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 100
+""",
+    tags=("text-vocab", "W2"),
+)
+def token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary by frequency (deterministic tie-break on
+    the token) — the first pass of tokenizer training. One explode + one
+    count aggregation shuffling on the token (vocabulary-bounded), then
+    TakeOrderedAndProject: every partition keeps only its local top-100,
+    so the global sort never materializes — the ordering cost is O(K) per
+    partition regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(100)
+    )

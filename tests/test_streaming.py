@@ -294,3 +294,37 @@ def test_checkpoint_restart_preserves_state_and_exactly_once(spark, tmp_path):
     # chunk-0000 was not reprocessed: exactly one emission per batch
     emissions = spark.read.parquet(sink)
     assert emissions.count() == 2
+
+
+def test_redelivered_replay_contains_cross_batch_duplicates(spark, sf_dir, tmp_path):
+    """The at-least-once replay writer must actually duplicate the %7 id
+    class (otherwise streaming_dedup_ingest proves nothing), and the
+    duplicates must land in a LATER chunk than their originals."""
+    from financial_arbitrage_data_pipeline_spark.operators.streaming_queries import (
+        _write_redelivered_chunks,
+    )
+
+    out = str(tmp_path / "replay")
+    _write_redelivered_chunks(spark, sf_dir, out, n_chunks=4)
+    all_rows = spark.read.parquet(out)
+    n_total = all_rows.count()
+    n_unique = all_rows.select("event_id").distinct().count()
+    assert n_total > n_unique  # duplicates exist
+    dup_ids = (
+        all_rows.groupBy("event_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .select("event_id")
+    )
+    # every duplicated id is in the redelivered class, and every
+    # duplicate pair spans two distinct chunk files
+    assert dup_ids.filter(F.col("event_id") % 7 != 0).count() == 0
+    import glob
+    import os
+
+    per_chunk_ids = [
+        {r.event_id for r in spark.read.parquet(c).select("event_id").collect()}
+        for c in sorted(glob.glob(os.path.join(out, "chunk-*.parquet")))
+    ]
+    flat = [i for s in per_chunk_ids for i in s]
+    assert len(flat) == n_total  # no within-chunk duplicates
