@@ -492,3 +492,77 @@ def timing_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(pipe_lat).alias("max_pipeline_latency_us"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J1 over time: the pair-margin research timeline (what the reference's
+# ETL users build in pandas from get_ticker_data pulls — §3.4's next step)
+# ---------------------------------------------------------------------------
+_MARGIN_TIMELINE_ORACLE = """
+WITH k AS (
+  SELECT user_id, epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+         (CAST(round(value * 100) AS BIGINT) % 97 + 1) / 100.0 AS kalshi_yes_bid
+  FROM events
+  WHERE event_type IN ('click', 'view')
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id, epoch_us(ts) - epoch_us(ts) % 3600000000
+    ORDER BY ts DESC, event_id DESC) = 1
+),
+p AS (
+  SELECT user_id, epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+         (CAST(round(value * 100) AS BIGINT) % 99 + 1) / 100.0 AS poly_yes
+  FROM events
+  WHERE event_type IN ('purchase', 'signup', 'error')
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id, epoch_us(ts) - epoch_us(ts) % 3600000000
+    ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT k.user_id AS pair_key, k.bucket_us, k.kalshi_yes_bid, p.poly_yes,
+       (k.kalshi_yes_bid - p.poly_yes) / p.poly_yes AS margin_yes
+FROM k JOIN p ON k.user_id = p.user_id AND k.bucket_us = p.bucket_us
+"""
+
+
+@query(
+    "pair_margin_timeline",
+    oracle=_MARGIN_TIMELINE_ORACLE,
+    tags=("J1", "A6", "A7"),
+)
+def pair_margin_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly cross-venue margin history per pair: within each (pair,
+    hour) bucket take the last quote of EACH venue (the same
+    venue-conditional max_by as arbitrage_scan, keyed one level finer),
+    emit buckets where both venues quoted, margin = (k-p)/p. One scan +
+    one shuffle on (pair, bucket); at 100 TB this is the continuous
+    aggregate the research UI reads, maintained incrementally per
+    partition-hour. The reference's users assemble exactly this series
+    by hand from per-venue `get_ticker_data` pulls (`etl/query.py:78-263`)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_kalshi = F.col("event_type").isin("click", "view")
+    ts_us = F.expr("ts div 1000")
+    bucket = ts_us - ts_us % 3_600_000_000
+    order_key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
+    return (
+        ev.groupBy(
+            F.col("user_id").alias("pair_key"), bucket.alias("bucket_us")
+        )
+        .agg(
+            F.max_by(
+                ob.cents_to_dollars(cents % 97 + 1), F.when(is_kalshi, order_key)
+            ).alias("kalshi_yes_bid"),
+            F.max_by(
+                ob.cents_to_dollars(cents % 99 + 1), F.when(~is_kalshi, order_key)
+            ).alias("poly_yes"),
+        )
+        .filter(F.col("kalshi_yes_bid").isNotNull() & F.col("poly_yes").isNotNull())
+        .select(
+            "pair_key",
+            "bucket_us",
+            "kalshi_yes_bid",
+            "poly_yes",
+            ((F.col("kalshi_yes_bid") - F.col("poly_yes")) / F.col("poly_yes")).alias(
+                "margin_yes"
+            ),
+        )
+    )

@@ -634,3 +634,35 @@ def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT reshape (A9 breakdown as a wide matrix)
+# ---------------------------------------------------------------------------
+@query(
+    "user_event_type_pivot",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+       CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+       CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+       CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+""",
+    tags=("A9", "pivot"),
+)
+def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity matrix via PIVOT. The pivot values are declared
+    explicitly: with them, Spark plans ONE aggregation pass with
+    conditional counts (exactly the oracle's shape) instead of a
+    values-discovery job first — and the output schema is stable even if
+    a type is absent at some scale factor."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )

@@ -160,3 +160,36 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nearby_clicks",
         )
     )
+
+
+@query(
+    "quote_price_change",
+    oracle="""
+WITH q AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS quote_cents
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+)
+SELECT event_id, user_id, ts_us, quote_cents,
+       quote_cents - LAG(quote_cents) OVER (
+         PARTITION BY user_id ORDER BY ts_us, event_id) AS delta_cents
+FROM q
+""",
+    tags=("W3", "P9"),
+)
+def quote_price_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key tick-to-tick quote change (LAG): integer-cent deltas so the
+    series is exact under any partitioning; first quote per key keeps a
+    NULL delta. One shuffle on the pair key with an in-partition sort —
+    the same layout every other per-key window here reuses."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.filter((F.col("event_type") == "view") & F.col("value").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("quote_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return q.withColumn(
+        "delta_cents", F.col("quote_cents") - F.lag("quote_cents").over(w)
+    )
