@@ -81,3 +81,55 @@ def test_wholestage_codegen_present(spark, sf_dir, name):
     df.collect()
     p = spark._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
     assert "*(" in p, p[:400]  # WholeStageCodegen stage markers
+
+
+def test_asof_join_is_merge_not_probe(spark, sf_dir):
+    """The as-of join must plan as union + keyed window (one sort-shuffle
+    family) — never a nested-loop/cartesian probe."""
+    p = plan_of(spark, "asof_quote_join", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The bucketed decomposition exists precisely to avoid the
+    nested-loop plan Spark picks for raw interval predicates."""
+    p = plan_of(spark, "purchase_click_attribution", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "bucket" in p  # equi-join key present
+
+
+def test_token_vocabulary_is_topk_not_full_sort(spark, sf_dir):
+    p = plan_of(spark, "token_vocabulary", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_train_val_test_split_single_shuffle(spark, sf_dir):
+    """The split is a pure projection; only the per-(split,lang) rollup
+    shuffles — exactly one exchange in the whole plan."""
+    p = plan_of(spark, "train_val_test_split", sf_dir)
+    # one Exchange node; formatted mode prints each node twice (tree+detail)
+    assert p.count("Exchange") == 2
+
+
+def test_pair_margin_timeline_one_shuffle_no_join(spark, sf_dir):
+    """Both venues' last-per-(pair,hour) come from ONE venue-conditional
+    aggregation: no join operator, one hash exchange on the group key."""
+    p = plan_of(spark, "pair_margin_timeline", sf_dir)
+    assert "Join" not in p
+    # one Exchange node; formatted mode prints each node twice (tree+detail)
+    assert p.count("Exchange") == 2
+
+
+def test_lang_id_has_no_corpus_distinct_shuffle(spark, sf_dir):
+    """lang_id scores via broadcast + array_intersect: the only shuffles
+    are the vocabulary-bounded profile aggregation (+ its rank window and
+    the final per-doc argmax) — no corpus-wide distinct exchange."""
+    p = plan_of(spark, "lang_id_ngram", sf_dir)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    # the scoring side reaches the broadcast join without an exchange:
+    # no hashpartitioning on doc_id anywhere before the final argmax agg
+    assert p.count("hashpartitioning(doc_id") <= 2  # partial+final argmax only
