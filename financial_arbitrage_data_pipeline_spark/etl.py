@@ -178,3 +178,68 @@ def get_ticker_data(
         pdf["ts"].dt.tz_localize("UTC").dt.tz_convert(CHICAGO)
     )
     return pdf.drop(columns=["ts"]).set_index("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# get_pair_history — the cross-venue composition users build by hand
+# ---------------------------------------------------------------------------
+
+
+def pair_history(
+    spark: SparkSession,
+    sf_dir: str,
+    pair_key: int,
+    period_s: int = 3600,
+    start_us: int | None = None,
+    end_us: int | None = None,
+) -> DataFrame:
+    """Cross-venue margin series for ONE pair: per `period_s` bucket, the
+    last Kalshi yes-bid and last Polymarket yes within the bucket, and
+    margin = (k - p)/p — the series the reference's users assemble from
+    two separate `get_ticker_data` pulls plus pandas (`etl/query.py`
+    gives them one venue at a time). Same venue-conditional max_by core
+    as the `pair_margin_timeline` query, parameterized and pre-filtered
+    so the pair predicate and time range push to the scan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") == pair_key)
+    ts_us = F.expr("ts div 1000")
+    if start_us is not None:
+        ev = ev.filter(ts_us >= start_us)
+    if end_us is not None:
+        ev = ev.filter(ts_us <= end_us)
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_kalshi = F.col("event_type").isin("click", "view")
+    period_us = period_s * 1_000_000
+    bucket = ts_us - ts_us % period_us
+    order_key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
+    return (
+        ev.groupBy(bucket.alias("bucket_us"))
+        .agg(
+            F.max_by(
+                ob.cents_to_dollars(cents % 97 + 1), F.when(is_kalshi, order_key)
+            ).alias("kalshi_yes_bid"),
+            F.max_by(
+                ob.cents_to_dollars(cents % 99 + 1), F.when(~is_kalshi, order_key)
+            ).alias("poly_yes"),
+        )
+        .filter(F.col("kalshi_yes_bid").isNotNull() & F.col("poly_yes").isNotNull())
+        .select(
+            "bucket_us",
+            "kalshi_yes_bid",
+            "poly_yes",
+            ((F.col("kalshi_yes_bid") - F.col("poly_yes")) / F.col("poly_yes")).alias(
+                "margin_yes"
+            ),
+        )
+        .orderBy("bucket_us")
+    )
+
+
+def get_pair_history(
+    spark: SparkSession, sf_dir: str, pair_key: int, **kwargs
+) -> pd.DataFrame:
+    """Reference-shaped presentation of pair_history: pandas indexed by
+    the bucket timestamp in America/Chicago, like get_ticker_data."""
+    pdf = pair_history(spark, sf_dir, pair_key, **kwargs).toPandas()
+    ts = pd.to_datetime(pdf["bucket_us"], unit="us", utc=True)
+    pdf["timestamp"] = ts.dt.tz_convert(CHICAGO)
+    return pdf.drop(columns=["bucket_us"]).set_index("timestamp")

@@ -56,3 +56,20 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     oracle setup, where the same names are pre-registered)."""
     for name in names or TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines scan with a DECLARED schema — the landed form of the
+    reference's REST payloads (S1/S3 poll sources write JSON bodies;
+    `virginia/api/data_feed.py:210-342`, `ireland/api/api_client.py:324-350`).
+    No inference pass: schema-on-read is fixed, exactly like the
+    reference's hand-declared dataclass fields (SURVEY §1.1), and a
+    malformed row nulls out instead of repartitioning the whole scan."""
+    return spark.read.schema(schema).json(path)
+
+
+def load_csv(spark: SparkSession, path: str, schema, header: bool = True) -> DataFrame:
+    """CSV scan with a declared schema — the bulk-export shape (S2's
+    40-field market projection, `virginia/api/connection.py:223-304`).
+    Same no-inference discipline as load_json."""
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)

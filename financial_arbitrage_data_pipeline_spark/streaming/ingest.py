@@ -180,3 +180,18 @@ def start_bifurcated_ingest(
     )
     trading_q = trading_lane(enriched)
     return storage_q, trading_q
+
+
+def replay_stream_json(
+    spark: SparkSession, replay_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over JSON-lines chunks — the same micro-batched
+    replay as `replay_stream`, reading the landed REST-payload form
+    (poll responses appended as JSON lines) instead of parquet. Schema is
+    declared (REPLAY_SCHEMA), never inferred: a streaming source cannot
+    re-infer per batch."""
+    return (
+        spark.readStream.schema(REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .json(replay_dir)
+    )

@@ -42,3 +42,36 @@ def test_period_downsample_reduces_rows(spark, sf_dir):
     raw = etl.ticker_data(snap, t, "kalshi").count()
     down = etl.ticker_data(snap, t, "kalshi", period="1 day").count()
     assert 0 < down < raw
+
+
+def test_pair_history_matches_timeline_query(spark, sf_dir):
+    """pair_history(key) must equal the pair_margin_timeline rows for
+    that key (same derivation, parameterized + pre-filtered)."""
+    from financial_arbitrage_data_pipeline_spark import etl
+    from financial_arbitrage_data_pipeline_spark.plans import REGISTRY
+
+    full = REGISTRY["pair_margin_timeline"].builder(spark, sf_dir)
+    keys = [r.pair_key for r in full.select("pair_key").distinct().limit(3).collect()]
+    assert keys
+    for key in keys:
+        want = {
+            (r.bucket_us, r.kalshi_yes_bid, r.poly_yes, r.margin_yes)
+            for r in full.filter(F.col("pair_key") == key).collect()
+        }
+        got = {
+            (r.bucket_us, r.kalshi_yes_bid, r.poly_yes, r.margin_yes)
+            for r in etl.pair_history(spark, sf_dir, key).collect()
+        }
+        assert got == want
+
+
+def test_get_pair_history_is_tz_indexed(spark, sf_dir):
+    from financial_arbitrage_data_pipeline_spark import etl
+    from financial_arbitrage_data_pipeline_spark.plans import REGISTRY
+
+    full = REGISTRY["pair_margin_timeline"].builder(spark, sf_dir)
+    key = full.select("pair_key").first().pair_key
+    pdf = etl.get_pair_history(spark, sf_dir, key, period_s=86400)
+    assert pdf.index.name == "timestamp"
+    assert str(pdf.index.tz) == "America/Chicago"
+    assert set(pdf.columns) == {"kalshi_yes_bid", "poly_yes", "margin_yes"}
