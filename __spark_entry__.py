@@ -30,6 +30,12 @@ def _configure(spark: SparkSession) -> SparkSession:
     # streaming stateful operators — one state store per partition).
     n_cores = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.shuffle.partitions", str(max(8, n_cores)))
+    # At sf<=0.1 whole shuffle stages fit in one 64 MB advisory partition,
+    # so AQE coalesces post-shuffle work (JSON parse, HOF extraction) onto
+    # ONE core. A 1 MB advisory keeps those stages parallel locally
+    # (~25-35% per-query); production clusters keep the 64 MB default —
+    # there the stages are full.
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

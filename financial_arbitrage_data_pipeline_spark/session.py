@@ -45,6 +45,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local-mode sizing: at sf<=0.1 a whole shuffle stage fits in one
+        # 64 MB advisory partition and AQE would coalesce post-shuffle
+        # work onto one core; 1 MB keeps small stages parallel. On a real
+        # cluster override via SPARK_GRAFT_ADVISORY_PARTITION (or leave
+        # Spark's 64 MB default) — full-scale stages don't need it.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "1m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
