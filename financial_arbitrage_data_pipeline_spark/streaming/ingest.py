@@ -195,3 +195,39 @@ def replay_stream_json(
         .option("maxFilesPerTrigger", files_per_trigger)
         .json(replay_dir)
     )
+
+
+def split_malformed(df: DataFrame, json_col: str, schema) -> tuple[DataFrame, DataFrame]:
+    """The dead-letter lane (T6): the reference queues failed writes for
+    replay instead of dropping them (`database/influx/writer.py:422-470`);
+    the columnar analog is payload-level — a snapshot whose JSON blob
+    doesn't parse must neither kill the stream (ANSI error) nor silently
+    null out downstream. One `from_json` splits the flow: rows whose
+    payload parses go on with the typed column; the rest keep the raw
+    blob for a DLQ table, replayable after a parser fix. Both branches
+    share the single parse (no double scan); works identically on batch
+    and streaming DataFrames (foreachBatch writes the DLQ side)."""
+    # PERMISSIVE from_json yields an all-null struct (not NULL) for a
+    # corrupt payload, so corruption is detected via the dedicated
+    # corrupt-record field, which is non-null exactly for unparseable
+    # non-null input.
+    with_corrupt = T.StructType(
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    parsed = df.withColumn(
+        "__parsed",
+        F.from_json(
+            F.col(json_col),
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    bad_if = F.col("__parsed._corrupt_record").isNotNull()
+    good = (
+        parsed.filter(~bad_if)
+        .drop(json_col)
+        .withColumn(json_col, F.col("__parsed").dropFields("_corrupt_record"))
+        .drop("__parsed")
+    )
+    bad = parsed.filter(bad_if).drop("__parsed")
+    return good, bad

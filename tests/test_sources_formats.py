@@ -57,3 +57,39 @@ def test_json_replay_stream_delivers_all_rows(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
     assert _rows(spark.read.parquet(sink)) == _rows(src)
+
+
+def test_split_malformed_bifurcates_and_preserves_payload(spark):
+    """T6 dead-letter lane: malformed JSON payloads split off with the
+    raw blob intact (replayable); well-formed rows continue typed. A NULL
+    payload is not 'malformed' — it stays in the good lane as NULL, like
+    the reference's absent-book rows."""
+    from financial_arbitrage_data_pipeline_spark.schemas import KALSHI_BOOK
+
+    rows = [
+        (1, '{"yes": [[45, 10]], "no": [[55, 5]]}'),
+        (2, "{corrupt"),
+        (3, None),
+        (4, '{"yes": [], "no": []}'),
+        (5, "also not json"),
+    ]
+    df = spark.createDataFrame(rows, "id long, full_orderbook string")
+    good, bad = ingest.split_malformed(df, "full_orderbook", KALSHI_BOOK)
+    assert sorted(r.id for r in good.select("id").collect()) == [1, 3, 4]
+    bad_rows = {r.id: r.full_orderbook for r in bad.collect()}
+    assert bad_rows == {2: "{corrupt", 5: "also not json"}
+    # the good lane's column is the typed struct now
+    [r1] = good.filter(F.col("id") == 1).collect()
+    assert r1.full_orderbook.yes == [[45, 10]]
+
+
+def test_approx_distinct_is_the_scale_path_for_a4(spark, sf_dir):
+    """A4 distinct tickers: the exact form is oracle-checked
+    (distinct_doc_sources); at 100 TB the one-pass mergeable sketch
+    (approx_count_distinct / HLL) replaces the distinct shuffle. Pin that
+    the sketch answer stays within its documented error (default rsd 5%)
+    of truth on real data, so the documented swap is load-bearing."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("user_id").distinct().count()
+    [row] = ev.agg(F.approx_count_distinct("user_id").alias("a")).collect()
+    assert abs(row.a - exact) <= max(1, 0.05 * exact) * 3  # 3 sigma head-room
