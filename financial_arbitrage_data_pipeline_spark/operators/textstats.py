@@ -23,9 +23,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 # ---------------------------------------------------------------------------
 # Quality scoring
 # ---------------------------------------------------------------------------
-@query(
-    "text_quality",
-    oracle=f"""
+_QUALITY_SQL = f"""
 WITH t AS (
   SELECT doc_id, lang, text,
          string_split(text, ' ') AS toks,
@@ -49,7 +47,12 @@ SELECT doc_id, lang, n_tokens,
          + least(1.0, (CAST(tok_chars AS DOUBLE) / n_tokens) / 8.0) * 0.2
          AS quality_score
 FROM m
-""",
+"""
+
+
+@query(
+    "text_quality",
+    oracle=_QUALITY_SQL,
     headline=True,
     tags=("text-quality",),
 )
@@ -332,4 +335,74 @@ def token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), "token")
         .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capstone composition: the training-corpus manifest (quality gate x
+# exact-dedup canonical x deterministic split, in one declarative plan)
+# ---------------------------------------------------------------------------
+@query(
+    "training_corpus_manifest",
+    oracle=f"""
+WITH tq AS ({_QUALITY_SQL}),
+canon AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ({_SPLIT_HEX8}) % 100 AS bucket FROM documents
+)
+SELECT CASE WHEN b.bucket < 80 THEN 'train'
+            WHEN b.bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       tq.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tq.n_tokens) AS BIGINT) AS total_tokens
+FROM tq
+JOIN canon ON canon.doc_id = tq.doc_id
+JOIN b ON b.doc_id = tq.doc_id
+WHERE canon.keep AND tq.quality_score >= 0.5
+GROUP BY 1, 2
+""",
+    tags=("corpus-manifest", "pipeline-composition"),
+)
+def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus materialization step: keep docs that (a)
+    pass the quality gate, (b) are the canonical copy of their exact-dup
+    group (md5 fingerprint, keep-lowest-id — exact_dedup's policy), and
+    (c) land in each split of the deterministic hash bucket — then
+    manifest counts/token totals per (split, lang). Built by COMPOSING
+    the registered builders (text_quality) and shared conventions, so
+    the pipeline stays one declarative plan: Catalyst sees through the
+    composition, and the only shuffles are the dup-group window and the
+    final rollup. The quality threshold compares bit-identical doubles
+    (same IEEE op sequence both engines), so the gate is
+    engine-independent."""
+    tq = text_quality(spark, sf_dir).select("doc_id", "lang", "quality_score", "n_tokens")
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        ).alias("keep"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    b = docs.select("doc_id", split.alias("split"))
+    return (
+        tq.join(canon, "doc_id")
+        .join(b, "doc_id")
+        .filter(F.col("keep") & (F.col("quality_score") >= 0.5))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
     )
