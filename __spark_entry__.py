@@ -11,6 +11,7 @@ the plans.REGISTRY maps names → (Spark builder, DuckDB oracle SQL).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,9 +34,13 @@ def _configure(spark: SparkSession) -> SparkSession:
     # At sf<=0.1 whole shuffle stages fit in one 64 MB advisory partition,
     # so AQE coalesces post-shuffle work (JSON parse, HOF extraction) onto
     # ONE core. A 1 MB advisory keeps those stages parallel locally
-    # (~25-35% per-query); production clusters keep the 64 MB default —
-    # there the stages are full.
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    # (~25-35% per-query); production clusters override via the same
+    # SPARK_GRAFT_ADVISORY_PARTITION knob session.py honors (or keep
+    # Spark's 64 MB default — full-scale stages don't need this).
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "1m"),
+    )
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

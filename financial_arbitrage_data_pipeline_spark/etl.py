@@ -200,36 +200,17 @@ def pair_history(
     gives them one venue at a time). Same venue-conditional max_by core
     as the `pair_margin_timeline` query, parameterized and pre-filtered
     so the pair predicate and time range push to the scan."""
+    from .operators.market import margin_buckets
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") == pair_key)
     ts_us = F.expr("ts div 1000")
     if start_us is not None:
         ev = ev.filter(ts_us >= start_us)
     if end_us is not None:
         ev = ev.filter(ts_us <= end_us)
-    cents = F.round(F.col("value") * 100).cast("long")
-    is_kalshi = F.col("event_type").isin("click", "view")
-    period_us = period_s * 1_000_000
-    bucket = ts_us - ts_us % period_us
-    order_key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
     return (
-        ev.groupBy(bucket.alias("bucket_us"))
-        .agg(
-            F.max_by(
-                ob.cents_to_dollars(cents % 97 + 1), F.when(is_kalshi, order_key)
-            ).alias("kalshi_yes_bid"),
-            F.max_by(
-                ob.cents_to_dollars(cents % 99 + 1), F.when(~is_kalshi, order_key)
-            ).alias("poly_yes"),
-        )
-        .filter(F.col("kalshi_yes_bid").isNotNull() & F.col("poly_yes").isNotNull())
-        .select(
-            "bucket_us",
-            "kalshi_yes_bid",
-            "poly_yes",
-            ((F.col("kalshi_yes_bid") - F.col("poly_yes")) / F.col("poly_yes")).alias(
-                "margin_yes"
-            ),
-        )
+        margin_buckets(ev, period_us=period_s * 1_000_000)
+        .select("bucket_us", "kalshi_yes_bid", "poly_yes", "margin_yes")
         .orderBy("bucket_us")
     )
 

@@ -523,30 +523,19 @@ FROM k JOIN p ON k.user_id = p.user_id AND k.bucket_us = p.bucket_us
 """
 
 
-@query(
-    "pair_margin_timeline",
-    oracle=_MARGIN_TIMELINE_ORACLE,
-    tags=("J1", "A6", "A7"),
-)
-def pair_margin_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly cross-venue margin history per pair: within each (pair,
-    hour) bucket take the last quote of EACH venue (the same
-    venue-conditional max_by as arbitrage_scan, keyed one level finer),
-    emit buckets where both venues quoted, margin = (k-p)/p. One scan +
-    one shuffle on (pair, bucket); at 100 TB this is the continuous
-    aggregate the research UI reads, maintained incrementally per
-    partition-hour. The reference's users assemble exactly this series
-    by hand from per-venue `get_ticker_data` pulls (`etl/query.py:78-263`)."""
-    ev = load_table(spark, sf_dir, "events")
+def margin_buckets(ev: DataFrame, period_us: int = 3_600_000_000) -> DataFrame:
+    """The cross-venue margin-series core, shared by the
+    pair_margin_timeline query and etl.pair_history: per (pair, bucket),
+    the last quote of EACH venue (the same venue-conditional max_by as
+    arbitrage_scan, keyed one level finer), buckets where both venues
+    quoted, margin = (k-p)/p. One scan + one shuffle on (pair, bucket)."""
     cents = F.round(F.col("value") * 100).cast("long")
     is_kalshi = F.col("event_type").isin("click", "view")
     ts_us = F.expr("ts div 1000")
-    bucket = ts_us - ts_us % 3_600_000_000
+    bucket = ts_us - ts_us % period_us
     order_key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
     return (
-        ev.groupBy(
-            F.col("user_id").alias("pair_key"), bucket.alias("bucket_us")
-        )
+        ev.groupBy(F.col("user_id").alias("pair_key"), bucket.alias("bucket_us"))
         .agg(
             F.max_by(
                 ob.cents_to_dollars(cents % 97 + 1), F.when(is_kalshi, order_key)
@@ -566,3 +555,17 @@ def pair_margin_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "pair_margin_timeline",
+    oracle=_MARGIN_TIMELINE_ORACLE,
+    tags=("J1", "A6", "A7"),
+)
+def pair_margin_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly cross-venue margin history per pair (see margin_buckets for
+    the plan shape); at 100 TB this is the continuous aggregate the
+    research UI reads, maintained incrementally per partition-hour. The
+    reference's users assemble exactly this series by hand from
+    per-venue `get_ticker_data` pulls (`etl/query.py:78-263`)."""
+    return margin_buckets(load_table(spark, sf_dir, "events"))

@@ -660,9 +660,12 @@ def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     values-discovery job first — and the output schema is stable even if
     a type is absent at some scale factor."""
     ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
     return (
         ev.groupBy("user_id")
-        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .pivot("event_type", kinds)
         .agg(F.count(F.lit(1)))
-        .na.fill(0)
+        # subset: an unscoped fill would also rewrite a NULL user_id KEY
+        # to 0 (the oracle keeps NULL as its own group)
+        .na.fill(0, subset=kinds)
     )

@@ -256,6 +256,20 @@ _SPLIT_HEX8 = " + ".join(
 )
 
 
+def split_label(id_col: str = "doc_id") -> "F.Column":
+    """Deterministic 80/10/10 split assignment: bucket = first 8 hex
+    digits of md5(id) mod 100 → 'train'/'val'/'test'. The one Spark-side
+    definition of the split (its SQL twin is _SPLIT_HEX8) — shared by
+    train_val_test_split and training_corpus_manifest so the two can't
+    drift."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+
 @query(
     "train_val_test_split",
     oracle=f"""
@@ -284,16 +298,8 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     to verify both the assignment and the strata proportions against the
     oracle's identical hash arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
     return (
-        docs.groupBy(split.alias("split"), "lang")
+        docs.groupBy(split_label().alias("split"), "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
@@ -389,13 +395,7 @@ def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.min("doc_id").over(Window.partitionBy(F.md5("text")))
         ).alias("keep"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
-    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    b = docs.select("doc_id", split.alias("split"))
+    b = docs.select("doc_id", split_label().alias("split"))
     return (
         tq.join(canon, "doc_id")
         .join(b, "doc_id")

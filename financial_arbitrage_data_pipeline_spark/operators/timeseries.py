@@ -41,6 +41,64 @@ from ..sources.tables import load_table
 _RADIUS_US = 300_000_000
 
 
+def asof_merge(quotes: DataFrame, trades: DataFrame) -> DataFrame:
+    """The as-of core, shared by asof_quote_join and its edge tests:
+    quotes(user_id, ts_us, quote_cents) x trades(event_id, user_id,
+    ts_us) → each trade's latest quote at-or-before its ts (inclusive:
+    quotes sort before trades at the same µs). One union + one keyed
+    running window — a single sort-shuffle on the pair key."""
+    merged = quotes.select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        "quote_cents",
+    ).unionByName(
+        trades.select(
+            "user_id",
+            "ts_us",
+            F.lit(1).alias("side"),
+            "event_id",
+            F.lit(None).cast("long").alias("quote_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("asof_q", F.last("quote_cents", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_us").alias("trade_ts_us"),
+            F.col("asof_q").alias("quote_cents"),
+        )
+    )
+
+
+def count_within_radius(
+    points: DataFrame, probes: DataFrame, radius_us: int = _RADIUS_US
+) -> DataFrame:
+    """The bucketed range-join core, shared by purchase_click_attribution
+    and its edge tests: probes(event_id, p_ts) x points(c_ts) → per
+    probe, the count of points within ±radius (inclusive). Equi-join on
+    a radius-wide time bucket (probe exploded to its 3 candidate
+    buckets) + exact residual filter — a hash join instead of the
+    nested-loop plan a raw interval predicate gets."""
+    b = F.expr(f"p_ts div {radius_us}")
+    pb = probes.withColumn("bucket", F.explode(F.array(b - 1, b, b + 1)))
+    cb = points.withColumn("bucket", F.expr(f"c_ts div {radius_us}"))
+    hit = F.abs(F.col("c_ts") - F.col("p_ts")) <= F.lit(radius_us)
+    return (
+        pb.join(cb, "bucket", "left")
+        .groupBy("event_id", "p_ts")
+        .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("nearby_clicks"))
+    )
+
+
 @query(
     "asof_quote_join",
     oracle="""
@@ -80,37 +138,7 @@ def asof_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", ts_us.alias("ts_us")
     )
-    merged = quotes.select(
-        "user_id",
-        "ts_us",
-        F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("event_id"),
-        "quote_cents",
-    ).unionByName(
-        trades.select(
-            "user_id",
-            "ts_us",
-            F.lit(1).alias("side"),
-            "event_id",
-            F.lit(None).cast("long").alias("quote_cents"),
-        )
-    )
-    # quotes (side=0) sort before trades at the same µs → inclusive as-of
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        merged.withColumn("asof_q", F.last("quote_cents", ignorenulls=True).over(w))
-        .filter(F.col("side") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            F.col("ts_us").alias("trade_ts_us"),
-            F.col("asof_q").alias("quote_cents"),
-        )
-    )
+    return asof_merge(quotes, trades)
 
 
 @query(
@@ -146,19 +174,10 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", ts_us.alias("p_ts")
     )
-    b = F.expr(f"p_ts div {_RADIUS_US}")
-    pb = purchases.withColumn("bucket", F.explode(F.array(b - 1, b, b + 1)))
-    cb = clicks.withColumn("bucket", F.expr(f"c_ts div {_RADIUS_US}"))
-    hit = F.abs(F.col("c_ts") - F.col("p_ts")) <= F.lit(_RADIUS_US)
-    return (
-        pb.join(cb, "bucket", "left")
-        .groupBy("event_id", "p_ts")
-        .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("nearby_clicks"))
-        .select(
-            "event_id",
-            F.col("p_ts").alias("purchase_ts_us"),
-            "nearby_clicks",
-        )
+    return count_within_radius(clicks, purchases).select(
+        "event_id",
+        F.col("p_ts").alias("purchase_ts_us"),
+        "nearby_clicks",
     )
 
 

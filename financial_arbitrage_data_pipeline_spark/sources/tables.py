@@ -27,7 +27,9 @@ TESTDATA_TABLES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, cache: bool = True
+) -> DataFrame:
     """Read one testdata table. Plain parquet scan — no schema inference
     surprises (parquet carries its schema) and no eager caching; each query
     declares its own projection/filters so pushdown stays effective.
@@ -38,16 +40,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     otherwise spends ~0.5 s of its build just re-discovering the same
     files. The cache lives on the session object so a new session (e.g.
     the driver's vanilla one) never sees another session's plans. Only
-    the logical plan is cached — no data is pinned."""
+    the logical plan is cached — no data is pinned. The snapshot includes
+    the file listing, so a caller re-reading a path whose files were
+    REPLACED mid-session must pass cache=False (source tables here are
+    immutable, so the default memoizes)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    cache = getattr(spark, "_fadp_table_cache", None)
-    if cache is None:
-        cache = {}
-        spark._fadp_table_cache = cache
-    df = cache.get(path)
+    if not cache:
+        return spark.read.parquet(path)
+    store = getattr(spark, "_fadp_table_cache", None)
+    if store is None:
+        store = {}
+        spark._fadp_table_cache = store
+    df = store.get(path)
     if df is None:
         df = spark.read.parquet(path)
-        cache[path] = df
+        store[path] = df
     return df
 
 

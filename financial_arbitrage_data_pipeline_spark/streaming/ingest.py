@@ -95,16 +95,20 @@ def write_replay_chunks(
 
 
 def replay_stream(
-    spark: SparkSession, replay_dir: str, files_per_trigger: int = 1
+    spark: SparkSession,
+    replay_dir: str,
+    files_per_trigger: int = 1,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """File-source stream over the replay chunks — one chunk per
     micro-batch (T1 pacing; `maxFilesPerTrigger` is the backpressure knob,
-    T8)."""
-    return (
-        spark.readStream.schema(REPLAY_SCHEMA)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(replay_dir)
+    T8). `fmt` picks the landed form: parquet chunks, or "json" for
+    REST-payload JSON lines; the schema is always declared (a streaming
+    source cannot re-infer per batch)."""
+    reader = spark.readStream.schema(REPLAY_SCHEMA).option(
+        "maxFilesPerTrigger", files_per_trigger
     )
+    return reader.format(fmt).load(replay_dir)
 
 
 def enrich_snapshots(df: DataFrame) -> DataFrame:
@@ -185,16 +189,9 @@ def start_bifurcated_ingest(
 def replay_stream_json(
     spark: SparkSession, replay_dir: str, files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over JSON-lines chunks — the same micro-batched
-    replay as `replay_stream`, reading the landed REST-payload form
-    (poll responses appended as JSON lines) instead of parquet. Schema is
-    declared (REPLAY_SCHEMA), never inferred: a streaming source cannot
-    re-infer per batch."""
-    return (
-        spark.readStream.schema(REPLAY_SCHEMA)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .json(replay_dir)
-    )
+    """`replay_stream` over the landed REST-payload form (poll responses
+    appended as JSON lines)."""
+    return replay_stream(spark, replay_dir, files_per_trigger, fmt="json")
 
 
 def split_malformed(df: DataFrame, json_col: str, schema) -> tuple[DataFrame, DataFrame]:
