@@ -399,10 +399,12 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = KMEANS_K) -> str:
+def _kmeans_ctes(k: int = KMEANS_K) -> str:
+    """The unrolled two-round Lloyd chain as a CTE prefix ending in `a2`
+    (final assignment) — shared by the train oracle and the IVF-search
+    oracle so the two state the same training verbatim."""
     dist = "CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT)"
-    return f"""
-WITH {_QUANT_SQL},
+    return f"""{_QUANT_SQL},
 c0 AS (SELECT vec_id AS cid, i, q AS c FROM qe WHERE vec_id < {k}),
 d1 AS (
   SELECT e.vec_id, c.cid, {dist} AS dist
@@ -421,10 +423,33 @@ c1 AS (
 d2 AS (
   SELECT e.vec_id, c.cid, {dist} AS dist
   FROM qe e JOIN c1 c ON c.i = e.i GROUP BY 1, 2
-)
-SELECT vec_id, cid AS cluster_id, dist FROM d2
-QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+a2 AS (
+  SELECT vec_id, cid, dist FROM d2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)"""
+
+
+def _kmeans_oracle(k: int = KMEANS_K) -> str:
+    return f"""
+WITH {_kmeans_ctes(k)}
+SELECT vec_id, cid AS cluster_id, dist FROM a2
 """
+
+
+def trained_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared train-then-assign pipeline behind ivf_kmeans_clusters
+    and ivf_search_topk: two Lloyd rounds from the deterministic init,
+    returning (vec_id, q, cid, dist) for every vector."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized("embedding").alias("q")
+    )
+    centroids = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    )
+    assigned = _assign(emb, centroids)          # round 1 assign
+    centroids = _update(assigned)               # round 1 update
+    return _assign(emb, centroids)              # round 2 assign
 
 
 @query(
@@ -443,13 +468,80 @@ def ivf_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one broadcast + narrow fold per round and the update is one
     (cluster, dim)-keyed aggregation — the standard distributed KMeans;
     more rounds = more of the same plan, chained via localCheckpoint."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", quantized("embedding").alias("q")
-    )
-    centroids = emb.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("c")
-    )
-    assigned = _assign(emb, centroids)          # round 1 assign
-    centroids = _update(assigned)               # round 1 update
-    final = _assign(emb, centroids)             # round 2 assign
+    final = trained_assignment(spark, sf_dir)
     return final.select("vec_id", F.col("cid").alias("cluster_id"), "dist")
+
+
+_IVF_SEARCH_ORACLE = f"""
+WITH {_kmeans_ctes(KMEANS_K)},
+dots AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS cand_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM a2 qa
+  JOIN a2 ca ON ca.cid = qa.cid AND ca.vec_id <> qa.vec_id
+            AND qa.vec_id < {N_QUERIES}
+  JOIN qe a ON a.vec_id = qa.vec_id
+  JOIN qe b ON b.vec_id = ca.vec_id AND b.i = a.i
+  GROUP BY 1, 2
+)
+SELECT d.query_id, d.cand_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+       CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+         AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.query_id
+JOIN norms nb ON nb.vec_id = d.cand_id
+WINDOW w AS (
+  PARTITION BY d.query_id
+  ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+             DESC, d.cand_id
+)
+QUALIFY ROW_NUMBER() OVER w <= {TOPK}
+"""
+
+
+@query(
+    "ivf_search_topk",
+    oracle=_IVF_SEARCH_ORACLE,
+    tags=("similarity-ivf-search",),
+)
+def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF loop: train the coarse quantizer (trained_assignment,
+    the exact two-round Lloyd), then answer each query (vec_id < 10)
+    by exact cosine top-5 WITHIN its own cluster only (nprobe=1). At
+    100 TB the collection is partitioned by cluster id, so a query
+    touches one partition's worth of candidates instead of the full
+    scan (ann_cosine_topk) — the recall/cost dial is nprobe and K. The
+    oracle replays the identical training CTE chain plus within-cluster
+    scoring, so bucketing, training, and ranking are all value-checked
+    end-to-end."""
+    final = trained_assignment(spark, sf_dir).localCheckpoint()
+    emb = final.withColumn("nsq", sq_norm(F.col("q")))
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("cid").alias("q_cid"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("cq"),
+        F.col("nsq").alias("c_nsq"),
+        F.col("cid").alias("c_cid"),
+    )
+    scored = cands.join(
+        F.broadcast(queries_df),
+        (F.col("c_cid") == F.col("q_cid")) & (F.col("cand_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "cand_id",
+        cosine_from_ints(
+            dot_ll(F.col("qq"), F.col("cq")), F.col("q_nsq"), F.col("c_nsq")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )
