@@ -669,3 +669,86 @@ def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         # to 0 (the oracle keeps NULL as its own group)
         .na.fill(0, subset=kinds)
     )
+
+
+# ---------------------------------------------------------------------------
+# Anti/semi join shapes (J3's family, stated as real join operators)
+# ---------------------------------------------------------------------------
+@query(
+    "dormant_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c
+WHERE c.c_acctbal > 9000.0
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  )
+""",
+    tags=("J3", "anti-join"),
+)
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance customers with NO recent orders — the NOT EXISTS
+    shape as a LEFT ANTI join (the reference fakes its one semi-join
+    with a LIKE scan, `database/postgres/writer.py:470-497`; anti is the
+    complement it never got). The date filter is pushed into the right
+    side BEFORE the anti join so the join builds against the small
+    filtered set; both predicates reach the parquet scans."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000.0)
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return c.join(
+        recent, c.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# Shipping-priority top-K (TPC-H Q3 shape: 3-way join + agg + bounded sort)
+# ---------------------------------------------------------------------------
+@query(
+    "shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    headline=True,
+    tags=("J2", "A1", "W2"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-order value by priority (TPC-H Q3 shape): segment and
+    date filters push to all three scans; the filtered customer side is
+    small enough that AQE turns the first join into a broadcast; revenue
+    aggregates through exact decimals; the final top-10 runs as
+    TakeOrderedAndProject (per-partition top-K, no global sort)."""
+    one = F.lit(1).cast("decimal(3,2)")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    revenue = money("l_extendedprice") * (one - rate("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

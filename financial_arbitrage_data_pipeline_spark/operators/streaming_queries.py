@@ -401,3 +401,102 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (the streaming twin of the batch bucketed
+# range join): click attribution computed WHILE both sides flow
+# ---------------------------------------------------------------------------
+_ATTR_RADIUS_US = 300_000_000  # +/- 5 minutes, matching purchase_click_attribution
+
+
+@query(
+    "streaming_click_attribution",
+    oracle=f"""
+WITH c AS (
+  SELECT epoch_us(ts) AS c_ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id, epoch_us(ts) AS p_ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.p_ts AS purchase_ts_us,
+       CAST(COUNT(*) AS BIGINT) AS nearby_clicks
+FROM p JOIN c
+  ON c.c_ts BETWEEN p.p_ts - {_ATTR_RADIUS_US} AND p.p_ts + {_ATTR_RADIUS_US}
+GROUP BY 1, 2
+""",
+    tags=("T2", "range-join", "streaming"),
+)
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real stream-stream inner join: purchases and clicks are two
+    streams off the same replay; each purchase joins clicks within
+    +/-5 min of event time. Spark's symmetric hash join needs an equi
+    key — the SAME radius-bucket decomposition as the batch operator
+    provides it (purchase exploded to 3 candidate buckets, click in its
+    one bucket), with the exact interval condition as the event-time
+    range predicate BOTH for correctness and for state cleanup: each
+    side's buffer is evicted once the other side's watermark passes the
+    interval bound, so state is ~(watermark + radius) of stream, not
+    the whole history. Joined pairs land exactly-once in a file sink;
+    the per-purchase count is batch assembly over the landed pairs
+    (a windowless streaming aggregation can't emit in append mode).
+    The oracle is the batch inequality join — equality proves no pair
+    was dropped at chunk boundaries or double-emitted on restart paths."""
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        sink = os.path.join(root, "pairs")
+        R = _ATTR_RADIUS_US
+
+        purchases = (
+            ingest.replay_stream(spark, replay_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "event_id",
+                F.col("ts_us").alias("p_ts_us"),
+                F.timestamp_micros(F.col("ts_us")).alias("p_ts"),
+            )
+            .withColumn(
+                "bucket",
+                F.explode(
+                    F.array(
+                        F.expr(f"p_ts_us div {R}") - 1,
+                        F.expr(f"p_ts_us div {R}"),
+                        F.expr(f"p_ts_us div {R}") + 1,
+                    )
+                ),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        clicks = (
+            ingest.replay_stream(spark, replay_dir)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("ts_us").alias("c_ts_us"),
+                F.timestamp_micros(F.col("ts_us")).alias("c_ts"),
+            )
+            .withColumn("bucket", F.expr(f"c_ts_us div {R}"))
+            .withWatermark("c_ts", "10 minutes")
+        )
+        joined = purchases.join(
+            clicks,
+            (purchases.bucket == clicks.bucket)
+            & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 5 MINUTES"))
+            & (clicks.c_ts <= purchases.p_ts + F.expr("INTERVAL 5 MINUTES")),
+        ).select("event_id", "p_ts_us", "c_ts_us")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(sink)
+            .groupBy("event_id", F.col("p_ts_us").alias("purchase_ts_us"))
+            .agg(F.count(F.lit(1)).alias("nearby_clicks"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
