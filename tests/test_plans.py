@@ -133,3 +133,16 @@ def test_lang_id_has_no_corpus_distinct_shuffle(spark, sf_dir):
     # the scoring side reaches the broadcast join without an exchange:
     # no hashpartitioning on doc_id anywhere before the final argmax agg
     assert p.count("hashpartitioning(doc_id") <= 2  # partial+final argmax only
+
+
+def test_dormant_customers_is_anti_join_with_pushed_filters(spark, sf_dir):
+    p = plan_of(spark, "dormant_customers", sf_dir)
+    assert "LeftAnti" in p
+    assert "GreaterThan(c_acctbal" in p  # pushed to the customer scan
+    assert "GreaterThanOrEqual(o_orderdate" in p  # pushed to the orders scan
+
+
+def test_shipping_priority_is_topk(spark, sf_dir):
+    p = plan_of(spark, "shipping_priority", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
