@@ -437,10 +437,10 @@ SELECT vec_id, cid AS cluster_id, dist FROM a2
 """
 
 
-def trained_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared train-then-assign pipeline behind ivf_kmeans_clusters
-    and ivf_search_topk: two Lloyd rounds from the deterministic init,
-    returning (vec_id, q, cid, dist) for every vector."""
+def trained_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The shared train-then-assign pipeline behind the IVF queries: two
+    Lloyd rounds from the deterministic init. Returns (assignment with
+    (vec_id, q, cid, dist) per vector, final centroids (cid, c))."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", quantized("embedding").alias("q")
     )
@@ -449,7 +449,11 @@ def trained_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = _assign(emb, centroids)          # round 1 assign
     centroids = _update(assigned)               # round 1 update
-    return _assign(emb, centroids)              # round 2 assign
+    return _assign(emb, centroids), centroids   # round 2 assign
+
+
+def trained_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trained_model(spark, sf_dir)[0]
 
 
 @query(
@@ -532,6 +536,114 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cands.join(
         F.broadcast(queries_df),
         (F.col("c_cid") == F.col("q_cid")) & (F.col("cand_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "cand_id",
+        cosine_from_ints(
+            dot_ll(F.col("qq"), F.col("cq")), F.col("q_nsq"), F.col("c_nsq")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )
+
+
+NPROBE = 2
+
+_MULTIPROBE_ORACLE = f"""
+WITH {_kmeans_ctes(KMEANS_K)},
+qd AS (
+  SELECT e.vec_id AS query_id, c.cid,
+         CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS cdist
+  FROM qe e JOIN c1 c ON c.i = e.i
+  WHERE e.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT query_id, cid FROM qd
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cdist, cid) <= {NPROBE}
+),
+cands AS (
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM probes p JOIN a2 a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT ca.query_id, ca.cand_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM cands ca
+  JOIN qe a ON a.vec_id = ca.query_id
+  JOIN qe b ON b.vec_id = ca.cand_id AND b.i = a.i
+  GROUP BY 1, 2
+)
+SELECT d.query_id, d.cand_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+       CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+         AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.query_id
+JOIN norms nb ON nb.vec_id = d.cand_id
+WINDOW w AS (
+  PARTITION BY d.query_id
+  ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+             DESC, d.cand_id
+)
+QUALIFY ROW_NUMBER() OVER w <= {TOPK}
+"""
+
+
+@query(
+    "ivf_multiprobe_topk",
+    oracle=_MULTIPROBE_ORACLE,
+    tags=("similarity-ivf-multiprobe",),
+)
+def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the recall dial turned: each query probes its NPROBE=2
+    nearest centroids (ranked by exact integer distance to the trained
+    centroids, tie → lower cluster id) and scores candidates from BOTH
+    clusters — recovering neighbors that fell just across a Voronoi
+    boundary, the known failure mode of nprobe=1. Probe selection is a
+    K-row broadcast + per-query top-2; candidate scoring stays
+    cluster-partitioned. The oracle extends the shared training CTE
+    chain with the same probe ranking, so train → probe → rank all
+    hash-match."""
+    assigned, centroids = trained_model(spark, sf_dir)
+    assigned = assigned.localCheckpoint()
+    emb = assigned.withColumn("nsq", sq_norm(F.col("q")))
+    qd = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "q", "nsq")  # drop the query's own cid/dist
+        .join(F.broadcast(centroids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "q",
+            "nsq",
+            F.col("cid").alias("probe_cid"),
+            F.expr(_DIST_EXPR).alias("cdist"),
+        )
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("cdist", "probe_cid")
+    probes = (
+        qd.withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= NPROBE)
+        .select(
+            "query_id",
+            F.col("q").alias("qq"),
+            F.col("nsq").alias("q_nsq"),
+            "probe_cid",
+        )
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("cq"),
+        F.col("nsq").alias("c_nsq"),
+        F.col("cid").alias("c_cid"),
+    )
+    scored = cands.join(
+        F.broadcast(probes),
+        (F.col("c_cid") == F.col("probe_cid")) & (F.col("cand_id") != F.col("query_id")),
     ).select(
         "query_id",
         "cand_id",
