@@ -500,3 +500,90 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Continuous aggregate maintained by MERGE (A2 + K4 in streaming form):
+# the reference's running pair-performance counters
+# (`database/postgres/writer.py:409-468`) as a foreachBatch upsert
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_pair_performance",
+    oracle="""
+SELECT user_id AS pair_id,
+       CAST(COUNT(*) AS BIGINT) AS total_trades,
+       CAST(SUM(event_id % 10 + 1) AS BIGINT) AS total_volume,
+       CAST(SUM((event_id % 10 + 1) * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cost_cents
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+    tags=("A2", "K4", "T4", "streaming"),
+)
+def streaming_pair_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-pair trade counters maintained INCREMENTALLY: each
+    micro-batch pre-aggregates its fills map-side (pairs x batch, tiny)
+    and MERGEs the deltas into the running table — the reference's
+    `total_trades += 1` counters (`writer.py:409-468`), but idempotent
+    per batch and crash-safe via the checkpoint + atomic swap. The
+    oracle recomputes the same totals from scratch: equality proves the
+    incremental path equals the batch recompute — the defining property
+    of a continuous aggregate — with no batch double-applied or lost."""
+    from .upsert import merge_into_parquet
+
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        table = os.path.join(root, "pair_perf")
+        spark.createDataFrame(
+            [],
+            "pair_id long, total_trades long, total_volume long, total_cost_cents long",
+        ).write.parquet(table)
+
+        def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+            qty = F.col("event_id") % 10 + 1
+            cents = F.round(F.col("value") * 100).cast("long")
+            b = (
+                batch_df.filter(F.col("event_type") == "purchase")
+                .select(
+                    F.col("user_id").alias("pair_id"),
+                    qty.alias("qty"),
+                    (qty * cents).alias("cost"),
+                )
+                .groupBy("pair_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("qty").alias("v"),
+                    F.sum("cost").alias("c"),
+                )
+            )
+            merge_into_parquet(
+                spark,
+                table,
+                b,
+                key="pair_id",
+                set_exprs={
+                    "total_trades": F.coalesce(F.col("t.total_trades"), F.lit(0))
+                    + F.col("u.n"),
+                    "total_volume": F.coalesce(F.col("t.total_volume"), F.lit(0))
+                    + F.col("u.v"),
+                    "total_cost_cents": F.coalesce(
+                        F.col("t.total_cost_cents"), F.lit(0)
+                    )
+                    + F.col("u.c"),
+                },
+                insert_missing=True,
+            )
+
+        q = (
+            ingest.replay_stream(spark, replay_dir)
+            .writeStream.foreachBatch(upsert_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(table).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
