@@ -704,51 +704,3 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", "c_acctbal")
 
 
-# ---------------------------------------------------------------------------
-# Shipping-priority top-K (TPC-H Q3 shape: 3-way join + agg + bounded sort)
-# ---------------------------------------------------------------------------
-@query(
-    "shipping_priority",
-    oracle="""
-SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
-         AS revenue,
-       o_orderdate, o_orderpriority
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
-  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, o_orderdate, l_orderkey
-LIMIT 10
-""",
-    headline=True,
-    tags=("J2", "A1", "W2"),
-)
-def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unshipped-order value by priority (TPC-H Q3 shape): segment and
-    date filters push to all three scans; the filtered customer side is
-    small enough that AQE turns the first join into a broadcast; revenue
-    aggregates through exact decimals; the final top-10 runs as
-    TakeOrderedAndProject (per-partition top-K, no global sort)."""
-    one = F.lit(1).cast("decimal(3,2)")
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
-    )
-    revenue = money("l_extendedprice") * (one - rate("l_discount"))
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )

@@ -55,6 +55,28 @@ def cosine_from_ints(dot: Column, na: Column, nb: Column) -> Column:
     return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
 
 
+def topk_per_query(queries_df: DataFrame, cands: DataFrame, cond: Column) -> DataFrame:
+    """The shared scoring tail of every ANN variant: broadcast the query
+    side (query_id, qq, q_nsq, + any probe columns), join candidates
+    (cand_id, cq, c_nsq, ...) on the variant's candidate condition,
+    integer-exact cosine, rank desc with cand_id tie-break, keep TOPK.
+    The variants differ ONLY in `cond` (full scan / LSH bucket / IVF
+    cluster / multi-probe set)."""
+    scored = cands.join(F.broadcast(queries_df), cond).select(
+        "query_id",
+        "cand_id",
+        cosine_from_ints(
+            dot_ll(F.col("qq"), F.col("cq")), F.col("q_nsq"), F.col("c_nsq")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )
+
+
 _QUANT_SQL = """
 qe AS (
   SELECT vec_id, i, CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS q
@@ -113,23 +135,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = emb.select(
         F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"), F.col("nsq").alias("c_nsq")
     )
-    scored = (
-        cands.crossJoin(F.broadcast(queries_df))
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            cosine_from_ints(
-                dot_ll(F.col("qq"), F.col("cq")), F.col("q_nsq"), F.col("c_nsq")
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select("query_id", "cand_id", "rank", "cosine")
-    )
+    return topk_per_query(queries_df, cands, F.col("cand_id") != F.col("query_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -335,24 +341,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nsq").alias("c_nsq"),
         F.col("bucket").alias("c_bucket"),
     )
-    scored = (
-        cands.join(
-            F.broadcast(queries_df),
-            (F.col("c_bucket") == F.col("q_bucket")) & (F.col("cand_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            "cand_id",
-            cosine_from_ints(
-                dot_ll(F.col("qq"), F.col("cq")), F.col("q_nsq"), F.col("c_nsq")
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select("query_id", "cand_id", "rank", "cosine")
+    return topk_per_query(
+        queries_df,
+        cands,
+        (F.col("c_bucket") == F.col("q_bucket")) & (F.col("cand_id") != F.col("query_id")),
     )
 
 
@@ -364,22 +356,29 @@ KMEANS_K = 8
 _DIST_EXPR = "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
 
 
-def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: broadcast the K centroids, integer
-    L2 distance via one zip_with fold, argmin with a (dist, cid)
-    lexicographic min (tie → lowest centroid id)."""
-    scored = vectors.join(F.broadcast(centroids)).select(
+def _assign(vectors: DataFrame, centroid_rows: list) -> DataFrame:
+    """Nearest centroid per vector with the centroids inlined as literal
+    arrays (the KMeans-driver broadcast: K x dim ints, collected once per
+    round): argmin is a PURE PROJECTION — array_min over K (dist, cid)
+    structs, integer L2 distance per centroid via one zip_with fold,
+    ties to the lowest cid by struct ordering. No join, no shuffle: the
+    earlier join+groupBy formulation pushed every vector's full array
+    through the exchange K times just to pick one copy back out."""
+    structs = []
+    for row in sorted(centroid_rows, key=lambda r: r[0]):
+        cid, c = row[0], row[1]
+        arr = "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
+        dist = (
+            f"aggregate(zip_with(q, {arr}, (x, y) -> (x - y) * (x - y)),"
+            f" 0L, (a, x) -> a + x)"
+        )
+        structs.append(f"named_struct('dist', {dist}, 'cid', {int(cid)}L)")
+    best = F.expr(f"array_min(array({', '.join(structs)}))")
+    return vectors.select(
         "vec_id",
         "q",
-        F.col("cid"),
-        F.expr(_DIST_EXPR).alias("dist"),
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("dist", "cid")).alias("b"), F.first("q").alias("q")
-    )
-    return best.select(
-        "vec_id", "q", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist")
-    )
+        best.alias("b"),
+    ).select("vec_id", "q", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist"))
 
 
 def _update(assigned: DataFrame) -> DataFrame:
@@ -439,17 +438,24 @@ SELECT vec_id, cid AS cluster_id, dist FROM a2
 
 def trained_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """The shared train-then-assign pipeline behind the IVF queries: two
-    Lloyd rounds from the deterministic init. Returns (assignment with
-    (vec_id, q, cid, dist) per vector, final centroids (cid, c))."""
+    Lloyd rounds from the deterministic init, collecting the K tiny
+    centroids to the driver between rounds (K x dim ints — the standard
+    KMeans driver loop) so each assign round is a shuffle-free
+    projection. Returns (assignment with (vec_id, q, cid, dist) per
+    vector, final centroids DataFrame (cid, c))."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", quantized("embedding").alias("q")
     )
-    centroids = emb.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("c")
-    )
-    assigned = _assign(emb, centroids)          # round 1 assign
-    centroids = _update(assigned)               # round 1 update
-    return _assign(emb, centroids), centroids   # round 2 assign
+    init_rows = [
+        (r.cid, r.c)
+        for r in emb.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("c"))
+        .collect()
+    ]
+    assigned = _assign(emb, init_rows)            # round 1 assign
+    centroids = _update(assigned)                 # round 1 update
+    cent_rows = [(r.cid, r.c) for r in centroids.collect()]
+    return _assign(emb, cent_rows), centroids     # round 2 assign
 
 
 def trained_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,21 +539,10 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nsq").alias("c_nsq"),
         F.col("cid").alias("c_cid"),
     )
-    scored = cands.join(
-        F.broadcast(queries_df),
+    return topk_per_query(
+        queries_df,
+        cands,
         (F.col("c_cid") == F.col("q_cid")) & (F.col("cand_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        "cand_id",
-        cosine_from_ints(
-            dot_ll(F.col("qq"), F.col("cq")), F.col("q_nsq"), F.col("c_nsq")
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select("query_id", "cand_id", "rank", "cosine")
     )
 
 
@@ -641,19 +636,8 @@ def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nsq").alias("c_nsq"),
         F.col("cid").alias("c_cid"),
     )
-    scored = cands.join(
-        F.broadcast(probes),
+    return topk_per_query(
+        probes,
+        cands,
         (F.col("c_cid") == F.col("probe_cid")) & (F.col("cand_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        "cand_id",
-        cosine_from_ints(
-            dot_ll(F.col("qq"), F.col("cq")), F.col("q_nsq"), F.col("c_nsq")
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select("query_id", "cand_id", "rank", "cosine")
     )

@@ -525,11 +525,13 @@ def streaming_pair_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-pair trade counters maintained INCREMENTALLY: each
     micro-batch pre-aggregates its fills map-side (pairs x batch, tiny)
     and MERGEs the deltas into the running table — the reference's
-    `total_trades += 1` counters (`writer.py:409-468`), but idempotent
-    per batch and crash-safe via the checkpoint + atomic swap. The
-    oracle recomputes the same totals from scratch: equality proves the
+    `total_trades += 1` counters (`writer.py:409-468`). foreachBatch is
+    at-least-once, so the additive merge records the applied batch id
+    IN the swapped table directory (installed atomically with the data):
+    a redelivered batch is skipped, never double-added. The oracle
+    recomputes the same totals from scratch: equality proves the
     incremental path equals the batch recompute — the defining property
-    of a continuous aggregate — with no batch double-applied or lost."""
+    of a continuous aggregate."""
     from .upsert import merge_into_parquet
 
     root = _workdir()
@@ -542,6 +544,11 @@ def streaming_pair_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.parquet(table)
 
         def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+            marker = os.path.join(table, "_last_applied_batch")
+            if os.path.exists(marker):
+                with open(marker) as fh:
+                    if batch_id <= int(fh.read().strip()):
+                        return  # redelivered batch: already merged
             qty = F.col("event_id") % 10 + 1
             cents = F.round(F.col("value") * 100).cast("long")
             b = (
@@ -574,6 +581,7 @@ def streaming_pair_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.col("u.c"),
                 },
                 insert_missing=True,
+                extra_files={"_last_applied_batch": str(batch_id)},
             )
 
         q = (

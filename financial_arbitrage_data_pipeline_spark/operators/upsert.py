@@ -44,6 +44,7 @@ def merge_into_parquet(
     key: str,
     set_exprs: dict[str, Column],
     insert_missing: bool = False,
+    extra_files: dict[str, str] | None = None,
 ) -> None:
     """K4: MERGE INTO target USING updates ON target.key = updates.key
     WHEN MATCHED THEN UPDATE SET <set_exprs> [WHEN NOT MATCHED INSERT].
@@ -73,6 +74,13 @@ def merge_into_parquet(
 
     tmp = target_dir.rstrip("/") + ".__merge_tmp__"
     merged.write.mode("overwrite").parquet(tmp)
+    # extra_files install atomically WITH the data swap (written into tmp
+    # before the rename), so e.g. an applied-batch marker can never be
+    # observed without the data it describes — the idempotence anchor for
+    # at-least-once callers (streaming foreachBatch)
+    for name, content in (extra_files or {}).items():
+        with open(os.path.join(tmp, name), "w") as f:
+            f.write(content)
     old = target_dir.rstrip("/") + ".__merge_old__"
     os.rename(target_dir, old)
     os.rename(tmp, target_dir)

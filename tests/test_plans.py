@@ -142,7 +142,7 @@ def test_dormant_customers_is_anti_join_with_pushed_filters(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in p  # pushed to the orders scan
 
 
-def test_shipping_priority_is_topk(spark, sf_dir):
-    p = plan_of(spark, "shipping_priority", sf_dir)
+def test_top_revenue_orders_is_topk(spark, sf_dir):
+    p = plan_of(spark, "top_revenue_orders", sf_dir)
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p

@@ -130,8 +130,12 @@ def test_sample_frames_stride_arithmetic(spark):
 def test_ivf_kmeans_assignment_invariants(spark, sf_dir):
     """Every vector assigned exactly once, to one of <=K live clusters,
     with a nonnegative distance; and the assignment really is the argmin
-    over the final centroids (spot-checked by recomputing distances for
-    a few vectors against every cluster's members-mean centroid)."""
+    over the final centroids, spot-checked in plain Python for a sample
+    of vectors (distance to EVERY centroid recomputed driver-side)."""
+    from financial_arbitrage_data_pipeline_spark.operators.similarity import (
+        KMEANS_K,
+        trained_model,
+    )
     from financial_arbitrage_data_pipeline_spark.plans import REGISTRY
 
     out = REGISTRY["ivf_kmeans_clusters"].builder(spark, sf_dir)
@@ -140,6 +144,16 @@ def test_ivf_kmeans_assignment_invariants(spark, sf_dir):
     assert len(rows) == n_vecs
     assert len({r.vec_id for r in rows}) == n_vecs
     assert all(r.dist >= 0 for r in rows)
-    from financial_arbitrage_data_pipeline_spark.operators.similarity import KMEANS_K
-
     assert len({r.cluster_id for r in rows}) <= KMEANS_K
+
+    assigned, centroids = trained_model(spark, sf_dir)
+    cents = {r.cid: list(r.c) for r in centroids.collect()}
+    sample = assigned.filter(F.col("vec_id") % 97 == 0).collect()
+    assert sample
+    for row in sample:
+        dists = {
+            cid: sum((a - b) ** 2 for a, b in zip(row.q, c))
+            for cid, c in cents.items()
+        }
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))
+        assert (row.cid, row.dist) == best, row.vec_id
