@@ -49,3 +49,30 @@ def test_merge_is_idempotent_on_empty_updates(spark, tmp_path):
         spark, path, updates, key="id", set_exprs={"v": F.col("t.v") + F.col("u.dv")}
     )
     assert spark.read.parquet(path).count() == 2
+
+
+def test_merge_extra_files_installed_with_swap(spark, tmp_path):
+    """extra_files land inside the swapped directory in the same rename
+    as the data (the applied-batch idempotence anchor), and Spark's
+    reader ignores the underscore-prefixed marker."""
+    import os
+
+    from financial_arbitrage_data_pipeline_spark.operators.upsert import (
+        merge_into_parquet,
+    )
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame([(1, 10)], "k long, v long").write.parquet(target)
+    ups = spark.createDataFrame([(1, 5)], "k long, d long")
+    merge_into_parquet(
+        spark,
+        target,
+        ups,
+        key="k",
+        set_exprs={"v": F.col("t.v") + F.col("u.d")},
+        extra_files={"_last_applied_batch": "7"},
+    )
+    with open(os.path.join(target, "_last_applied_batch")) as fh:
+        assert fh.read() == "7"
+    [row] = spark.read.parquet(target).collect()
+    assert (row.k, row.v) == (1, 15)
