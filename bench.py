@@ -66,6 +66,31 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # Ingest throughput, apples-to-apples with the reference's headline
+    # number (~93 msg/s sustained, BASELINE.md): run the real storage
+    # lane (replay source -> P1/P2 enrichment -> partitioned append,
+    # availableNow) over the events table and report rows/sec.
+    import shutil
+    import tempfile
+
+    from financial_arbitrage_data_pipeline_spark.streaming import ingest
+
+    work = tempfile.mkdtemp(prefix="sgbench_ingest_")
+    try:
+        replay_dir = os.path.join(work, "replay")
+        n_rows = ingest.write_replay_chunks(spark, sf_dir, replay_dir, n_chunks=4)
+        t0 = time.perf_counter()
+        q = ingest.start_storage_lane(
+            ingest.enrich_snapshots(ingest.replay_stream(spark, replay_dir)),
+            os.path.join(work, "snap"),
+            os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
+        ingest_sec = time.perf_counter() - t0
+        ingest_rps = round(n_rows / ingest_sec, 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -75,6 +100,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "ingest_rows_per_sec": ingest_rps,
+                "reference_ingest_rows_per_sec": 93.0,
             }
         )
     )
