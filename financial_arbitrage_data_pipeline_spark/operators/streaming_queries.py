@@ -507,6 +507,60 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the reference's running pair-performance counters
 # (`database/postgres/writer.py:409-468`) as a foreachBatch upsert
 # ---------------------------------------------------------------------------
+def make_pair_perf_upserter(spark: SparkSession, table: str):
+    """Build the foreachBatch upserter for the running pair-performance
+    table at `table` (created empty if absent). Exposed module-level so
+    the redelivery test exercises EXACTLY the shipped batch handler."""
+    from .upsert import merge_into_parquet
+
+    if not os.path.exists(table):
+        spark.createDataFrame(
+            [],
+            "pair_id long, total_trades long, total_volume long, total_cost_cents long",
+        ).write.parquet(table)
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(table, "_last_applied_batch")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # redelivered batch: already merged
+        qty = F.col("event_id") % 10 + 1
+        cents = F.round(F.col("value") * 100).cast("long")
+        b = (
+            batch_df.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("pair_id"),
+                qty.alias("qty"),
+                (qty * cents).alias("cost"),
+            )
+            .groupBy("pair_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("qty").alias("v"),
+                F.sum("cost").alias("c"),
+            )
+        )
+        merge_into_parquet(
+            spark,
+            table,
+            b,
+            key="pair_id",
+            set_exprs={
+                "total_trades": F.coalesce(F.col("t.total_trades"), F.lit(0))
+                + F.col("u.n"),
+                "total_volume": F.coalesce(F.col("t.total_volume"), F.lit(0))
+                + F.col("u.v"),
+                "total_cost_cents": F.coalesce(F.col("t.total_cost_cents"), F.lit(0))
+                + F.col("u.c"),
+            },
+            insert_missing=True,
+            extra_files={"_last_applied_batch": str(batch_id)},
+        )
+
+    return upsert_batch
+
+
 @query(
     "streaming_pair_performance",
     oracle="""
@@ -532,58 +586,11 @@ def streaming_pair_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the same totals from scratch: equality proves the
     incremental path equals the batch recompute — the defining property
     of a continuous aggregate."""
-    from .upsert import merge_into_parquet
-
     root = _workdir()
     try:
         replay_dir = _replay(spark, sf_dir, root)
         table = os.path.join(root, "pair_perf")
-        spark.createDataFrame(
-            [],
-            "pair_id long, total_trades long, total_volume long, total_cost_cents long",
-        ).write.parquet(table)
-
-        def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
-            marker = os.path.join(table, "_last_applied_batch")
-            if os.path.exists(marker):
-                with open(marker) as fh:
-                    if batch_id <= int(fh.read().strip()):
-                        return  # redelivered batch: already merged
-            qty = F.col("event_id") % 10 + 1
-            cents = F.round(F.col("value") * 100).cast("long")
-            b = (
-                batch_df.filter(F.col("event_type") == "purchase")
-                .select(
-                    F.col("user_id").alias("pair_id"),
-                    qty.alias("qty"),
-                    (qty * cents).alias("cost"),
-                )
-                .groupBy("pair_id")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum("qty").alias("v"),
-                    F.sum("cost").alias("c"),
-                )
-            )
-            merge_into_parquet(
-                spark,
-                table,
-                b,
-                key="pair_id",
-                set_exprs={
-                    "total_trades": F.coalesce(F.col("t.total_trades"), F.lit(0))
-                    + F.col("u.n"),
-                    "total_volume": F.coalesce(F.col("t.total_volume"), F.lit(0))
-                    + F.col("u.v"),
-                    "total_cost_cents": F.coalesce(
-                        F.col("t.total_cost_cents"), F.lit(0)
-                    )
-                    + F.col("u.c"),
-                },
-                insert_missing=True,
-                extra_files={"_last_applied_batch": str(batch_id)},
-            )
-
+        upsert_batch = make_pair_perf_upserter(spark, table)
         q = (
             ingest.replay_stream(spark, replay_dir)
             .writeStream.foreachBatch(upsert_batch)

@@ -328,3 +328,32 @@ def test_redelivered_replay_contains_cross_batch_duplicates(spark, sf_dir, tmp_p
     ]
     flat = [i for s in per_chunk_ids for i in s]
     assert len(flat) == n_total  # no within-chunk duplicates
+
+
+def test_pair_performance_upserter_skips_redelivered_batches(spark, sf_dir, tmp_path):
+    """The at-least-once guard, end to end: applying the same batch id
+    twice (and any batch id at or below the marker) merges exactly once;
+    a NEW batch id still merges. Uses the SHIPPED batch handler."""
+    from financial_arbitrage_data_pipeline_spark.operators.streaming_queries import (
+        make_pair_perf_upserter,
+    )
+
+    table = str(tmp_path / "pair_perf")
+    upsert = make_pair_perf_upserter(spark, table)
+    batch = spark.createDataFrame(
+        [(1, 7, "purchase", 0.50), (2, 7, "purchase", 0.25), (3, 8, "purchase", 0.10)],
+        "event_id long, user_id long, event_type string, value double",
+    )
+
+    upsert(batch, 0)
+    once = {r.pair_id: r.total_trades for r in spark.read.parquet(table).collect()}
+    assert once == {7: 2, 8: 1}
+
+    upsert(batch, 0)  # redelivery of the same batch id
+    upsert(batch, -1)  # and of an older one
+    again = {r.pair_id: r.total_trades for r in spark.read.parquet(table).collect()}
+    assert again == once  # nothing double-applied
+
+    upsert(batch, 1)  # a genuinely new batch DOES merge
+    final = {r.pair_id: r.total_trades for r in spark.read.parquet(table).collect()}
+    assert final == {7: 4, 8: 2}
