@@ -53,8 +53,27 @@ def merge_into_parquet(
     update columns as `u.<c>`. Unmatched target rows pass through; with
     `insert_missing`, unmatched update rows are inserted (columns not
     covered by set_exprs default to null). The rewrite goes through a tmp
-    dir then swaps, so a failed job never leaves a half-written target.
+    dir then swaps via two renames, so a failed *job* (the expensive part)
+    never corrupts the target. The swap itself is not atomic: a crash
+    between the renames leaves the data in `<target>.__merge_old__` with
+    no `<target>` dir — recovery is `mv <target>.__merge_old__ <target>`
+    and re-run. Stale tmp/old dirs from a previous crashed run are cleared
+    at entry so the next merge cannot trip over them. (Delta/Iceberg
+    `MERGE` gives true atomicity; this is the plain-parquet fallback.)
     """
+    # clear leftovers from a crashed prior run: a stale __merge_old__
+    # would make our os.rename(target, old) raise; a stale tmp is dead
+    # weight. If only __merge_old__ survives (crash between renames),
+    # restore it as the target before proceeding.
+    tmp_path = target_dir.rstrip("/") + ".__merge_tmp__"
+    old_path = target_dir.rstrip("/") + ".__merge_old__"
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    if os.path.exists(old_path):
+        if os.path.exists(target_dir):
+            shutil.rmtree(old_path, ignore_errors=True)
+        else:
+            os.rename(old_path, target_dir)
+
     target = spark.read.parquet(target_dir).alias("t")
     u = updates.alias("u")
     join_type = "full_outer" if insert_missing else "left_outer"
@@ -72,7 +91,7 @@ def merge_into_parquet(
             out_cols.append(base.alias(c))
     merged = joined.select(*out_cols)
 
-    tmp = target_dir.rstrip("/") + ".__merge_tmp__"
+    tmp = tmp_path
     merged.write.mode("overwrite").parquet(tmp)
     # extra_files install atomically WITH the data swap (written into tmp
     # before the rename), so e.g. an applied-batch marker can never be
@@ -81,7 +100,7 @@ def merge_into_parquet(
     for name, content in (extra_files or {}).items():
         with open(os.path.join(tmp, name), "w") as f:
             f.write(content)
-    old = target_dir.rstrip("/") + ".__merge_old__"
+    old = old_path
     os.rename(target_dir, old)
     os.rename(tmp, target_dir)
     shutil.rmtree(old, ignore_errors=True)

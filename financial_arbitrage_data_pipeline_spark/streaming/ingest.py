@@ -219,7 +219,10 @@ def split_malformed(df: DataFrame, json_col: str, schema) -> tuple[DataFrame, Da
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
         ),
     )
-    bad_if = F.col("__parsed._corrupt_record").isNotNull()
+    # A NULL payload parses to a null corrupt-record field too, so it
+    # would otherwise ride the good lane as an all-null struct — route it
+    # to the DLQ explicitly: a snapshot with no book blob is malformed.
+    bad_if = F.col("__parsed._corrupt_record").isNotNull() | F.col(json_col).isNull()
     good = (
         parsed.filter(~bad_if)
         .drop(json_col)

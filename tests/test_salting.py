@@ -37,3 +37,26 @@ def test_salt_is_deterministic_and_spread(spark):
         (r._salt, r["count"]) for r in s2
     )
     assert len(s1) == 8  # the single hot key scattered over all buckets
+
+
+def test_positional_salt_spreads_identical_rows(spark):
+    """Fully duplicate rows hash to one bucket under column-derived salt
+    (the documented limitation); salt_from=None switches to positional
+    salt and spreads them anyway."""
+    dupes = spark.createDataFrame([(1, 7)] * 1000, "k long, payload long").repartition(4)
+    collapsed = with_salt(dupes, ["payload"], 8).select("_salt").distinct().count()
+    assert collapsed == 1  # the failure mode the fallback exists for
+    spread = with_salt(dupes, None, 8).select("_salt").distinct().count()
+    assert spread == 8
+
+
+def test_salted_join_positional_fallback_equals_plain_join(spark):
+    big = spark.createDataFrame([(1, 7)] * 500 + [(2, 9)] * 5, "k long, v long")
+    small = spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string")
+    plain = big.join(small, "k").groupBy("tag").count().collect()
+    salted = salted_join(big, small, "k", n_salts=4, big_salt_from=[]).groupBy(
+        "tag"
+    ).count().collect()
+    assert sorted((r.tag, r["count"]) for r in plain) == sorted(
+        (r.tag, r["count"]) for r in salted
+    )

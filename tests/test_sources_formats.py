@@ -62,8 +62,9 @@ def test_json_replay_stream_delivers_all_rows(spark, sf_dir, tmp_path):
 def test_split_malformed_bifurcates_and_preserves_payload(spark):
     """T6 dead-letter lane: malformed JSON payloads split off with the
     raw blob intact (replayable); well-formed rows continue typed. A NULL
-    payload is not 'malformed' — it stays in the good lane as NULL, like
-    the reference's absent-book rows."""
+    payload also routes to the DLQ — PERMISSIVE from_json would otherwise
+    let it slip through as an all-null struct, silently bypassing the
+    lane this function exists to provide."""
     from financial_arbitrage_data_pipeline_spark.schemas import KALSHI_BOOK
 
     rows = [
@@ -75,9 +76,9 @@ def test_split_malformed_bifurcates_and_preserves_payload(spark):
     ]
     df = spark.createDataFrame(rows, "id long, full_orderbook string")
     good, bad = ingest.split_malformed(df, "full_orderbook", KALSHI_BOOK)
-    assert sorted(r.id for r in good.select("id").collect()) == [1, 3, 4]
+    assert sorted(r.id for r in good.select("id").collect()) == [1, 4]
     bad_rows = {r.id: r.full_orderbook for r in bad.collect()}
-    assert bad_rows == {2: "{corrupt", 5: "also not json"}
+    assert bad_rows == {2: "{corrupt", 3: None, 5: "also not json"}
     # the good lane's column is the typed struct now
     [r1] = good.filter(F.col("id") == 1).collect()
     assert r1.full_orderbook.yes == [[45, 10]]

@@ -76,3 +76,33 @@ def test_merge_extra_files_installed_with_swap(spark, tmp_path):
         assert fh.read() == "7"
     [row] = spark.read.parquet(target).collect()
     assert (row.k, row.v) == (1, 15)
+
+
+def test_merge_recovers_from_crashed_prior_run(spark, tmp_path):
+    """Crash-residue handling: a leftover .__merge_old__ alongside a live
+    target (crash after the tmp→target rename but before cleanup) is
+    swept; a .__merge_old__ with NO target (crash between the two
+    renames) is restored as the target. Either way the next merge runs
+    and lands the update."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    updates = spark.createDataFrame([(1, 1)], "id long, dv long")
+    upd = {"v": F.col("t.v") + F.col("u.dv")}
+
+    # residue case 1: stale old + stale tmp beside a live target
+    shutil.copytree(path, path + ".__merge_old__")
+    os.makedirs(path + ".__merge_tmp__", exist_ok=True)
+    merge_into_parquet(spark, path, updates, key="id", set_exprs=upd)
+    assert not os.path.exists(path + ".__merge_old__")
+    assert not os.path.exists(path + ".__merge_tmp__")
+    rows = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {1: 11, 2: 20}
+
+    # residue case 2: crash window — old exists, target is gone
+    os.rename(path, path + ".__merge_old__")
+    merge_into_parquet(spark, path, updates, key="id", set_exprs=upd)
+    rows = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {1: 12, 2: 20}
