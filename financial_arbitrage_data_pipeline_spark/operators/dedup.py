@@ -573,3 +573,90 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator quality: estimated vs exact Jaccard per candidate pair
+# ---------------------------------------------------------------------------
+_EST_MATCH_SQL = " + ".join(
+    f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+)
+
+
+@query(
+    "minhash_estimate_quality",
+    oracle=f"""
+WITH {_minhash_sql(_CRAWL_UNION_SQL)}
+SELECT c.doc_a, c.doc_b,
+       CAST(({_EST_MATCH_SQL}) AS DOUBLE) / {N_MINHASH} AS est_jaccard,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard,
+       ABS(CAST(({_EST_MATCH_SQL}) AS DOUBLE) / {N_MINHASH}
+           - CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0))) AS abs_err
+FROM cand c
+JOIN mh a ON a.doc_id = c.doc_a
+JOIN mh b ON b.doc_id = c.doc_b
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sh_sizes za ON za.doc_id = c.doc_a
+JOIN sh_sizes zb ON zb.doc_id = c.doc_b
+""",
+    tags=("dedup-minhash-estimator",),
+)
+def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-accuracy audit a production dedup pipeline runs before
+    trusting MinHash at scale: for every LSH candidate pair, the
+    signature-based Jaccard ESTIMATE (fraction of the 16 minhash
+    components that agree) next to the exact shingle-set Jaccard, plus
+    the absolute error. At 100 TB only the estimate is affordable for
+    all pairs — this query is how you measure, on a sample, whether 16
+    permutations are enough for your threshold, or the band/row split
+    needs retuning. The estimate needs only the (doc, 16×int64)
+    signature table; the exact side reuses the verification join the
+    dedup path already pays."""
+    corpus = with_minhash(with_shingles(crawl_union(spark, sf_dir)))
+    sigs = corpus.select(
+        "doc_id", "shingles", *[f"mh{i}" for i in range(N_MINHASH)]
+    ).persist()
+    bands = band_signatures(corpus)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(N_MINHASH)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(N_MINHASH)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    est = n_match.cast("double") / F.lit(N_MINHASH)
+    exact = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            exact.alias("jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.core import dec, money, rate, sum_money
+from ..functions.core import avg_money, dec, money, rate, sum_money
 from ..plans.registry import query
 from ..sources.tables import load_table
 
@@ -704,3 +704,209 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", "c_acctbal")
 
 
+
+# ---------------------------------------------------------------------------
+# Multi-dimension join + conditional-ratio aggregate (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "domestic_market_share",
+    oracle="""
+SELECT
+  year(o.o_orderdate) AS order_year,
+  CAST(COALESCE(SUM(CASE WHEN c.c_nationkey = s.s_nationkey
+                         THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+                         END), 0) AS DOUBLE) AS domestic_revenue,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+    AS total_revenue,
+  CAST(COALESCE(SUM(CASE WHEN c.c_nationkey = s.s_nationkey
+                         THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+                         END), 0) AS DOUBLE)
+  / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+    AS domestic_share
+FROM lineitem l
+JOIN orders o    ON o.o_orderkey = l.l_orderkey
+JOIN customer c  ON c.c_custkey = o.o_custkey
+JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+JOIN region r    ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+JOIN part p      ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+GROUP BY year(o.o_orderdate)
+""",
+    tags=("J2", "A1", "F4", "tpch-q8-shape"),
+)
+def domestic_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share ratio (TPC-H Q8 shape): for ASIA-region customers
+    buying PROMO parts, the fraction of yearly revenue supplied from the
+    customer's own nation. The deepest join tree in the engine — fact
+    (lineitem) against five dims + orders — and the planner broadcasts
+    every dim (region/nation/customer/supplier/part are all tiny next to
+    lineitem), so the fact table is scanned once with no fact-side
+    shuffle before the final year aggregation. The conditional-ratio
+    output (numerator = conditional sum over the SAME rows) needs no
+    second pass. Exactness: decimal revenue sums, one IEEE divide."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = money("l_extendedprice") * (one - rate("l_discount"))
+    domestic = F.col("c_nationkey") == F.col("s_nationkey")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    dom_sum = F.coalesce(F.sum(F.when(domestic, rev)), F.lit(0)).cast("double")
+    tot_sum = F.sum(rev).cast("double")
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            dom_sum.alias("domestic_revenue"),
+            tot_sum.alias("total_revenue"),
+            (dom_sum / tot_sum).alias("domestic_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING-on-aggregate + join back to detail (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "large_order_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o   ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+    tags=("A1", "W2", "tpch-q18-shape"),
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who placed the biggest orders by total quantity (TPC-H Q18 shape):
+    aggregate-then-filter (HAVING), then join the few surviving keys back
+    to orders/customer for the detail columns. The aggregation runs
+    FIRST, so the join input shrinks from |lineitem| to |qualifying
+    orders| before any wide row is built — the shape that matters at
+    100 TB, where joining detail first would shuffle the whole fact
+    table. Top-100 by price runs as TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 150)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets (the cross-dimension subtotal complement of ROLLUP)
+# ---------------------------------------------------------------------------
+@query(
+    "status_priority_cube",
+    oracle="""
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("A9", "grouping-sets"),
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts and value across ALL subtotal combinations of
+    (status, priority) — CUBE emits the 2^2 grouping sets in ONE pass
+    over the fact table (the per-set rows are expanded map-side before a
+    single shuffle), where four separate GROUP BYs would scan four
+    times. `gid` (grouping_id) disambiguates a real NULL dimension value
+    from a rolled-up one — both engines use the same bit order (first
+    listed column = high bit)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ntile / percent_rank distribution windows (W-family beyond row_number)
+# ---------------------------------------------------------------------------
+@query(
+    "order_value_deciles",
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+         CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+         PERCENT_RANK() OVER w AS pr
+  FROM orders
+  WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+)
+SELECT decile,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       MIN(pr) AS pr_lo,
+       MAX(pr) AS pr_hi
+FROM ranked
+GROUP BY decile
+""",
+    tags=("W2", "distribution"),
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value distribution: ntile(10) buckets + percent_rank over a
+    total order (price, then orderkey so ties break deterministically),
+    re-aggregated per decile. Both window functions are rank-arithmetic —
+    (rank-1)/(n-1) — so values are bit-identical across engines. Scale
+    note: an unpartitioned window is a single-reducer sort; at 100 TB
+    replace with approx_percentile boundaries or a rangepartitioned
+    two-pass (rank = partition offset + local rank) — this is the exact
+    small-scale semantics those must reproduce."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_totalprice",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        avg_money(money("o_totalprice"), "avg_price"),
+        F.min("pr").alias("pr_lo"),
+        F.max("pr").alias("pr_hi"),
+    )

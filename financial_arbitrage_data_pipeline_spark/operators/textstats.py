@@ -406,3 +406,117 @@ def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (the relevance-weighting first pass)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_tfidf_topterms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token)
+SELECT t.doc_id, t.token, t.tf, d.df,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+       CAST(t.tf AS DOUBLE) / d.df AS tf_over_df
+FROM tf t JOIN df d ON d.token = t.token
+WINDOW w AS (PARTITION BY t.doc_id
+             ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.token)
+QUALIFY ROW_NUMBER() OVER w <= 3
+""",
+    tags=("text-tfidf", "A7"),
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-characteristic terms per document by tf·idf ranking.
+    The idf here is the log-free rank-equivalent form idf = N/df (N is
+    constant per run, so ordering by tf/df orders identically to
+    tf·log-idf for any monotone idf) — chosen because a transcendental
+    log is the one step whose last-ulp could differ across engines,
+    while tf/df is a single IEEE divide of two exact integers.
+
+    Plan shape: one explode over the corpus → (doc, token) counts (the
+    only corpus-sized shuffle) → document frequencies derived from the
+    tf table itself (vocabulary-sized aggregate, NOT a second corpus
+    pass) → joined back on token → per-doc top-3 window. At 100 TB the
+    df table is small enough to broadcast and the window partitions by
+    doc_id — embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf").cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), "token")
+    return (
+        tf.join(F.broadcast(df), "token")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "rank", score.alias("tf_over_df"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified corpus sampling (deterministic hash-gate, per-stratum rates)
+# ---------------------------------------------------------------------------
+SAMPLE_RATES = {"en": 10, "*": 50}  # percent kept per language stratum
+
+_SAMPLE_HEX8 = " + ".join(
+    f"(strpos('0123456789abcdef',"
+    f" substr(md5('samp:' || CAST(doc_id AS VARCHAR)), {1 + i}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@query(
+    "stratified_corpus_sample",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang, n_chars, ({_SAMPLE_HEX8}) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket,
+       CASE WHEN lang = 'en' THEN 10.0 ELSE 2.0 END AS weight
+FROM b
+WHERE bucket < (CASE WHEN lang = 'en' THEN {SAMPLE_RATES["en"]} ELSE {SAMPLE_RATES["*"]} END)
+""",
+    tags=("sampling-stratified",),
+)
+def stratified_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing by deterministic stratified downsampling: keep
+    10% of the dominant language (en) and 50% of everything else, with
+    an inverse-rate weight column so downstream estimates stay unbiased.
+    Membership is a hash gate on the row's own id ('samp:'-salted so it
+    is independent of the train/val/test split hash) — a pure WHERE
+    clause: stable under reruns, re-partitioning, and appends, and
+    composable with any scan at 100 TB with zero materialization.
+    `df.sampleBy` gives none of those guarantees (partition-layout-
+    dependent RNG)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    is_en = F.col("lang") == "en"
+    rate_pct = F.when(is_en, F.lit(SAMPLE_RATES["en"])).otherwise(F.lit(SAMPLE_RATES["*"]))
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate_pct)
+        .select(
+            "doc_id",
+            "lang",
+            "bucket",
+            F.when(is_en, F.lit(10.0)).otherwise(F.lit(2.0)).alias("weight"),
+        )
+    )
