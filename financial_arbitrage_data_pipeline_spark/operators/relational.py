@@ -910,3 +910,55 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pr").alias("pr_lo"),
         F.max("pr").alias("pr_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join, oracle-checked (the explicit fallback when AQE can't)
+# ---------------------------------------------------------------------------
+@query(
+    "skew_salted_supplier_rollup",
+    oracle="""
+WITH big AS (
+  SELECT CASE WHEN l_suppkey % 10 = 0 THEN 1 ELSE l_suppkey END AS supp_k,
+         l_quantity
+  FROM lineitem
+)
+SELECT s.s_nationkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(b.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM big b
+JOIN supplier s ON s.s_suppkey = b.supp_k
+GROUP BY s.s_nationkey
+""",
+    tags=("skew", "J2", "A1"),
+)
+def skew_salted_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deliberately skewed fact→dim join (10% of lineitem collapses
+    onto supplier key 1) executed through `salted_join`: the shuffle key
+    widens to (key, salt) so the hot key's rows spread over 8 partitions
+    instead of one straggler, and the dim side is replicated ×8 to keep
+    every bucket joinable. The oracle is the PLAIN join — proving the
+    salted plan is output-equivalent, which is the entire contract of
+    skew salting. At 100 TB this is the fallback when the dim side is
+    too big to broadcast and AQE's skew split can't apply (stateful
+    streaming, or a skewed key feeding a windowed agg)."""
+    from ..functions.salting import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_suppkey") % 10 == 0, F.lit(1).cast("long"))
+        .otherwise(F.col("l_suppkey"))
+        .alias("supp_k"),
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_k"), "s_nationkey"
+    )
+    joined = salted_join(
+        li, supp, on="supp_k", n_salts=8, big_salt_from=["l_orderkey", "l_linenumber"]
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(money("l_quantity")).cast("double").alias("total_qty"),
+    )

@@ -602,3 +602,125 @@ def streaming_pair_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(table).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window rate monitoring (overlapping windows, append mode)
+# ---------------------------------------------------------------------------
+_SLIDING_RATE_ORACLE = """
+WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS watermark FROM events),
+ev AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'kalshi' ELSE 'polymarket' END AS source,
+         ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+wins AS (
+  SELECT source, time_bucket(INTERVAL 5 MINUTE, ts) AS ws, cents FROM ev
+  UNION ALL
+  SELECT source, time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE AS ws, cents
+  FROM ev
+)
+SELECT w.ws AS window_start,
+       w.ws + INTERVAL 10 MINUTE AS window_end,
+       w.source,
+       COUNT(*) AS n_events,
+       CAST(SUM(w.cents) AS BIGINT) AS value_cents
+FROM wins w CROSS JOIN wm
+WHERE w.ws + INTERVAL 10 MINUTE <= wm.watermark
+GROUP BY w.ws, w.source
+"""
+
+
+@query(
+    "streaming_sliding_rate",
+    oracle=_SLIDING_RATE_ORACLE,
+    tags=("A8", "T2", "streaming", "sliding-window"),
+)
+def streaming_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-venue rate/volume over 10-minute windows sliding every 5 —
+    overlapping windows, the streaming shape tumbling downsample can't
+    express (every event is counted in two windows). The oracle expands
+    each event into its two window assignments explicitly and applies the
+    same append-mode emission rule (window_end ≤ final watermark), so
+    overlap handling, watermark policy, and the integer-exact volume all
+    hash-match."""
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        sink_dir = os.path.join(root, "rates")
+        rates = scan.sliding_rate_stream(
+            ingest.enrich_snapshots(ingest.replay_stream(spark, replay_dir))
+        )
+        q = (
+            rates.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink_dir).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static dimension enrichment (broadcast join inside a stream)
+# ---------------------------------------------------------------------------
+_STATIC_ENRICH_ORACLE = """
+SELECT CASE WHEN e.user_id % 2 = 0 THEN 'kalshi' ELSE 'polymarket' END AS source,
+       c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "streaming_static_enrich",
+    oracle=_STATIC_ENRICH_ORACLE,
+    tags=("J2", "S4", "streaming", "stream-static"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the micro-batched snapshot stream enriched
+    against the static customer dimension (broadcast per micro-batch —
+    the streaming form of the S4/J2 token-discovery lookup). The join is
+    stateless, so the lane stays append-only with no watermark; the
+    landed table is then rolled up per (venue, segment). Equality with
+    the batch SQL proves the per-batch broadcast join neither drops nor
+    duplicates rows across micro-batch boundaries."""
+    from ..sources.tables import load_table
+
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        sink_dir = os.path.join(root, "enriched")
+        dim = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        joined = ingest.enrich_snapshots(
+            ingest.replay_stream(spark, replay_dir)
+        ).join(F.broadcast(dim), "user_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        landed = spark.read.parquet(sink_dir)
+        return (
+            landed.groupBy("source", "c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("value_cents"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -264,3 +264,35 @@ def downsample_stream(
             "n_events",
         )
     )
+
+
+def sliding_rate_stream(
+    snapshots: DataFrame,
+    size: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Overlapping (sliding) event-time windows — the monitoring shape the
+    reference approximates with its trailing-50 in-memory counters
+    (`database/influx/writer.py:591-599`): per venue, event rate and
+    integer-cents value volume over a 10-minute window sliding every 5.
+    Each row lands in size/slide = 2 windows, assigned map-side (no
+    duplication shuffle); append mode emits a window exactly once when
+    the watermark passes its end. Exactness: count + int64 cents sum, so
+    overlapping-window recomputation cannot drift."""
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    return (
+        snapshots.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("win"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("value_cents"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "source",
+            "n_events",
+            "value_cents",
+        )
+    )
