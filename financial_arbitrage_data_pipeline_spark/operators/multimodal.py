@@ -269,3 +269,83 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     strides the payload bytes it was handed."""
     assets = assets_from_documents(spark, sf_dir).filter(F.col("media_type") == "video")
     return sample_frames(assets)
+
+
+# ---------------------------------------------------------------------------
+# Audio chunking kernel (fixed-window framing + energy accounting)
+# ---------------------------------------------------------------------------
+
+AUDIO_CHUNK_BYTES = 256  # fake "50 ms window" of the payload
+
+
+def resample_audio(payload: bytes, target_hz: int) -> bytes:
+    """Real resample (librosa/soxr). Not available in this container."""
+    raise NotImplementedError("audio codecs not installed; use the chunk kernel")
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_chunks", T.LongType(), True),
+        T.StructField("last_chunk_bytes", T.LongType(), True),
+        T.StructField("total_energy", T.LongType(), True),
+    ]
+)
+
+
+def chunk_audio(assets: DataFrame, chunk_bytes: int = AUDIO_CHUNK_BYTES) -> DataFrame:
+    """Fixed-window audio framing over binary payloads (a real kernel
+    would decode PCM first — stubbed here, the batch plumbing is what's
+    real): per asset, the chunk count, the ragged tail size, and an
+    integer 'energy' (byte sum) a VAD/loudness gate would consume.
+    Arrow-batched mapInPandas: one Python crossing per batch, outputs
+    are small fixed-width rows regardless of payload size."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_chunks, last_bytes, energy = [], [], []
+            for p in pdf["payload"]:
+                n = (len(p) + chunk_bytes - 1) // chunk_bytes
+                n_chunks.append(n)
+                last_bytes.append(len(p) - (n - 1) * chunk_bytes if n else 0)
+                energy.append(sum(p))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "n_chunks": n_chunks,
+                    "last_chunk_bytes": last_bytes,
+                    "total_energy": energy,
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(kernel, AUDIO_SCHEMA)
+
+
+@query(
+    "audio_chunk_stats",
+    oracle=f"""
+WITH assets AS (
+  SELECT doc_id AS asset_id, encode(text) AS payload
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT asset_id,
+       (octet_length(payload) + {AUDIO_CHUNK_BYTES - 1}) // {AUDIO_CHUNK_BYTES} AS n_chunks,
+       octet_length(payload)
+         - ((octet_length(payload) + {AUDIO_CHUNK_BYTES - 1}) // {AUDIO_CHUNK_BYTES} - 1)
+           * {AUDIO_CHUNK_BYTES} AS last_chunk_bytes,
+       CAST(list_sum(list_transform(string_split_regex(CAST(payload AS VARCHAR), ''),
+                                    c -> ascii(c))) AS BIGINT) AS total_energy
+FROM assets
+""",
+    tags=("multimodal-audio",),
+)
+def audio_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing through the binary mapInPandas path: every audio
+    asset chunked into {AUDIO_CHUNK_BYTES}-byte windows with a byte-sum
+    energy — the accounting a voice-activity gate consumes before
+    feature extraction. The oracle restates chunk arithmetic from
+    octet_length and the energy as an ascii fold (payloads are utf-8
+    text in the fixtures, so byte sum == codepoint sum), verifying the
+    kernel really saw the exact bytes it was handed."""
+    assets = assets_from_documents(spark, sf_dir).filter(F.col("media_type") == "audio")
+    return chunk_audio(assets)

@@ -962,3 +962,43 @@ def skew_salted_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(money("l_quantity")).cast("double").alias("total_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shape (decorrelated into an aggregate self-join)
+# ---------------------------------------------------------------------------
+@query(
+    "above_average_orders",
+    oracle="""
+WITH ca AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS cust_avg
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, ca.cust_avg
+FROM orders o JOIN ca ON ca.o_custkey = o.o_custkey
+WHERE o.o_totalprice > ca.cust_avg
+""",
+    tags=("A1", "correlated-subquery"),
+)
+def above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders larger than their own customer's average — the classic
+    correlated scalar subquery (`WHERE price > (SELECT AVG ... WHERE
+    same customer)`), stated directly in its decorrelated form: one
+    aggregate over the table joined back to the table. That is exactly
+    the rewrite Catalyst performs on the subquery form, and writing it
+    explicitly keeps the plan to one scan + one aggregation + one
+    equi-join on the grouping key — at 100 TB both sides of that join
+    arrive hash-partitioned on o_custkey from the same upstream
+    exchange, so no third shuffle is needed. Exactness: the average is
+    a decimal sum with one IEEE divide; the > comparison then behaves
+    identically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    ca = o.groupBy("o_custkey").agg(
+        avg_money(money("o_totalprice"), "cust_avg")
+    )
+    return (
+        o.join(ca, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )

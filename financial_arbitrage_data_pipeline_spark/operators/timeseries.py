@@ -212,3 +212,63 @@ def quote_price_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.withColumn(
         "delta_cents", F.col("quote_cents") - F.lag("quote_cents").over(w)
     )
+
+
+# ---------------------------------------------------------------------------
+# Staleness gap detection (the reference's 300 s staleness alarm, batch form)
+# ---------------------------------------------------------------------------
+STALE_GAP_US = 24 * 3600 * 1_000_000  # 24 h against the 30-day fixture span
+
+
+@query(
+    "stale_ticker_alerts",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id AS ticker_id,
+         epoch_us(ts) AS ts_us,
+         event_id,
+         LAG(epoch_us(ts)) OVER w AS prev_ts_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT ticker_id, prev_ts_us, ts_us AS resumed_ts_us,
+       ts_us - prev_ts_us AS gap_us
+FROM g
+WHERE prev_ts_us IS NOT NULL AND ts_us - prev_ts_us > {STALE_GAP_US}
+""",
+    tags=("T2", "A8", "monitoring"),
+)
+def stale_ticker_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-staleness audit: every silence longer than 24 h per ticker,
+    with when it started and when data resumed — the batch form of the
+    reference's staleness alarm (fires at 300 s of silence,
+    `database/coordinator.py:563-569`; threshold scaled to the 30-day
+    fixture cadence). One LAG over (ticker, time): a single sort-shuffle
+    partitioned by ticker, embarrassingly parallel across tickers at any
+    scale. The streaming twin is the event-time-timeout eviction in
+    streaming_subscriber_liveness — this query is how you backfill the
+    same alarm over history."""
+    ev = load_table(spark, sf_dir, "events")
+    # order at µs precision (ts div 1000), not raw ns: DuckDB reads the
+    # same column truncated to µs, so a sub-µs ts difference would give
+    # the engines different LAG neighbors while the event_id tie-break
+    # keeps them identical at µs
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts div 1000"), "event_id")
+    g = ev.select(
+        F.col("user_id").alias("ticker_id"),
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.lag(F.expr("ts div 1000")).over(w).alias("prev_ts_us"),
+    )
+    return (
+        g.filter(
+            F.col("prev_ts_us").isNotNull()
+            & ((F.col("ts_us") - F.col("prev_ts_us")) > STALE_GAP_US)
+        )
+        .select(
+            "ticker_id",
+            "prev_ts_us",
+            F.col("ts_us").alias("resumed_ts_us"),
+            (F.col("ts_us") - F.col("prev_ts_us")).alias("gap_us"),
+        )
+    )
