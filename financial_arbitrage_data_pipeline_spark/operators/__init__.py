@@ -4,6 +4,7 @@ into `plans.REGISTRY` (each module's @query decorators run at import)."""
 from . import (  # noqa: F401
     dedup,
     etl_queries,
+    layout,
     market,
     multimodal,
     relational,
@@ -19,6 +20,7 @@ from . import (  # noqa: F401
 __all__ = [
     "dedup",
     "etl_queries",
+    "layout",
     "market",
     "multimodal",
     "relational",

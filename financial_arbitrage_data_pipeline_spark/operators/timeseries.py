@@ -272,3 +272,66 @@ def stale_ticker_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_us") - F.col("prev_ts_us")).alias("gap_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key z-score anomaly detection (two-pass, integer-exact moments)
+# ---------------------------------------------------------------------------
+ZSCORE_THRESHOLD = 3.0
+
+
+@query(
+    "price_anomaly_zscore",
+    oracle=f"""
+WITH c AS (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+stats AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(cents * cents) AS BIGINT) AS ss
+  FROM c GROUP BY user_id
+)
+SELECT c.event_id, c.user_id, c.cents,
+       (CAST(c.cents AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+         / sqrt(CAST(s.n * s.ss - s.s * s.s AS DOUBLE) / CAST(s.n AS DOUBLE) / CAST(s.n AS DOUBLE))
+         AS zscore
+FROM c JOIN stats s ON s.user_id = c.user_id
+WHERE ABS((CAST(c.cents AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+          / sqrt(CAST(s.n * s.ss - s.s * s.s AS DOUBLE) / CAST(s.n AS DOUBLE) / CAST(s.n AS DOUBLE)))
+      > {ZSCORE_THRESHOLD}
+""",
+    tags=("A8", "monitoring", "anomaly"),
+)
+def price_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ticker price anomalies: events more than 3 population standard
+    deviations from their own key's mean. The moments are integer-exact
+    (cents and cents² sum in int64 — order-independent under any
+    partitioning), and the float tail is a fixed op sequence
+    (divide, subtract, sqrt, divide) that is bit-identical across
+    engines — the discipline that makes a distributed anomaly sweep
+    reproducible. Plan: one aggregation + one equi-join back on the
+    grouping key (same shape as above_average_orders); both sides
+    co-partitioned, no third shuffle. At 100 TB the stats side is tiny
+    (one row per ticker) and broadcasts."""
+    c = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("cast(round(value * 100) as bigint)").alias("cents")
+    )
+    stats = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        / F.col("n").cast("double")
+        / F.col("n").cast("double")
+    )
+    z = (F.col("cents").cast("double") - mean) / F.sqrt(var)
+    return (
+        c.join(stats, "user_id")
+        .select("event_id", "user_id", "cents", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > ZSCORE_THRESHOLD)
+    )
