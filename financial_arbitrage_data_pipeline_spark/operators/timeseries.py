@@ -335,3 +335,140 @@ def price_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "cents", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > ZSCORE_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-based RANGE window (trailing interval, not trailing row count)
+# ---------------------------------------------------------------------------
+_HOUR_US = 3600 * 1_000_000
+
+
+@query(
+    "rolling_1h_volume",
+    oracle=f"""
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id, ts_us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(SUM(cents) OVER w AS BIGINT) AS cents_trailing
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)
+""",
+    tags=("A8", "W-range-frame"),
+)
+def rolling_1h_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing ONE HOUR of purchase volume per ticker at every purchase —
+    a RANGE window frame (interval of event time), which rows-based
+    frames (rolling_avg_per_user's trailing-50) cannot express: the row
+    count inside an hour varies. RANGE frames treat equal-ts rows as
+    peers (all enter the frame together), which is engine-identical —
+    whereas a rows-frame over tied timestamps would be partition-order
+    dependent. Integer cents keep the windowed sum exact. One
+    sort-shuffle on the key, same as any keyed window."""
+    c = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return c.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum("cents").over(w).alias("cents_trailing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dense-grid downsample with forward fill (Flux createEmpty + usePrevious)
+# ---------------------------------------------------------------------------
+_DAY_US = 86400 * 1_000_000
+
+
+@query(
+    "downsample_gap_fill",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+b AS (
+  SELECT user_id, ts_us // {_DAY_US} AS day, cents
+  FROM c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts_us // {_DAY_US}
+                             ORDER BY ts_us DESC, event_id DESC) = 1
+),
+bounds AS (
+  SELECT MIN(ts_us // {_DAY_US}) AS d0, MAX(ts_us // {_DAY_US}) AS d1 FROM c
+),
+grid AS (
+  SELECT u.user_id, g.day
+  FROM (SELECT DISTINCT user_id FROM c) u
+  CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day FROM bounds) g
+)
+SELECT g.user_id, g.day,
+       b.cents AS last_cents,
+       (b.day IS NULL OR b.day <> g.day) AS is_filled
+FROM grid g
+ASOF LEFT JOIN b ON g.user_id = b.user_id AND g.day >= b.day
+""",
+    tags=("A6", "gap-fill", "W3"),
+)
+def downsample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily last-value downsample on a DENSE grid with forward fill —
+    the reference's Flux `aggregateWindow(createEmpty: true)` +
+    `fill(usePrevious: true)` combination (`etl/query.py:146-157`
+    implements createEmpty: false; this is the other half its users
+    reach for). Empty (ticker, day) cells take the most recent earlier
+    value; days before a ticker's first observation stay NULL.
+
+    Plan: per-(key, day) last value by (ts, event_id); the day span
+    derives from ONE global min/max aggregate (broadcast single row —
+    no collect); the dense grid is keys × sequence(d0, d1) exploded
+    map-side; the fill is a running last(ignorenulls) window per key —
+    one sort-shuffle over grid+data, no per-gap probing. The oracle
+    states the same semantics as an ASOF LEFT JOIN onto the grid."""
+    c = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    day = F.expr(f"ts_us div {_DAY_US}")
+    b = c.groupBy("user_id", day.alias("day")).agg(
+        F.max_by("cents", F.struct("ts_us", "event_id")).alias("cents")
+    )
+    bounds = c.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    grid = (
+        c.select("user_id")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(b.withColumnRenamed("cents", "obs_cents"), ["user_id", "day"], "left")
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("obs_cents", ignorenulls=True).over(w).alias("last_cents"),
+        F.col("obs_cents").isNull().alias("is_filled"),
+    )

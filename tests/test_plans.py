@@ -146,3 +146,39 @@ def test_top_revenue_orders_is_topk(spark, sf_dir):
     p = plan_of(spark, "top_revenue_orders", sf_dir)
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_domestic_market_share_broadcasts_all_dims(spark, sf_dir):
+    """The six-table star join must resolve every dim side as a broadcast
+    — the lineitem fact is scanned once with no fact-side pre-join
+    shuffle (its only exchange is the final year aggregation)."""
+    p = plan_of(spark, "domestic_market_share", sf_dir)
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 5 * 2  # formatted prints twice
+
+
+def test_large_order_customers_aggregates_before_join_and_topk(spark, sf_dir):
+    p = plan_of(spark, "large_order_customers", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    # the HAVING filter runs on the aggregate, upstream of the joins
+    assert "qty_dec" in p
+
+
+def test_above_average_orders_reuses_partitioning(spark, sf_dir):
+    """Aggregate + join-back on the same key: both join inputs arrive
+    hash-partitioned on o_custkey, so the join itself adds no third
+    exchange (two hashpartitioning exchanges total: one per side)."""
+    p = plan_of(spark, "above_average_orders", sf_dir)
+    assert p.count("hashpartitioning(o_custkey") <= 2 * 2  # x2 print
+
+
+def test_stratified_sample_is_pure_scan_filter(spark, sf_dir):
+    p = plan_of(spark, "stratified_corpus_sample", sf_dir)
+    assert "Exchange" not in p  # hash gate = per-row filter, no shuffle
+
+
+def test_rolling_1h_volume_single_keyed_window(spark, sf_dir):
+    p = plan_of(spark, "rolling_1h_volume", sf_dir)
+    assert p.count("hashpartitioning(user_id") <= 1 * 2  # one window shuffle
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in p
