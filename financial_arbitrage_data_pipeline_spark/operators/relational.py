@@ -1002,3 +1002,36 @@ def above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON-path extraction over the props payload (§2.8 scalar-JSON family)
+# ---------------------------------------------------------------------------
+@query(
+    "props_key_histogram",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MIN(CAST(props->>'k' AS BIGINT)) AS k_min,
+       MAX(CAST(props->>'k' AS BIGINT)) AS k_max,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum
+FROM events
+GROUP BY event_type
+""",
+    tags=("P11", "json-path"),
+)
+def props_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON-path extraction (`props->>'k'`) aggregated per event
+    type — the lightweight cousin of the full-book from_json parse
+    (P11): when only one field of a JSON payload is needed,
+    get_json_object extracts it without materializing the whole struct,
+    and the cast+aggregate stays in codegen. Integer sums keep parity
+    exact."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+        F.sum(k).alias("k_sum"),
+    )

@@ -724,3 +724,99 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter bifurcation through the stream (T6 as a verified lane split)
+# ---------------------------------------------------------------------------
+_DLQ_ORACLE = """
+SELECT CASE WHEN event_id % 37 = 0 OR event_id % 41 = 0 THEN 'dlq' ELSE 'good' END
+         AS lane,
+       COUNT(*) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS event_id_sum
+FROM events
+GROUP BY 1
+"""
+
+
+@query(
+    "streaming_dlq_ingest",
+    oracle=_DLQ_ORACLE,
+    tags=("T6", "T4", "streaming", "dlq"),
+)
+def streaming_dlq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retry/DLQ contract (T6, `database/influx/writer.py:422-470`)
+    as a verified streaming lane split: landed REST payloads replay as a
+    JSON-blob stream in which some payloads are corrupt (unparseable
+    prefix) and some are NULL (absent book); split_malformed bifurcates
+    one from_json pass into a typed good lane and a raw-payload DLQ,
+    each appended by its own streaming query (T4). The good-lane
+    checksum sums event ids FROM THE PARSED STRUCT — proving typed
+    parsing, not just row routing — and totals across lanes must
+    reconstruct the input exactly: nothing lost, nothing double-routed,
+    across all micro-batch boundaries."""
+    from pyspark.sql import types as T
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("event_type", T.StringType(), True),
+        ]
+    )
+    root = _workdir()
+    try:
+        from ..sources.tables import load_table
+
+        chunks_dir = os.path.join(root, "chunks")
+        clean = F.to_json(F.struct("event_id", "user_id", "value", "event_type"))
+        payload = (
+            F.when(F.col("event_id") % 41 == 0, F.lit(None).cast("string"))
+            .when(F.col("event_id") % 37 == 0, F.concat(F.lit("corrupt:"), clean))
+            .otherwise(clean)
+        )
+        load_table(spark, sf_dir, "events").select(
+            "event_id", payload.alias("payload")
+        ).repartition(4).write.parquet(chunks_dir)
+
+        stream = (
+            spark.readStream.schema("event_id long, payload string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks_dir)
+        )
+        good, bad = ingest.split_malformed(stream, "payload", payload_schema)
+        good_dir, bad_dir = os.path.join(root, "good"), os.path.join(root, "dlq")
+        queries = []
+        for df, path, ck in ((good, good_dir, "ck_good"), (bad, bad_dir, "ck_bad")):
+            queries.append(
+                df.writeStream.format("parquet")
+                .option("path", path)
+                .option("checkpointLocation", os.path.join(root, ck))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        for q in queries:
+            q.awaitTermination()
+
+        good_sum = (
+            spark.read.parquet(good_dir)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                # from the PARSED struct, not the passthrough column
+                F.sum(F.col("payload.event_id")).alias("event_id_sum"),
+            )
+            .select(F.lit("good").alias("lane"), "n_rows", "event_id_sum")
+        )
+        bad_sum = (
+            spark.read.parquet(bad_dir)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("event_id").alias("event_id_sum"),
+            )
+            .select(F.lit("dlq").alias("lane"), "n_rows", "event_id_sum")
+        )
+        return good_sum.unionByName(bad_sum).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
