@@ -25,7 +25,7 @@ import glob
 import os
 import shutil
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -130,3 +130,20 @@ def zorder_rewrite(
     os.rename(tmp, table_dir)
     shutil.rmtree(old, ignore_errors=True)
     return parquet_file_count(table_dir)
+
+
+def with_quantile_buckets(
+    df: DataFrame, cols: dict[str, str], bits: int = ZORDER_BITS
+) -> DataFrame:
+    """Pre-scale arbitrary orderable columns into [0, 2^bits) rank
+    buckets so they can feed `zorder_key`: `cols` maps source column →
+    bucket column name. Uses ntile over a global order (exact, single
+    sort) — correct at test scale and for the final within-rewrite sort.
+    At 100 TB swap the window for approx_percentile boundaries (one
+    mergeable sketch pass, then a when-chain bucket lookup): the z-curve
+    only needs approximate locality, so sketch error costs nothing."""
+    out = df
+    for src, dst in cols.items():
+        w = Window.orderBy(src)
+        out = out.withColumn(dst, (F.ntile(1 << bits).over(w) - 1).cast("long"))
+    return out

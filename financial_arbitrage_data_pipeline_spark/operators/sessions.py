@@ -150,3 +150,84 @@ def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.99).alias("p99_us"),
         F.max("n").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel within sessions (ordered-sequence detection)
+# ---------------------------------------------------------------------------
+@query(
+    "session_funnel",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > {_GAP_US}
+              OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type, ts_us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+),
+f AS (
+  SELECT user_id, sid,
+         MIN(ts_us) AS session_start_us,
+         MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS view_ts_us,
+         MIN(CASE WHEN event_type = 'click' THEN ts_us END) AS click_ts_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) AS purchase_ts_us
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, session_start_us, view_ts_us, click_ts_us, purchase_ts_us,
+       (view_ts_us IS NOT NULL AND click_ts_us IS NOT NULL
+        AND purchase_ts_us IS NOT NULL
+        AND view_ts_us <= click_ts_us AND click_ts_us <= purchase_ts_us)
+         AS converted
+FROM f
+""",
+    tags=("sessionization", "funnel"),
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View → click → purchase conversion detection per session: the
+    first timestamp of each funnel stage inside the session, and whether
+    the stages occurred in order — the product-analytics query behind
+    every conversion dashboard, and a distinct pattern from plain
+    sessionization (ordered-sequence detection folds into conditional
+    MINs, no per-session sort or UDF). Same single session_window
+    shuffle as user_sessions; the oracle replays gaps-and-islands with
+    the identical touching-windows boundary rule (`> gap` splits)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", F.expr("ts div 1000").alias("ts_us"))
+
+    def stage(t: str) -> Column:
+        return F.min(F.when(F.col("event_type") == t, F.col("ts_us")))
+
+    f = (
+        e.groupBy(
+            "user_id",
+            F.session_window(F.timestamp_micros(F.col("ts_us")), SESSION_GAP).alias("w"),
+        )
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            stage("view").alias("view_ts_us"),
+            stage("click").alias("click_ts_us"),
+            stage("purchase").alias("purchase_ts_us"),
+        )
+    )
+    converted = (
+        F.col("view_ts_us").isNotNull()
+        & F.col("click_ts_us").isNotNull()
+        & F.col("purchase_ts_us").isNotNull()
+        & (F.col("view_ts_us") <= F.col("click_ts_us"))
+        & (F.col("click_ts_us") <= F.col("purchase_ts_us"))
+    )
+    return f.select(
+        "user_id",
+        "session_start_us",
+        "view_ts_us",
+        "click_ts_us",
+        "purchase_ts_us",
+        converted.alias("converted"),
+    )

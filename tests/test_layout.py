@@ -109,3 +109,25 @@ def test_zorder_rewrite_tightens_both_dimensions(spark, tmp_path):
     sx_after, sy_after = span_sum("x"), span_sum("y")
     assert sx_after < sx_before
     assert sy_after < sy_before
+
+
+def test_quantile_buckets_feed_zorder(spark):
+    """Arbitrary doubles → rank buckets in [0, 2^bits) → valid z-keys:
+    the pre-scaling step that makes z-ordering applicable to real
+    columns (prices, timestamps)."""
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 1000 / 7.0).alias("price"),
+        (F.col("id") * 13 % 997).cast("double").alias("latency"),
+    )
+    b = layout.with_quantile_buckets(df, {"price": "bx", "latency": "by"}, bits=4)
+    stats = b.agg(
+        F.min("bx"), F.max("bx"), F.min("by"), F.max("by"),
+        F.countDistinct("bx"), F.countDistinct("by"),
+    ).first()
+    assert stats[0] == 0 and stats[1] == 15
+    assert stats[2] == 0 and stats[3] == 15
+    assert stats[4] == 16 and stats[5] == 16
+    z = b.select(layout.zorder_key("bx", "by", bits=4).alias("z")).agg(
+        F.min("z"), F.max("z")
+    ).first()
+    assert 0 <= z[0] and z[1] < 256

@@ -1,0 +1,66 @@
+"""Property-based check of the as-of join core: for ANY generated quote/
+trade history, asof_merge must agree with an obviously-correct Python
+brute force. Hypothesis drives the input space (duplicate timestamps,
+quote-less keys, trades before any quote, single-row edge cases) further
+than the fixture replay can."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from financial_arbitrage_data_pipeline_spark.operators.timeseries import asof_merge
+
+_key = st.integers(min_value=0, max_value=3)
+_ts = st.integers(min_value=0, max_value=50)
+
+_quotes = st.lists(
+    st.tuples(_key, _ts, st.integers(min_value=1, max_value=99)), max_size=25
+)
+_trades = st.lists(st.tuples(_key, _ts), min_size=1, max_size=25)
+
+
+def _brute(quotes, trades):
+    out = {}
+    for tid, (k, t) in enumerate(trades):
+        best = None
+        for qk, qt, qc in quotes:
+            if qk == k and qt <= t and (best is None or qt > best[0]):
+                best = (qt, qc)
+        # tie on qt: the LAST (qt, qc) seen wins in this loop only if
+        # strictly greater — collapse ties deterministically to max qc,
+        # matching the operator's one-quote-per-(key, ts) reduction
+        if best is not None:
+            cands = [qc for qk, qt, qc in quotes if qk == k and qt == best[0]]
+            best = (best[0], max(cands))
+        out[tid] = None if best is None else best[1]
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(quotes=_quotes, trades=_trades)
+def test_asof_merge_matches_brute_force(spark, quotes, trades):
+    qdf = spark.createDataFrame(
+        [(k, t, c) for k, t, c in quotes] or [(99, 0, 1)],
+        "user_id long, ts_us long, quote_cents long",
+    )
+    if not quotes:
+        qdf = qdf.filter("user_id < 0")
+    # collapse to one deterministic quote per (key, ts) exactly as
+    # asof_quote_join does before merging
+    from pyspark.sql import functions as F
+
+    qdf = qdf.groupBy("user_id", "ts_us").agg(F.max("quote_cents").alias("quote_cents"))
+    tdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(trades)],
+        "user_id long, ts_us long, event_id long",
+    )
+    got = {
+        r.event_id: r.quote_cents
+        for r in asof_merge(qdf, tdf.select("event_id", "user_id", "ts_us")).collect()
+    }
+    assert got == _brute(quotes, trades)
