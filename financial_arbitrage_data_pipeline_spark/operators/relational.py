@@ -1035,3 +1035,62 @@ def props_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("k_max"),
         F.sum(k).alias("k_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation audit (data-quality gate)
+# ---------------------------------------------------------------------------
+@query(
+    "order_reconciliation_audit",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS line_total
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT COUNT(*) AS n_orders,
+       CAST(COUNT(CASE WHEN li.l_orderkey IS NULL THEN 1 END) AS BIGINT)
+         AS n_without_lines,
+       CAST(COUNT(CASE WHEN li.line_total IS NOT NULL
+                        AND ABS(li.line_total - o.o_totalprice) / o.o_totalprice > 0.10
+                  THEN 1 END) AS BIGINT) AS n_mismatched_10pct,
+       MAX(CASE WHEN li.line_total IS NOT NULL
+                THEN ABS(li.line_total - o.o_totalprice) / o.o_totalprice END)
+         AS max_rel_dev
+FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+""",
+    tags=("audit", "A1", "J3"),
+)
+def order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistency audit: does each order's header total
+    agree with the sum of its lines (discounted extended price)? Emits
+    the order count, headers with no lines at all, >10%-relative
+    mismatches, and the worst deviation — the continuous data-quality
+    gate a pipeline runs between ingest and training, here proving the
+    engine computes it identically to the oracle (exact decimal sums,
+    then a fixed |a−b|/b float sequence). One aggregation + one
+    co-partitioned join; the audit never materializes per-order output
+    at scale, just the summary row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    line_total = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(money("l_extendedprice") * (one - rate("l_discount")))
+            .cast("double")
+            .alias("line_total")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(line_total, o.o_orderkey == line_total.l_orderkey, "left")
+    rel_dev = F.abs(F.col("line_total") - F.col("o_totalprice")) / F.col("o_totalprice")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("n_without_lines"),
+        F.count(
+            F.when(F.col("line_total").isNotNull() & (rel_dev > 0.10), 1)
+        ).alias("n_mismatched_10pct"),
+        F.max(F.when(F.col("line_total").isNotNull(), rel_dev)).alias("max_rel_dev"),
+    )

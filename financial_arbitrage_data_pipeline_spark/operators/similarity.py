@@ -641,3 +641,43 @@ def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands,
         (F.col("c_cid") == F.col("probe_cid")) & (F.col("cand_id") != F.col("query_id")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal join: attach embeddings to their documents
+# ---------------------------------------------------------------------------
+@query(
+    "doc_embedding_coverage",
+    oracle=f"""
+WITH {_QUANT_SQL}
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(n.vec_id) AS BIGINT) AS n_with_embedding,
+       CAST(SUM(n.nsq) AS BIGINT) AS total_nsq
+FROM documents d
+LEFT JOIN norms n ON n.vec_id = d.doc_id
+GROUP BY d.lang
+""",
+    tags=("similarity-coverage", "J2"),
+)
+def doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text↔embedding reconciliation a multimodal corpus needs
+    before training: per language, how many documents have an embedding
+    row (doc_id = vec_id) and the integer-exact total squared norm of
+    those vectors — a drift canary (re-embedding with a different model
+    or scale shifts it immediately). LEFT join so embedding-less docs
+    are counted, not dropped; at 100 TB both tables hash-partition on
+    the id and the join co-locates."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), sq_norm(quantized("embedding")).alias("nsq")
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id, "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("vec_id").alias("n_with_embedding"),
+            F.sum("nsq").alias("total_nsq"),
+        )
+    )
