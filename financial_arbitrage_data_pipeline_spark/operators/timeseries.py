@@ -472,3 +472,58 @@ def downsample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("obs_cents", ignorenulls=True).over(w).alias("last_cents"),
         F.col("obs_cents").isNull().alias("is_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Running-peak drawdown (chained window aggregates)
+# ---------------------------------------------------------------------------
+@query(
+    "max_drawdown_per_ticker",
+    oracle="""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+r AS (
+  SELECT user_id, cents,
+         MAX(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS peak
+  FROM c
+)
+SELECT user_id,
+       CAST(MAX(peak - cents) AS BIGINT) AS max_drawdown_cents,
+       CAST(MAX(peak) AS BIGINT) AS peak_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_quotes
+FROM r
+GROUP BY user_id
+""",
+    tags=("A8", "W3", "finance"),
+)
+def max_drawdown_per_ticker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per ticker — the canonical risk metric: running
+    peak (a cumulative-max window over event time) minus current quote,
+    maximized. Two chained aggregates — one running window + one group
+    — with NO self-join or per-row lookback scan (the naive O(n²)
+    formulation); both run in the same keyed sort-shuffle. Integer cents
+    make every intermediate exact; ordering ties break on event_id at µs
+    precision, same as every window in this engine."""
+    c = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = c.select("user_id", "cents", F.max("cents").over(w).alias("peak"))
+    return r.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("cents")).alias("max_drawdown_cents"),
+        F.max("peak").alias("peak_cents"),
+        F.count(F.lit(1)).alias("n_quotes"),
+    )

@@ -236,3 +236,28 @@ def recent_events_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts div 1000").alias("ts_us"),
         "value",
     ).orderBy(F.col("ts_us").desc(), F.col("event_id").desc()).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT set op (the survivor complement of the universe diff)
+# ---------------------------------------------------------------------------
+@query(
+    "repeat_buyers_intersect",
+    oracle="""
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+""",
+    tags=("set-ops", "F2"),
+)
+def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who bought in BOTH 1999 and 2001 — INTERSECT, the
+    set-op sibling of pair_universe_diff's EXCEPT (together they cover
+    the added/removed/retained triad of the reference's subscription
+    diffing, `virginia/api/data_feed.py:185-198`). Spark plans INTERSECT
+    as a left-semi aggregate join on distinct keys: one shuffle per
+    side, output bounded by the smaller key set."""
+    o = load_table(spark, sf_dir, "orders")
+    y1 = o.filter(F.year("o_orderdate") == 1999).select("o_custkey")
+    y2 = o.filter(F.year("o_orderdate") == 2001).select("o_custkey")
+    return y1.intersect(y2)
