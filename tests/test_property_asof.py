@@ -64,3 +64,41 @@ def test_asof_merge_matches_brute_force(spark, quotes, trades):
         for r in asof_merge(qdf, tdf.select("event_id", "user_id", "ts_us")).collect()
     }
     assert got == _brute(quotes, trades)
+
+
+_pts = st.lists(st.integers(min_value=0, max_value=100), max_size=30)
+_probes = st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=15)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(points=_pts, probes=_probes)
+def test_count_within_radius_matches_brute_force(spark, points, probes):
+    """The bucketed range-join decomposition (3-bucket explode + residual
+    filter) must count exactly what the direct |dt| <= radius predicate
+    counts, for any point/probe placement — including points exactly on
+    the bucket and radius boundaries, which is where the decomposition
+    could silently drop or double-count."""
+    from financial_arbitrage_data_pipeline_spark.operators.timeseries import (
+        count_within_radius,
+    )
+
+    radius = 10
+    pdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(probes)], "event_id long, p_ts long"
+    )
+    cdf = spark.createDataFrame([(t,) for t in points] or [(0,)], "c_ts long")
+    if not points:
+        cdf = cdf.filter("c_ts < 0")
+    got = {
+        r.event_id: r.nearby_clicks
+        for r in count_within_radius(cdf, pdf, radius_us=radius).collect()
+    }
+    want = {
+        i: sum(1 for c in points if abs(c - t) <= radius)
+        for i, t in enumerate(probes)
+    }
+    assert got == want
