@@ -2,6 +2,7 @@
 into `plans.REGISTRY` (each module's @query decorators run at import)."""
 
 from . import (  # noqa: F401
+    analytics,
     dedup,
     etl_queries,
     layout,
@@ -11,6 +12,7 @@ from . import (  # noqa: F401
     sessions,
     similarity,
     streaming_queries,
+    subqueries,
     textstats,
     timeseries,
     universe,
@@ -18,6 +20,7 @@ from . import (  # noqa: F401
 )
 
 __all__ = [
+    "analytics",
     "dedup",
     "etl_queries",
     "layout",
@@ -27,6 +30,7 @@ __all__ = [
     "sessions",
     "similarity",
     "streaming_queries",
+    "subqueries",
     "textstats",
     "timeseries",
     "universe",

@@ -1,0 +1,434 @@
+"""Analytics shapes: reshaping (pivot/unpivot), cohort retention,
+exact distribution statistics (correlation moments, equi-width
+histograms, cumulative distribution), and a corpus inverted index.
+
+These extend the reference's reporting surface (the per-pair performance
+rollups of `database/postgres/writer.py:409-468` and the ETL summaries of
+`etl/query.py`) with the wide↔long reshapes and distribution sweeps an
+analyst would run over the landed data at warehouse scale.
+
+Exactness discipline: every statistic that accumulates is computed over
+integers/decimals (cents, counts, integer moments) so results are
+partition-order independent — see functions/core.py. Floats appear only
+as a final single division/cast, mirrored exactly in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.core import money, ns_to_us
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+# One week in microseconds; precomputed (DuckDB integer literals are INT32,
+# and 7*86400*1000000 would overflow an INT32 multiply there).
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def _idiv(col: Column, n: int) -> Column:
+    """Exact integer division for non-negative longs (subtract the
+    remainder first so the float division is exact, same trick as
+    ns_to_us)."""
+    return ((col - col % F.lit(n)) / F.lit(n)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Pivot: long → wide. The status-by-priority count matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "status_priority_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_f,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("A9", "pivot"),
+)
+def status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`groupBy().pivot(values=...)` with the pivot values DECLARED — an
+    undeclared pivot runs an extra distinct-scan job just to discover the
+    columns, which at 100 TB is a full pass over the fact table. Declared
+    values keep it to one shuffle with map-side partial counts (Catalyst
+    rewrites pivot-count into exactly the oracle's conditional
+    aggregates). Missing cells surface as NULL from pivot; coalesce to 0
+    to match COUNT's no-match result."""
+    wide = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"cnt_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot: wide → long. Per-priority money measures as (measure, value).
+# ---------------------------------------------------------------------------
+@query(
+    "priority_measures_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+         CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+         CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'total_price' AS measure, total_price AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'max_price' AS measure, max_price AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'min_price' AS measure, min_price AS value FROM wide
+""",
+    tags=("A1", "unpivot"),
+)
+def priority_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.unpivot` (SQL STACK) — the wide→long reshape for
+    metric-per-row sinks (the reference's line-protocol export is exactly
+    this: one measurement row per field, `database/influx/writer.py`).
+    Scale notes: unpivot is a per-row flatMap — no shuffle beyond the
+    5-group aggregate feeding it; the long form multiplies rows by the
+    measure count, so project only the measures you need BEFORE
+    unpivoting."""
+    wide = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(money("o_totalprice")).cast("double").alias("total_price"),
+            F.max(money("o_totalprice")).cast("double").alias("max_price"),
+            F.min(money("o_totalprice")).cast("double").alias("min_price"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["total_price", "max_price", "min_price"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: first-seen week × weeks-since, distinct users.
+# ---------------------------------------------------------------------------
+@query(
+    "weekly_cohort_retention",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id
+)
+SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+       COUNT(DISTINCT e.user_id) AS active_users
+FROM e JOIN cohorts c ON e.user_id = c.user_id
+GROUP BY c.cohort_week, e.week - c.cohort_week
+""",
+    tags=("A4", "A8", "cohort"),
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: assign each user to the week of their
+    first event, then count distinct users per (cohort, offset). Scale
+    notes: both the MIN-per-user and the join back are keyed on user_id,
+    so one hash partitioning serves both (AQE reuses the exchange); the
+    final COUNT(DISTINCT) re-shuffles on the 2-column group key — at
+    100 TB swap in approx_count_distinct to keep it one pass. Weeks are
+    integer µs-epoch buckets (ts div 1000 discipline — events.parquet is
+    TIMESTAMP(NANOS), read as ns-longs Spark-side, µs in DuckDB)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", _idiv(ns_to_us("ts"), WEEK_US).alias("week"))
+    )
+    cohorts = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        e.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact correlation/regression moments (integer arithmetic end-to-end).
+# ---------------------------------------------------------------------------
+@query(
+    "qty_price_corr_moments",
+    oracle="""
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM t GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(n * sxy - sx * sy AS DOUBLE) AS cov_num,
+       CAST(n * sxx - sx * sx AS DOUBLE) AS varx_num,
+       CAST(n * syy - sy * sy AS DOUBLE) AS vary_num
+FROM m
+""",
+    tags=("A1", "statistics"),
+)
+def qty_price_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation/regression moments (n·Σxy − ΣxΣy etc.) computed in
+    exact integer arithmetic: quantity as-is, price in cents, per-row
+    products summed as DECIMAL(38,0) (Σy² reaches ~2e19 at sf0.1 — past
+    int64 — so the SUM itself must be wide; DuckDB uses HUGEINT for the
+    same reason). Built-in corr() accumulates doubles and is
+    partition-order dependent — useless for reproducible pipelines.
+    Scale notes: one map-side-combinable aggregate, 3 groups; the five
+    sums travel as one partial state per partition. Pearson r or an OLS
+    slope is a driver-side divide of these moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = (money("l_extendedprice") * 100).cast("bigint")
+    t = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    d18 = lambda c: c.cast("decimal(18,0)")  # noqa: E731 — per-row exact widen
+    m = t.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d18(F.col("x"))).alias("sx"),
+        F.sum(d18(F.col("y"))).alias("sy"),
+        F.sum(d18(F.col("x")) * d18(F.col("y"))).alias("sxy"),
+        F.sum(d18(F.col("x")) * d18(F.col("x"))).alias("sxx"),
+        F.sum(d18(F.col("y")) * d18(F.col("y"))).alias("syy"),
+    )
+    n38 = F.col("n").cast("decimal(38,0)")
+    # Final cast to double (the exact integer moment is correctly rounded
+    # identically by both engines) — a wide-decimal column would come back
+    # from DuckDB's pandas bridge as float64 anyway, mismatching Spark's
+    # Decimal objects in the driver's value hash.
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return m.select(
+        "l_returnflag",
+        "n",
+        dbl(n38 * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_num"),
+        dbl(n38 * F.col("sxx") - F.col("sx") * F.col("sx")).alias("varx_num"),
+        dbl(n38 * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary_num"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram over order value ($50k buckets, exact cents).
+# ---------------------------------------------------------------------------
+@query(
+    "order_value_histogram",
+    oracle="""
+WITH t AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT cents // 5000000 AS bucket,
+       (cents // 5000000) * 50000 AS lo_dollars,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100 AS sum_dollars
+FROM t GROUP BY cents // 5000000
+""",
+    tags=("A1", "histogram"),
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram on exact cents (double → decimal →
+    integer cents, so bucket edges are unambiguous — float width_bucket
+    puts edge values in different buckets depending on rounding). Scale
+    notes: bucket count is data-independent (~10 here), so the aggregate
+    collapses map-side to next-to-nothing; this is the shape to prefer
+    over sort-based quantiles when the bucket scheme can be fixed
+    up-front."""
+    cents = (money("o_totalprice") * 100).cast("bigint")
+    t = load_table(spark, sf_dir, "orders").select(cents.alias("cents"))
+    bucket = _idiv(F.col("cents"), 5_000_000)
+    return (
+        t.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("cents").cast("decimal(18,0)")).cast("double") / 100).alias(
+                "sum_dollars"
+            ),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 50_000).alias("lo_dollars"),
+            "n",
+            "sum_dollars",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distribution within segment (cume_dist window).
+# ---------------------------------------------------------------------------
+@query(
+    "acctbal_cume_dist",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS cume,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2))
+            - MAX(CAST(c_acctbal AS DECIMAL(12,2)))
+                OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS gap_to_top
+FROM customer
+""",
+    tags=("W2", "A8", "distribution"),
+)
+def acctbal_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment cumulative distribution: cume_dist (tie-safe — peers
+    share rank-of-last-peer / n, an exact ratio of ints → one float
+    divide) plus the exact-decimal gap to the segment maximum. Scale
+    notes: one shuffle on the segment key; within a partition the sort is
+    the only cost. Skewed segment sizes are the hazard at 100 TB — if one
+    segment dominates, pre-aggregate or switch the distribution question
+    to the fixed-bucket histogram (order_value_histogram), which needs no
+    per-key sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    wmax = Window.partitionBy("c_mktsegment")
+    bal = money("c_acctbal")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.cume_dist().over(w).alias("cume"),
+        (bal - F.max(bal).over(wmax)).cast("double").alias("gap_to_top"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index: term → document frequency / total frequency / first doc.
+# ---------------------------------------------------------------------------
+@query(
+    "inverted_index_terms",
+    oracle="""
+SELECT term,
+       COUNT(DISTINCT doc_id) AS df,
+       COUNT(*) AS tf,
+       MIN(doc_id) AS first_doc
+FROM (
+  SELECT d.doc_id, u.term
+  FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(term)
+)
+WHERE length(term) >= 4
+GROUP BY term
+HAVING COUNT(DISTINCT doc_id) >= 5
+ORDER BY df DESC, term
+LIMIT 200
+""",
+    tags=("text", "A4", "W2"),
+)
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list statistics for a corpus inverted index: explode terms,
+    aggregate df (distinct docs) / tf / first posting per term. Scale
+    notes: the explode is a flatMap (no shuffle); the length filter drops
+    stop-shaped tokens BEFORE the exchange; df uses a two-level distinct
+    shuffle keyed on (term, doc_id) then term — at 100 TB the first level
+    is the big one, and it's exactly the layout a real posting-list build
+    needs anyway (term-partitioned). Top-200 by df runs as
+    TakeOrderedAndProject with the unique term as tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") >= 4)
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("df") >= 5)
+        .orderBy(F.col("df").desc(), "term")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (the two one-dimension rollups + grand total,
+# without CUBE's full 2^n expansion).
+# ---------------------------------------------------------------------------
+@query(
+    "brand_type_grouping_sets",
+    oracle="""
+SELECT p_brand, p_type,
+       CAST(GROUPING(p_brand, p_type) AS BIGINT) AS gid,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_retail
+FROM part
+GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+""",
+    tags=("A9", "grouping-sets"),
+)
+def brand_type_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-picked grouping sets — per-brand, per-type, grand total —
+    via `DataFrame.groupingSets` (Spark 4 API). Unlike CUBE this expands
+    each row to exactly the 3 requested sets (not 2^n), so the pre-shuffle
+    blow-up is bounded by the list you wrote. gid disambiguates rolled-up
+    NULLs, same bit order as the oracle's GROUPING(). Scale notes: one
+    scan, one shuffle; per-set cardinality stays dimension-sized."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupingSets([["p_brand"], ["p_type"], []], "p_brand", "p_type")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum(money("p_retailprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_retail"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot over the big event stream: weekly activity matrix by event type.
+# ---------------------------------------------------------------------------
+@query(
+    "event_type_week_pivot",
+    oracle=f"""
+WITH e AS (
+  SELECT epoch_us(ts) // {WEEK_US} AS week, event_type FROM events
+)
+SELECT week,
+       COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view
+FROM e GROUP BY week
+""",
+    tags=("A6", "pivot"),
+)
+def event_type_week_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The activity-matrix reshape on the fact stream: µs-epoch week
+    buckets (ts div 1000 discipline for the NANOS column) × declared
+    event-type pivot. Scale notes: declared values avoid the discovery
+    scan; counts partial-aggregate map-side so the shuffle carries ~5
+    longs per (partition, week); at 100 TB this is the cheapest possible
+    wide summary of a stream table."""
+    e = load_table(spark, sf_dir, "events").select(
+        _idiv(ns_to_us("ts"), WEEK_US).alias("week"), "event_type"
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = e.groupBy("week").pivot("event_type", types).count()
+    return wide.select(
+        "week",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )

@@ -1,0 +1,282 @@
+"""Subquery decorrelation shapes — the remaining classic correlated /
+nested-query forms a relational engine must handle, expressed as the
+Catalyst-friendly join plans they decorrelate to (SURVEY §2.4/§2.5 join +
+aggregate families; the reference leans on Postgres for these shapes, e.g.
+the nested latest-row lookups in `virginia/database/read_from.py:129-167`
+and the per-pair rollups in `database/postgres/writer.py:409-468`).
+
+Each query states its scale plan in the docstring: what shuffles, what
+broadcasts, and why the decorrelated form beats a per-row subquery at
+100 TB (a correlated subquery re-evaluated per outer row is a join the
+optimizer can't reorder; writing the join explicitly keeps it in the
+cost-based planner's hands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.core import money, rate
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: correlated MIN — "the cheapest part within its type class".
+# ---------------------------------------------------------------------------
+@query(
+    "min_price_part_per_type",
+    oracle="""
+SELECT p_type, p_partkey, p_name, p_retailprice
+FROM part p
+WHERE p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+)
+""",
+    tags=("J2", "A7", "subquery-min"),
+)
+def min_price_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-MIN subquery, decorrelated: one grouped MIN over the
+    correlation key, joined back on (key, min). Scale notes: the grouped
+    MIN is a map-side-combinable aggregate whose output has one row per
+    p_type (low cardinality) — it broadcasts, so the join adds NO shuffle
+    beyond the aggregate's own; the naive correlated form would be a
+    per-row re-scan. MIN over doubles is exact (no accumulation), so
+    equality on the join is parity-safe."""
+    part = load_table(spark, sf_dir, "part")
+    mins = part.groupBy(F.col("p_type").alias("min_type")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        part.join(
+            F.broadcast(mins),
+            (F.col("p_type") == F.col("min_type"))
+            & (F.col("p_retailprice") == F.col("min_price")),
+        )
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: EXISTS semi-join with a non-equi residual — late-shipping
+# orders counted per priority bucket.
+# ---------------------------------------------------------------------------
+@query(
+    "order_priority_check",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    tags=("J1", "F7", "A9", "subquery-exists"),
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → LEFT SEMI join: equi key (orderkey) drives a shuffled hash
+    join, the date comparison rides along as a residual predicate, and the
+    semi form stops probing an order at its first qualifying line (no
+    fan-out, no dedup pass). Scale notes: the orders-side date filter
+    pushes to the parquet scan BEFORE the shuffle, so only the six-month
+    slice is exchanged; the post-semi GROUP BY has 5 keys and collapses
+    map-side."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: aggregate view + "equal to the MAX of the view" scalar
+# subquery — the top-revenue supplier(s).
+# ---------------------------------------------------------------------------
+@query(
+    "top_supplier_by_revenue",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    tags=("A2", "J2", "subquery-scalar"),
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-MAX-of-a-view subquery: materialize the revenue aggregate
+    once (exact decimal sum → double, so the MAX equality is bit-stable),
+    reduce it to a single-row MAX, and broadcast that row back against the
+    same aggregate. Scale notes: ONE shuffle total (the groupBy); the MAX
+    side is one row, and the supplier dimension joins broadcast. The
+    quarter filter prunes the lineitem scan to 1/4 of the fact table
+    before anything moves."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01").cast("timestamp"))
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(money("l_extendedprice") * (one - rate("l_discount")))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), revenue.total_revenue == top.max_revenue)
+        .join(F.broadcast(sup), F.col("supplier_no") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: EXISTS + NOT EXISTS double correlation — the supplier who
+# solely returned lines in multi-supplier orders.
+# ---------------------------------------------------------------------------
+@query(
+    "sole_returning_suppliers",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    tags=("J1", "subquery-exists", "subquery-not-exists", "W2"),
+)
+def sole_returning_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXISTS + NOT EXISTS pair becomes LEFT SEMI + LEFT ANTI joins on
+    the same equi key (orderkey) with a suppkey-inequality residual — the
+    canonical Q21 plan. Scale notes: all three lineitem legs shuffle on
+    l_orderkey, so AQE can reuse one exchange partitioning for the whole
+    chain; the 'F'-status orders filter and the 'R'-flag filter both push
+    to their scans, and the final top-20 runs as TakeOrderedAndProject
+    (per-partition heap, no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders_f = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = load_table(spark, sf_dir, "supplier")
+
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+
+    base = (
+        l1.join(orders_f, F.col("l1.l_orderkey") == F.col("o_orderkey"), "inner")
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(F.broadcast(sup), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: scalar AVG subquery + NOT EXISTS anti-join — well-funded
+# customers who never ordered, rolled up by segment.
+# ---------------------------------------------------------------------------
+@query(
+    "idle_rich_customers",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+    FROM customer c2 WHERE c2.c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c_mktsegment
+""",
+    tags=("J2", "A1", "subquery-scalar", "anti-join"),
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar AVG threshold (computed once, broadcast as a 1-row cross
+    join) + LEFT ANTI against orders. Scale notes: the threshold is an
+    exact-decimal sum divided once (same IEEE op sequence as the oracle,
+    so the `>` comparison is bit-stable); the anti join is the only
+    shuffle, keyed on custkey; the segment rollup is 5 groups, collapsed
+    map-side. A correlated NOT EXISTS per customer would be the same anti
+    join — writing it directly saves the optimizer the rewrite. The anti
+    side is pre-filtered to the recency horizon (every customer has SOME
+    order, so 'never ordered' would be vacuous; 'not ordered since the
+    horizon' is the dormant-account question and also shrinks the build
+    side before the shuffle)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
