@@ -432,3 +432,101 @@ def event_type_week_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week",
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
     )
+
+
+# ---------------------------------------------------------------------------
+# Map functions: build → merge → invert (the §2.8 map family end-to-end).
+# ---------------------------------------------------------------------------
+@query(
+    "user_activity_map_invert",
+    oracle="""
+WITH per AS (
+  SELECT user_id, event_type AS map_key, COUNT(*) AS v
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (
+  SELECT user_id, 'all' AS map_key, COUNT(*) AS v
+  FROM events GROUP BY user_id
+),
+u AS (SELECT * FROM per UNION ALL SELECT * FROM tot)
+SELECT map_key,
+       COUNT(*) AS n_users,
+       CAST(SUM(v) AS BIGINT) AS total_events
+FROM u GROUP BY map_key
+""",
+    tags=("map-functions", "A4"),
+)
+def user_activity_map_invert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-key dict workflow (merge with `update()`,
+    invert by re-keying — `opportunity_scanner.py:120,191,297`) as engine
+    map columns: per-user activity map via map_from_entries(collect_list),
+    merged with a computed entry via map_concat (the dict-merge), then
+    EXPLODED back to rows and re-aggregated by map key (the invert).
+    Scale notes: per-user maps are bounded (≤5 event types + 1), so the
+    collect_list is safe; the explode is a flatMap with no shuffle of its
+    own; both aggregations key cleanly (user_id, then map_key). At 100 TB
+    prefer keeping data LONG until presentation — this query is the proof
+    that the map detour round-trips losslessly."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("v"))
+    per_user = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "v"))).alias("m"),
+        F.sum("v").alias("tot"),
+    )
+    merged = per_user.select(
+        "user_id",
+        F.map_concat("m", F.create_map(F.lit("all"), F.col("tot"))).alias("m"),
+    )
+    inverted = merged.select("user_id", F.explode("m").alias("map_key", "v"))
+    return inverted.groupBy("map_key").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("v").alias("total_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group exact median (nearest-rank), the grouped percentile shape.
+# ---------------------------------------------------------------------------
+@query(
+    "segment_median_acctbal",
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+)
+SELECT c_mktsegment,
+       MAX(n) AS n_customers,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN c_acctbal END) AS median_bal
+FROM ranked
+GROUP BY c_mktsegment
+""",
+    tags=("A8", "percentile"),
+)
+def segment_median_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median by nearest rank (lower median, explicit
+    `(n+1) div 2` formula stated identically in both engines — built-in
+    median()/percentile_cont interpolate and would re-open float drift).
+    Scale notes: one shuffle on the segment key + a per-group sort; for
+    100 TB-sized groups switch to approx_percentile (t-digest, one pass,
+    map-side mergeable) and keep this exact form for the small-group
+    tier — same query surface, documented swap."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    half = ((F.col("n") + 1) - (F.col("n") + 1) % 2) / 2  # (n+1) div 2, exact
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n_customers"),
+        F.max(F.when(F.col("rn") == half.cast("long"), F.col("c_acctbal"))).alias(
+            "median_bal"
+        ),
+    )

@@ -261,3 +261,29 @@ def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     y1 = o.filter(F.year("o_orderdate") == 1999).select("o_custkey")
     y2 = o.filter(F.year("o_orderdate") == 2001).select("o_custkey")
     return y1.intersect(y2)
+
+
+# ---------------------------------------------------------------------------
+# UNION DISTINCT — completes the EXCEPT / INTERSECT / UNION set-op triad
+# ---------------------------------------------------------------------------
+@query(
+    "either_year_buyers_union",
+    oracle="""
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+UNION
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+""",
+    tags=("set-ops", "F2"),
+)
+def either_year_buyers_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who bought in EITHER year — UNION (distinct), closing
+    the set-op family next to pair_universe_diff's EXCEPT and
+    repeat_buyers_intersect's INTERSECT. Spark plans it as
+    union-then-HashAggregate on the key: the concat is free (no shuffle),
+    the distinct is one exchange over the combined key set, and partial
+    aggregation dedups map-side first — at 100 TB prefer this over
+    `dropDuplicates` on a wide row, because only the key column travels."""
+    o = load_table(spark, sf_dir, "orders")
+    y1 = o.filter(F.year("o_orderdate") == 1999).select("o_custkey")
+    y2 = o.filter(F.year("o_orderdate") == 2001).select("o_custkey")
+    return y1.union(y2).distinct()

@@ -182,3 +182,72 @@ def test_rolling_1h_volume_single_keyed_window(spark, sf_dir):
     p = plan_of(spark, "rolling_1h_volume", sf_dir)
     assert p.count("hashpartitioning(user_id") <= 1 * 2  # one window shuffle
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in p
+
+
+def test_min_price_part_broadcasts_the_min_side(spark, sf_dir):
+    """Correlated-MIN decorrelation: the grouped-min side is dimension-
+    sized and must broadcast — a SortMergeJoin here would re-shuffle the
+    whole part table for a per-type lookup."""
+    p = plan_of(spark, "min_price_part_per_type", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_order_priority_check_is_semi_join_with_pushed_dates(spark, sf_dir):
+    p = plan_of(spark, "order_priority_check", sf_dir)
+    assert "LeftSemi" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p  # pushed to the orders scan
+
+
+def test_sole_returning_suppliers_semi_anti_topk(spark, sf_dir):
+    """Q21 shape: EXISTS → LeftSemi, NOT EXISTS → LeftAnti, final top-20
+    as a per-partition heap; the R-flag filters push to the scans."""
+    p = plan_of(spark, "sole_returning_suppliers", sf_dir)
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p
+
+
+def test_idle_rich_customers_broadcast_threshold_anti_join(spark, sf_dir):
+    """Scalar subquery = 1-row broadcast; NOT EXISTS = LeftAnti; no
+    cartesian blowup from the threshold cross join."""
+    p = plan_of(spark, "idle_rich_customers", sf_dir)
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pivot_plans_as_single_aggregate(spark, sf_dir):
+    """Declared-values pivot must compile to one aggregation (conditional
+    aggregates), not a per-value scan or join."""
+    p = plan_of(spark, "status_priority_pivot", sf_dir)
+    assert "Join" not in p
+    # one exchange pair (partial+final) on the group key
+    assert p.count("hashpartitioning(o_orderpriority") <= 2
+
+
+def test_inverted_index_topk_not_full_sort(spark, sf_dir):
+    p = plan_of(spark, "inverted_index_terms", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_cohort_retention_reuses_user_partitioning(spark, sf_dir):
+    """MIN-per-user and the join back share the user_id hash partitioning
+    — the join itself must not introduce a third user_id exchange."""
+    p = plan_of(spark, "weekly_cohort_retention", sf_dir)
+    assert "CartesianProduct" not in p
+    assert p.count("hashpartitioning(user_id") <= 2 * 2  # x2 formatted print
+
+
+def test_corr_moments_single_exchange(spark, sf_dir):
+    """Five exact sums in one map-side-combinable aggregate: exactly one
+    exchange pair on the 3-value group key."""
+    p = plan_of(spark, "qty_price_corr_moments", sf_dir)
+    assert p.count("Exchange") == 2  # formatted prints the node twice
+
+
+def test_histogram_single_exchange_no_sort(spark, sf_dir):
+    p = plan_of(spark, "order_value_histogram", sf_dir)
+    assert p.count("Exchange") == 2
+    assert "Exchange rangepartitioning" not in p
