@@ -487,6 +487,30 @@ def user_activity_map_invert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Per-group exact median (nearest-rank), the grouped percentile shape.
 # ---------------------------------------------------------------------------
+def grouped_lower_median(
+    df: DataFrame, key: str, value: str, tie: str
+) -> DataFrame:
+    """Exact lower median per group by nearest rank: row_number over
+    (value, tie) vs the explicit `(n+1) div 2` rank. Returns one row per
+    key: (key, n, median). Shared by segment_median_acctbal and its
+    Hypothesis property test so the shipped formula is the tested one."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(value, tie)
+    wn = Window.partitionBy(key)
+    ranked = df.select(
+        key,
+        value,
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    half = (((F.col("n") + 1) - (F.col("n") + 1) % 2) / 2).cast("long")
+    return ranked.groupBy(key).agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == half, F.col(value))).alias("median"),
+    )
+
+
 @query(
     "segment_median_acctbal",
     oracle="""
@@ -513,20 +537,48 @@ def segment_median_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB-sized groups switch to approx_percentile (t-digest, one pass,
     map-side mergeable) and keep this exact form for the small-group
     tier — same query surface, documented swap."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    wn = Window.partitionBy("c_mktsegment")
-    ranked = load_table(spark, sf_dir, "customer").select(
-        "c_mktsegment",
-        "c_acctbal",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    out = grouped_lower_median(
+        load_table(spark, sf_dir, "customer"), "c_mktsegment", "c_acctbal", "c_custkey"
     )
-    half = ((F.col("n") + 1) - (F.col("n") + 1) % 2) / 2  # (n+1) div 2, exact
-    return ranked.groupBy("c_mktsegment").agg(
-        F.max("n").alias("n_customers"),
-        F.max(F.when(F.col("rn") == half.cast("long"), F.col("c_acctbal"))).alias(
-            "median_bal"
-        ),
+    return out.select(
+        "c_mktsegment",
+        F.col("n").alias("n_customers"),
+        F.col("median").alias("median_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LIKE-pattern scan (§2.8 string family) with pushdown-visible predicates.
+# ---------------------------------------------------------------------------
+@query(
+    "promo_bolt_parts_like",
+    oracle="""
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_retail
+FROM part
+WHERE p_type LIKE 'PROMO%' AND p_name LIKE '%bolt%'
+GROUP BY p_brand
+""",
+    tags=("F3", "string-like"),
+)
+def promo_bolt_parts_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LIKE scan (`database/postgres/writer.py:489`) as a
+    declarative predicate pair: a prefix pattern and an infix pattern.
+    Scale notes: Catalyst turns `LIKE 'PROMO%'` into StringStartsWith and
+    `LIKE '%bolt%'` into StringContains, BOTH pushed into the parquet
+    reader (see the plan guard) — the row groups whose min/max rule out
+    the prefix never decompress. Only leading-wildcard-with-suffix
+    patterns defeat pushdown."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("PROMO%") & F.col("p_name").like("%bolt%"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum(money("p_retailprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_retail"
+            ),
+        )
     )

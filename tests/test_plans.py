@@ -251,3 +251,9 @@ def test_histogram_single_exchange_no_sort(spark, sf_dir):
     p = plan_of(spark, "order_value_histogram", sf_dir)
     assert p.count("Exchange") == 2
     assert "Exchange rangepartitioning" not in p
+
+
+def test_like_patterns_push_to_scan(spark, sf_dir):
+    p = plan_of(spark, "promo_bolt_parts_like", sf_dir)
+    assert "StringStartsWith(p_type,PROMO)" in p
+    assert "StringContains(p_name,bolt)" in p

@@ -102,3 +102,37 @@ def test_count_within_radius_matches_brute_force(spark, points, probes):
         for i, t in enumerate(probes)
     }
     assert got == want
+
+
+_vals = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-100, 100), st.integers(0, 999)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=_vals)
+def test_grouped_lower_median_matches_brute_force(spark, rows):
+    """The shipped nearest-rank `(n+1) div 2` window formula must pick
+    exactly sorted(vals)[(n-1)//2] for every group — including ties,
+    negatives, and single-row groups."""
+    from collections import defaultdict
+
+    from financial_arbitrage_data_pipeline_spark.operators.analytics import (
+        grouped_lower_median,
+    )
+
+    df = spark.createDataFrame(
+        [(k, v, t) for k, v, t in rows], "k long, v long, tie long"
+    )
+    got = {r.k: (r.n, r.median) for r in grouped_lower_median(df, "k", "v", "tie").collect()}
+    groups = defaultdict(list)
+    for k, v, _t in rows:
+        groups[k].append(v)
+    want = {k: (len(vs), sorted(vs)[(len(vs) - 1) // 2]) for k, vs in groups.items()}
+    assert got == want
