@@ -582,3 +582,41 @@ def promo_bolt_parts_like(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ISO-8601 format/parse round-trip (§2.8 date/time family, the reference's
+# strftime('%Y-%m-%dT%H:%M:%SZ') export + ISO re-parse).
+# ---------------------------------------------------------------------------
+@query(
+    "iso_export_roundtrip",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso_ts,
+       CAST(strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ'),
+                     '%Y-%m-%dT%H:%M:%SZ') AS TIMESTAMP) AS parsed_back
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '2000-06-08 00:00:00'
+""",
+    tags=("scalar-datetime", "P10"),
+)
+def iso_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference serializes timestamps as `strftime('%Y-%m-%dT%H:%M:%SZ')`
+    on export and re-parses ISO strings on query entry
+    (`etl/query.py:112-131`). Engine form: date_format → to_timestamp,
+    proven lossless for second-precision data by emitting both the string
+    and the round-tripped timestamp. Scale notes: pure per-row projection
+    inside codegen — zero shuffles; the week filter pushes to the scan, so
+    the export only reads the slice it ships."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-06-08").cast("timestamp"))
+    )
+    fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    iso = F.date_format("o_orderdate", fmt)
+    return o.select(
+        "o_orderkey",
+        iso.alias("iso_ts"),
+        F.to_timestamp(iso, fmt).alias("parsed_back"),
+    )

@@ -94,3 +94,17 @@ def test_approx_distinct_is_the_scale_path_for_a4(spark, sf_dir):
     exact = ev.select("user_id").distinct().count()
     [row] = ev.agg(F.approx_count_distinct("user_id").alias("a")).collect()
     assert abs(row.a - exact) <= max(1, 0.05 * exact) * 3  # 3 sigma head-room
+
+
+def test_orc_roundtrip_with_predicate_pushdown(spark, sf_dir, tmp_path):
+    """ORC is the other columnar landing format Spark ships natively;
+    the same rows must round-trip, and filters must reach the ORC
+    reader (searchArgument pushdown) just like parquet."""
+    src = _sample(spark, sf_dir)
+    odir = str(tmp_path / "o")
+    src.write.orc(odir)
+    want = _rows(src)
+    back = spark.read.orc(odir)
+    assert _rows(back) == want
+    plan = back.filter(F.col("user_id") == 7)._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)" in plan
