@@ -820,3 +820,86 @@ def streaming_dlq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return good_sum.unionByName(bad_sum).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Native streaming sessionization: session_window + watermark (T7/A6/T2)
+# ---------------------------------------------------------------------------
+_SESS_GAP_US = 30 * 60 * 1_000_000
+_SESS_DELAY_US = 86_400 * 1_000_000  # 1-day watermark vs the 30-day fixture
+
+_STREAM_SESSIONS_ORACLE = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+wm AS (SELECT MAX(us) - {_SESS_DELAY_US} AS wm_us FROM e),
+marks AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > {_SESS_GAP_US}
+              OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+),
+agg AS (
+  SELECT user_id,
+         MIN(us) AS session_start_us,
+         MAX(us) AS session_last_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT a.user_id, a.session_start_us, a.session_last_us, a.n_events
+FROM agg a, wm w
+WHERE a.session_last_us + {_SESS_GAP_US} <= w.wm_us
+"""
+
+
+@query(
+    "streaming_user_sessions",
+    oracle=_STREAM_SESSIONS_ORACLE,
+    tags=("sessionization", "T2", "T7", "streaming"),
+)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `session_window` sessionization ON THE STREAM — the
+    streaming twin of the batch `user_sessions` gaps-and-islands query.
+    Sessions merge across micro-batches in the state store (a session
+    open at a batch boundary keeps absorbing events until the 30-min gap
+    closes it); append mode emits a session exactly once, when the
+    watermark (max event time − 1 day) passes its end (last event +
+    gap) — the emission rule the oracle's WHERE clause states. Scale
+    notes: state is one open session per active user, hash-partitioned
+    on user_id; emitted sessions leave the store, so state size tracks
+    ACTIVE users, not history — the property that makes sessionization
+    streamable at 100 TB where the batch window-sort is a full-history
+    shuffle."""
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        sink_dir = os.path.join(root, "sessions")
+        snap = ingest.enrich_snapshots(ingest.replay_stream(spark, replay_dir))
+        sess = (
+            snap.withWatermark("ts", "1 day")
+            .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+            .agg(
+                F.min("ts_us").alias("session_start_us"),
+                F.max("ts_us").alias("session_last_us"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select("user_id", "session_start_us", "session_last_us", "n_events")
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink_dir).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
