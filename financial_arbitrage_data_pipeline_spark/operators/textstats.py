@@ -520,3 +520,79 @@ def stratified_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(is_en, F.lit(10.0)).otherwise(F.lit(2.0)).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Array-predicate HOFs (exists / forall) — §2.8 array family closure
+# ---------------------------------------------------------------------------
+@query(
+    "doc_token_predicates",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN len(list_filter(toks, x -> length(x) >= 8)) > 0
+                  THEN 1 END) AS has_long_token,
+       COUNT(CASE WHEN len(list_filter(toks, x -> length(x) < 3)) = 0
+                  THEN 1 END) AS all_tokens_3plus
+FROM t GROUP BY lang
+""",
+    tags=("text", "array-hof"),
+)
+def doc_token_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`exists()` / `forall()` array predicates per document, rolled up
+    per language — the declarative form of the reference's list
+    comprehensions with any()/all() (`etl/query.py:191,212-213`). Scale
+    notes: both HOFs short-circuit per row inside codegen — no explode,
+    no shuffle before the 3-group rollup; at 100 TB this is the shape to
+    prefer over explode+groupBy whenever the question is per-row
+    (exists?) rather than per-element (how many?)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    has_long = F.exists(toks, lambda x: F.length(x) >= 8)
+    all_3plus = F.forall(toks, lambda x: F.length(x) >= 3)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(has_long, 1)).alias("has_long_token"),
+        F.count(F.when(all_3plus, 1)).alias("all_tokens_3plus"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# posexplode — position-aware flatten (§2.8 array family)
+# ---------------------------------------------------------------------------
+@query(
+    "token_position_lengths",
+    oracle="""
+WITH flat AS (
+  SELECT unnest(toks) AS term, unnest(range(len(toks))) AS pos
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+)
+SELECT CAST(pos // 5 AS BIGINT) AS pos_bucket,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(length(term)) AS BIGINT) AS total_chars,
+       MIN(length(term)) AS min_len,
+       MAX(length(term)) AS max_len
+FROM flat
+GROUP BY pos // 5
+""",
+    tags=("text", "posexplode"),
+)
+def token_position_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware explode (`posexplode`): token-length statistics by
+    position-in-document bucket — the 'do sentences start with shorter
+    words' sweep. The oracle zips unnest(toks) with unnest(range(len)) —
+    both engines 0-based, same buckets. Scale notes:
+    posexplode is a flatMap; the only shuffle is the bounded-cardinality
+    bucket rollup, partially aggregated map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.posexplode(F.split("text", " ")).alias("pos", "term"))
+    bucket = (F.col("pos") - F.col("pos") % 5) / 5
+    return t.groupBy(bucket.cast("long").alias("pos_bucket")).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("term")).alias("total_chars"),
+        F.min(F.length("term")).alias("min_len"),
+        F.max(F.length("term")).alias("max_len"),
+    )
