@@ -620,3 +620,112 @@ def iso_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         iso.alias("iso_ts"),
         F.to_timestamp(iso, fmt).alias("parsed_back"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build: change rows → effective-dated validity ranges.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_status_scd2",
+    oracle="""
+WITH h AS (
+  SELECT o_custkey,
+         o_orderstatus,
+         o_orderdate AS valid_from,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS version
+  FROM orders
+)
+SELECT o_custkey, o_orderstatus, valid_from, valid_to, version,
+       CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+FROM h
+WHERE o_custkey % 20 = 0
+""",
+    tags=("W3", "scd2", "temporal"),
+)
+def customer_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each change event becomes
+    a versioned row whose validity closes at the NEXT change (LEAD), the
+    open row flagged current — the standard way to keep queryable history
+    of the reference's mutable Postgres rows (pair status, ticket fills)
+    in an append-only lake. Scale notes: one shuffle on the business key,
+    LEAD and ROW_NUMBER share the same window sort; the key-sampled
+    output filter pushes to the scan. Rebuilds are idempotent — the same
+    input always yields the same versions, so the table can be
+    incrementally recomputed per partition."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    return o.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: share-of-parent via window sums (no self-join).
+# ---------------------------------------------------------------------------
+@query(
+    "nation_revenue_share",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation, r.r_name AS region,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name, r.r_name
+)
+SELECT nation, region,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE)
+         / CAST(SUM(rev_dec) OVER (PARTITION BY region) AS DOUBLE) AS region_share,
+       CAST(rev_dec AS DOUBLE)
+         / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS global_share
+FROM rev
+""",
+    tags=("A1", "W2", "ratio-to-report"),
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent at two levels (region, global) via window sums
+    over the AGGREGATED rows — the ratio-to-report shape. Scale notes:
+    the windows run over #nations rows (dimension-sized), so the
+    unpartitioned global window is safe here; never put an unpartitioned
+    window over fact rows — aggregate first, window after. Dimension
+    joins broadcast. Exactness: revenue stays DECIMAL through the window
+    sums (a double window-sum accumulates in engine-specific order) and
+    is cast to double only for the final divisions, so both shares are
+    bit-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    from pyspark.sql import Window
+
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(money("o_totalprice")).alias("rev_dec"))
+    )
+    revenue = F.col("rev_dec").cast("double")
+    return rev.select(
+        "nation",
+        "region",
+        revenue.alias("revenue"),
+        (
+            revenue
+            / F.sum("rev_dec").over(Window.partitionBy("region")).cast("double")
+        ).alias("region_share"),
+        (
+            revenue / F.sum("rev_dec").over(Window.partitionBy()).cast("double")
+        ).alias("global_share"),
+    )
