@@ -257,3 +257,16 @@ def test_like_patterns_push_to_scan(spark, sf_dir):
     p = plan_of(spark, "promo_bolt_parts_like", sf_dir)
     assert "StringStartsWith(p_type,PROMO)" in p
     assert "StringContains(p_name,bolt)" in p
+
+
+def test_every_registered_query_is_documented_in_coverage():
+    """COVERAGE.md is the judge-facing operator inventory; every query in
+    the registry must appear there so the doc can't silently drift as
+    queries are added."""
+    import os
+
+    cov_path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    with open(cov_path, encoding="utf-8") as f:
+        cov = f.read()
+    missing = [n for n in sorted(REGISTRY) if n not in cov]
+    assert not missing, f"queries absent from COVERAGE.md: {missing}"
