@@ -146,6 +146,27 @@ def enrich_snapshots(df: DataFrame) -> DataFrame:
     )
 
 
+def with_pipeline_counters(
+    df: DataFrame, name: str = "ingest_counters"
+) -> DataFrame:
+    """The reference's pipeline health counters (messages processed,
+    latency totals — `README.md:111-115`, the interval logger) as
+    engine-native OBSERVED METRICS: aggregates computed inside the
+    already-running plan (no second scan, no side channel), surfaced
+    per micro-batch in StreamingQueryProgress.observedMetrics and in
+    batch via pyspark.sql.Observation. At 100 TB this is the only
+    affordable way to count a pipeline — a monitoring count(*) query
+    would re-read the table."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("virginia_received_ns") - F.col("api_call_start_ns")).alias(
+            "total_transport_ns"
+        ),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+
+
 def start_storage_lane(
     snapshots: DataFrame, table_dir: str, checkpoint_dir: str
 ) -> StreamingQuery:
@@ -153,9 +174,12 @@ def start_storage_lane(
     table, partitioned by `source` — the Influx 2-tag cardinality design
     (`database/models/influx.py:5-11,65-74`) realized as partition
     pruning. Retry/DLQ (T6) is checkpoint + task retries: a failed batch
-    replays from the checkpoint with exactly-once file-sink semantics."""
+    replays from the checkpoint with exactly-once file-sink semantics.
+    Every batch reports its observed counters (with_pipeline_counters)
+    through the streaming progress API."""
     return (
-        snapshots.writeStream.format("parquet")
+        with_pipeline_counters(snapshots)
+        .writeStream.format("parquet")
         .option("path", table_dir)
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy("source")

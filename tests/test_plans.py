@@ -270,3 +270,30 @@ def test_every_registered_query_is_documented_in_coverage():
         cov = f.read()
     missing = [n for n in sorted(REGISTRY) if n not in cov]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_dynamic_partition_pruning_on_partitioned_snapshots(spark, sf_dir, tmp_path):
+    """The snapshot table is partitioned by venue/type; a fact⋈dim join
+    whose dim side is filtered must prune fact PARTITIONS at runtime
+    (DPP) — the mechanism that makes dimension-filtered scans touch a
+    fraction of a 100 TB table even when the filter value is only known
+    at join time."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    fact_dir = str(tmp_path / "fact")
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "value", "event_type")
+        .write.partitionBy("event_type")
+        .parquet(fact_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("click", 0), ("view", 0), ("error", 0), ("signup", 0)],
+        "event_type string, is_conversion int",
+    )
+    joined = fact.join(dim.filter(F.col("is_conversion") == 1), "event_type")
+    p = spark._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in p.lower(), p[:800]

@@ -418,3 +418,48 @@ def test_transform_with_state_matches_apply_in_pandas_backend(spark, tmp_path):
     got_apiws = run(scan.opportunity_stream, "apiws")
     assert got_tws == got_apiws
     assert len(got_apiws) == 2  # both pairs end with a live opportunity
+
+
+def test_storage_lane_reports_observed_counters(spark, sf_dir, tmp_path):
+    """The ingest lane's health counters (the reference's message/latency
+    counters) must surface through the streaming progress API — computed
+    inside the running plan, not by re-scanning the sink."""
+    replay_dir = str(tmp_path / "replay")
+    n = ingest.write_replay_chunks(spark, sf_dir, replay_dir, n_chunks=2)
+    q = ingest.start_storage_lane(
+        ingest.enrich_snapshots(ingest.replay_stream(spark, replay_dir)),
+        str(tmp_path / "snap"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    observed = [
+        p["observedMetrics"]["ingest_counters"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("ingest_counters")
+    ]
+    assert observed, "no observedMetrics in any batch progress"
+    assert sum(m["n_rows"] for m in observed) == n
+    # transport stamp is a fixed +1ms per row — the counter proves the
+    # timing-chain arithmetic ran over every row
+    assert all(m["total_transport_ns"] == m["n_rows"] * 1_000_000 for m in observed)
+
+
+def test_batch_observation_counts_without_second_scan(spark, sf_dir):
+    """Same counters in batch form via pyspark.sql.Observation."""
+    from pyspark.sql import Observation
+
+    src = ingest.enrich_snapshots(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    obs = Observation("ingest_counters")
+    observed_df = src.observe(
+        obs, F.count(F.lit(1)).alias("n_rows"), F.max("ts_us").alias("max_ts_us")
+    )
+    n_written = observed_df.count()
+    assert obs.get["n_rows"] == n_written
