@@ -27,14 +27,11 @@ under any batch split or partial-aggregation order.
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
 
 from ..plans.registry import query
 from ..sources.tables import load_table

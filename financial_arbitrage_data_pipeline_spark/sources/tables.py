@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TESTDATA_TABLES = [
     "region",
@@ -25,6 +27,43 @@ TESTDATA_TABLES = [
     "documents",
     "embeddings",
 ]
+
+
+def canonicalize_events(df: DataFrame) -> DataFrame:
+    """Normalize `events.ts` to the engine's canonical form — BIGINT
+    ns-since-epoch, UTC — regardless of the physical parquet encoding.
+
+    Schema-on-read discipline: the driver's testdata has shipped `ts` as
+    parquet timestamp[ns] (read as LongType ns under
+    `spark.sql.legacy.parquet.nanosAsLong`) and as parquet timestamp[us]
+    (read as TIMESTAMP_NTZ). The reference never assumes a physical
+    encoding either — it parses ISO strings and converts per query
+    (`etl/query.py:109-143`). Keying off the *resolved* type here means
+    every downstream operator sees one canonical `ts` and a data regen
+    cannot break the engine again.
+
+    - LongType → already ns epoch, pass through untouched.
+    - TIMESTAMP / TIMESTAMP_NTZ → µs precision physically; session tz is
+      pinned UTC (session.py / __spark_entry__._configure), so
+      `unix_micros(cast(ts as timestamp)) * 1000` is the exact ns epoch.
+      The NTZ→TZ cast interprets the wall clock in the session zone —
+      identical to DuckDB's `epoch_us(ts)` on a naive timestamp.
+    """
+    field = next((f for f in df.schema.fields if f.name == "ts"), None)
+    if field is None or isinstance(field.dataType, T.LongType):
+        return df
+    if isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)):
+        cols = [
+            (F.unix_micros(F.col(c).cast("timestamp")) * F.lit(1000)).alias("ts")
+            if c == "ts"
+            else F.col(c)
+            for c in df.columns
+        ]
+        return df.select(*cols)
+    raise TypeError(
+        f"events.ts has unsupported type {field.dataType}; "
+        "expected int64 ns-epoch or parquet timestamp"
+    )
 
 
 def load_table(
@@ -46,7 +85,8 @@ def load_table(
     immutable, so the default memoizes)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not cache:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        return canonicalize_events(df) if name == "events" else df
     store = getattr(spark, "_fadp_table_cache", None)
     if store is None:
         store = {}
@@ -54,6 +94,8 @@ def load_table(
     df = store.get(path)
     if df is None:
         df = spark.read.parquet(path)
+        if name == "events":
+            df = canonicalize_events(df)
         store[path] = df
     return df
 

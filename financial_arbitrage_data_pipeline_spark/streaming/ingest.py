@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from ..sources.tables import load_table
+
 # Replay rows: the driver's events table reduced to the fields the
 # snapshot pipeline consumes, with event time in µs (ns precision beyond
 # µs carries no information in the fixtures and µs is what DuckDB's
@@ -67,7 +69,7 @@ def write_replay_chunks(
     (`repartitionByRange` → one file per range, no driver collect); at
     production scale this function does not exist — Kafka does.
     """
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+    ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.expr("ts div 1000").alias("ts_us"),
         "user_id",

@@ -20,6 +20,7 @@ import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
+from financial_arbitrage_data_pipeline_spark.sources.tables import load_table
 from financial_arbitrage_data_pipeline_spark.streaming import ingest, scan
 
 HOUR_US = 3_600_000_000
@@ -449,7 +450,7 @@ def test_batch_observation_counts_without_second_scan(spark, sf_dir):
     from pyspark.sql import Observation
 
     src = ingest.enrich_snapshots(
-        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        load_table(spark, sf_dir, "events").select(
             "event_id",
             F.expr("ts div 1000").alias("ts_us"),
             "user_id",
