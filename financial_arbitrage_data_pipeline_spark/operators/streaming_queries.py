@@ -511,13 +511,19 @@ def make_pair_perf_upserter(spark: SparkSession, table: str):
     """Build the foreachBatch upserter for the running pair-performance
     table at `table` (created empty if absent). Exposed module-level so
     the redelivery test exercises EXACTLY the shipped batch handler."""
-    from .upsert import merge_into_parquet
+    from .upsert import create_bucketed_table, merge_into_parquet
 
     if not os.path.exists(table):
-        spark.createDataFrame(
-            [],
-            "pair_id long, total_trades long, total_volume long, total_cost_cents long",
-        ).write.parquet(table)
+        create_bucketed_table(
+            spark,
+            table,
+            spark.createDataFrame(
+                [],
+                "pair_id long, total_trades long, total_volume long,"
+                " total_cost_cents long",
+            ),
+            key="pair_id",
+        )
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(table, "_last_applied_batch")
@@ -599,7 +605,9 @@ def streaming_pair_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        return spark.read.parquet(table).localCheckpoint()
+        from .upsert import read_merge_table
+
+        return read_merge_table(spark, table).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -10,12 +10,17 @@ status per trade (`database/postgres/writer.py:215-294`,
 Spark-first realization: the one sink primitive plain parquet lacks is
 `MERGE INTO`; with Delta/Iceberg present, `merge_into_parquet` is spelled
 `target.merge(updates, ...)` and everything else here is unchanged. On
-plain parquet the equivalent is a read → full-outer-join → rewrite cycle
-— acceptable because the reference's upsert targets are the *small*
-relational tables (tickets/pairs), not the 100 TB snapshot stream. At
-scale, partition the target by a key prefix and rewrite only partitions
-containing updated keys (dynamic partition overwrite), keeping the
-rewrite proportional to touched data.
+plain parquet the equivalent is a join → rewrite cycle, scoped by HASH
+BUCKET: merge targets are laid out `partitionBy("__bucket__")` with
+`__bucket__ = pmod(xxhash64(key), n_buckets)`, a merge computes the
+(tiny, ≤ n_buckets) set of buckets its update keys hash into, reads ONLY
+those bucket directories (partition pruning at the scan), and swaps only
+them — untouched buckets are never read or rewritten, so the cost of a
+MERGE is proportional to touched data, not table size. That is the same
+write-amplification contract Delta/Iceberg `MERGE INTO` gives via file
+pruning; on a 100 TB table you would raise n_buckets so each bucket is
+a few GB. Unbucketed targets fall back to a whole-table rewrite (kept
+for tiny fixtures and as the recovery path).
 
 Exactness divergence (deliberate, SURVEY risk-note style): the reference
 stores the running `average_fill_price` and updates it incrementally with
@@ -36,6 +41,66 @@ from pyspark.sql import functions as F
 from ..plans.registry import query
 from ..sources.tables import load_table
 
+try:  # Delta gives true transactional MERGE; optional, never required.
+    from delta.tables import DeltaTable  # type: ignore
+
+    _HAS_DELTA = True
+except Exception:  # pragma: no cover - delta not shipped in this container
+    _HAS_DELTA = False
+
+_N_BUCKETS_FILE = "_n_buckets"
+_DEFAULT_BUCKETS = 16
+
+
+def _bucket_of(key_col: Column, n_buckets: int) -> Column:
+    """Deterministic bucket id for a merge key. xxhash64 is a stable
+    JVM-side hash (same value on every executor/session), so the bucket
+    assignment is reproducible across jobs — a requirement for a layout
+    that outlives the session that wrote it."""
+    return F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+
+
+def create_bucketed_table(
+    spark: SparkSession,
+    target_dir: str,
+    df: DataFrame,
+    key: str,
+    n_buckets: int = _DEFAULT_BUCKETS,
+) -> None:
+    """Materialize `df` as a hash-bucketed merge target:
+    `<dir>/__bucket__=<i>/part-*.parquet` + an `_n_buckets` marker so
+    later merges reproduce the same modulus. An empty seed writes its
+    (empty) schema into `__bucket__=0` so the layout is readable before
+    the first merge."""
+    if df.take(1):
+        (
+            df.withColumn("__bucket__", _bucket_of(F.col(key), n_buckets))
+            .repartition("__bucket__")
+            .write.mode("overwrite")
+            .partitionBy("__bucket__")
+            .parquet(target_dir)
+        )
+    else:
+        df.write.mode("overwrite").parquet(
+            os.path.join(target_dir, "__bucket__=0")
+        )
+    with open(os.path.join(target_dir, _N_BUCKETS_FILE), "w") as fh:
+        fh.write(str(n_buckets))
+
+
+def read_merge_table(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Read a merge target in user-schema form (bucket column dropped)."""
+    df = spark.read.parquet(target_dir)
+    return df.drop("__bucket__") if "__bucket__" in df.columns else df
+
+
+def _bucketed_n(target_dir: str) -> int | None:
+    p = os.path.join(target_dir, _N_BUCKETS_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return int(fh.read().strip())
+
 
 def merge_into_parquet(
     spark: SparkSession,
@@ -52,15 +117,176 @@ def merge_into_parquet(
     `set_exprs` sees the joined row with target columns as `t.<c>` and
     update columns as `u.<c>`. Unmatched target rows pass through; with
     `insert_missing`, unmatched update rows are inserted (columns not
-    covered by set_exprs default to null). The rewrite goes through a tmp
-    dir then swaps via two renames, so a failed *job* (the expensive part)
-    never corrupts the target. The swap itself is not atomic: a crash
-    between the renames leaves the data in `<target>.__merge_old__` with
-    no `<target>` dir — recovery is `mv <target>.__merge_old__ <target>`
-    and re-run. Stale tmp/old dirs from a previous crashed run are cleared
-    at entry so the next merge cannot trip over them. (Delta/Iceberg
-    `MERGE` gives true atomicity; this is the plain-parquet fallback.)
+    covered by set_exprs default to null).
+
+    Physical strategy, best available first:
+
+    1. **Delta** (`_delta_log` present and delta importable): true
+       transactional `MERGE INTO` — file-pruned, atomic, concurrent-safe.
+    2. **Hash-bucketed parquet** (`_n_buckets` marker present, written by
+       `create_bucketed_table`): read/join/rewrite ONLY the buckets the
+       update keys hash into; untouched buckets are never opened. Each
+       bucket swaps via tmp-dir + rename (atomic per bucket). Cross-bucket
+       atomicity is NOT guaranteed: a crash mid-merge leaves some buckets
+       updated and the applied-batch marker unwritten, so an at-least-once
+       redelivery can double-apply the already-swapped buckets — the
+       residual window a transaction log (option 1) exists to close.
+    3. **Plain parquet dir**: whole-table read → join → rewrite through a
+       tmp dir and a two-rename swap. A failed job never corrupts the
+       target; a crash between the renames leaves the data in
+       `<target>.__merge_old__` (recovery: rename it back and re-run).
     """
+    if _HAS_DELTA and os.path.isdir(os.path.join(target_dir, "_delta_log")):
+        _merge_delta(
+            spark, target_dir, updates, key, set_exprs, insert_missing, extra_files
+        )
+        return
+    n_buckets = _bucketed_n(target_dir)
+    if n_buckets is not None:
+        _merge_bucketed(
+            spark,
+            target_dir,
+            updates,
+            key,
+            set_exprs,
+            insert_missing,
+            extra_files,
+            n_buckets,
+        )
+        return
+    _merge_full_rewrite(
+        spark, target_dir, updates, key, set_exprs, insert_missing, extra_files
+    )
+
+
+def _merged_output(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    set_exprs: dict[str, Column],
+    insert_missing: bool,
+    data_cols: list[str],
+) -> DataFrame:
+    """The MERGE join + per-column WHEN MATCHED/NOT MATCHED projection,
+    shared by the bucketed and full-rewrite paths."""
+    t = target.alias("t")
+    u = updates.alias("u")
+    join_type = "full_outer" if insert_missing else "left_outer"
+    joined = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), join_type)
+    matched = F.col(f"u.{key}").isNotNull()
+    out_cols = []
+    for c in data_cols:
+        if c == key:
+            out_cols.append(F.coalesce(F.col(f"t.{key}"), F.col(f"u.{key}")).alias(c))
+        elif c in set_exprs:
+            out_cols.append(
+                F.when(matched, set_exprs[c]).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"t.{c}").alias(c))
+    return joined.select(*out_cols)
+
+
+def _install_root_files(target_dir: str, extra_files: dict[str, str] | None) -> None:
+    """Install root-level metadata (e.g. the applied-batch marker)
+    atomically per file via write-tmp + os.replace."""
+    for name, content in (extra_files or {}).items():
+        tmpf = os.path.join(target_dir, f".{name}.tmp")
+        with open(tmpf, "w") as fh:
+            fh.write(content)
+        os.replace(tmpf, os.path.join(target_dir, name))
+
+
+def _merge_bucketed(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key: str,
+    set_exprs: dict[str, Column],
+    insert_missing: bool,
+    extra_files: dict[str, str] | None,
+    n_buckets: int,
+) -> None:
+    """Bucket-scoped MERGE: rewrite only `__bucket__=<i>` directories
+    whose bucket id appears among the update keys. The touched-bucket
+    collect is ≤ n_buckets ints — driver-safe at any scale."""
+    touched = sorted(
+        r[0]
+        for r in updates.select(
+            _bucket_of(F.col(key), n_buckets).alias("__bucket__")
+        )
+        .distinct()
+        .collect()
+    )
+    tmp = target_dir.rstrip("/") + ".__merge_tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if touched:
+        full = spark.read.parquet(target_dir)
+        data_cols = [c for c in full.columns if c != "__bucket__"]
+        # partition filter → Spark prunes untouched bucket directories at
+        # the scan; only touched buckets are ever opened
+        target = full.filter(F.col("__bucket__").isin(touched)).drop("__bucket__")
+        merged = _merged_output(
+            target, updates, key, set_exprs, insert_missing, data_cols
+        ).withColumn("__bucket__", _bucket_of(F.col(key), n_buckets))
+        (
+            merged.repartition("__bucket__")
+            .write.mode("overwrite")
+            .partitionBy("__bucket__")
+            .parquet(tmp)
+        )
+        for b in touched:
+            src = os.path.join(tmp, f"__bucket__={b}")
+            dst = os.path.join(target_dir, f"__bucket__={b}")
+            old = dst + ".__old__"
+            shutil.rmtree(old, ignore_errors=True)
+            if not os.path.exists(src):
+                continue  # no surviving rows for this bucket: nothing to swap
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            os.rename(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+    _install_root_files(target_dir, extra_files)
+
+
+def _merge_delta(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key: str,
+    set_exprs: dict[str, Column],
+    insert_missing: bool,
+    extra_files: dict[str, str] | None,
+) -> None:  # pragma: no cover - exercised only where delta-spark is installed
+    """Transactional MERGE INTO via Delta Lake — same t./u. alias contract
+    as the parquet paths, with real ACID semantics."""
+    dt = DeltaTable.forPath(spark, target_dir)
+    cols = dt.toDF().columns
+    m = dt.alias("t").merge(updates.alias("u"), F.expr(f"t.{key} = u.{key}"))
+    m = m.whenMatchedUpdate(set=dict(set_exprs))
+    if insert_missing:
+        values = {
+            c: set_exprs.get(
+                c, F.col(f"u.{key}") if c == key else F.lit(None)
+            )
+            for c in cols
+        }
+        m = m.whenNotMatchedInsert(values=values)
+    m.execute()
+    _install_root_files(target_dir, extra_files)
+
+
+def _merge_full_rewrite(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key: str,
+    set_exprs: dict[str, Column],
+    insert_missing: bool,
+    extra_files: dict[str, str] | None,
+) -> None:
+    """Whole-table rewrite fallback for unbucketed targets."""
     # clear leftovers from a crashed prior run: a stale __merge_old__
     # would make our os.rename(target, old) raise; a stale tmp is dead
     # weight. If only __merge_old__ survives (crash between renames),
@@ -74,22 +300,10 @@ def merge_into_parquet(
         else:
             os.rename(old_path, target_dir)
 
-    target = spark.read.parquet(target_dir).alias("t")
-    u = updates.alias("u")
-    join_type = "full_outer" if insert_missing else "left_outer"
-    joined = target.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), join_type)
-
-    matched = F.col(f"u.{key}").isNotNull()
-    out_cols = []
-    for c in spark.read.parquet(target_dir).columns:
-        base = F.coalesce(F.col(f"t.{c}"), F.lit(None)) if c != key else F.coalesce(
-            F.col(f"t.{key}"), F.col(f"u.{key}")
-        )
-        if c in set_exprs:
-            out_cols.append(F.when(matched, set_exprs[c]).otherwise(F.col(f"t.{c}")).alias(c))
-        else:
-            out_cols.append(base.alias(c))
-    merged = joined.select(*out_cols)
+    target = spark.read.parquet(target_dir)
+    merged = _merged_output(
+        target, updates, key, set_exprs, insert_missing, target.columns
+    )
 
     tmp = tmp_path
     merged.write.mode("overwrite").parquet(tmp)
@@ -179,13 +393,18 @@ def ticket_fill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="sgmerge_")
     tickets_dir = os.path.join(root, "trade_tickets")
     try:
-        load_table(spark, sf_dir, "orders").select(
-            F.col("o_orderkey").alias("ticket_id"),
-            (F.col("o_orderkey") % 50 + 1).alias("quantity"),
-            F.lit(0).cast("long").alias("executed_quantity"),
-            F.lit(0).cast("long").alias("executed_cost_cents"),
-            F.lit("pending").alias("status"),
-        ).write.mode("overwrite").parquet(tickets_dir)
+        create_bucketed_table(
+            spark,
+            tickets_dir,
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("ticket_id"),
+                (F.col("o_orderkey") % 50 + 1).alias("quantity"),
+                F.lit(0).cast("long").alias("executed_quantity"),
+                F.lit(0).cast("long").alias("executed_cost_cents"),
+                F.lit("pending").alias("status"),
+            ),
+            key="ticket_id",
+        )
 
         li = load_table(spark, sf_dir, "lineitem").select(
             F.col("l_orderkey").alias("ticket_id"),
@@ -196,7 +415,7 @@ def ticket_fill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_fills(spark, tickets_dir, li.filter(F.col("l_linenumber") <= 3))
         apply_fills(spark, tickets_dir, li.filter(F.col("l_linenumber") > 3))
 
-        final = spark.read.parquet(tickets_dir).select(
+        final = read_merge_table(spark, tickets_dir).select(
             "ticket_id",
             "quantity",
             "executed_quantity",

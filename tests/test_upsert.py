@@ -106,3 +106,124 @@ def test_merge_recovers_from_crashed_prior_run(spark, tmp_path):
     merge_into_parquet(spark, path, updates, key="id", set_exprs=upd)
     rows = {r.id: r.v for r in spark.read.parquet(path).collect()}
     assert rows == {1: 12, 2: 20}
+
+
+# ---------------------------------------------------------------------------
+# Bucket-scoped merge (the scale path: rewrite only touched buckets)
+# ---------------------------------------------------------------------------
+def _bucket_files(path):
+    """{relpath: bytes} for every parquet data file under each bucket dir."""
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        if "__bucket__=" not in root:
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, path)] = fh.read()
+    return out
+
+
+def _seed_bucketed(spark, path, n_buckets=8, n_rows=64):
+    from financial_arbitrage_data_pipeline_spark.operators.upsert import (
+        create_bucketed_table,
+    )
+
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") * 10).alias("v"), F.lit("x").alias("tag")
+    )
+    create_bucketed_table(spark, path, df, key="id", n_buckets=n_buckets)
+
+
+def test_bucketed_merge_semantics(spark, tmp_path):
+    from financial_arbitrage_data_pipeline_spark.operators.upsert import (
+        read_merge_table,
+    )
+
+    path = str(tmp_path / "bt")
+    _seed_bucketed(spark, path)
+    updates = spark.createDataFrame([(3, 1), (7, 2)], "id long, dv long")
+    merge_into_parquet(
+        spark, path, updates, key="id", set_exprs={"v": F.col("t.v") + F.col("u.dv")}
+    )
+    rows = {r.id: r.v for r in read_merge_table(spark, path).collect()}
+    assert len(rows) == 64
+    assert rows[3] == 31 and rows[7] == 72
+    assert rows[0] == 0 and rows[63] == 630
+
+
+def test_bucketed_merge_untouched_buckets_byte_identical(spark, tmp_path):
+    """The write-amplification contract: a merge rewrites ONLY the bucket
+    directories its update keys hash into; every other bucket's data
+    files are bit-for-bit untouched."""
+    import os
+
+    path = str(tmp_path / "bt")
+    _seed_bucketed(spark, path)
+    before = _bucket_files(path)
+    updates = spark.createDataFrame([(3, 1)], "id long, dv long")
+    merge_into_parquet(
+        spark, path, updates, key="id", set_exprs={"v": F.col("t.v") + F.col("u.dv")}
+    )
+    after = _bucket_files(path)
+
+    from pyspark.sql import functions as SF
+
+    [touched] = [
+        r[0]
+        for r in spark.range(1)
+        .select(SF.pmod(SF.xxhash64(SF.lit(3).cast("long")), SF.lit(8)).cast("int"))
+        .collect()
+    ]
+    touched_prefix = f"__bucket__={touched}"
+    untouched_before = {k: v for k, v in before.items() if not k.startswith(touched_prefix)}
+    untouched_after = {k: v for k, v in after.items() if not k.startswith(touched_prefix)}
+    assert untouched_before == untouched_after  # names AND bytes identical
+    assert any(k.startswith(touched_prefix) for k in after)
+    changed = {k for k in before if k.startswith(touched_prefix)}
+    assert {k for k in after if k.startswith(touched_prefix)} != changed or any(
+        before[k] != after.get(k) for k in changed
+    )
+
+
+def test_bucketed_merge_insert_missing_lands_in_right_bucket(spark, tmp_path):
+    from financial_arbitrage_data_pipeline_spark.operators.upsert import (
+        read_merge_table,
+    )
+
+    path = str(tmp_path / "bt")
+    _seed_bucketed(spark, path, n_rows=4)
+    updates = spark.createDataFrame([(100, 7)], "id long, dv long")
+    merge_into_parquet(
+        spark,
+        path,
+        updates,
+        key="id",
+        set_exprs={"v": F.coalesce(F.col("t.v"), F.lit(0)) + F.col("u.dv")},
+        insert_missing=True,
+    )
+    rows = {r.id: (r.v, r.tag) for r in read_merge_table(spark, path).collect()}
+    assert rows[100] == (7, None)
+    assert len(rows) == 5
+
+
+def test_bucketed_merge_empty_updates_still_advances_marker(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "bt")
+    _seed_bucketed(spark, path, n_rows=4)
+    updates = spark.createDataFrame([], "id long, dv long")
+    merge_into_parquet(
+        spark,
+        path,
+        updates,
+        key="id",
+        set_exprs={"v": F.col("t.v") + F.col("u.dv")},
+        extra_files={"_last_applied_batch": "42"},
+    )
+    with open(os.path.join(path, "_last_applied_batch")) as fh:
+        assert fh.read() == "42"
+    assert spark.read.parquet(path).count() == 4
