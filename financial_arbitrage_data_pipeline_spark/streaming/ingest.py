@@ -113,6 +113,62 @@ def replay_stream(
     return reader.format(fmt).load(replay_dir)
 
 
+def synthetic_feed_stream(
+    spark: SparkSession,
+    rows_per_batch: int = 2000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Non-file streaming source emitting the SAME replay-schema rows as
+    `replay_stream` — proof that the downstream lanes (enrichment,
+    storage, scan) are source-agnostic: they consume a schema contract,
+    not a format. Uses Spark's `rate-micro-batch` source (deterministic
+    rows-per-batch, deterministic timestamps from a fixed start), the
+    engine-native stand-in for the reference's live REST poll loops
+    (`virginia/api/data_feed.py:210-342`); in production the same lanes
+    sit on `readStream.format("kafka")`.
+
+    Field synthesis is a pure projection of (value, timestamp) — JVM-side,
+    deterministic, so two runs of the same batch produce identical rows
+    (a replayed batch after failure writes the same data)."""
+    reader = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", "0")
+    )
+    if num_partitions:
+        reader = reader.option("numPartitions", num_partitions)
+    src = reader.load()  # columns: timestamp TIMESTAMP, value LONG
+    event_types = F.array(
+        *[F.lit(t) for t in ("click", "view", "purchase", "signup", "error")]
+    )
+    return src.select(
+        F.col("value").alias("event_id"),
+        F.unix_micros(F.col("timestamp")).alias("ts_us"),
+        (F.col("value") % 500).alias("user_id"),
+        F.element_at(event_types, (F.col("value") % 5 + 1).cast("int")).alias(
+            "event_type"
+        ),
+        ((F.col("value") % 97 + 1).cast("double") / F.lit(100.0)).alias("value"),
+    )
+
+
+def run_until_batches(q: StreamingQuery, n_batches: int, timeout_sec: float = 120.0) -> None:
+    """Let an unbounded-source query (rate/Kafka) process at least
+    `n_batches` micro-batches, then stop it gracefully. The bounded-file
+    replay uses availableNow and terminates by itself; an unbounded
+    source needs an explicit stop condition."""
+    import time as _time
+
+    deadline = _time.time() + timeout_sec
+    while _time.time() < deadline:
+        lp = q.lastProgress
+        if lp is not None and lp["batchId"] + 1 >= n_batches:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+
 def enrich_snapshots(df: DataFrame) -> DataFrame:
     """P1/P2 snapshot enrichment (`virginia/coordinator.py:433-537`): tag
     the venue (source), name the key (ticker), serialize the quote payload
@@ -170,7 +226,10 @@ def with_pipeline_counters(
 
 
 def start_storage_lane(
-    snapshots: DataFrame, table_dir: str, checkpoint_dir: str
+    snapshots: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
 ) -> StreamingQuery:
     """K1: append the enriched snapshot stream to the `market_snapshot`
     table, partitioned by `source` — the Influx 2-tag cardinality design
@@ -178,17 +237,20 @@ def start_storage_lane(
     pruning. Retry/DLQ (T6) is checkpoint + task retries: a failed batch
     replays from the checkpoint with exactly-once file-sink semantics.
     Every batch reports its observed counters (with_pipeline_counters)
-    through the streaming progress API."""
-    return (
+    through the streaming progress API. `available_now=False` runs the
+    lane continuously for unbounded sources (rate/Kafka); pair it with
+    `run_until_batches` in tests."""
+    writer = (
         with_pipeline_counters(snapshots)
         .writeStream.format("parquet")
         .option("path", table_dir)
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy("source")
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def start_bifurcated_ingest(

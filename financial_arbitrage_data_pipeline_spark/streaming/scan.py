@@ -251,11 +251,15 @@ def opportunity_stream_tws(
 
 
 def start_scan_lane(
-    opportunities: DataFrame, sink_dir: str, checkpoint_dir: str
+    opportunities: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
 ) -> StreamingQuery:
     """Trading-lane sink: each micro-batch's decisions appended with the
     batch id, so `final_opportunities` can reconstruct last-per-pair
-    (W4's ring buffer becomes a retention policy on this table)."""
+    (W4's ring buffer becomes a retention policy on this table).
+    `available_now=False` runs continuously for unbounded sources."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -264,13 +268,14 @@ def start_scan_lane(
             .parquet(sink_dir)
         )
 
-    return (
+    writer = (
         opportunities.writeStream.foreachBatch(write_batch)
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def final_opportunities(spark: SparkSession, sink_dir: str) -> DataFrame:
