@@ -249,6 +249,43 @@ def distinct_doc_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ticker_cardinality_approx",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_tickers,
+       true AS within_band
+FROM events GROUP BY event_type
+""",
+    tags=("A4", "approx"),
+)
+def ticker_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct-count path under a tolerance-banded oracle:
+    `approx_count_distinct` (HyperLogLog++, rsd=0.02) checked against the
+    exact `count_distinct` inside the same query, emitting a banded
+    boolean at 3× the declared relative error. HLL++ is a deterministic
+    function of the value SET (register merge = per-register max, so
+    every partial-aggregation order yields the same sketch) — the banded
+    boolean cannot flap between plans. Exact count ships alongside so
+    the oracle still hash-gates real values, not just the contract.
+
+    At 100 TB only the HLL branch runs (count_distinct's exact
+    shuffle-dedup is the cost being avoided); the exact branch here is
+    the harness that keeps the approx tier honest at test SF."""
+    rsd = 0.02
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_tickers"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd).cast("double")
+                - F.count_distinct("user_id").cast("double")
+            )
+            <= F.lit(3 * rsd) * F.count_distinct("user_id").cast("double")
+        ).alias("within_band"),
+    )
+
+
+@query(
     "order_status_breakdown",
     oracle="""
 SELECT o_orderstatus AS status, COUNT(*) AS n,

@@ -152,6 +152,59 @@ def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_ACC = 1000  # percentile_approx accuracy → rank error ≤ n/_APPROX_ACC
+
+
+@query(
+    "latency_percentiles_approx",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       true AS p50_ok, true AS p95_ok, true AS p99_ok
+FROM events GROUP BY event_type
+""",
+    tags=("A8", "percentiles", "approx"),
+)
+def latency_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path under a tolerance-banded oracle:
+    `percentile_approx` (GK sketch — one pass, mergeable, NO per-group
+    sort) with its rank guarantee VERIFIED inside the query. For each
+    quantile q the sketch guarantees the returned value v has some rank
+    within n/accuracy of q·n, for every partial-merge order — so the
+    banded booleans are deterministic even though the approx value
+    itself may wobble between plans. The check computes v's true rank
+    interval [count(<v)+1, count(<=v)] with a second aggregate and tests
+    intersection with [q·n − eps, q·n + eps], eps = n/accuracy + 1.
+    The oracle states the contract: every group passes every band.
+
+    (The validation pass re-scans the input; production runs only the
+    sketch pass — the validation IS the correctness harness, kept here
+    so the driver hash-gates the approx tier instead of trusting it.)"""
+    ev = load_table(spark, sf_dir, "events")
+    v = (F.col("event_id") % 500 + 1) * 1000 + F.col("user_id")
+    base = ev.select("event_type", v.alias("v"))
+    sk = base.groupBy("event_type").agg(
+        F.percentile_approx("v", [0.5, 0.95, 0.99], _APPROX_ACC).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = base.join(F.broadcast(sk), "event_type")
+
+    def ok(i: int, q: float) -> Column:
+        lo = F.sum(F.when(F.col("v") < F.element_at(F.col("ap"), i + 1), 1).otherwise(0))
+        hi = F.sum(F.when(F.col("v") <= F.element_at(F.col("ap"), i + 1), 1).otherwise(0))
+        n = F.first("n")
+        eps = n / F.lit(_APPROX_ACC) + 1
+        target = F.lit(q) * n
+        return ((hi >= target - eps) & (lo + 1 <= target + eps)).alias(f"p{int(q*100)}_ok")
+
+    return j.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        ok(0, 0.50),
+        ok(1, 0.95),
+        ok(2, 0.99),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Conversion funnel within sessions (ordered-sequence detection)
 # ---------------------------------------------------------------------------
