@@ -157,3 +157,55 @@ def test_ivf_kmeans_assignment_invariants(spark, sf_dir):
         }
         best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))
         assert (row.cid, row.dist) == best, row.vec_id
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec kernels (multimodal audio lane)
+# ---------------------------------------------------------------------------
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        _wav_params,
+        decode_wav_pcm,
+        synthesize_wav,
+    )
+
+    for aid in (1, 7, 100, 9999):
+        n, rate = _wav_params(aid)
+        stats = decode_wav_pcm(synthesize_wav(aid))
+        assert stats["n_samples"] == n
+        assert stats["sample_rate"] == rate
+        i = np.arange(n, dtype=np.int64)
+        x = (aid * 31 + i * 7) % 65536 - 32768
+        assert stats["peak_abs"] == int(np.abs(x).max())
+        assert stats["sum_sq"] == int((x * x).sum())
+
+
+def test_wav_decoder_walks_unknown_chunks():
+    """A LIST/INFO chunk before data (common in real WAV files) must be
+    skipped by the chunk walker, including the odd-size pad byte."""
+    import struct
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm,
+        synthesize_wav,
+    )
+
+    wav = synthesize_wav(5)
+    # splice an odd-sized junk chunk right after "WAVE"
+    junk = b"LIST" + struct.pack("<I", 5) + b"junk!" + b"\x00"  # pad to even
+    spliced = wav[:12] + junk + wav[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav_pcm(spliced) == decode_wav_pcm(wav)
+
+
+def test_wav_decoder_rejects_garbage():
+    import pytest as _pytest
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_wav_pcm(b"not a wav file at all")
