@@ -42,9 +42,13 @@ def _configure(spark: SparkSession) -> SparkSession:
         os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "1m"),
     )
     try:
+        # legacy-compat only: matters iff the testdata regenerates with
+        # parquet TIMESTAMP(NANOS); the events scan itself is
+        # schema-adaptive (sources.tables.canonicalize_events) and
+        # handles timestamp[us]/TIMESTAMP_NTZ and int64-ns alike.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
-        pass  # static conf on some builds; events-based queries need it
+        pass  # static conf on some builds
     return spark
 
 

@@ -353,6 +353,18 @@ def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+
+    # Fixpoint detection without a per-round join: labels are per-element
+    # monotonically non-increasing under min-propagation, so the label sum
+    # strictly decreases until the fixpoint — equal consecutive sums imply
+    # element-wise equality. One scalar aggregate over the checkpointed
+    # labels replaces the join+filter+count change probe. decimal(38,0)
+    # keeps the sum exact at any scale (1e12 ids × 1e12 rows fits 38
+    # digits; a long would overflow).
+    def label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_rounds):  # diameter bound; real dup graphs converge in ~2-3
         msgs = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -364,16 +376,11 @@ def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError("connected_components: no fixpoint in "
                            f"{max_rounds} rounds")

@@ -57,10 +57,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata events.ts is parquet TIMESTAMP(NANOS); read as ns-epoch
-        # LongType — the same representation as the reference's ns timing
-        # chain (`database/models/influx.py:45-63`). Derived timestamps come
-        # from timestamp_micros(ts DIV 1000).
+        # Legacy-compat: when testdata ships events.ts as parquet
+        # TIMESTAMP(NANOS), read it as ns-epoch LongType (the reference's
+        # ns timing-chain representation, `database/models/influx.py:45-63`).
+        # Current data ships timestamp[us]; either way the scan normalizes
+        # to canonical BIGINT ns via sources.tables.canonicalize_events —
+        # queries never assume a physical encoding.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

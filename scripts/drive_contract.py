@@ -4,6 +4,7 @@ does: vanilla SparkSession → entry() smoke → every queries()[name] vs
 oracle_sql()[name] via DuckDB, strict order-insensitive equality.
 
 Env: SF=0.01 (default) | 0.001 | 0.1;  ONLY=comma,separated,names
+     OUT=path.json — also write per-query results as a JSON artifact
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -64,9 +66,22 @@ def main() -> int:
                 assert len(spdf) > 0, "rows-only check: empty result"
                 status = "rows-only"
             print(f"  ok   {name}: {len(spdf)} rows ({status}) [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "ok": True,
+                "rows": len(spdf),
+                "check": status,
+                "sec": round(time.time() - t0, 2),
+            }
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"  FAIL {name}: {exc}")
+            results[name] = {"ok": False, "err": str(exc)[:500]}
+    out = os.environ.get("OUT")
+    if out:
+        import json
+
+        with open(out, "w") as fh:
+            json.dump({"sf": sf, "results": results}, fh, indent=1, sort_keys=True)
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         return 1
