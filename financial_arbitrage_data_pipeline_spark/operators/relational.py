@@ -30,6 +30,9 @@ DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -125,6 +128,59 @@ def active_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
         .limit(100)
     )
+
+
+@query(
+    "jdbc_pair_scan",
+    oracle="""
+SELECT o_orderkey AS pair_id, o_custkey AS token_id,
+       CAST(o_totalprice AS DOUBLE) AS notional, o_orderpriority AS priority
+FROM orders
+WHERE o_orderstatus = 'O' AND o_orderkey % 7 = 0
+ORDER BY pair_id
+LIMIT 200
+""",
+    tags=("S5", "K2", "F1", "jdbc"),
+)
+def jdbc_pair_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 through a REAL JDBC connector: land the pair table in an
+    embedded Derby database (K2 batched-insert sink), then scan it back
+    with `format("jdbc")` — the same code path that reads the
+    reference's live Postgres (`read_from.py:129-167`), with Catalyst
+    pushing the status/modulo-independent predicates into the database's
+    WHERE clause. The oracle recomputes from the parquet source, so a
+    hash match proves the relational round-trip (types included —
+    Derby DOUBLE/BIGINT/VARCHAR back to Spark) is lossless."""
+    import tempfile
+
+    from ..sources.jdbc import derby_url, load_table_jdbc, write_table_jdbc
+
+    root = tempfile.mkdtemp(prefix="sgderby_")
+    db_dir = os.path.join(root, "db")
+    try:
+        pairs = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("pair_id"),
+            F.col("o_custkey").alias("token_id"),
+            F.col("o_totalprice").cast("double").alias("notional"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        write_table_jdbc(
+            pairs,
+            derby_url(db_dir, create=True),
+            "trading_pairs",
+            column_types="status VARCHAR(8), priority VARCHAR(20)",
+        )
+        scanned = load_table_jdbc(spark, derby_url(db_dir), "trading_pairs")
+        return (
+            scanned.filter((F.col("status") == "O") & (F.col("pair_id") % 7 == 0))
+            .select("pair_id", "token_id", "notional", "priority")
+            .orderBy("pair_id")
+            .limit(200)
+            .localCheckpoint()  # materialized: the tmp database can go away
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

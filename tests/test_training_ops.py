@@ -81,9 +81,13 @@ def test_rh_lsh_bucket_deterministic_and_groups_identical_vectors(spark):
 
 
 def test_decode_stubs_raise(spark):
-    for fn in (multimodal.decode_image, multimodal.decode_audio, multimodal.decode_video):
+    # image/video codecs are stubs (libs not in container); audio is a
+    # real RIFF parser now — it rejects garbage with ValueError instead
+    for fn in (multimodal.decode_image, multimodal.decode_video):
         with pytest.raises(NotImplementedError):
             fn(b"xx")
+    with pytest.raises(ValueError):
+        multimodal.decode_audio(b"xx")
 
 
 def test_fake_decode_features_deterministic():
