@@ -76,6 +76,29 @@ def both_encodings(tmp_path_factory):
     )
 
 
+def test_canonical_ts_identical_for_ns_parquet(spark, tmp_path, both_encodings):
+    """Third physical encoding: parquet timestamp[ns] (rounds 1-2 driver
+    data). Under nanosAsLong it resolves to LongType ns directly; the
+    canonical values must equal the other encodings'."""
+    ns_dir, _ = both_encodings
+    tbl = pq.read_table(os.path.join(ns_dir, "events.parquet"))
+    idx = tbl.schema.get_field_index("ts")
+    ns_ts_tbl = tbl.set_column(
+        idx,
+        pa.field("ts", pa.timestamp("ns")),
+        tbl.column("ts").cast(pa.timestamp("ns")),
+    )
+    d = _mirror_sf_dir(tmp_path, ns_ts_tbl, "ns_timestamp")
+    got = load_table(spark, d, "events")
+    assert isinstance(got.schema["ts"].dataType, T.LongType)
+    want = {
+        r.event_id: r.ts
+        for r in load_table(spark, ns_dir, "events").select("event_id", "ts").collect()
+    }
+    have = {r.event_id: r.ts for r in got.select("event_id", "ts").collect()}
+    assert have == want
+
+
 def test_canonical_ts_identical_across_encodings(spark, both_encodings):
     """load_table('events') yields BIGINT ns with identical values for
     both physical encodings."""
