@@ -158,12 +158,20 @@ def jdbc_pair_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="sgderby_")
     db_dir = os.path.join(root, "db")
     try:
-        pairs = load_table(spark, sf_dir, "orders").select(
-            F.col("o_orderkey").alias("pair_id"),
-            F.col("o_custkey").alias("token_id"),
-            F.col("o_totalprice").cast("double").alias("notional"),
-            F.col("o_orderstatus").alias("status"),
-            F.col("o_orderpriority").alias("priority"),
+        # seed only the 1-in-7 pair slice (the pair table is a dimension,
+        # not the fact stream — keeps the embedded-DB insert proportional
+        # to what the scan consumes); the status predicate stays on the
+        # JDBC read so pushdown-into-the-database is still what's proven
+        pairs = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 7 == 0)
+            .select(
+                F.col("o_orderkey").alias("pair_id"),
+                F.col("o_custkey").alias("token_id"),
+                F.col("o_totalprice").cast("double").alias("notional"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            )
         )
         write_table_jdbc(
             pairs,
@@ -173,7 +181,7 @@ def jdbc_pair_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         scanned = load_table_jdbc(spark, derby_url(db_dir), "trading_pairs")
         return (
-            scanned.filter((F.col("status") == "O") & (F.col("pair_id") % 7 == 0))
+            scanned.filter(F.col("status") == "O")
             .select("pair_id", "token_id", "notional", "priority")
             .orderBy("pair_id")
             .limit(200)
