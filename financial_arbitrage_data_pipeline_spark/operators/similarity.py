@@ -681,3 +681,299 @@ def doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nsq").alias("total_nsq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-scale path past IVF.
+# 64-dim vectors → M=8 subspaces × 8 dims, K=8 codewords per subspace
+# (at 100 TB: M=16, K=256 → 16 bytes/vector instead of 256, and ADC
+# distances come from M table lookups instead of a 64-dim fold). Training
+# reuses the exact-Lloyd discipline of the IVF quantizer per subspace, so
+# the DuckDB oracle replays the identical chain and value-hash-matches
+# codes, LUTs, and rankings end-to-end.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_K = 8
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, q[64]) → (vec_id, m, sq[8]): one row per subspace. The
+    explode is over a constant 0..M-1 sequence — narrow, no shuffle."""
+    return emb.select(
+        "vec_id",
+        "q",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    ).select(
+        "vec_id",
+        F.col("m").cast("long").alias("m"),
+        F.expr(f"slice(q, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sq"),
+    )
+
+
+def _pq_assign(sub: DataFrame, cent_rows: list) -> DataFrame:
+    """Nearest codeword per (vector, subspace). Same literal-centroid
+    projection idiom as the IVF _assign — all 64 codewords inline as a
+    2-D literal indexed by m, argmin via array_min over (dist, cid)
+    structs. No join, no shuffle."""
+    per_m: dict[int, list[str]] = {}
+    for m, cid, c in sorted(cent_rows):
+        arr = "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
+        per_m.setdefault(int(m), []).append(
+            f"named_struct('cid', {int(cid)}L, 'c', {arr})"
+        )
+    outer = (
+        "array("
+        + ",".join("array(" + ",".join(per_m[m]) + ")" for m in sorted(per_m))
+        + ")"
+    )
+    best = F.expr(
+        f"array_min(transform(element_at({outer}, cast(m + 1 as int)), s -> "
+        f"named_struct('dist', aggregate(zip_with(sq, s.c, (x, y) -> (x - y) * (x - y)),"
+        f" 0L, (a, x) -> a + x), 'cid', s.cid)))"
+    )
+    return sub.select("vec_id", "m", "sq", best.alias("b")).select(
+        "vec_id", "m", "sq", F.col("b.cid").alias("code"), F.col("b.dist").alias("dist")
+    )
+
+
+def _pq_update(assigned: DataFrame) -> DataFrame:
+    """Per-subspace Lloyd update — identical arithmetic to the IVF
+    _update with the subspace id as an extra group key."""
+    comp = assigned.select(
+        "m", F.col("code").alias("cid"), F.posexplode("sq").alias("pos", "qv")
+    )
+    means = comp.groupBy("m", "cid", "pos").agg(
+        F.round(F.sum("qv").cast("double") / F.count(F.lit(1))).cast("long").alias("c")
+    )
+    return means.groupBy("m", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+        ).alias("c")
+    )
+
+
+def pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
+    """Two-round per-subspace Lloyd from the deterministic init
+    (subvectors of vec_id < K), collecting the M×K tiny codebook to the
+    driver between rounds. Returns (final assignment (vec_id, m, sq,
+    code, dist), codebook rows (m, cid, c))."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized("embedding").alias("q")
+    )
+    sub = _pq_subvectors(emb)
+    init = [
+        (r.m, r.cid, r.c)
+        for r in sub.filter(F.col("vec_id") < PQ_K)
+        .select("m", F.col("vec_id").alias("cid"), F.col("sq").alias("c"))
+        .collect()
+    ]
+    a1 = _pq_assign(sub, init)
+    c1 = _pq_update(a1)
+    cent_rows = [(r.m, r.cid, r.c) for r in c1.collect()]
+    return _pq_assign(sub, cent_rows), cent_rows
+
+
+# The oracle's CTE chain: qe/norms from _QUANT_SQL (1-based component
+# index i), subspace split, then the same two Lloyd rounds with m as an
+# extra key, ending in pa2 (final codes) and pc1 (final codebook).
+_PQ_DIST = "CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT)"
+_PQ_CTES = f"""{_QUANT_SQL},
+sqe AS (
+  SELECT vec_id, (i - 1) // {PQ_SUBDIM} AS m, (i - 1) % {PQ_SUBDIM} AS j, q
+  FROM qe
+),
+pc0 AS (SELECT vec_id AS cid, m, j, q AS c FROM sqe WHERE vec_id < {PQ_K}),
+pd1 AS (
+  SELECT e.vec_id, e.m, c.cid, {_PQ_DIST} AS dist
+  FROM sqe e JOIN pc0 c ON c.m = e.m AND c.j = e.j
+  GROUP BY 1, 2, 3
+),
+pa1 AS (
+  SELECT vec_id, m, cid FROM pd1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
+),
+pc1 AS (
+  SELECT a.cid, e.m, e.j,
+         CAST(round(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM pa1 a JOIN sqe e ON e.vec_id = a.vec_id AND e.m = a.m
+  GROUP BY a.cid, e.m, e.j
+),
+pd2 AS (
+  SELECT e.vec_id, e.m, c.cid, {_PQ_DIST} AS dist
+  FROM sqe e JOIN pc1 c ON c.m = e.m AND c.j = e.j
+  GROUP BY 1, 2, 3
+),
+pa2 AS (
+  SELECT vec_id, m, cid, dist FROM pd2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
+)"""
+
+
+@query(
+    "pq_codes",
+    oracle=f"""
+WITH {_PQ_CTES}
+SELECT vec_id, m, cid AS code, dist FROM pa2
+""",
+    tags=("similarity-pq-train", "iterative"),
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the product quantizer and encode the collection: per
+    (vector, subspace), the nearest final codeword and the exact integer
+    reconstruction error. This is the compressed representation the
+    100 TB collection actually stores — codes + the M×K codebook — and
+    the training is byte-for-byte replayed by the oracle's SQL chain."""
+    assigned, _ = pq_trained(spark, sf_dir)
+    return assigned.select("vec_id", "m", "code", "dist")
+
+
+@query(
+    "pq_search_topk",
+    oracle=f"""
+WITH {_PQ_CTES},
+lut AS (
+  SELECT e.vec_id AS query_id, e.m, c.cid, {_PQ_DIST} AS pdist
+  FROM sqe e JOIN pc1 c ON c.m = e.m AND c.j = e.j
+  WHERE e.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.query_id, a.vec_id AS cand_id, CAST(SUM(l.pdist) AS BIGINT) AS adist
+  FROM pa2 a
+  JOIN lut l ON l.m = a.m AND l.cid = a.cid
+  WHERE a.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, cand_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+       adist
+FROM adc
+WINDOW w AS (PARTITION BY query_id ORDER BY adist, cand_id)
+QUALIFY ROW_NUMBER() OVER w <= {TOPK}
+""",
+    tags=("similarity-pq-search",),
+)
+def pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ codes: the query keeps
+    full precision, each subspace contributes a looked-up partial
+    distance to the candidate's codeword, and the candidate's distance
+    is the sum of M lookups — no candidate vector is ever touched. The
+    LUT is (queries × M × K) rows — tiny, broadcast; the candidate side
+    is one narrow join on (m, code) + one (query, cand) aggregation.
+    Integer-exact throughout, so ranks hash-match the oracle's replay."""
+    assigned, cent_rows = pq_trained(spark, sf_dir)
+    assigned = assigned.localCheckpoint()
+    cents = assigned.sparkSession.createDataFrame(
+        [(int(m), int(cid), [int(x) for x in c]) for m, cid, c in cent_rows],
+        "m long, cid long, c array<long>",
+    )
+    queries_sub = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "sq"
+    )
+    lut = queries_sub.join(F.broadcast(cents), "m").select(
+        "query_id",
+        "m",
+        F.col("cid"),
+        F.aggregate(
+            F.zip_with(F.col("sq"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("pdist"),
+    )
+    codes = assigned.select(F.col("vec_id").alias("cand_id"), "m", "code")
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["cid"]),
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pdist").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "rank", "adist")
+    )
+
+
+_PQ_RECALL_ORACLE = f"""
+WITH {_PQ_CTES},
+lut AS (
+  SELECT e.vec_id AS query_id, e.m, c.cid, {_PQ_DIST} AS pdist
+  FROM sqe e JOIN pc1 c ON c.m = e.m AND c.j = e.j
+  WHERE e.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.query_id, a.vec_id AS cand_id, CAST(SUM(l.pdist) AS BIGINT) AS adist
+  FROM pa2 a JOIN lut l ON l.m = a.m AND l.cid = a.cid
+  WHERE a.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+pq_topk AS (
+  SELECT query_id, cand_id FROM adc
+  WINDOW w AS (PARTITION BY query_id ORDER BY adist, cand_id)
+  QUALIFY ROW_NUMBER() OVER w <= {TOPK}
+),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+ex_topk AS (
+  SELECT d.query_id, d.cand_id FROM dots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.cand_id
+  WINDOW w AS (
+    PARTITION BY d.query_id
+    ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               DESC, d.cand_id
+  )
+  QUALIFY ROW_NUMBER() OVER w <= {TOPK}
+)
+SELECT e.query_id,
+       CAST(COUNT(p.cand_id) AS BIGINT) AS hits,
+       CAST(COUNT(p.cand_id) AS DOUBLE) / {TOPK} AS recall_at_k
+FROM ex_topk e
+LEFT JOIN pq_topk p ON p.query_id = e.query_id AND p.cand_id = e.cand_id
+GROUP BY e.query_id
+"""
+
+
+@query(
+    "pq_recall_audit",
+    oracle=_PQ_RECALL_ORACLE,
+    tags=("similarity-pq-audit", "iterative"),
+)
+def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the PQ tier (the ANN sibling of
+    minhash_estimate_quality): per query, how many of the exact cosine
+    top-K survive in the ADC top-K. Both rankings are deterministic
+    (integer distances, id tie-breaks), so recall is a hashable exact
+    value, not a statistical estimate — the oracle recomputes both
+    rankings and the intersection from scratch. This is the measurement
+    that justifies (or vetoes) shipping the compressed tier at 100 TB."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = pq_search_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("h"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("h"), F.lit(0)).cast("double") / F.lit(TOPK)).alias(
+                "recall_at_k"
+            ),
+        )
+    )
