@@ -297,3 +297,14 @@ def test_dynamic_partition_pruning_on_partitioned_snapshots(spark, sf_dir, tmp_p
         joined._jdf.queryExecution(), "formatted"
     )
     assert "dynamicpruning" in p.lower(), p[:800]
+
+
+def test_pq_search_broadcasts_lut_no_cartesian(spark, sf_dir):
+    """ADC search must join candidates to the (queries × M × K) LUT via
+    broadcast hash — never a cartesian/nested-loop — and contain no
+    sort-merge join: the candidate side is one narrow (m, code) probe."""
+    p = plan_of(spark, "pq_search_topk", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p

@@ -227,3 +227,35 @@ def test_bucketed_merge_empty_updates_still_advances_marker(spark, tmp_path):
     with open(os.path.join(path, "_last_applied_batch")) as fh:
         assert fh.read() == "42"
     assert spark.read.parquet(path).count() == 4
+
+
+def test_bucketed_and_full_rewrite_merge_agree(spark, tmp_path):
+    """Property: the bucket-scoped path and the whole-table-rewrite path
+    are the same MERGE — identical final table for identical inputs
+    (updates hitting several buckets, inserts, and untouched rows)."""
+    from financial_arbitrage_data_pipeline_spark.operators.upsert import (
+        create_bucketed_table,
+        read_merge_table,
+    )
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") * 3).alias("v"), F.lit("t").alias("tag")
+    )
+    plain = str(tmp_path / "plain")
+    bucketed = str(tmp_path / "bucketed")
+    df.write.parquet(plain)
+    create_bucketed_table(spark, bucketed, df, key="id", n_buckets=8)
+
+    updates = spark.createDataFrame(
+        [(7, 100), (63, 200), (64, 300), (500, 400)], "id long, dv long"
+    )
+    exprs = {"v": F.coalesce(F.col("t.v"), F.lit(0)) + F.col("u.dv")}
+    for path in (plain, bucketed):
+        merge_into_parquet(
+            spark, path, updates, key="id", set_exprs=exprs, insert_missing=True
+        )
+
+    a = {(r.id, r.v, r.tag) for r in spark.read.parquet(plain).collect()}
+    b = {(r.id, r.v, r.tag) for r in read_merge_table(spark, bucketed).collect()}
+    assert a == b
+    assert (500, 400, None) in a
