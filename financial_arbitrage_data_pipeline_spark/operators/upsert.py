@@ -210,6 +210,21 @@ def _merge_bucketed(
     """Bucket-scoped MERGE: rewrite only `__bucket__=<i>` directories
     whose bucket id appears among the update keys. The touched-bucket
     collect is ≤ n_buckets ints — driver-safe at any scale."""
+    # Recover from a crash between a prior merge's two renames BEFORE
+    # reading the target: `__bucket__=<i>.__old__` with no `__bucket__=<i>`
+    # means the .__old__ dir holds the only copy of that bucket — restore
+    # it (the crashed merge's batch never marked applied, so it replays).
+    # Deleting .__old__ first, or scanning with the bucket dir missing,
+    # would lose or ignore those rows.
+    for entry in os.listdir(target_dir):
+        if not entry.endswith(".__old__"):
+            continue
+        old = os.path.join(target_dir, entry)
+        dst = os.path.join(target_dir, entry[: -len(".__old__")])
+        if os.path.exists(dst):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, dst)
     touched = sorted(
         r[0]
         for r in updates.select(
@@ -239,7 +254,6 @@ def _merge_bucketed(
             src = os.path.join(tmp, f"__bucket__={b}")
             dst = os.path.join(target_dir, f"__bucket__={b}")
             old = dst + ".__old__"
-            shutil.rmtree(old, ignore_errors=True)
             if not os.path.exists(src):
                 continue  # no surviving rows for this bucket: nothing to swap
             if os.path.exists(dst):

@@ -259,3 +259,35 @@ def test_bucketed_and_full_rewrite_merge_agree(spark, tmp_path):
     b = {(r.id, r.v, r.tag) for r in read_merge_table(spark, bucketed).collect()}
     assert a == b
     assert (500, 400, None) in a
+
+
+def test_bucketed_merge_recovers_bucket_stranded_in_old(spark, tmp_path):
+    """Crash simulation: a prior merge died between its two renames,
+    leaving `__bucket__=<i>.__old__` as the ONLY copy of that bucket.
+    The next merge must restore it before scanning — no rows lost, and
+    the new update applies on top of the restored data."""
+    import os
+
+    from financial_arbitrage_data_pipeline_spark.operators.upsert import (
+        read_merge_table,
+    )
+
+    path = str(tmp_path / "bt")
+    _seed_bucketed(spark, path)  # ids 0..63, v = id*10
+    # find the bucket dir holding id=3 and strand it in .__old__
+    [b3] = [
+        r[0]
+        for r in spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(3).cast("long")), F.lit(8)).cast("int"))
+        .collect()
+    ]
+    dst = os.path.join(path, f"__bucket__={b3}")
+    os.rename(dst, dst + ".__old__")
+
+    updates = spark.createDataFrame([(3, 1)], "id long, dv long")
+    merge_into_parquet(
+        spark, path, updates, key="id", set_exprs={"v": F.col("t.v") + F.col("u.dv")}
+    )
+    rows = {r.id: r.v for r in read_merge_table(spark, path).collect()}
+    assert len(rows) == 64  # nothing lost
+    assert rows[3] == 31  # restored AND updated
