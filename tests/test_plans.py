@@ -308,3 +308,35 @@ def test_pq_search_broadcasts_lut_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
+    """Global scale guard: no registered batch plan may contain a
+    CartesianProduct, and BroadcastNestedLoopJoin may appear ONLY where
+    the broadcast side is a tiny by-design relation — the 10-row query
+    set of the brute-force/recall ANN scorers (non-equi cand != query),
+    the 1-row scalar bounds (freshness horizon, AVG threshold, dense-grid
+    min/max), the multiprobe array_contains probe set, and the K-profile
+    language table. Any new query that trips this either broadcasts
+    something small on purpose (extend the allowlist with a reason) or
+    has a join-condition bug to fix."""
+    allowed_bnlj = {
+        "ann_cosine_topk",      # 10 broadcast queries x collection, by role
+        "arbitrage_scan",       # 1-row freshness bound
+        "downsample_gap_fill",  # 1-row grid min/max bound
+        "idle_rich_customers",  # 1-row scalar AVG threshold
+        "ivf_multiprobe_topk",  # array_contains over 10 broadcast probe rows
+        "lang_id_ngram",        # tiny language-profile dimension
+        "pq_recall_audit",      # contains ann_cosine_topk by construction
+    }
+    skip = {"ticket_fill_merge", "jdbc_pair_scan"}  # builders with write side effects
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        if name.startswith("streaming_") or name.startswith("etl_") or name in skip:
+            continue
+        p = plan_of(spark, name, sf_dir)
+        if "CartesianProduct" in p:
+            offenders.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in p and name not in allowed_bnlj:
+            offenders.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not offenders, offenders
