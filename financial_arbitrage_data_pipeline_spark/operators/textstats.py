@@ -596,3 +596,80 @@ def token_position_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("term")).alias("min_len"),
         F.max(F.length("term")).alias("max_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters: the third sketch tier (after HLL
+# cardinality and GK percentiles), banded-oracle-checked like both.
+# ---------------------------------------------------------------------------
+_CMS_TOPN = 20
+
+
+@query(
+    "token_heavyhitters_cms",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+       true AS overestimates, true AS within_band
+FROM tok WHERE token <> ''
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT {_CMS_TOPN}
+""",
+    tags=("text-vocab", "approx", "sketch"),
+)
+def token_heavyhitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter token counts through a count-min sketch, verified
+    against the exact counts under the CMS contract: the estimate NEVER
+    undercounts, and overcounts by at most (e/width) x total-tokens.
+    The sketch is built AS A DATAFRAME AGGREGATION — d hash rows x width
+    counters via xxhash64(token, row) buckets, one groupBy producing at
+    most d x width rows regardless of input size (that bounded output is
+    the whole point of a sketch: fixed memory, one pass, mergeable by
+    addition, order-independent so estimates are deterministic). This is
+    the 100 TB path for 'top tokens without carrying the full vocabulary
+    through a shuffle'. The exact top-N here is the harness keeping the
+    sketch honest — the oracle states both contract booleans hold for
+    every heavy hitter alongside the exact counts the driver hash-gates."""
+    import math
+
+    d, width = 5, 2719  # depth 5, width ~ e/0.001
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    total = tokens.count()
+
+    # the sketch: one aggregation, <= d*width output rows at ANY scale
+    sk = (
+        tokens.select(
+            "token", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i")
+        )
+        .groupBy(
+            "i", F.pmod(F.xxhash64("token", F.col("i")), F.lit(width)).alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counters = {(r.i, r.b): r.cnt for r in sk.collect()}
+
+    buckets = F.array(
+        *[F.pmod(F.xxhash64("token", F.lit(i)), F.lit(width)) for i in range(d)]
+    )
+    top = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(_CMS_TOPN)
+        .select("token", "freq", buckets.alias("bks"))
+        .collect()
+    )
+    band = math.ceil(math.e / width * total)
+    rows = []
+    for r in top:
+        est = min(counters.get((i, b), 0) for i, b in enumerate(r.bks))
+        rows.append((r.token, int(r.freq), est >= r.freq, est - r.freq <= band))
+    return spark.createDataFrame(
+        rows, "token string, freq long, overestimates boolean, within_band boolean"
+    )
