@@ -673,3 +673,146 @@ def token_heavyhitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "token string, freq long, overestimates boolean, within_band boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pair statistics: adjacent-token pair frequencies — the count
+# step of a byte-pair/merge-rule trainer, as one narrow HOF pipeline.
+# ---------------------------------------------------------------------------
+_BPE_TOPN = 50
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+p AS (SELECT unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM t),
+pairs AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b FROM p
+  WHERE toks[i] <> '' AND toks[i + 1] <> ''
+)
+SELECT a, b, CAST(COUNT(*) AS BIGINT) AS freq
+FROM pairs GROUP BY a, b
+ORDER BY freq DESC, a, b
+LIMIT {_BPE_TOPN}
+""",
+    tags=("text-bpe", "W2"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BPE_TOPN} adjacent token pairs across the corpus — the
+    counting pass a BPE/merge-rule tokenizer trainer iterates (each
+    round merges the argmax pair and recounts). Pairing happens INSIDE
+    the row via a sequence→element_at HOF (no posexplode self-join, no
+    per-doc window): one explode of ready-made pairs, one count shuffle,
+    TakeOrdered top-N with deterministic (a, b) tie-break. At 100 TB the
+    per-round plan is identical — the HOF pipeline re-runs with the
+    merge table broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.split("text", " ").alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) as a, element_at(toks, i + 1) as b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "a", "b")
+        .limit(_BPE_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation: largest-remainder apportionment of a global
+# training-token budget across languages — integer-exact, so both
+# engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+_BUDGET_TOKENS = 100_000
+_LANG_WEIGHTS = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}  # per mille*10
+
+
+@query(
+    "token_budget_allocation",
+    oracle=f"""
+WITH w(lang, weight) AS (VALUES
+  ('en', 40), ('de', 15), ('es', 15), ('fr', 15), ('zh', 15)
+),
+avail AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY lang
+),
+base AS (
+  SELECT a.lang, a.available_tokens, w.weight,
+         ({_BUDGET_TOKENS} * w.weight) // 100 AS base_alloc,
+         ({_BUDGET_TOKENS} * w.weight) % 100 AS rem
+  FROM avail a JOIN w ON w.lang = a.lang
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr,
+         {_BUDGET_TOKENS} - SUM(base_alloc) OVER () AS leftover
+  FROM base
+)
+SELECT lang, available_tokens, CAST(weight AS BIGINT) AS weight,
+       CAST(base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS allocated_tokens,
+       LEAST(CAST(base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT),
+             available_tokens) AS final_tokens
+FROM ranked
+""",
+    tags=("sampling", "allocation"),
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apportion a global training-token budget across languages by
+    declared mixture weights using LARGEST-REMAINDER (Hamilton) rounding:
+    integer base shares, the leftover units going to the largest
+    fractional remainders with a deterministic language tie-break —
+    allocations sum exactly to the budget, no float drift, bit-identical
+    in both engines. `final_tokens` caps each share at what the corpus
+    actually has (the signal a mixture planner uses to trigger
+    upsampling or re-weighting). The same plan at 100 TB: the per-lang
+    aggregate is the only data-sized stage; apportionment is a window
+    over L rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("available_tokens")
+    )
+    weights = F.create_map(
+        *[F.lit(x) for kv in _LANG_WEIGHTS.items() for x in kv]
+    )
+    base = (
+        avail.withColumn("weight", F.element_at(weights, F.col("lang")))
+        .filter(F.col("weight").isNotNull())  # = the oracle's inner join on w
+    ).select(
+        "lang",
+        "available_tokens",
+        "weight",
+        F.expr(f"({_BUDGET_TOKENS}L * weight) div 100").alias("base_alloc"),
+        F.expr(f"({_BUDGET_TOKENS}L * weight) % 100").alias("rem"),
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), "lang")
+    w_all = Window.partitionBy()
+    ranked = base.select(
+        "lang",
+        "available_tokens",
+        F.col("weight").cast("long").alias("weight"),
+        "base_alloc",
+        F.row_number().over(w_rank).alias("rr"),
+        (F.lit(_BUDGET_TOKENS) - F.sum("base_alloc").over(w_all)).alias("leftover"),
+    )
+    alloc = F.col("base_alloc") + F.when(
+        F.col("rr") <= F.col("leftover"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return ranked.select(
+        "lang",
+        "available_tokens",
+        "weight",
+        alloc.cast("long").alias("allocated_tokens"),
+        F.least(alloc.cast("long"), F.col("available_tokens")).alias("final_tokens"),
+    )
