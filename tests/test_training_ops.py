@@ -213,3 +213,43 @@ def test_wav_decoder_rejects_garbage():
 
     with _pytest.raises(ValueError):
         decode_wav_pcm(b"not a wav file at all")
+
+
+def test_wav_decoder_fuzz_roundtrip():
+    """Property: ANY 16-bit mono PCM payload round-trips exactly through
+    synthesize-shaped bytes → decode_wav_pcm (not just the generator
+    formula's outputs)."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm,
+    )
+
+    def build_wav(samples, rate):
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        chunks = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=0, max_size=300),
+        st.sampled_from([8000, 16000, 22050, 44100]),
+    )
+    def check(samples, rate):
+        stats = decode_wav_pcm(build_wav(samples, rate))
+        arr = np.asarray(samples, dtype=np.int64)
+        assert stats["sample_rate"] == rate
+        assert stats["n_samples"] == len(samples)
+        assert stats["peak_abs"] == (int(np.abs(arr).max()) if len(samples) else 0)
+        assert stats["sum_sq"] == int((arr * arr).sum())
+
+    check()

@@ -141,3 +141,11 @@ def test_every_plan_analyzes_under_both_encodings(spark, both_encodings):
             except Exception as e:  # noqa: BLE001
                 failures.append(f"{os.path.basename(sf)}:{name}: {e}")
     assert not failures, "\n".join(failures[:10])
+
+
+def test_uncached_load_also_canonicalizes(spark, both_encodings):
+    """load_table(cache=False) must go through the same canonicalization
+    as the memoized path."""
+    _, us_dir = both_encodings
+    df = load_table(spark, us_dir, "events", cache=False)
+    assert isinstance(df.schema["ts"].dataType, T.LongType)
