@@ -816,3 +816,108 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         alloc.cast("long").alias("allocated_tokens"),
         F.least(alloc.cast("long"), F.col("available_tokens")).alias("final_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-hygiene passes: PII-pattern extraction/redaction and boilerplate
+# repetition scoring — the remaining two members of the standard
+# pre-training quality stack (alongside text_quality and lang_id).
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9-]+@[a-z.]+"
+
+
+@query(
+    "pii_redaction_stats",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact-' || doc_id || '@example.com'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       len(regexp_extract_all(
+             regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_EMAIL_RE}')) = 0
+         AS redacted_clean,
+       md5(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g')) AS redacted_md5
+FROM seeded
+""",
+    tags=("text-hygiene", "pii"),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern pass over the corpus: count email-shaped spans and
+    emit the checksum of the redacted text — the shape of the scrub
+    every pre-training pipeline runs before anything else. The fixture
+    text carries no organic PII, so deterministic needles are derived
+    per doc (1-in-7 docs get a synthesized contact address — the same
+    derivation restated in the oracle), making the extraction, the
+    global redaction, and the checksum all non-trivially exercised and
+    hash-gated. Pure projection — no shuffle; at 100 TB this runs as a
+    mapper fused into the ingest scan. `redacted_clean` asserts the
+    redacted text no longer matches the pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"), F.lit(" contact-"), F.col("doc_id"), F.lit("@example.com")
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(t, _EMAIL_RE, "<EMAIL>")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0)).cast("long").alias(
+            "n_emails"
+        ),
+        (F.size(F.regexp_extract_all(redacted, F.lit(_EMAIL_RE), 0)) == 0).alias(
+            "redacted_clean"
+        ),
+        F.md5(F.encode(redacted, "utf-8")).alias("redacted_md5"),
+    )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tok WHERE token <> ''
+  GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS top_token_freq,
+       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS repetition_score
+FROM cnt GROUP BY doc_id
+""",
+    tags=("text-hygiene", "repetition"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/repetition scoring per document: distinct-token ratio
+    and the mode token's frequency, folded into a repetition score (the
+    gate that drops template spam and looping generations). Computed
+    ENTIRELY in-row with array HOFs — distinct via array_distinct, the
+    mode frequency by counting each distinct token's occurrences inside
+    the row — so the pass is a pure projection with no explode and no
+    shuffle; the oracle states the same stats the relational way
+    (unnest + two aggregates) and the values hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    dist = F.array_distinct(toks)
+    top = F.array_max(
+        F.transform(dist, lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(dist).cast("long").alias("n_distinct"),
+        top.cast("long").alias("top_token_freq"),
+        (
+            F.lit(1.0) - F.size(dist).cast("double") / F.size(toks).cast("double")
+        ).alias("repetition_score"),
+    )
