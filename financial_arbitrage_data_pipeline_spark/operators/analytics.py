@@ -729,3 +729,89 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             revenue / F.sum("rev_dec").over(Window.partitionBy()).cast("double")
         ).alias("global_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (as-of) lookup against the SCD2 dimension — the query
+# side of the type-2 history customer_status_scd2 builds.
+# ---------------------------------------------------------------------------
+@query(
+    "order_status_asof_lookup",
+    oracle="""
+WITH h AS (
+  SELECT o_custkey,
+         o_orderstatus,
+         o_orderdate AS valid_from,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS version
+  FROM orders WHERE o_custkey % 20 = 0
+),
+p AS (
+  SELECT o_orderkey, o_custkey, o_orderdate - INTERVAL 1 DAY AS probe_t
+  FROM orders WHERE o_custkey % 20 = 0
+),
+sel AS (
+  SELECT p.o_orderkey, MAX(h.version) AS v
+  FROM p JOIN h ON h.o_custkey = p.o_custkey AND h.valid_from <= p.probe_t
+  GROUP BY p.o_orderkey
+)
+SELECT p.o_orderkey, p.o_custkey,
+       h.o_orderstatus AS status_asof,
+       h.version AS version_asof
+FROM p
+LEFT JOIN sel ON sel.o_orderkey = p.o_orderkey
+LEFT JOIN h ON h.o_custkey = p.o_custkey AND h.version = sel.v
+""",
+    tags=("scd2", "temporal", "asof"),
+)
+def order_status_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every order of the tracked customers: the customer's status
+    VERSION in force the day before that order — the point-in-time
+    dimension lookup every warehouse runs against a type-2 history.
+    Spark-first it is the union+window as-of idiom (the same merge-not-
+    probe discipline as asof_quote_join): history rows and probe rows
+    union into one stream, one window per business key ordered by
+    (time, kind, version) carries the last-seen status forward, probes
+    read it — ONE sort-shuffle, no range join, no per-probe scan. Ties
+    (several versions effective the same day) resolve to the highest
+    version deterministically; the oracle states the same rule as
+    MAX(version) among valid_from <= probe date."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    w_v = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("t"),
+        F.col("o_orderstatus").alias("status"),
+        F.row_number().over(w_v).alias("version"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    p = o.select(
+        "o_custkey",
+        (F.col("o_orderdate") - F.expr("INTERVAL 1 DAY")).alias("t"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("int").alias("version"),
+        F.lit(1).alias("kind"),
+        "o_orderkey",
+    )
+    u = h.unionByName(p)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("t", "kind", "version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "o_custkey",
+        "o_orderkey",
+        "kind",
+        F.last("status", ignorenulls=True).over(w).alias("status_asof"),
+        F.last("version", ignorenulls=True).over(w).alias("version_asof"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "status_asof",
+        F.col("version_asof").cast("long").alias("version_asof"),
+    )
