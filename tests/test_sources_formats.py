@@ -4,7 +4,6 @@ batch and streaming."""
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import functions as F
 
