@@ -667,3 +667,55 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - exact).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle enumeration over the near-dup graph: the cohesion metric that
+# separates "A~B~C chains" (cluster by transitivity only) from genuinely
+# mutually-similar groups (every pair found independently).
+# ---------------------------------------------------------------------------
+@query(
+    "dup_graph_triangles",
+    oracle=f"""
+WITH {_minhash_sql(_CRAWL_UNION_SQL)},
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sh_sizes za ON za.doc_id = i.doc_a
+  JOIN sh_sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+)
+SELECT p1.doc_a, p1.doc_b, p2.doc_b AS doc_c
+FROM pairs p1
+JOIN pairs p2 ON p2.doc_a = p1.doc_b
+JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+""",
+    tags=("dedup-graph", "triangles"),
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every triangle {a<b<c} in the LSH-verified near-dup graph,
+    enumerated exactly once via the ordered-edge join (each edge stored
+    a<b, so (a,b)⋈(b,c)⋈(a,c) hits each triangle in its one canonical
+    orientation — the standard distributed triangle count, no dedup
+    pass needed). A cluster whose docs form triangles is mutually
+    similar (safe to keep one representative); a triangle-free chain is
+    transitive-closure glue that deserves a second look before dropping
+    docs. Scale: two shuffles on edge keys; at 100 TB the same join runs
+    per graph partition after the high-degree-vertex split the triangle
+    literature prescribes."""
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    p1 = pairs.alias("p1")
+    p2 = pairs.select(
+        F.col("doc_a").alias("b2"), F.col("doc_b").alias("doc_c")
+    ).alias("p2")
+    p3 = pairs.select(
+        F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3")
+    ).alias("p3")
+    return (
+        p1.join(p2, F.col("p1.doc_b") == F.col("b2"))
+        .join(
+            p3,
+            (F.col("p1.doc_a") == F.col("a3")) & (F.col("doc_c") == F.col("c3")),
+        )
+        .select("doc_a", "doc_b", "doc_c")
+    )
