@@ -921,3 +921,55 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.size(dist).cast("double") / F.size(toks).cast("double")
         ).alias("repetition_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-N stratified sampling: hash-RANK (not hash-gate) membership —
+# "exactly N docs per language, reproducibly", the fixed-budget sibling
+# of the rate-based stratified_corpus_sample.
+# ---------------------------------------------------------------------------
+_EXACT_N_PER_LANG = 40
+
+
+@query(
+    "exact_stratified_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang, ({_SAMPLE_HEX8}) AS hkey FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS sample_rank
+  FROM h
+)
+SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= {_EXACT_N_PER_LANG}
+""",
+    tags=("sampling-stratified", "W2"),
+)
+def exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly {_EXACT_N_PER_LANG} documents per language, chosen by
+    HASH RANK: order each stratum by a salted content-independent hash
+    of the row id and keep the first N. Unlike a rate gate (which only
+    hits a budget in expectation) this lands the budget exactly; unlike
+    limit()/sample() it is reproducible under reruns, repartitioning,
+    and cluster-size changes, and appends only perturb membership near
+    the rank boundary. Plan: one shuffle on the stratum key and a
+    rank-limited window — Spark runs it as WindowGroupLimit, so
+    partial top-N per task bounds what reaches the exchange (the same
+    machinery as the W2 sort+limit family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        docs.select("doc_id", "lang", hkey.alias("hkey"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= _EXACT_N_PER_LANG)
+        .select("doc_id", "lang", "sample_rank")
+    )
