@@ -779,8 +779,7 @@ def pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
 # index i), subspace split, then the same two Lloyd rounds with m as an
 # extra key, ending in pa2 (final codes) and pc1 (final codebook).
 _PQ_DIST = "CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT)"
-_PQ_CTES = f"""{_QUANT_SQL},
-sqe AS (
+_PQ_CHAIN = f"""sqe AS (
   SELECT vec_id, (i - 1) // {PQ_SUBDIM} AS m, (i - 1) % {PQ_SUBDIM} AS j, q
   FROM qe
 ),
@@ -809,6 +808,8 @@ pa2 AS (
   SELECT vec_id, m, cid, dist FROM pd2
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
 )"""
+
+_PQ_CTES = f"{_QUANT_SQL},\n{_PQ_CHAIN}"
 
 
 @query(
@@ -976,4 +977,106 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_k"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ composite: coarse-cluster blocking + ADC ranking — the
+# faiss-IndexIVFPQ architecture (here without residual encoding: codes
+# quantize the raw vectors; residual PQ changes the codebook input, not
+# the plan shape).
+# ---------------------------------------------------------------------------
+_IVFPQ_ORACLE = f"""
+WITH {_kmeans_ctes(KMEANS_K)},
+{_PQ_CHAIN},
+qlut AS (
+  SELECT e.vec_id AS query_id, qa.cid AS qcid, e.m, c.cid, {_PQ_DIST} AS pdist
+  FROM sqe e
+  JOIN a2 qa ON qa.vec_id = e.vec_id
+  JOIN pc1 c ON c.m = e.m AND c.j = e.j
+  WHERE e.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3, 4
+),
+cods AS (
+  SELECT a.vec_id, a.m, a.cid, ca.cid AS ccid
+  FROM pa2 a JOIN a2 ca ON ca.vec_id = a.vec_id
+),
+adc AS (
+  SELECT l.query_id, a.vec_id AS cand_id, CAST(SUM(l.pdist) AS BIGINT) AS adist
+  FROM cods a
+  JOIN qlut l ON l.m = a.m AND l.cid = a.cid AND l.qcid = a.ccid
+  WHERE a.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, cand_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+       adist
+FROM adc
+WINDOW w AS (PARTITION BY query_id ORDER BY adist, cand_id)
+QUALIFY ROW_NUMBER() OVER w <= {TOPK}
+"""
+
+
+@query(
+    "ivfpq_search_topk",
+    oracle=_IVFPQ_ORACLE,
+    tags=("similarity-ivfpq", "iterative"),
+)
+def ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ: the two trained quantizers composed the way faiss ships
+    them — the coarse k-means partitions the collection (a query probes
+    ONE cluster's worth of candidates), and within the probed cluster
+    candidates are ranked by PQ asymmetric distance (M table lookups per
+    candidate, compressed codes only). At 100 TB this is the memory AND
+    compute scale path together: the collection is partitioned by coarse
+    cid, a query touches one partition, and that partition stores 8-byte
+    codes instead of 256-byte vectors. Both training chains are the
+    exact-Lloyd ones already oracle-verified; the composite re-states
+    them in one SQL chain, so blocking, codebooks, and ranking all
+    hash-match end-to-end."""
+    coarse = trained_assignment(spark, sf_dir).select("vec_id", "cid").localCheckpoint()
+    assigned, cent_rows = pq_trained(spark, sf_dir)
+    assigned = assigned.localCheckpoint()
+    cents = assigned.sparkSession.createDataFrame(
+        [(int(m), int(cid), [int(x) for x in c]) for m, cid, c in cent_rows],
+        "m long, cid long, c array<long>",
+    )
+    queries_sub = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .join(coarse, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("cid").alias("qcid"), "m", "sq"
+        )
+    )
+    lut = queries_sub.join(F.broadcast(cents), "m").select(
+        "query_id",
+        "qcid",
+        "m",
+        F.col("cid"),
+        F.aggregate(
+            F.zip_with(F.col("sq"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("pdist"),
+    )
+    codes = assigned.select(F.col("vec_id").alias("cand_id"), "m", "code").join(
+        coarse.select(F.col("vec_id").alias("cand_id"), F.col("cid").alias("ccid")),
+        "cand_id",
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"])
+            & (codes["code"] == lut["cid"])
+            & (codes["ccid"] == lut["qcid"]),
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pdist").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "rank", "adist")
     )
