@@ -815,3 +815,62 @@ def order_status_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status_asof",
         F.col("version_asof").cast("long").alias("version_asof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew diagnostics: the measurement that decides whether a
+# key needs salting / AQE skew-join handling BEFORE the expensive join
+# runs — the operational prelude to functions/salting.py.
+# ---------------------------------------------------------------------------
+@query(
+    "key_skew_report",
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM c
+)
+SELECT c.user_id, c.cnt,
+       CAST(c.cnt AS DOUBLE) / t.total AS share,
+       CAST(c.cnt AS DOUBLE) * t.n_keys / t.total AS skew_factor,
+       CAST(ROW_NUMBER() OVER (ORDER BY c.cnt DESC, c.user_id) AS BIGINT) AS rank
+FROM c CROSS JOIN tot t
+QUALIFY ROW_NUMBER() OVER (ORDER BY c.cnt DESC, c.user_id) <= 10
+""",
+    tags=("skew", "diagnostics", "A9"),
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest shuffle keys with their share of the table and
+    skew factor (count ÷ perfectly-uniform count) — the report that
+    tells an operator whether the next join on this key needs salting
+    (functions/salting.py) or can rely on AQE skew splitting, and by
+    how much. One count aggregation over the fact table; the totals are
+    a 1-row broadcast bound (the allowlisted tiny-BNLJ shape); the
+    top-10 runs as WindowGroupLimit, never a full sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "user_id")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+            (
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("total")
+            ).alias("skew_factor"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+    )

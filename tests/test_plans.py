@@ -328,6 +328,7 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "ivf_multiprobe_topk",  # array_contains over 10 broadcast probe rows
         "lang_id_ngram",        # tiny language-profile dimension
         "pq_recall_audit",      # contains ann_cosine_topk by construction
+        "key_skew_report",      # 1-row broadcast totals bound
     }
     skip = {"ticket_fill_merge", "jdbc_pair_scan"}  # builders with write side effects
     offenders = []
