@@ -88,6 +88,9 @@ def main() -> None:
     # single measurement is noise-dominated (observed 18k-46k rows/s
     # across back-to-back runs at sf0.1)
     ingest_rps = 0.0
+    scan_rps = 0.0
+    from financial_arbitrage_data_pipeline_spark.streaming import scan as sscan
+
     for _ in range(max(1, args.repeat)):
         work = tempfile.mkdtemp(prefix="sgbench_ingest_")
         try:
@@ -102,6 +105,25 @@ def main() -> None:
             q.awaitTermination()
             ingest_sec = time.perf_counter() - t0
             ingest_rps = max(ingest_rps, round(n_rows / ingest_sec, 1))
+
+            # the TRADING lane: the full stateful opportunity scan
+            # (enrich → quotes → broadcast pair join → per-key state
+            # fold → decision emissions) — the reference's end-to-end
+            # detection path, same 93 msg/s baseline anchor
+            t0 = time.perf_counter()
+            q2 = sscan.start_scan_lane(
+                sscan.opportunity_stream(
+                    sscan.quotes_from_snapshots(
+                        ingest.enrich_snapshots(ingest.replay_stream(spark, replay_dir))
+                    ),
+                    sscan.pair_universe(spark, sf_dir),
+                ),
+                os.path.join(work, "opps"),
+                os.path.join(work, "scan_ckpt"),
+            )
+            q2.awaitTermination()
+            scan_sec = time.perf_counter() - t0
+            scan_rps = max(scan_rps, round(n_rows / scan_sec, 1))
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
@@ -116,6 +138,7 @@ def main() -> None:
                 "query_spreads": spreads,
                 "sf": sf_val,
                 "ingest_rows_per_sec": ingest_rps,
+                "scan_rows_per_sec": scan_rps,
                 "reference_ingest_rows_per_sec": 93.0,
             }
         )

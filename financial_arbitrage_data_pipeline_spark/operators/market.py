@@ -580,3 +580,62 @@ def pair_margin_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's users assemble exactly this series by hand from
     per-venue `get_ticker_data` pulls (`etl/query.py:78-263`)."""
     return margin_buckets(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Microstructure signals from the parsed book: imbalance + microprice —
+# the inputs the reference's scanner would want NEXT (it stops at
+# best-of-book + margin; these are the standard refinements).
+# ---------------------------------------------------------------------------
+@query(
+    "book_imbalance_microprice",
+    oracle=f"""
+WITH lv AS ({_KALSHI_LEVELS_SQL}),
+s AS (
+  SELECT ticker,
+         MAX(CASE WHEN is_yes THEN price END) AS bid_px,
+         100 - MAX(CASE WHEN NOT is_yes THEN price END) AS ask_px,
+         CAST(SUM(CASE WHEN is_yes THEN qty ELSE 0 END) AS BIGINT) AS bid_qty,
+         CAST(SUM(CASE WHEN NOT is_yes THEN qty ELSE 0 END) AS BIGINT) AS ask_qty
+  FROM lv GROUP BY ticker
+  HAVING COUNT(CASE WHEN is_yes THEN 1 END) > 0
+     AND COUNT(CASE WHEN NOT is_yes THEN 1 END) > 0
+)
+SELECT ticker, bid_px, ask_px, bid_qty, ask_qty,
+       CAST(bid_qty - ask_qty AS DOUBLE) / (bid_qty + ask_qty) AS imbalance,
+       CAST(ask_px * bid_qty + bid_px * ask_qty AS DOUBLE) / (bid_qty + ask_qty)
+         AS microprice_cents
+FROM s
+""",
+    tags=("P3", "P6", "microstructure"),
+)
+def book_imbalance_microprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-book imbalance and size-weighted microprice per ticker,
+    computed through the full snapshot path (book build → JSON round
+    trip → HOF extraction): the YES side quotes bids, the NO side's
+    complement quotes asks (P6), imbalance = (bq−aq)/(bq+aq), microprice
+    = (ask·bq + bid·aq)/(bq+aq) — the classic queue-weighted fair-value
+    estimate. All sums are integers; the single double divide is
+    IEEE-identical in both engines. Same one-shuffle plan as
+    kalshi_book_summary (shared `_kalshi_books`)."""
+    books = _kalshi_books(spark, sf_dir)
+    yes, no = F.col("book.yes"), F.col("book.no")
+    bid_px = ob.best_bid_cents(yes).cast("long")
+    ask_px = (F.lit(100) - ob.best_bid_cents(no)).cast("long")
+    bid_qty = ob.side_quantity(yes)
+    ask_qty = ob.side_quantity(no)
+    tot = bid_qty + ask_qty
+    return (
+        books.filter((F.size(yes) > 0) & (F.size(no) > 0))
+        .select(
+            "ticker",
+            bid_px.alias("bid_px"),
+            ask_px.alias("ask_px"),
+            bid_qty.alias("bid_qty"),
+            ask_qty.alias("ask_qty"),
+            ((bid_qty - ask_qty).cast("double") / tot).alias("imbalance"),
+            (
+                (ask_px * bid_qty + bid_px * ask_qty).cast("double") / tot
+            ).alias("microprice_cents"),
+        )
+    )
