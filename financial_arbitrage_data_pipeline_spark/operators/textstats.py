@@ -973,3 +973,79 @@ def exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= _EXACT_N_PER_LANG)
         .select("doc_id", "lang", "sample_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus maintenance: snapshot diff between two crawl
+# versions — the added/removed/changed accounting that decides how much
+# of a 100 TB corpus actually needs re-processing.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+WITH v1 AS (SELECT doc_id, text FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.doc_id IS NULL THEN 'added'
+              WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM j GROUP BY status
+""",
+    tags=("corpus-diff", "incremental"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two corpus snapshots by key and content fingerprint:
+    added / removed / changed / unchanged counts (with id ranges as a
+    sanity band). The second crawl is fixture-derived — every 13th doc
+    dropped, every 7th rewritten, every 11th re-added under a new id —
+    with the identical derivation in the oracle. This is the accounting
+    pass an incremental pipeline runs BEFORE dedup/tokenize/embed: only
+    'added' + 'changed' move on, so downstream cost is proportional to
+    churn, not corpus size. One full-outer hash join on the key (both
+    sides hash-partition; content comparison by md5 so wide text never
+    crosses the exchange twice) + a 4-group aggregate."""
+    v1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = load_table(spark, sf_dir, "documents")
+    v2 = (
+        base.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    a = v1.select("doc_id", F.md5("text").alias("fp_a"))
+    b = v2.select(F.col("doc_id").alias("doc_id_b"), F.md5("text").alias("fp_b"))
+    j = a.join(b, a.doc_id == b.doc_id_b, "full_outer").select(
+        F.coalesce(F.col("doc_id"), F.col("doc_id_b")).alias("doc_id"),
+        F.when(F.col("doc_id_b").isNull(), F.lit("removed"))
+        .when(F.col("doc_id").isNull(), F.lit("added"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
