@@ -911,3 +911,66 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(sink_dir).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Complete-mode continuous ranking: the live leaderboard pattern — the
+# one aggregation output mode the rest of the streaming family doesn't
+# exercise (append: downsample/sessions; update: scan/pair-performance).
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_volume_leaderboard",
+    oracle="""
+SELECT user_id AS pair_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trades,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS volume_cents
+FROM events
+GROUP BY user_id
+ORDER BY volume_cents DESC, pair_id
+LIMIT 10
+""",
+    tags=("A7", "W2", "streaming", "complete-mode"),
+)
+def streaming_volume_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 pairs by traded volume maintained CONTINUOUSLY: a
+    complete-mode aggregation re-emits the full per-pair totals each
+    micro-batch, and foreachBatch overwrites the published leaderboard —
+    the standard live-dashboard shape (state is bounded by #pairs, the
+    emitted table by K). After the bounded replay drains, the published
+    table must equal the one-shot batch ranking — which is exactly what
+    the oracle states. Deterministic tie-break on pair_id; integer-cents
+    volume so partial-aggregation order cannot flap the hash."""
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        board_dir = os.path.join(root, "leaderboard")
+        cents = F.round(F.col("value") * 100).cast("long")
+        totals = (
+            ingest.replay_stream(spark, replay_dir)
+            .select(F.col("user_id").alias("pair_id"), cents.alias("cents"))
+            .groupBy("pair_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_trades"),
+                F.sum("cents").alias("volume_cents"),
+            )
+        )
+
+        def publish(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.orderBy(F.col("volume_cents").desc(), "pair_id")
+                .limit(10)
+                .write.mode("overwrite")
+                .parquet(board_dir)
+            )
+
+        q = (
+            totals.writeStream.foreachBatch(publish)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(board_dir).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
