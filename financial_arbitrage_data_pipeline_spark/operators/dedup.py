@@ -362,7 +362,20 @@ def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
     # keeps the sum exact at any scale (1e12 ids × 1e12 rows fits 38
     # digits; a long would overflow).
     def label_sum(df: DataFrame):
-        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        s, n = df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")), F.count(F.lit(1))
+        ).first()
+        # Under non-ANSI mode a decimal(38,0) overflow returns NULL; two
+        # consecutive overflowed rounds would compare None == None and
+        # declare a bogus fixpoint. Unreachable below ~1e38 total label
+        # mass, but fail loudly rather than converge silently wrong.
+        # (NULL with zero rows is just the empty graph, which is fine.)
+        if s is None and n > 0:
+            raise ArithmeticError(
+                "connected_components: label sum overflowed decimal(38,0) "
+                "— fixpoint detection cannot proceed"
+            )
+        return s
 
     prev_sum = label_sum(labels)
     for _ in range(max_rounds):  # diameter bound; real dup graphs converge in ~2-3

@@ -377,7 +377,7 @@ _WAV_BASE_SAMPLES = 256
 def _wav_params(asset_id: int) -> tuple[int, int]:
     """(n_samples, sample_rate) as pure functions of the asset id, so the
     DuckDB oracle can restate them in SQL."""
-    return 256 + asset_id % 64, 8000 + (asset_id % 4) * 4000
+    return _WAV_BASE_SAMPLES + asset_id % 64, 8000 + (asset_id % 4) * 4000
 
 
 def synthesize_wav(asset_id: int) -> bytes:
@@ -423,7 +423,20 @@ def decode_wav_pcm(payload: bytes) -> dict:
         elif cid == b"data":
             if bits != 16 or channels != 1:
                 raise ValueError("only 16-bit mono supported by this kernel")
-            samples = _np.frombuffer(body, dtype="<i2").astype(_np.int64)
+            # The declared chunk size is untrusted input: a truncated
+            # payload would otherwise surface as a raw numpy frombuffer
+            # error. Diagnose both truncation and odd byte counts here.
+            if len(body) < size:
+                raise ValueError(
+                    f"truncated data chunk: header declares {size} bytes, "
+                    f"payload carries {len(body)}"
+                )
+            if size % 2:
+                raise ValueError(
+                    f"data chunk size {size} is not a multiple of 2 bytes "
+                    "(16-bit samples)"
+                )
+            samples = _np.frombuffer(body[:size], dtype="<i2").astype(_np.int64)
         pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
     if rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")

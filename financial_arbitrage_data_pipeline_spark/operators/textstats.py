@@ -612,7 +612,7 @@ WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
 )
 SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
-       true AS overestimates, true AS within_band
+       true AS overestimates
 FROM tok WHERE token <> ''
 GROUP BY token
 ORDER BY freq DESC, token
@@ -631,8 +631,13 @@ def token_heavyhitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition, order-independent so estimates are deterministic). This is
     the 100 TB path for 'top tokens without carrying the full vocabulary
     through a shuffle'. The exact top-N here is the harness keeping the
-    sketch honest — the oracle states both contract booleans hold for
-    every heavy hitter alongside the exact counts the driver hash-gates."""
+    sketch honest. Only `overestimates` is hash-gated: est = min over d
+    counters each of which counts a superset of the token's occurrences,
+    so est >= freq is a DETERMINISTIC CMS guarantee. The epsilon band
+    (overcount <= ceil(e/width * N)) is only probabilistic (>= 1 - e^-d
+    per item), so gating it would make the oracle flaky under testdata
+    regeneration — it is asserted on the fixed fixture in
+    tests/test_training_ops.py::test_cms_band_holds_on_fixture instead."""
     import math
 
     d, width = 5, 2719  # depth 5, width ~ e/0.001
@@ -667,11 +672,17 @@ def token_heavyhitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     band = math.ceil(math.e / width * total)
     rows = []
+    # (token, freq, est, band) per heavy hitter — exposed for the
+    # in-suite probabilistic band assertion (not hash-gated).
+    token_heavyhitters_cms.last_band_check = []
     for r in top:
         est = min(counters.get((i, b), 0) for i, b in enumerate(r.bks))
-        rows.append((r.token, int(r.freq), est >= r.freq, est - r.freq <= band))
+        rows.append((r.token, int(r.freq), est >= r.freq))
+        token_heavyhitters_cms.last_band_check.append(
+            (r.token, int(r.freq), est, band)
+        )
     return spark.createDataFrame(
-        rows, "token string, freq long, overestimates boolean, within_band boolean"
+        rows, "token string, freq long, overestimates boolean"
     )
 
 
@@ -680,6 +691,30 @@ def token_heavyhitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # step of a byte-pair/merge-rule trainer, as one narrow HOF pipeline.
 # ---------------------------------------------------------------------------
 _BPE_TOPN = 50
+
+
+def adjacent_token_pairs(docs: DataFrame) -> DataFrame:
+    """(a, b) adjacent whitespace-token pairs, one output row per pair
+    occurrence. zip_with over two shifted slices of length
+    greatest(n-1, 0) so docs with <2 tokens (where sequence(1, n-1)
+    would yield a descending [1, 0] and element_at(toks, 0) would
+    throw) contribute zero pairs. Empty tokens are dropped on both
+    sides, matching the oracle."""
+    return (
+        docs.select(F.split("text", " ").alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with("
+                    "slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                    "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+                    "(a, b) -> struct(a, b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
 
 
 @query(
@@ -706,23 +741,17 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc window): one explode of ready-made pairs, one count shuffle,
     TakeOrdered top-N with deterministic (a, b) tie-break. At 100 TB the
     per-round plan is identical — the HOF pipeline re-runs with the
-    merge table broadcast."""
+    merge table broadcast.
+
+    Short-doc guard: Spark's sequence(1, n) with n < 1 yields a
+    DESCENDING [1, 0] (not empty like DuckDB's generate_series), and
+    element_at(toks, 0) then throws — so pairing is expressed as
+    zip_with over two shifted slices, whose length greatest(n-1, 0)
+    makes docs with fewer than two tokens yield zero pairs, matching
+    the oracle's semantics for them."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = (
-        docs.select(F.split("text", " ").alias("toks"))
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1), "
-                    "i -> struct(element_at(toks, i) as a, element_at(toks, i + 1) as b))"
-                )
-            ).alias("p")
-        )
-        .select("p.a", "p.b")
-        .filter((F.col("a") != "") & (F.col("b") != ""))
-    )
     return (
-        pairs.groupBy("a", "b")
+        adjacent_token_pairs(docs).groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), "a", "b")
         .limit(_BPE_TOPN)

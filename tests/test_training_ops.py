@@ -253,3 +253,81 @@ def test_wav_decoder_fuzz_roundtrip():
         assert stats["sum_sq"] == int((arr * arr).sum())
 
     check()
+
+
+def test_wav_decoder_diagnoses_truncated_and_odd_data():
+    """Round-5 hardening: the data-chunk size field is untrusted — a
+    truncated body or an odd byte count must raise the parser's own
+    descriptive ValueError, not a raw numpy frombuffer error."""
+    import struct
+
+    import pytest as _pytest
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm,
+        synthesize_wav,
+    )
+
+    wav = synthesize_wav(3)
+    # truncate: chop the last 10 payload bytes without touching the
+    # declared data-chunk size
+    with _pytest.raises(ValueError, match="truncated data chunk"):
+        decode_wav_pcm(wav[:-10])
+
+    # odd declared size: rewrite the data chunk header to an odd length
+    data_at = wav.index(b"data")
+    (declared,) = struct.unpack("<I", wav[data_at + 4 : data_at + 8])
+    odd = wav[: data_at + 4] + struct.pack("<I", declared - 1) + wav[data_at + 8 :]
+    with _pytest.raises(ValueError, match="not a multiple of 2"):
+        decode_wav_pcm(odd)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4 fixes: BPE short-doc guard, CMS band as in-suite (not gated)
+# assertion, connected-components overflow guard
+# ---------------------------------------------------------------------------
+def test_adjacent_pairs_short_docs_yield_zero_pairs(spark):
+    """Docs with 0 or 1 tokens must produce no pairs (and no runtime
+    error from sequence(1, 0)'s descending-array trap)."""
+    from financial_arbitrage_data_pipeline_spark.operators.textstats import (
+        adjacent_token_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [("",), ("one",), ("two words",), ("a b c",), (" ",)],
+        "text string",
+    )
+    got = sorted(
+        (r.a, r.b) for r in adjacent_token_pairs(docs).collect()
+    )
+    # "" → [""] (no pairs); "one" → 1 token; " " → ["", ""] pair filtered
+    assert got == [("a", "b"), ("b", "c"), ("two", "words")]
+
+
+def test_cms_band_holds_on_fixture(spark, sf_dir):
+    """The probabilistic CMS epsilon band (overcount <= ceil(e/width*N))
+    asserted on the FIXED fixture — deliberately in-suite rather than
+    hash-gated, because the guarantee is w.p. >= 1 - e^-d per item, not
+    deterministic (ADVICE r4)."""
+    from financial_arbitrage_data_pipeline_spark.operators.textstats import (
+        token_heavyhitters_cms,
+    )
+
+    df = token_heavyhitters_cms(spark, sf_dir)
+    assert all(r.overestimates for r in df.collect())
+    checks = token_heavyhitters_cms.last_band_check
+    assert checks, "band-check telemetry missing"
+    for token, freq, est, band in checks:
+        assert est >= freq, (token, freq, est)
+        assert est - freq <= band, (token, freq, est, band)
+
+
+def test_connected_components_empty_graph_ok(spark):
+    """Empty pair graph: NULL label sum with zero rows is the empty
+    fixpoint, not an overflow — must return empty labels, not raise."""
+    from financial_arbitrage_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
