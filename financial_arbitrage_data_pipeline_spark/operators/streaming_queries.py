@@ -526,6 +526,14 @@ def make_pair_perf_upserter(spark: SparkSession, table: str):
         )
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from .upsert import recover_merge_table
+
+        # Resolve any crashed prior merge BEFORE trusting the marker: a
+        # committed-but-uncleaned merge rolls forward (reinstalling its
+        # marker so this batch skips), an uncommitted one rolls back (so
+        # re-applying is safe) — either way at-least-once redelivery is
+        # exactly-once into the table.
+        recover_merge_table(table)
         marker = os.path.join(table, "_last_applied_batch")
         if os.path.exists(marker):
             with open(marker) as fh:
@@ -587,8 +595,10 @@ def streaming_pair_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and MERGEs the deltas into the running table — the reference's
     `total_trades += 1` counters (`writer.py:409-468`). foreachBatch is
     at-least-once, so the additive merge records the applied batch id
-    IN the swapped table directory (installed atomically with the data):
-    a redelivered batch is skipped, never double-added. The oracle
+    in the commit manifest that lands with the bucket swaps in one
+    atomic rename (see `upsert.recover_merge_table`): a redelivered
+    batch is skipped, never double-added, even across a crash between
+    bucket swaps. The oracle
     recomputes the same totals from scratch: equality proves the
     incremental path equals the batch recompute — the defining property
     of a continuous aggregate."""

@@ -32,8 +32,10 @@ under any batch split or partial-aggregation order.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,6 +52,13 @@ except Exception:  # pragma: no cover - delta not shipped in this container
 
 _N_BUCKETS_FILE = "_n_buckets"
 _DEFAULT_BUCKETS = 16
+_PENDING_FILE = "_merge_pending"
+_COMMIT_FILE = "_commit_manifest"
+
+# Test seam for the crash-injection suite: when set to a callable it is
+# invoked after every bucket swap with the bucket id — a test raises from
+# it to simulate the process dying between two bucket swaps.
+_post_swap_hook = None
 
 
 def _bucket_of(key_col: Column, n_buckets: int) -> Column:
@@ -89,9 +98,91 @@ def create_bucketed_table(
 
 
 def read_merge_table(spark: SparkSession, target_dir: str) -> DataFrame:
-    """Read a merge target in user-schema form (bucket column dropped)."""
+    """Read a merge target in user-schema form (bucket column dropped).
+    Runs crash recovery first so a reader after a mid-merge crash sees
+    exactly the last COMMITTED state (uncommitted bucket swaps rolled
+    back, committed-but-unfinished merges rolled forward)."""
+    if _bucketed_n(target_dir) is not None:
+        recover_merge_table(target_dir)
     df = spark.read.parquet(target_dir)
     return df.drop("__bucket__") if "__bucket__" in df.columns else df
+
+
+def _read_json(path: str) -> dict | None:
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def recover_merge_table(target_dir: str) -> None:
+    """Crash recovery for the bucketed-merge commit protocol — makes a
+    multi-bucket MERGE all-or-nothing (the transactional contract the
+    reference gets from Postgres, `database/postgres/writer.py:351-407`).
+
+    Protocol (see `_merge_bucketed`): swaps keep every replaced bucket as
+    `__bucket__=<i>.__old__`; the `_commit_manifest` (tmp-written then
+    `os.replace`d) is the single atomic COMMIT POINT. Recovery decides by
+    comparing the in-flight `_merge_pending` intent file with the last
+    committed manifest's merge id:
+
+    - pending == committed  → the merge COMMITTED but died during
+      cleanup: roll FORWARD — reinstall the manifest's root files (e.g.
+      the applied-batch marker), delete the `.__old__` backups, drop the
+      intent file. A redelivery then sees the marker and skips: no
+      double-apply.
+    - pending != committed  → the merge died BEFORE its commit point:
+      roll BACK every recorded swap (restore `.__old__`; delete buckets
+      that did not exist before), so the table reads as if the merge
+      never ran and the redelivered batch re-applies cleanly: no lost
+      rows, no partial application.
+
+    Idempotent and cheap (pure filesystem metadata ops), so callers run
+    it before reading the applied-batch marker and before every merge."""
+    pending_p = os.path.join(target_dir, _PENDING_FILE)
+    commit_p = os.path.join(target_dir, _COMMIT_FILE)
+    tmp = target_dir.rstrip("/") + ".__merge_tmp__"
+    pending = _read_json(pending_p)
+    if pending is None:
+        # No merge in flight. A stray .__old__ here can only be legacy
+        # (pre-manifest) debris: restore it if it holds the only copy of
+        # its bucket, otherwise drop it.
+        for entry in os.listdir(target_dir):
+            if not entry.endswith(".__old__"):
+                continue
+            old = os.path.join(target_dir, entry)
+            dst = os.path.join(target_dir, entry[: -len(".__old__")])
+            if os.path.exists(dst):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, dst)
+        return
+    commit = _read_json(commit_p)
+    if commit is not None and commit.get("merge_id") == pending["merge_id"]:
+        # committed: finish what the cleanup phase would have done
+        _install_root_files(target_dir, commit.get("extra_files") or {})
+        for swap in pending["swaps"]:
+            old = os.path.join(
+                target_dir, f"__bucket__={swap['bucket']}.__old__"
+            )
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.remove(pending_p)
+        return
+    # uncommitted: undo every swap the intent file recorded
+    for swap in pending["swaps"]:
+        dst = os.path.join(target_dir, f"__bucket__={swap['bucket']}")
+        old = dst + ".__old__"
+        if swap["had_prev"]:
+            if os.path.exists(old):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.rename(old, dst)
+            # old absent → this swap never started; dst is the original
+        else:
+            # bucket is new in this merge: rolling back means removing it
+            shutil.rmtree(dst, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.remove(pending_p)
 
 
 def _bucketed_n(target_dir: str) -> int | None:
@@ -125,12 +216,16 @@ def merge_into_parquet(
        transactional `MERGE INTO` — file-pruned, atomic, concurrent-safe.
     2. **Hash-bucketed parquet** (`_n_buckets` marker present, written by
        `create_bucketed_table`): read/join/rewrite ONLY the buckets the
-       update keys hash into; untouched buckets are never opened. Each
-       bucket swaps via tmp-dir + rename (atomic per bucket). Cross-bucket
-       atomicity is NOT guaranteed: a crash mid-merge leaves some buckets
-       updated and the applied-batch marker unwritten, so an at-least-once
-       redelivery can double-apply the already-swapped buckets — the
-       residual window a transaction log (option 1) exists to close.
+       update keys hash into; untouched buckets are never opened. Swaps
+       are made ALL-OR-NOTHING across buckets by a root-level commit
+       manifest: an intent file records the planned swaps, `.__old__`
+       backups are kept through the swap loop, and one atomic
+       `os.replace` of `_commit_manifest` (which also carries the
+       applied-batch marker contents) commits the whole merge.
+       `recover_merge_table` rolls an uncommitted crash back and a
+       committed-but-uncleaned crash forward — a single-table analogue
+       of a Delta/Iceberg commit log, and the same contract the
+       reference gets from Postgres transactions (`writer.py:351-407`).
     3. **Plain parquet dir**: whole-table read → join → rewrite through a
        tmp dir and a two-rename swap. A failed job never corrupts the
        target; a crash between the renames leaves the data in
@@ -209,22 +304,20 @@ def _merge_bucketed(
 ) -> None:
     """Bucket-scoped MERGE: rewrite only `__bucket__=<i>` directories
     whose bucket id appears among the update keys. The touched-bucket
-    collect is ≤ n_buckets ints — driver-safe at any scale."""
-    # Recover from a crash between a prior merge's two renames BEFORE
-    # reading the target: `__bucket__=<i>.__old__` with no `__bucket__=<i>`
-    # means the .__old__ dir holds the only copy of that bucket — restore
-    # it (the crashed merge's batch never marked applied, so it replays).
-    # Deleting .__old__ first, or scanning with the bucket dir missing,
-    # would lose or ignore those rows.
-    for entry in os.listdir(target_dir):
-        if not entry.endswith(".__old__"):
-            continue
-        old = os.path.join(target_dir, entry)
-        dst = os.path.join(target_dir, entry[: -len(".__old__")])
-        if os.path.exists(dst):
-            shutil.rmtree(old, ignore_errors=True)
-        else:
-            os.rename(old, dst)
+    collect is ≤ n_buckets ints — driver-safe at any scale.
+
+    Multi-bucket atomicity via a root-level COMMIT MANIFEST: before any
+    swap, an intent file (`_merge_pending`) records the merge id and
+    every planned swap; the per-bucket swaps keep their `.__old__`
+    backups; then `_commit_manifest` — carrying the same merge id, the
+    touched buckets and the root metadata (applied-batch marker) — is
+    tmp-written and `os.replace`d as the SINGLE atomic commit point.
+    Only after that are backups and the intent file garbage-collected.
+    A crash anywhere is resolved by `recover_merge_table`: before the
+    manifest lands, every swap rolls back (the merge never happened —
+    redelivery re-applies, nothing lost); after it lands, cleanup rolls
+    forward (marker present — redelivery skips, nothing double-applied)."""
+    recover_merge_table(target_dir)
     touched = sorted(
         r[0]
         for r in updates.select(
@@ -235,33 +328,57 @@ def _merge_bucketed(
     )
     tmp = target_dir.rstrip("/") + ".__merge_tmp__"
     shutil.rmtree(tmp, ignore_errors=True)
-    if touched:
-        full = spark.read.parquet(target_dir)
-        data_cols = [c for c in full.columns if c != "__bucket__"]
-        # partition filter → Spark prunes untouched bucket directories at
-        # the scan; only touched buckets are ever opened
-        target = full.filter(F.col("__bucket__").isin(touched)).drop("__bucket__")
-        merged = _merged_output(
-            target, updates, key, set_exprs, insert_missing, data_cols
-        ).withColumn("__bucket__", _bucket_of(F.col(key), n_buckets))
-        (
-            merged.repartition("__bucket__")
-            .write.mode("overwrite")
-            .partitionBy("__bucket__")
-            .parquet(tmp)
-        )
-        for b in touched:
-            src = os.path.join(tmp, f"__bucket__={b}")
-            dst = os.path.join(target_dir, f"__bucket__={b}")
-            old = dst + ".__old__"
-            if not os.path.exists(src):
-                continue  # no surviving rows for this bucket: nothing to swap
-            if os.path.exists(dst):
-                os.rename(dst, old)
-            os.rename(src, dst)
-            shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+    if not touched:
+        # no data change: the root metadata install is a single atomic
+        # os.replace per file, no manifest needed
+        _install_root_files(target_dir, extra_files)
+        return
+    full = spark.read.parquet(target_dir)
+    data_cols = [c for c in full.columns if c != "__bucket__"]
+    # partition filter → Spark prunes untouched bucket directories at
+    # the scan; only touched buckets are ever opened
+    target = full.filter(F.col("__bucket__").isin(touched)).drop("__bucket__")
+    merged = _merged_output(
+        target, updates, key, set_exprs, insert_missing, data_cols
+    ).withColumn("__bucket__", _bucket_of(F.col(key), n_buckets))
+    (
+        merged.repartition("__bucket__")
+        .write.mode("overwrite")
+        .partitionBy("__bucket__")
+        .parquet(tmp)
+    )
+    swaps = []
+    for b in touched:
+        if not os.path.exists(os.path.join(tmp, f"__bucket__={b}")):
+            continue  # no surviving rows for this bucket: nothing to swap
+        dst = os.path.join(target_dir, f"__bucket__={b}")
+        swaps.append({"bucket": b, "had_prev": os.path.exists(dst)})
+    manifest = {
+        "merge_id": uuid.uuid4().hex,
+        "swaps": swaps,
+        "extra_files": dict(extra_files or {}),
+    }
+    _install_root_files(target_dir, {_PENDING_FILE: json.dumps(manifest)})
+    for swap in swaps:
+        b = swap["bucket"]
+        src = os.path.join(tmp, f"__bucket__={b}")
+        dst = os.path.join(target_dir, f"__bucket__={b}")
+        if swap["had_prev"]:
+            os.rename(dst, dst + ".__old__")
+        os.rename(src, dst)
+        if _post_swap_hook is not None:
+            _post_swap_hook(b)
+    # ---- COMMIT POINT: one atomic rename makes the whole merge real ----
+    _install_root_files(target_dir, {_COMMIT_FILE: json.dumps(manifest)})
+    # cleanup (crash-safe: recover_merge_table re-runs it on demand)
     _install_root_files(target_dir, extra_files)
+    for swap in swaps:
+        shutil.rmtree(
+            os.path.join(target_dir, f"__bucket__={swap['bucket']}.__old__"),
+            ignore_errors=True,
+        )
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.remove(os.path.join(target_dir, _PENDING_FILE))
 
 
 def _merge_delta(

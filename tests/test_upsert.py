@@ -291,3 +291,173 @@ def test_bucketed_merge_recovers_bucket_stranded_in_old(spark, tmp_path):
     rows = {r.id: r.v for r in read_merge_table(spark, path).collect()}
     assert len(rows) == 64  # nothing lost
     assert rows[3] == 31  # restored AND updated
+
+
+# ---------------------------------------------------------------------------
+# Round-5: cross-bucket atomicity via the commit manifest (K4 hardening)
+# ---------------------------------------------------------------------------
+def _bucketed_state(spark, path):
+    from financial_arbitrage_data_pipeline_spark.operators.upsert import (
+        read_merge_table,
+    )
+
+    return {r.id: r.v for r in read_merge_table(spark, path).collect()}
+
+
+def test_crash_between_bucket_swaps_rolls_back_then_replays_exactly_once(
+    spark, tmp_path
+):
+    """THE K4 atomicity contract: kill the merge between two bucket
+    swaps → the table must read as if the merge never ran (all-or-
+    nothing), the applied-batch marker must NOT be installed, and the
+    at-least-once redelivery must land the batch exactly once — no lost
+    rows, no double-apply."""
+    import os
+
+    import pytest as _pytest
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert
+
+    path = str(tmp_path / "bt")
+    _seed_bucketed(spark, path)  # ids 0..63, v = id*10
+    before = _bucketed_state(spark, path)
+
+    # updates spanning several buckets, additive (double-apply detectable)
+    updates = spark.createDataFrame(
+        [(i, 1) for i in range(0, 64, 7)], "id long, dv long"
+    )
+    marker = {"_last_applied_batch": "42"}
+
+    class Boom(RuntimeError):
+        pass
+
+    swapped = []
+
+    def crash_after_first(bucket):
+        swapped.append(bucket)
+        if len(swapped) == 1:
+            raise Boom("simulated crash between bucket swaps")
+
+    upsert._post_swap_hook = crash_after_first
+    try:
+        with _pytest.raises(Boom):
+            merge_into_parquet(
+                spark,
+                path,
+                updates,
+                key="id",
+                set_exprs={"v": F.col("t.v") + F.col("u.dv")},
+                extra_files=marker,
+            )
+    finally:
+        upsert._post_swap_hook = None
+
+    # crash left a swapped bucket + intent file but NO commit manifest
+    assert os.path.exists(os.path.join(path, "_merge_pending"))
+    assert not os.path.exists(os.path.join(path, "_last_applied_batch"))
+
+    # reader sees the PRE-merge state: the one swapped bucket rolled back
+    assert _bucketed_state(spark, path) == before
+
+    # redelivery (same batch, marker unset → re-applies): exactly once
+    merge_into_parquet(
+        spark,
+        path,
+        updates,
+        key="id",
+        set_exprs={"v": F.col("t.v") + F.col("u.dv")},
+        extra_files=marker,
+    )
+    after = _bucketed_state(spark, path)
+    expected = dict(before)
+    for i in range(0, 64, 7):
+        expected[i] += 1
+    assert after == expected  # +1 exactly once, all 64 rows present
+    with open(os.path.join(path, "_last_applied_batch")) as fh:
+        assert fh.read() == "42"
+    assert not os.path.exists(os.path.join(path, "_merge_pending"))
+
+
+def test_crash_after_commit_rolls_forward_and_skips_redelivery(spark, tmp_path):
+    """Crash AFTER the commit manifest lands but before cleanup: recovery
+    must roll FORWARD — reinstall the applied-batch marker from the
+    manifest, drop the .__old__ backups — so a redelivered batch sees the
+    marker and is skipped (no double-apply)."""
+    import json
+    import os
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert
+
+    path = str(tmp_path / "bt")
+    _seed_bucketed(spark, path)
+
+    updates = spark.createDataFrame([(3, 1), (11, 2)], "id long, dv long")
+    merge_into_parquet(
+        spark,
+        path,
+        updates,
+        key="id",
+        set_exprs={"v": F.col("t.v") + F.col("u.dv")},
+        extra_files={"_last_applied_batch": "7"},
+    )
+    committed = _bucketed_state(spark, path)
+
+    # reconstruct the crash window: commit manifest present, cleanup not
+    # run — pending intent back in place, marker deleted, stale .__old__
+    with open(os.path.join(path, "_commit_manifest")) as fh:
+        manifest = json.load(fh)
+    with open(os.path.join(path, "_merge_pending"), "w") as fh:
+        json.dump(manifest, fh)
+    os.remove(os.path.join(path, "_last_applied_batch"))
+    for swap in manifest["swaps"]:
+        os.makedirs(
+            os.path.join(path, f"__bucket__={swap['bucket']}.__old__"),
+            exist_ok=True,
+        )
+
+    upsert.recover_merge_table(path)
+
+    # rolled forward: marker reinstalled from manifest, backups gone
+    with open(os.path.join(path, "_last_applied_batch")) as fh:
+        assert fh.read() == "7"
+    assert not os.path.exists(os.path.join(path, "_merge_pending"))
+    assert not any(e.endswith(".__old__") for e in os.listdir(path))
+    assert _bucketed_state(spark, path) == committed
+
+
+def test_pair_perf_upserter_skips_after_rolled_forward_crash(spark, tmp_path):
+    """End-to-end through the SHIPPED streaming batch handler: after a
+    committed-but-uncleaned merge (marker missing on disk), the handler's
+    recovery must reinstall the marker and skip the redelivered batch."""
+    import json
+    import os
+
+    from financial_arbitrage_data_pipeline_spark.operators.streaming_queries import (
+        make_pair_perf_upserter,
+    )
+
+    table = str(tmp_path / "pair_perf")
+    upsert_batch = make_pair_perf_upserter(spark, table)
+    batch = spark.createDataFrame(
+        [(1, 100, "purchase", 2.5), (2, 100, "purchase", 1.0)],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    upsert_batch(batch, 0)
+    once = {
+        r.pair_id: (r.total_trades, r.total_volume, r.total_cost_cents)
+        for r in spark.read.parquet(table).collect()
+    }
+
+    # crash window: marker lost, manifest + pending agree (committed)
+    with open(os.path.join(table, "_commit_manifest")) as fh:
+        manifest = json.load(fh)
+    with open(os.path.join(table, "_merge_pending"), "w") as fh:
+        json.dump(manifest, fh)
+    os.remove(os.path.join(table, "_last_applied_batch"))
+
+    upsert_batch(batch, 0)  # redelivery must be SKIPPED, not re-merged
+    again = {
+        r.pair_id: (r.total_trades, r.total_volume, r.total_cost_cents)
+        for r in spark.read.parquet(table).collect()
+    }
+    assert again == once
