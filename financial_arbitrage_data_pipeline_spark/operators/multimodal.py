@@ -3,14 +3,16 @@ with typed metadata (schemas.MEDIA_ASSETS), processed with Arrow-batched
 Pandas functions over mapInPandas — the only operators in the engine that
 legitimately leave the JVM, because codec work is Python-library territory.
 
-The container has no image/video codec libraries, so those decode kernels
-are STUBS: `decode_image`/`decode_video` raise NotImplementedError, and
-`fake_decode_features` is the deterministic stand-in used to keep the
-Spark-side plumbing (binary schema, batch iteration, UDF signatures,
-partition sizing) real and tested. Swapping in Pillow/pyav later only
-changes the kernel body. AUDIO has a real codec: a NumPy-only PCM
-RIFF/WAVE encoder+decoder (`synthesize_wav`/`decode_wav_pcm`) drives the
-oracle-checked `audio_pcm_stats` lane end-to-end on real bytes.
+The container has no codec libraries, so VIDEO decode is a STUB:
+`decode_video` raises NotImplementedError and `fake_decode_features` is
+the deterministic stand-in that keeps the Spark-side plumbing (binary
+schema, batch iteration, UDF signatures, partition sizing) real and
+tested; swapping in pyav later only changes the kernel body. AUDIO and
+IMAGE have real codecs: a NumPy-only PCM RIFF/WAVE encoder+decoder
+(`synthesize_wav`/`decode_wav_pcm`) drives the oracle-checked
+`audio_pcm_stats` lane, and a NumPy-only uncompressed 24-bit BMP
+encoder+decoder (`synthesize_bmp`/`decode_bmp`) drives the
+oracle-checked `image_pixel_stats` lane, both end-to-end on real bytes.
 
 Scale notes (100 TB): payloads ride as parquet binary; mapInPandas
 processes Arrow batches so Python crossings are per-batch, not per-row.
@@ -41,8 +43,10 @@ MEDIA_TYPES = ["image", "audio", "video"]
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real image decode (Pillow). Not available in this container."""
-    raise NotImplementedError("image codecs not installed; use fake_decode_features")
+    """Real image decode for uncompressed 24-bit BMP payloads (NumPy-only
+    parser, see `decode_bmp` below). Compressed formats (png/jpeg) would
+    need Pillow — not in this container."""
+    return decode_bmp(payload)
 
 
 def decode_audio(payload: bytes) -> dict:
@@ -448,6 +452,137 @@ def decode_wav_pcm(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Real image codec: NumPy-only uncompressed 24-bit BMP encoder + decoder
+# (same recipe as the WAV lane — real bytes, byte-exact reproducible, so
+# decode results are oracle-checkable without any codec library).
+# ---------------------------------------------------------------------------
+def _bmp_dims(asset_id: int) -> tuple[int, int]:
+    """(width, height) as pure functions of the asset id, so the DuckDB
+    oracle can restate them in SQL."""
+    return 8 + asset_id % 9, 4 + asset_id % 7
+
+
+def _bmp_pixel(asset_id: int, x, y, c):
+    """Channel value at (x, y) for channel c (0=B, 1=G, 2=R) — integer
+    formula the oracle recomputes in SQL. Works elementwise on NumPy
+    arrays as well as scalars."""
+    return (asset_id * 13 + x * 3 + y * 7 + c * 101) % 256
+
+
+def synthesize_bmp(asset_id: int) -> bytes:
+    """A real, valid uncompressed 24-bit BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, bottom-up rows, 4-byte row padding, BGR byte
+    order) with deterministic pixel values from `_bmp_pixel`."""
+    import struct
+
+    w, h = _bmp_dims(asset_id)
+    y, x, c = _np.meshgrid(
+        _np.arange(h), _np.arange(w), _np.arange(3), indexing="ij"
+    )
+    img = _bmp_pixel(asset_id, x, y, c).astype(_np.uint8)  # (h, w, 3) BGR
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    rows = []
+    for yy in range(h - 1, -1, -1):  # bottom-up storage order
+        rows.append(img[yy].tobytes() + b"\x00" * pad)
+    pixel_data = b"".join(rows)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset)
+    return header + dib + pixel_data
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL image decode: validate the BMP file header and the
+    BITMAPINFOHEADER (24-bit, uncompressed), then read the padded
+    bottom-up pixel rows into an (h, w, 3) BGR array — the NumPy
+    equivalent of Pillow's BMP plugin, dependency-free. Emits
+    integer-exact per-channel stats so the oracle hash-matches without
+    float tolerance games. Handles top-down (negative height) images;
+    diagnoses truncated pixel data with its own error, not a raw numpy
+    reshape failure."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    dib_size, w, h_raw, planes, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported by this kernel")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad dimensions {w}x{h_raw}")
+    stride = (w * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+    need = stride * h
+    body = payload[offset : offset + need]
+    if len(body) < need:
+        raise ValueError(
+            f"truncated pixel data: need {need} bytes from offset {offset}, "
+            f"payload carries {len(body)}"
+        )
+    rows = _np.frombuffer(body, dtype=_np.uint8).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3).astype(_np.int64)
+    if not top_down:
+        img = img[::-1]  # stored bottom-up → flip to image order
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_pixels": int(w * h),
+        "sum_b": int(img[:, :, 0].sum()),
+        "sum_g": int(img[:, :, 1].sum()),
+        "sum_r": int(img[:, :, 2].sum()),
+        "peak": int(img.max()),
+    }
+
+
+IMAGE_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+    ]
+)
+
+
+def decode_image_assets(assets: DataFrame) -> DataFrame:
+    """mapInPandas over binary BMP payloads → per-asset pixel stats.
+    Same Arrow-batched shape as the audio lane; the kernel body does
+    real byte-level codec work."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [decode_bmp(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    **{
+                        k: [s[k] for s in stats]
+                        for k in (
+                            "width", "height", "n_pixels",
+                            "sum_b", "sum_g", "sum_r", "peak",
+                        )
+                    },
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        kernel, IMAGE_PIXEL_SCHEMA
+    )
+
+
 AUDIO_PCM_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),
@@ -529,3 +664,65 @@ def audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = docs.select("doc_id").mapInPandas(synth, wav_schema)
     return decode_audio_assets(assets)
+
+
+@query(
+    "image_pixel_stats",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+ys AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 13 + x * 3 + y * 7) % 256 AS b,
+         (doc_id * 13 + x * 3 + y * 7 + 101) % 256 AS g,
+         (doc_id * 13 + x * 3 + y * 7 + 202) % 256 AS r
+  FROM ys
+)
+SELECT doc_id AS asset_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(MAX(w) * MAX(h) AS BIGINT) AS n_pixels,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(MAX(GREATEST(b, g, r)) AS BIGINT) AS peak
+FROM v GROUP BY doc_id
+""",
+    tags=("multimodal", "image", "codec"),
+)
+def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image codec lane (the WAV lane's twin): synthesize
+    a valid uncompressed 24-bit BMP per image asset (mapInPandas, binary
+    out), then DECODE the bytes back through the BMP parser
+    (mapInPandas, stats out). The oracle knows nothing about BMP — it
+    recomputes the expected pixel values from the generator formula in
+    pure SQL — so a hash match proves the bytes written by the encoder
+    (bottom-up rows, 4-byte padding, BGR order) were bit-exactly
+    recovered by the decoder through the whole Spark binary-column
+    path. Integer per-channel sums keep the comparison exact."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the BMP codec kernels")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+
+    bmp_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].values,
+                    "payload": [synthesize_bmp(int(a)) for a in pdf["doc_id"]],
+                }
+            )
+
+    assets = docs.select("doc_id").mapInPandas(synth, bmp_schema)
+    return decode_image_assets(assets)

@@ -81,13 +81,14 @@ def test_rh_lsh_bucket_deterministic_and_groups_identical_vectors(spark):
 
 
 def test_decode_stubs_raise(spark):
-    # image/video codecs are stubs (libs not in container); audio is a
-    # real RIFF parser now — it rejects garbage with ValueError instead
-    for fn in (multimodal.decode_image, multimodal.decode_video):
-        with pytest.raises(NotImplementedError):
-            fn(b"xx")
+    # video decode is a stub (no codec lib in container); audio and
+    # image are real parsers now — they reject garbage with ValueError
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_video(b"xx")
     with pytest.raises(ValueError):
         multimodal.decode_audio(b"xx")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"xx")
 
 
 def test_fake_decode_features_deterministic():
@@ -331,3 +332,115 @@ def test_connected_components_empty_graph_ok(spark):
 
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(pairs).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Real BMP codec kernels (multimodal image lane)
+# ---------------------------------------------------------------------------
+def test_bmp_roundtrip_exact():
+    import numpy as np
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        _bmp_dims,
+        _bmp_pixel,
+        decode_bmp,
+        synthesize_bmp,
+    )
+
+    for aid in (0, 3, 42, 9999):
+        w, h = _bmp_dims(aid)
+        stats = decode_bmp(synthesize_bmp(aid))
+        y, x, c = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        img = _bmp_pixel(aid, x, y, c).astype(np.int64)
+        assert stats["width"] == w and stats["height"] == h
+        assert stats["n_pixels"] == w * h
+        assert stats["sum_b"] == int(img[:, :, 0].sum())
+        assert stats["sum_g"] == int(img[:, :, 1].sum())
+        assert stats["sum_r"] == int(img[:, :, 2].sum())
+        assert stats["peak"] == int(img.max())
+
+
+def test_bmp_decoder_handles_top_down_rows():
+    """Negative height means top-down row order — stats must match the
+    bottom-up encoding of the same image."""
+    import struct
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        synthesize_bmp,
+    )
+
+    bottom_up = synthesize_bmp(17)
+    (w,) = struct.unpack("<i", bottom_up[18:22])
+    (h,) = struct.unpack("<i", bottom_up[22:26])
+    stride = (w * 3 + 3) & ~3
+    body = bottom_up[54:]
+    rows = [body[i * stride : (i + 1) * stride] for i in range(h)]
+    top_down = (
+        bottom_up[:22] + struct.pack("<i", -h) + bottom_up[26:54]
+        + b"".join(reversed(rows))
+    )
+    assert decode_bmp(top_down) == decode_bmp(bottom_up)
+
+
+def test_bmp_decoder_rejects_garbage_and_truncation():
+    import pytest as _pytest
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        synthesize_bmp,
+    )
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"definitely not a bitmap")
+    with _pytest.raises(ValueError, match="truncated pixel data"):
+        decode_bmp(synthesize_bmp(5)[:-7])
+
+
+def test_bmp_decoder_fuzz_roundtrip():
+    """Property: ANY uncompressed 24-bit pixel grid round-trips exactly
+    through synthesize-shaped bytes → decode_bmp (not just the generator
+    formula's outputs)."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+    )
+
+    def build_bmp(img):
+        h, w, _ = img.shape
+        row_bytes = w * 3
+        pad = (-row_bytes) % 4
+        pixel_data = b"".join(
+            img[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+        )
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 0, 0, 0, 0
+        )
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+        return header + dib + pixel_data
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.integers(1, 17),
+        st.integers(1, 11),
+        st.integers(0, 2**32 - 1),
+    )
+    def check(w, h, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        stats = decode_bmp(build_bmp(img))
+        arr = img.astype(np.int64)
+        assert stats["width"] == w and stats["height"] == h
+        assert stats["sum_b"] == int(arr[:, :, 0].sum())
+        assert stats["sum_g"] == int(arr[:, :, 1].sum())
+        assert stats["sum_r"] == int(arr[:, :, 2].sum())
+        assert stats["peak"] == int(arr.max())
+
+    check()
