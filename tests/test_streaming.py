@@ -368,10 +368,11 @@ def test_transform_with_state_matches_apply_in_pandas_backend(spark, tmp_path):
     kernel. TWS needs the RocksDB state store provider; set it for this
     run and restore the previous provider after.
 
-    TWS's state-server protocol needs the `protobuf` package; this
-    container doesn't ship it, so the TWS leg skips there (the fold
-    kernel itself is still exercised by every applyInPandasWithState
-    test — the backends share it)."""
+    TWS's state-server protocol needs a `google.protobuf` runtime; the
+    package __init__ makes one importable everywhere (vendored fallback
+    in `financial_arbitrage_data_pipeline_spark/vendor`, real install
+    preferred), so this runs in-container. The importorskip only guards
+    environments where even the vendored runtime cannot load."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithStateInPandas requires protobuf for its state protocol",
@@ -464,3 +465,24 @@ def test_batch_observation_counts_without_second_scan(spark, sf_dir):
     )
     n_written = observed_df.count()
     assert obs.get["n_rows"] == n_written
+
+
+def test_vendored_protobuf_roundtrips_state_messages():
+    """The vendored protobuf runtime (see
+    financial_arbitrage_data_pipeline_spark/vendor) must load pyspark's
+    generated StateMessage_pb2 (gencode 6.33 vs runtime 4.23 — the
+    runtime_version shim bridges the version gate) and round-trip the
+    state-server messages byte-exactly."""
+    from financial_arbitrage_data_pipeline_spark.vendor import ensure_protobuf
+
+    assert ensure_protobuf()
+    from pyspark.sql.streaming.proto import StateMessage_pb2 as M
+
+    req = M.StateRequest(version=2)
+    req.statefulProcessorCall.setHandleState.state = M.HandleState.INITIALIZED
+    payload = req.SerializeToString()
+    back = M.StateRequest()
+    back.ParseFromString(payload)
+    assert back.version == 2
+    assert back.statefulProcessorCall.setHandleState.state == M.HandleState.INITIALIZED
+    assert back.SerializeToString() == payload
