@@ -152,6 +152,92 @@ def synthetic_feed_stream(
     )
 
 
+def decode_feed_lines(lines: DataFrame, schema: T.StructType = REPLAY_SCHEMA) -> DataFrame:
+    """Decode a stream of JSON lines (the wire form a live feed ships —
+    Kafka record values, socket lines) into typed rows under `schema`.
+    One shared `from_json`, so every network source feeds the SAME
+    downstream lanes as the file replay: the lanes consume a schema
+    contract, not a transport. Unparseable/null lines are dropped here
+    (the DLQ-aware ingest path routes them via `split_malformed`
+    instead when a dead-letter lane is wanted)."""
+    parsed = lines.select(F.from_json(F.col("line"), schema).alias("r"))
+    return parsed.filter(
+        F.col("r").isNotNull() & F.col(f"r.{schema.fields[0].name}").isNotNull()
+    ).select("r.*")
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True iff the spark-sql-kafka connector is on the JVM classpath.
+    The connector ships separately from Spark core; this container has
+    neither the jar nor a broker, so callers gate on this and fall back
+    to `socket_feed_stream` (built-in, jar-free) to prove the
+    network-source path."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def kafka_feed_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """The production ingest source: `readStream.format("kafka")` with
+    JSON record values decoded to the replay schema — the reference's
+    live venue feed (`virginia/api/data_feed.py:352-398`, ZMQ transport
+    `database/broker/receiver.py:485-545`) re-expressed as the standard
+    Spark source. Everything downstream (enrich_snapshots,
+    start_storage_lane, the scan lane) is byte-identical to the
+    file-replay path — swap the source, keep the pipeline.
+
+    Raises a clear RuntimeError when the connector jar is absent, so
+    the failure mode is a documented gate, not a ClassNotFound from
+    deep inside query planning."""
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka connector not on the classpath; add the "
+            "org.apache.spark:spark-sql-kafka-0-10 package or use "
+            "socket_feed_stream/replay_stream"
+        )
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return decode_feed_lines(
+        raw.select(F.col("value").cast("string").alias("line"))
+    )
+
+
+def socket_feed_stream(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    schema: T.StructType = REPLAY_SCHEMA,
+) -> DataFrame:
+    """A real NETWORK streaming source with no extra jars: Spark's
+    built-in socket source reading JSON lines from a live TCP feed,
+    decoded by the same `decode_feed_lines` as the Kafka path. This is
+    the in-container proof of source-agnosticism for the ingest and
+    scan lanes (the Kafka jar/broker aren't shippable here); it is a
+    test/dev transport — no replay on failure — exactly like Spark
+    documents it."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return decode_feed_lines(raw.select(F.col("value").alias("line")), schema)
+
+
 def run_until_batches(q: StreamingQuery, n_batches: int, timeout_sec: float = 120.0) -> None:
     """Let an unbounded-source query (rate/Kafka) process at least
     `n_batches` micro-batches, then stop it gracefully. The bounded-file
