@@ -847,8 +847,10 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 heaviest shuffle keys with their share of the table and
     skew factor (count ÷ perfectly-uniform count) — the report that
     tells an operator whether the next join on this key needs salting
-    (functions/salting.py) or can rely on AQE skew splitting, and by
-    how much. One count aggregation over the fact table; the totals are
+    (functions/salting.py, oracle-proven output-equivalent by
+    skew_salted_supplier_rollup) or can rely on AQE skew splitting
+    (split trigger plan-pinned by tests/test_salting.py::
+    test_aqe_skew_split_triggers_on_skewed_join), and by how much. One count aggregation over the fact table; the totals are
     a 1-row broadcast bound (the allowlisted tiny-BNLJ shape); the
     top-10 runs as WindowGroupLimit, never a full sort."""
     from pyspark.sql import Window

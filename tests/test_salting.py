@@ -60,3 +60,76 @@ def test_salted_join_positional_fallback_equals_plain_join(spark):
     assert sorted((r.tag, r["count"]) for r in plain) == sorted(
         (r.tag, r["count"]) for r in salted
     )
+
+
+def test_aqe_skew_split_triggers_on_skewed_join(spark, sf_dir):
+    """The OTHER remediation `key_skew_report` recommends (next to
+    manual salting): on the same hot-key fixture shape as
+    skew_salted_supplier_rollup, AQE's skew-join optimization must
+    actually split the straggler partition — pinned by the skew marker
+    in the FINAL adaptive plan after execution — while producing the
+    same totals as the salted join. Thresholds are scaled down to
+    fixture size — Catalyst prunes every unused column before the join
+    exchange, so the shuffled rows are a few bytes each and the hot
+    partition lands in the single-digit-KB range (at 100 TB the
+    defaults, 256 MB / factor 5, play the same role). Broadcast is
+    disabled because skew splitting only applies to shuffle joins —
+    with a broadcastable dim you'd broadcast instead and skew would be
+    moot."""
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_suppkey", "l_quantity", "l_linenumber"
+        )
+        big = (
+            li.withColumn(
+                "supp_k",
+                F.when(F.col("l_suppkey") % 2 == 0, F.lit(1).cast("long"))
+                .otherwise(F.col("l_suppkey")),
+            )
+            # multiple mappers: AQE splits a skewed reduce partition at
+            # mapper granularity, so a single-mapper shuffle can't split
+            .repartition(16)
+        )
+        supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            F.col("s_suppkey").alias("supp_k"), "s_nationkey"
+        )
+        agg = (
+            big.join(supp, "supp_k")
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        )
+        got = {r.s_nationkey: (r.n, float(r.q)) for r in agg.collect()}
+        final_plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert "isFinalPlan=true" in final_plan
+    assert "skew=true" in final_plan, final_plan[:2000]
+
+    # same answer as the manual-salting remediation
+    salted = (
+        salted_join(
+            big.drop("pad"), supp, "supp_k", n_salts=8,
+            big_salt_from=["l_orderkey", "l_linenumber"],
+        )
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    want = {r.s_nationkey: (r.n, float(r.q)) for r in salted.collect()}
+    assert got == want
