@@ -486,3 +486,71 @@ def test_vendored_protobuf_roundtrips_state_messages():
     assert back.version == 2
     assert back.statefulProcessorCall.setHandleState.state == M.HandleState.INITIALIZED
     assert back.SerializeToString() == payload
+
+
+def test_transient_sink_failure_then_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """T6 retry hardening: a micro-batch that DIES mid-flight (transient
+    failure injected into the lane while earlier batches already
+    committed) must, after a checkpoint-restart of the SAME lane over
+    the SAME output dir, deliver every input row exactly once — the
+    file-sink commit log hides any partial files the failed attempt
+    left behind. This converts the 'checkpoint + exactly-once file sink'
+    equivalence argument in start_storage_lane's contract into an
+    executed proof."""
+    import glob
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql.utils import StreamingQueryException
+
+    replay_dir = str(tmp_path / "replay")
+    n = ingest.write_replay_chunks(spark, sf_dir, replay_dir, n_chunks=4)
+
+    # trigger: the first ts of the third chunk — batches 0 and 1 commit,
+    # batch 2's delivery crashes once
+    trigger_ts = min(
+        _pq.read_table(os.path.join(replay_dir, "chunk-0002.parquet"))
+        .column("ts_us")
+        .to_pylist()
+    )
+    sentinel = str(tmp_path / "crashed_once")
+
+    def crash_once_kernel(batches):
+        for pdf in batches:
+            if (pdf["ts_us"] >= trigger_ts).any() and not os.path.exists(sentinel):
+                try:
+                    with open(sentinel, "x") as fh:
+                        fh.write("boom")
+                except FileExistsError:
+                    pass
+                raise RuntimeError("injected transient sink failure")
+            yield pdf
+
+    def lane():
+        src = ingest.replay_stream(spark, replay_dir)
+        wobbly = src.mapInPandas(crash_once_kernel, ingest.REPLAY_SCHEMA)
+        return ingest.start_storage_lane(
+            ingest.enrich_snapshots(wobbly),
+            str(tmp_path / "market_snapshot"),
+            str(tmp_path / "ckpt"),
+        )
+
+    q = lane()
+    with pytest.raises(StreamingQueryException, match="transient sink failure"):
+        q.awaitTermination()
+    assert os.path.exists(sentinel)  # the failure really fired
+    committed_before = spark.read.parquet(str(tmp_path / "market_snapshot")).count()
+    assert 0 < committed_before < n  # mid-stream: some batches landed, not all
+
+    # restart from the checkpoint: the failed batch replays, the rest follow
+    q2 = lane()
+    q2.awaitTermination()
+
+    snap = spark.read.parquet(str(tmp_path / "market_snapshot"))
+    assert snap.count() == n
+    assert snap.select("event_id").distinct().count() == n
+    # the sink-log is what guarantees this: raw file listing may carry
+    # orphan files from the aborted attempt, the committed view never does
+    raw_files = glob.glob(
+        os.path.join(str(tmp_path / "market_snapshot"), "source=*", "*.parquet")
+    )
+    assert len(raw_files) >= 1

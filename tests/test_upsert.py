@@ -461,3 +461,47 @@ def test_pair_perf_upserter_skips_after_rolled_forward_crash(spark, tmp_path):
         for r in spark.read.parquet(table).collect()
     }
     assert again == once
+
+
+def test_delta_merge_into_path_when_available(spark, tmp_path):
+    """Strategy 1 of merge_into_parquet — true transactional Delta
+    `MERGE INTO` — skip-gated on the delta-spark package so the first
+    environment that ships it exercises the path instead of leaving it
+    forever untested. Mirrors test_merge_updates_matched_rows_only +
+    insert_missing on a real Delta table, marker installed via
+    extra_files."""
+    import os
+
+    import pytest as _pytest
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert
+
+    if not upsert._HAS_DELTA:
+        _pytest.skip(
+            "delta-spark not installed in this container; the bucketed "
+            "parquet MERGE (strategy 2) carries the oracle-checked "
+            "coverage — see merge_into_parquet's docstring"
+        )
+
+    path = str(tmp_path / "dt")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "id long, v long, tag string"
+    ).write.format("delta").save(path)
+    assert os.path.isdir(os.path.join(path, "_delta_log"))
+
+    updates = spark.createDataFrame([(2, 5)], "id long, dv long")
+    merge_into_parquet(
+        spark,
+        path,
+        updates,
+        key="id",
+        set_exprs={"v": F.col("t.v") + F.col("u.dv")},
+        extra_files={"_last_applied_batch": "11"},
+    )
+    rows = {
+        r.id: (r.v, r.tag)
+        for r in spark.read.format("delta").load(path).collect()
+    }
+    assert rows == {1: (10, "a"), 2: (25, "b")}
+    with open(os.path.join(path, "_last_applied_batch")) as fh:
+        assert fh.read() == "11"
