@@ -3,16 +3,22 @@ with typed metadata (schemas.MEDIA_ASSETS), processed with Arrow-batched
 Pandas functions over mapInPandas — the only operators in the engine that
 legitimately leave the JVM, because codec work is Python-library territory.
 
-The container has no codec libraries, so VIDEO decode is a STUB:
-`decode_video` raises NotImplementedError and `fake_decode_features` is
-the deterministic stand-in that keeps the Spark-side plumbing (binary
-schema, batch iteration, UDF signatures, partition sizing) real and
-tested; swapping in pyav later only changes the kernel body. AUDIO and
-IMAGE have real codecs: a NumPy-only PCM RIFF/WAVE encoder+decoder
-(`synthesize_wav`/`decode_wav_pcm`) drives the oracle-checked
-`audio_pcm_stats` lane, and a NumPy-only uncompressed 24-bit BMP
-encoder+decoder (`synthesize_bmp`/`decode_bmp`) drives the
-oracle-checked `image_pixel_stats` lane, both end-to-end on real bytes.
+All three modalities have REAL decode codecs, each NumPy-only over a
+genuine uncompressed interchange format, each driving an oracle-checked
+lane end-to-end on real bytes:
+
+- audio: PCM RIFF/WAVE (`synthesize_wav`/`decode_wav_pcm`) →
+  `audio_pcm_stats`
+- image: uncompressed 24-bit BMP (`synthesize_bmp`/`decode_bmp`) →
+  `image_pixel_stats`
+- video: YUV4MPEG2 (`synthesize_y4m`/`decode_y4m`) →
+  `video_plane_stats`
+
+COMPRESSED formats (jpeg/mp3/h264) need Pillow/librosa/pyav — not in
+this container — so `resize_image`/`resample_audio` remain documented
+stubs and `fake_decode_features`/`fake_resize` keep that plumbing
+(binary schema, batch iteration, UDF signatures, partition sizing)
+real and tested; swapping the libraries in changes only kernel bodies.
 
 Scale notes (100 TB): payloads ride as parquet binary; mapInPandas
 processes Arrow batches so Python crossings are per-batch, not per-row.
@@ -57,7 +63,10 @@ def decode_audio(payload: bytes) -> dict:
 
 
 def decode_video(payload: bytes) -> dict:
-    raise NotImplementedError("video codecs not installed; use fake_decode_features")
+    """Real video decode for uncompressed YUV4MPEG2 payloads (NumPy-only
+    parser, see `decode_y4m` below). Compressed codecs (h264/vp9) would
+    need pyav/ffmpeg — not in this container."""
+    return decode_y4m(payload)
 
 
 def fake_decode_features(payload: bytes) -> dict:
@@ -453,6 +462,143 @@ def decode_wav_pcm(payload: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Real video codec: NumPy-only YUV4MPEG2 (y4m) encoder + decoder — the
+# uncompressed interchange format ffmpeg/mjpegtools speak: one text
+# header line, then FRAME-delimited raw planar YUV. C444 layout (three
+# full-resolution planes) keeps the plane math explicit.
+# ---------------------------------------------------------------------------
+def _y4m_dims(asset_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) as pure functions of the asset id, so
+    the DuckDB oracle can restate them in SQL."""
+    return 4 + 2 * (asset_id % 5), 4 + 2 * (asset_id % 3), 2 + asset_id % 4
+
+
+def _y4m_pixel(asset_id: int, t, x, y, plane_off):
+    """Plane sample at (x, y) of frame t — integer formula the oracle
+    recomputes in SQL (plane_off: 0=Y, 101=U, 202=V). Elementwise on
+    NumPy arrays as well as scalars."""
+    return (asset_id * 7 + t * 13 + y * 5 + x * 3 + plane_off) % 256
+
+
+def synthesize_y4m(asset_id: int) -> bytes:
+    """A real, valid YUV4MPEG2 stream (header tags W/H/F/I/A/C, C444
+    planar frames each introduced by a FRAME marker line) with
+    deterministic sample values from `_y4m_pixel`."""
+    w, h, n_frames = _y4m_dims(asset_id)
+    header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode("ascii")
+    t, y, x = _np.meshgrid(
+        _np.arange(n_frames), _np.arange(h), _np.arange(w), indexing="ij"
+    )
+    frames = []
+    for off in (0, 101, 202):  # Y, U, V planes
+        frames.append(_y4m_pixel(asset_id, t, x, y, off).astype(_np.uint8))
+    body = b""
+    for fi in range(n_frames):
+        body += b"FRAME\n"
+        for plane in frames:
+            body += plane[fi].tobytes()
+    return header + body
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """REAL video decode: parse the YUV4MPEG2 header tags, then walk the
+    FRAME-delimited raw C444 planes into (frames, h, w) arrays — the
+    NumPy equivalent of ffmpeg's y4m demuxer, dependency-free. Emits
+    integer-exact per-plane stats so the oracle hash-matches without
+    float tolerance games. Diagnoses truncated frames and unsupported
+    chroma layouts with its own errors."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    chroma = "420jpeg"  # the spec's default when no C tag is present
+    for tag in payload[:nl].decode("ascii", "replace").split()[1:]:
+        if tag.startswith("W"):
+            w = int(tag[1:])
+        elif tag.startswith("H"):
+            h = int(tag[1:])
+        elif tag.startswith("C"):
+            chroma = tag[1:]
+    if not w or not h:
+        raise ValueError("missing W/H header tags")
+    if chroma != "444":
+        raise ValueError(f"only C444 supported by this kernel (got C{chroma})")
+    plane_bytes = w * h
+    pos = nl + 1
+    planes: list[list] = [[], [], []]
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = fnl + 1
+        need = 3 * plane_bytes
+        if len(payload) - pos < need:
+            raise ValueError(
+                f"truncated frame: need {need} plane bytes at byte {pos}, "
+                f"payload carries {len(payload) - pos}"
+            )
+        for pi in range(3):
+            planes[pi].append(
+                _np.frombuffer(
+                    payload[pos : pos + plane_bytes], dtype=_np.uint8
+                ).reshape(h, w)
+            )
+            pos += plane_bytes
+    n_frames = len(planes[0])
+    if n_frames == 0:
+        raise ValueError("no frames in stream")
+    yuv = [_np.stack(p).astype(_np.int64) for p in planes]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": int(n_frames),
+        "sum_y": int(yuv[0].sum()),
+        "sum_u": int(yuv[1].sum()),
+        "sum_v": int(yuv[2].sum()),
+        "peak_luma": int(yuv[0].max()),
+    }
+
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("sum_y", T.LongType(), True),
+        T.StructField("sum_u", T.LongType(), True),
+        T.StructField("sum_v", T.LongType(), True),
+        T.StructField("peak_luma", T.LongType(), True),
+    ]
+)
+
+
+def decode_video_assets(assets: DataFrame) -> DataFrame:
+    """mapInPandas over binary y4m payloads → per-asset plane stats.
+    Same Arrow-batched shape as the audio/image lanes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [decode_y4m(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    **{
+                        k: [s[k] for s in stats]
+                        for k in (
+                            "width", "height", "n_frames",
+                            "sum_y", "sum_u", "sum_v", "peak_luma",
+                        )
+                    },
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        kernel, VIDEO_STATS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real image codec: NumPy-only uncompressed 24-bit BMP encoder + decoder
 # (same recipe as the WAV lane — real bytes, byte-exact reproducible, so
 # decode results are oracle-checkable without any codec library).
@@ -664,6 +810,69 @@ def audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = docs.select("doc_id").mapInPandas(synth, wav_schema)
     return decode_audio_assets(assets)
+
+
+@query(
+    "video_plane_stats",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 4 + 2 * (doc_id % 5) AS w, 4 + 2 * (doc_id % 3) AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+),
+ts AS (SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1)) AS t FROM d),
+ys AS (SELECT doc_id, w, h, nf, t, unnest(generate_series(0, h - 1)) AS y FROM ts),
+xs AS (SELECT doc_id, w, h, nf, t, y, unnest(generate_series(0, w - 1)) AS x FROM ys),
+v AS (
+  SELECT doc_id, w, h, nf,
+         (doc_id * 7 + t * 13 + y * 5 + x * 3) % 256 AS py,
+         (doc_id * 7 + t * 13 + y * 5 + x * 3 + 101) % 256 AS pu,
+         (doc_id * 7 + t * 13 + y * 5 + x * 3 + 202) % 256 AS pv
+  FROM xs
+)
+SELECT doc_id AS asset_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(MAX(nf) AS BIGINT) AS n_frames,
+       CAST(SUM(py) AS BIGINT) AS sum_y,
+       CAST(SUM(pu) AS BIGINT) AS sum_u,
+       CAST(SUM(pv) AS BIGINT) AS sum_v,
+       CAST(MAX(py) AS BIGINT) AS peak_luma
+FROM v GROUP BY doc_id
+""",
+    tags=("multimodal", "video", "codec"),
+)
+def video_plane_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL video codec lane (completing the WAV/BMP trio):
+    synthesize a valid YUV4MPEG2 stream per video asset (mapInPandas,
+    binary out), then DECODE the bytes back through the y4m demuxer
+    (mapInPandas, stats out). The oracle knows nothing about y4m — it
+    recomputes the expected plane samples from the generator formula in
+    pure SQL — so a hash match proves the FRAME-delimited planar bytes
+    written by the encoder were bit-exactly recovered by the decoder
+    through the whole Spark binary-column path."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the y4m codec kernels")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+
+    y4m_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].values,
+                    "payload": [synthesize_y4m(int(a)) for a in pdf["doc_id"]],
+                }
+            )
+
+    assets = docs.select("doc_id").mapInPandas(synth, y4m_schema)
+    return decode_video_assets(assets)
 
 
 @query(

@@ -80,15 +80,18 @@ def test_rh_lsh_bucket_deterministic_and_groups_identical_vectors(spark):
     assert buckets == again
 
 
-def test_decode_stubs_raise(spark):
-    # video decode is a stub (no codec lib in container); audio and
-    # image are real parsers now — they reject garbage with ValueError
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_video(b"xx")
+def test_decoders_reject_garbage(spark):
+    # all three modality decoders are real parsers now — garbage gets a
+    # descriptive ValueError, not a NotImplementedError stub
     with pytest.raises(ValueError):
         multimodal.decode_audio(b"xx")
     with pytest.raises(ValueError):
         multimodal.decode_image(b"xx")
+    with pytest.raises(ValueError):
+        multimodal.decode_video(b"xx")
+    # the compressed-format kernels stay documented stubs
+    with pytest.raises(NotImplementedError):
+        multimodal.resample_audio(b"xx", 16000)
 
 
 def test_fake_decode_features_deterministic():
@@ -442,5 +445,91 @@ def test_bmp_decoder_fuzz_roundtrip():
         assert stats["sum_g"] == int(arr[:, :, 1].sum())
         assert stats["sum_r"] == int(arr[:, :, 2].sum())
         assert stats["peak"] == int(arr.max())
+
+    check()
+
+
+# ---------------------------------------------------------------------------
+# Real y4m codec kernels (multimodal video lane)
+# ---------------------------------------------------------------------------
+def test_y4m_roundtrip_exact():
+    import numpy as np
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        _y4m_dims,
+        _y4m_pixel,
+        decode_y4m,
+        synthesize_y4m,
+    )
+
+    for aid in (0, 2, 41, 9999):
+        w, h, nf = _y4m_dims(aid)
+        stats = decode_y4m(synthesize_y4m(aid))
+        t, y, x = np.meshgrid(
+            np.arange(nf), np.arange(h), np.arange(w), indexing="ij"
+        )
+        py = _y4m_pixel(aid, t, x, y, 0).astype(np.int64)
+        pu = _y4m_pixel(aid, t, x, y, 101).astype(np.int64)
+        pv = _y4m_pixel(aid, t, x, y, 202).astype(np.int64)
+        assert (stats["width"], stats["height"], stats["n_frames"]) == (w, h, nf)
+        assert stats["sum_y"] == int(py.sum())
+        assert stats["sum_u"] == int(pu.sum())
+        assert stats["sum_v"] == int(pv.sum())
+        assert stats["peak_luma"] == int(py.max())
+
+
+def test_y4m_decoder_rejects_garbage_truncation_and_chroma():
+    import pytest as _pytest
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        decode_y4m,
+        synthesize_y4m,
+    )
+
+    with _pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFF not a y4m stream")
+    with _pytest.raises(ValueError, match="truncated frame"):
+        decode_y4m(synthesize_y4m(3)[:-5])
+    with _pytest.raises(ValueError, match="only C444"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420jpeg\nFRAME\n" + b"\x00" * 24)
+    with _pytest.raises(ValueError, match="expected FRAME"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C444\nBOGUS\n" + b"\x00" * 12)
+
+
+def test_y4m_decoder_fuzz_roundtrip():
+    """Property: ANY C444 frame stack round-trips exactly through
+    synthesize-shaped bytes → decode_y4m."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        decode_y4m,
+    )
+
+    def build_y4m(frames):  # frames: (nf, 3, h, w) uint8
+        nf, _, h, w = frames.shape
+        out = f"YUV4MPEG2 W{w} H{h} F30:1 C444\n".encode()
+        for fi in range(nf):
+            out += b"FRAME\n"
+            for pi in range(3):
+                out += frames[fi, pi].tobytes()
+        return out
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 9), st.integers(1, 7), st.integers(1, 5),
+        st.integers(0, 2**32 - 1),
+    )
+    def check(w, h, nf, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, size=(nf, 3, h, w), dtype=np.uint8)
+        stats = decode_y4m(build_y4m(frames))
+        arr = frames.astype(np.int64)
+        assert (stats["width"], stats["height"], stats["n_frames"]) == (w, h, nf)
+        assert stats["sum_y"] == int(arr[:, 0].sum())
+        assert stats["sum_u"] == int(arr[:, 1].sum())
+        assert stats["sum_v"] == int(arr[:, 2].sum())
+        assert stats["peak_luma"] == int(arr[:, 0].max())
 
     check()
