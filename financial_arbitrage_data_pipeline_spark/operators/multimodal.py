@@ -14,11 +14,15 @@ lane end-to-end on real bytes:
 - video: YUV4MPEG2 (`synthesize_y4m`/`decode_y4m`) →
   `video_plane_stats`
 
-COMPRESSED formats (jpeg/mp3/h264) need Pillow/librosa/pyav — not in
-this container — so `resize_image`/`resample_audio` remain documented
-stubs and `fake_decode_features`/`fake_resize` keep that plumbing
-(binary schema, batch iteration, UDF signatures, partition sizing)
-real and tested; swapping the libraries in changes only kernel bodies.
+The TRANSFORM kernels are real too, built on those codecs with exact
+integer arithmetic so their SQL oracles verify every output sample:
+`resize_image` (nearest-neighbor over decoded BMP pixels →
+`image_resize_stats`) and `resample_audio` (linear interpolation over
+decoded PCM → `audio_resample_stats`). COMPRESSED formats (jpeg/mp3/
+h264) would need Pillow/librosa/pyav — not in this container;
+`fake_decode_features`/`fake_resize` remain as the format-agnostic
+stand-ins that keep that plumbing (binary schema, batch iteration, UDF
+signatures, partition sizing) tested for arbitrary payloads.
 
 Scale notes (100 TB): payloads ride as parquet binary; mapInPandas
 processes Arrow batches so Python crossings are per-batch, not per-row.
@@ -138,8 +142,15 @@ FRAME_STRIDE = 4  # sample every 4th frame
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize (Pillow). Not available in this container."""
-    raise NotImplementedError("image codecs not installed; use fake_resize")
+    """REAL image resize for uncompressed 24-bit BMP payloads:
+    nearest-neighbor resampling on the decoded pixel grid with the exact
+    integer index map src = (dst * in_size) // out_size (the map an SQL
+    oracle can restate), re-encoded as a valid BMP. Smooth kernels
+    (bilinear/Lanczos via Pillow) are a kernel-body swap."""
+    w_in, h_in, img = _parse_bmp(payload)
+    xs = (_np.arange(width) * w_in) // width
+    ys = (_np.arange(height) * h_in) // height
+    return _encode_bmp(img[ys][:, xs])
 
 
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -297,8 +308,38 @@ AUDIO_CHUNK_BYTES = 256  # fake "50 ms window" of the payload
 
 
 def resample_audio(payload: bytes, target_hz: int) -> bytes:
-    """Real resample (librosa/soxr). Not available in this container."""
-    raise NotImplementedError("audio codecs not installed; use the chunk kernel")
+    """REAL audio resample for PCM RIFF/WAVE payloads: linear
+    interpolation on the decoded int16 samples with EXACT integer
+    arithmetic — output index i maps to source position i·src/dst as the
+    rational (k = i·src div dst, frac = i·src mod dst), and
+    y = s[k] + floor((s[k+1] − s[k])·frac / dst), so an SQL oracle can
+    restate the resampler bit-for-bit (floats only enter via FLOOR on
+    products < 2^53, which IEEE doubles hold exactly). Re-encoded as a
+    valid WAV at target_hz. Band-limited kernels (soxr/librosa) are a
+    kernel-body swap."""
+    import struct
+
+    src, x = _parse_wav(payload)
+    n_in = int(x.size)
+    if n_in == 0:
+        y = x[:0]
+    else:
+        n_out = 1 + ((n_in - 1) * target_hz) // src
+        i = _np.arange(n_out, dtype=_np.int64)
+        num = i * src
+        k = num // target_hz
+        frac = num % target_hz
+        k2 = _np.minimum(k + 1, n_in - 1)
+        s1, s2 = x[k], x[k2]
+        y = s1 + ((s2 - s1) * frac) // target_hz  # numpy // floors, like SQL FLOOR
+    data = y.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, target_hz, target_hz * 2, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
 AUDIO_SCHEMA = T.StructType(
@@ -413,12 +454,11 @@ def synthesize_wav(asset_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
-def decode_wav_pcm(payload: bytes) -> dict:
-    """REAL audio decode: walk the RIFF chunk list, validate the fmt
-    chunk (PCM, 16-bit), and read the data chunk into int16 samples —
-    the NumPy equivalent of `wave` + `frombuffer`, dependency-free.
-    Emits integer-exact stats (peak |x| and sum of squares) so the
-    oracle hash-matches without float tolerance games."""
+def _parse_wav(payload: bytes):
+    """Walk the RIFF chunk list, validate the fmt chunk (PCM, 16-bit
+    mono) and return (sample_rate, samples) with samples an int64
+    array — the NumPy equivalent of `wave` + `frombuffer`,
+    dependency-free."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -453,8 +493,16 @@ def decode_wav_pcm(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
     if rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")
+    return int(rate), samples
+
+
+def decode_wav_pcm(payload: bytes) -> dict:
+    """REAL audio decode (see `_parse_wav`). Emits integer-exact stats
+    (peak |x| and sum of squares) so the oracle hash-matches without
+    float tolerance games."""
+    rate, samples = _parse_wav(payload)
     return {
-        "sample_rate": int(rate),
+        "sample_rate": rate,
         "n_samples": int(samples.size),
         "peak_abs": int(_np.abs(samples).max()) if samples.size else 0,
         "sum_sq": int((samples * samples).sum()),
@@ -616,17 +664,13 @@ def _bmp_pixel(asset_id: int, x, y, c):
     return (asset_id * 13 + x * 3 + y * 7 + c * 101) % 256
 
 
-def synthesize_bmp(asset_id: int) -> bytes:
-    """A real, valid uncompressed 24-bit BMP (BITMAPFILEHEADER +
-    BITMAPINFOHEADER, bottom-up rows, 4-byte row padding, BGR byte
-    order) with deterministic pixel values from `_bmp_pixel`."""
+def _encode_bmp(img) -> bytes:
+    """Encode an (h, w, 3) uint8 BGR array in image (top-down) order as
+    a valid uncompressed 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding."""
     import struct
 
-    w, h = _bmp_dims(asset_id)
-    y, x, c = _np.meshgrid(
-        _np.arange(h), _np.arange(w), _np.arange(3), indexing="ij"
-    )
-    img = _bmp_pixel(asset_id, x, y, c).astype(_np.uint8)  # (h, w, 3) BGR
+    h, w, _ = img.shape
     row_bytes = w * 3
     pad = (-row_bytes) % 4
     rows = []
@@ -641,15 +685,22 @@ def synthesize_bmp(asset_id: int) -> bytes:
     return header + dib + pixel_data
 
 
-def decode_bmp(payload: bytes) -> dict:
-    """REAL image decode: validate the BMP file header and the
-    BITMAPINFOHEADER (24-bit, uncompressed), then read the padded
-    bottom-up pixel rows into an (h, w, 3) BGR array — the NumPy
-    equivalent of Pillow's BMP plugin, dependency-free. Emits
-    integer-exact per-channel stats so the oracle hash-matches without
-    float tolerance games. Handles top-down (negative height) images;
-    diagnoses truncated pixel data with its own error, not a raw numpy
-    reshape failure."""
+def synthesize_bmp(asset_id: int) -> bytes:
+    """A real, valid uncompressed 24-bit BMP with deterministic pixel
+    values from `_bmp_pixel`, via `_encode_bmp`."""
+    w, h = _bmp_dims(asset_id)
+    y, x, c = _np.meshgrid(
+        _np.arange(h), _np.arange(w), _np.arange(3), indexing="ij"
+    )
+    return _encode_bmp(_bmp_pixel(asset_id, x, y, c).astype(_np.uint8))
+
+
+def _parse_bmp(payload: bytes):
+    """Validate the BMP file header + BITMAPINFOHEADER (24-bit,
+    uncompressed) and return (w, h, img) with img an (h, w, 3) BGR
+    uint8 array in image (top-down) order. Handles top-down (negative
+    height) storage; diagnoses truncated pixel data with its own error,
+    not a raw numpy reshape failure."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -675,13 +726,23 @@ def decode_bmp(payload: bytes) -> dict:
             f"payload carries {len(body)}"
         )
     rows = _np.frombuffer(body, dtype=_np.uint8).reshape(h, stride)[:, : w * 3]
-    img = rows.reshape(h, w, 3).astype(_np.int64)
+    img = rows.reshape(h, w, 3)
     if not top_down:
         img = img[::-1]  # stored bottom-up → flip to image order
+    return int(w), int(h), img
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL image decode (see `_parse_bmp` — the NumPy equivalent of
+    Pillow's BMP plugin, dependency-free). Emits integer-exact
+    per-channel stats so the oracle hash-matches without float
+    tolerance games."""
+    w, h, raw = _parse_bmp(payload)
+    img = raw.astype(_np.int64)
     return {
-        "width": int(w),
-        "height": int(h),
-        "n_pixels": int(w * h),
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
         "sum_b": int(img[:, :, 0].sum()),
         "sum_g": int(img[:, :, 1].sum()),
         "sum_r": int(img[:, :, 2].sum()),
@@ -812,6 +873,88 @@ def audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_assets(assets)
 
 
+_RESAMPLE_HZ = 16_000
+
+
+@query(
+    "audio_resample_stats",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, 256 + doc_id % 64 AS n_in, 8000 + (doc_id % 4) * 4000 AS src
+  FROM documents WHERE doc_id % 3 = 1
+),
+o AS (
+  SELECT doc_id, n_in, src,
+         1 + ((n_in - 1) * {_RESAMPLE_HZ}) // src AS n_out
+  FROM d
+),
+ix AS (
+  SELECT doc_id, n_in, src, n_out,
+         unnest(generate_series(0, n_out - 1)) AS i
+  FROM o
+),
+m AS (
+  SELECT doc_id, n_in, n_out,
+         (i * src) // {_RESAMPLE_HZ} AS k,
+         (i * src) % {_RESAMPLE_HZ} AS f
+  FROM ix
+),
+s AS (
+  SELECT doc_id, n_out, f,
+         (doc_id * 31 + k * 7) % 65536 - 32768 AS s1,
+         (doc_id * 31 + LEAST(k + 1, n_in - 1) * 7) % 65536 - 32768 AS s2
+  FROM m
+),
+y AS (
+  SELECT doc_id, n_out,
+         s1 + CAST(FLOOR((s2 - s1) * f / {_RESAMPLE_HZ}.0) AS BIGINT) AS y
+  FROM s
+)
+SELECT doc_id AS asset_id,
+       CAST({_RESAMPLE_HZ} AS BIGINT) AS sample_rate,
+       CAST(MAX(n_out) AS BIGINT) AS n_samples,
+       CAST(MAX(ABS(y)) AS BIGINT) AS peak_abs,
+       CAST(SUM(y * y) AS BIGINT) AS sum_sq
+FROM y GROUP BY doc_id
+""",
+    tags=("multimodal", "audio", "codec", "resample"),
+)
+def audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resample lane: synthesize a WAV per audio asset at its
+    id-derived rate (8/12/16/20 kHz — both up- and down-sampling paths
+    exercised), linear-resample it to {_RESAMPLE_HZ} Hz with the exact
+    integer-arithmetic kernel, then decode the RESAMPLED bytes back.
+    The oracle restates the interpolation — k = i·src div dst,
+    y = s[k] + floor((s[k+1]−s[k])·frac/dst) — in SQL over the
+    generator formula, so a hash match proves the resampler's every
+    output sample bit-for-bit."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the WAV codec kernels")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+
+    wav_schema2 = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth_resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].values,
+                    "payload": [
+                        resample_audio(synthesize_wav(int(a)), _RESAMPLE_HZ)
+                        for a in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    assets = docs.select("doc_id").mapInPandas(synth_resample, wav_schema2)
+    return decode_audio_assets(assets)
+
+
 @query(
     "video_plane_stats",
     oracle="""
@@ -934,4 +1077,66 @@ def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     assets = docs.select("doc_id").mapInPandas(synth, bmp_schema)
+    return decode_image_assets(assets)
+
+
+@query(
+    "image_resize_stats",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+xs AS (SELECT doc_id, w, h, unnest(generate_series(0, 6)) AS x FROM d),
+ys AS (SELECT doc_id, w, h, x, unnest(generate_series(0, 4)) AS y FROM xs),
+v AS (
+  SELECT doc_id,
+         (doc_id * 13 + ((x * w) // 7) * 3 + ((y * h) // 5) * 7) % 256 AS b,
+         (doc_id * 13 + ((x * w) // 7) * 3 + ((y * h) // 5) * 7 + 101) % 256 AS g,
+         (doc_id * 13 + ((x * w) // 7) * 3 + ((y * h) // 5) * 7 + 202) % 256 AS r
+  FROM ys
+)
+SELECT doc_id AS asset_id,
+       CAST(7 AS BIGINT) AS width,
+       CAST(5 AS BIGINT) AS height,
+       CAST(35 AS BIGINT) AS n_pixels,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(MAX(GREATEST(b, g, r)) AS BIGINT) AS peak
+FROM v GROUP BY doc_id
+""",
+    tags=("multimodal", "image", "codec", "resize"),
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize lane: synthesize a BMP per image asset, resize it to
+    7×5 through the nearest-neighbor kernel (decode → integer index map
+    src = (dst·in) div out → re-encode), then decode the RESIZED bytes
+    back. The oracle restates the index map in SQL over the generator
+    formula, so a hash match proves the resampler picked exactly the
+    right source pixels and the re-encoded BMP round-tripped."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the BMP codec kernels")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+
+    bmp_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].values,
+                    "payload": [
+                        resize_image(synthesize_bmp(int(a)), 7, 5)
+                        for a in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    assets = docs.select("doc_id").mapInPandas(synth_resize, bmp_schema)
     return decode_image_assets(assets)

@@ -89,9 +89,11 @@ def test_decoders_reject_garbage(spark):
         multimodal.decode_image(b"xx")
     with pytest.raises(ValueError):
         multimodal.decode_video(b"xx")
-    # the compressed-format kernels stay documented stubs
-    with pytest.raises(NotImplementedError):
+    # the transform kernels sit on the same parsers: same rejection
+    with pytest.raises(ValueError):
         multimodal.resample_audio(b"xx", 16000)
+    with pytest.raises(ValueError):
+        multimodal.resize_image(b"xx", 4, 4)
 
 
 def test_fake_decode_features_deterministic():
@@ -531,5 +533,93 @@ def test_y4m_decoder_fuzz_roundtrip():
         assert stats["sum_u"] == int(arr[:, 1].sum())
         assert stats["sum_v"] == int(arr[:, 2].sum())
         assert stats["peak_luma"] == int(arr[:, 0].max())
+
+    check()
+
+
+# ---------------------------------------------------------------------------
+# Real transform kernels: nearest-neighbor resize, linear resample
+# ---------------------------------------------------------------------------
+def test_resize_image_nearest_neighbor_exact():
+    import numpy as np
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        _parse_bmp,
+        decode_bmp,
+        resize_image,
+        synthesize_bmp,
+    )
+
+    src = synthesize_bmp(12)
+    w_in, h_in, img = _parse_bmp(src)
+    for w_out, h_out in ((3, 2), (7, 5), (w_in, h_in), (2 * w_in, 3 * h_in)):
+        out = resize_image(src, w_out, h_out)
+        _, _, got = _parse_bmp(out)
+        xs = (np.arange(w_out) * w_in) // w_out
+        ys = (np.arange(h_out) * h_in) // h_out
+        assert (got == img[ys][:, xs]).all()
+        assert decode_bmp(out)["n_pixels"] == w_out * h_out
+
+
+def test_resample_audio_identity_and_linearity():
+    import numpy as np
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        _parse_wav,
+        resample_audio,
+        synthesize_wav,
+    )
+
+    wav = synthesize_wav(9)
+    src_rate, x = _parse_wav(wav)
+    # identity: resampling to the same rate returns the same samples
+    same_rate, same = _parse_wav(resample_audio(wav, src_rate))
+    assert same_rate == src_rate and (same == x).all()
+    # exact 2x upsample: even outputs = inputs, odd outputs = floor-midpoints
+    up_rate, up = _parse_wav(resample_audio(wav, src_rate * 2))
+    assert up_rate == src_rate * 2
+    assert up.size == 2 * x.size - 1
+    assert (up[0::2] == x).all()
+    mid = x[:-1] + (x[1:] - x[:-1]) // 2
+    assert (up[1::2] == mid).all()
+
+
+def test_resample_audio_fuzz_matches_python_reference():
+    """Property: the vectorized integer resampler equals a scalar
+    Python reimplementation of the stated formula for arbitrary PCM."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        _parse_wav,
+        resample_audio,
+    )
+
+    def build_wav(samples, rate):
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        chunks = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+        st.sampled_from([8000, 12000, 16000]),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def check(samples, src, dst):
+        _, got = _parse_wav(resample_audio(build_wav(samples, src), dst))
+        n_in = len(samples)
+        n_out = 1 + ((n_in - 1) * dst) // src
+        assert got.size == n_out
+        for i in range(n_out):
+            k, f = (i * src) // dst, (i * src) % dst
+            s1 = samples[k]
+            s2 = samples[min(k + 1, n_in - 1)]
+            assert got[i] == s1 + ((s2 - s1) * f) // dst, (i, src, dst)
 
     check()
