@@ -759,6 +759,100 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window document chunking: the step that turns documents into
+# fixed-size training sequences (context-window W, stride S < W for
+# overlap) — the shape every LLM pretraining pipeline runs right before
+# tokenizer encoding and packing.
+# ---------------------------------------------------------------------------
+_CHUNK_W = 64  # context window, tokens
+_CHUNK_S = 48  # stride (W - S = 16 tokens of overlap between chunks)
+
+
+@query(
+    "doc_sliding_chunks",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (
+  SELECT doc_id, toks, n,
+         1 + (GREATEST(n - {_CHUNK_W}, 0) + {_CHUNK_S - 1}) // {_CHUNK_S}
+           AS n_chunks
+  FROM d
+),
+i AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM c
+),
+s AS (
+  SELECT doc_id, chunk_id,
+         toks[chunk_id * {_CHUNK_S} + 1 :
+              chunk_id * {_CHUNK_S} + LEAST({_CHUNK_W}, n - chunk_id * {_CHUNK_S})]
+           AS ctoks
+  FROM i
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(list_sum(list_transform(ctoks, x -> len(x))), 0) AS BIGINT)
+         AS n_chars,
+       ctoks[1] AS first_token,
+       ctoks[-1] AS last_token
+FROM s
+""",
+    tags=("text-chunking", "training-prep"),
+)
+def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into {_CHUNK_W}-token context windows with a
+    {_CHUNK_S}-token stride ({_CHUNK_W - _CHUNK_S} tokens of overlap so
+    no boundary context is lost) — the document→training-sequence step
+    of a pretraining data pipeline. Chunking happens ENTIRELY IN-ROW
+    (sequence → transform → slice HOFs, then one explode): no shuffle,
+    no per-doc window function, output size ≈ n/S rows per doc. The
+    chunk count 1 + ceil(max(n−W, 0)/S) guarantees full coverage with a
+    ragged final chunk; every chunk carries its token/char accounting
+    and boundary tokens so the oracle pins the exact slice arithmetic.
+    At 100 TB this is a pure map stage — it scales with scan bandwidth."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.split("text", " ").alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "n_chunks",
+            F.lit(1)
+            + (F.greatest(F.col("n") - _CHUNK_W, F.lit(0)) + (_CHUNK_S - 1))
+            .cast("long")
+            / F.lit(_CHUNK_S),
+        )
+        .withColumn("n_chunks", F.floor("n_chunks").cast("int"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, n_chunks - 1), i -> struct("
+                    f"i as chunk_id, "
+                    f"slice(toks, i * {_CHUNK_S} + 1, "
+                    f"least({_CHUNK_W}, n - i * {_CHUNK_S})) as ctoks))"
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").cast("long").alias("chunk_id"),
+            F.size("c.ctoks").cast("long").alias("n_tokens"),
+            F.expr(
+                "aggregate(c.ctoks, 0L, (a, x) -> a + length(x))"
+            ).alias("n_chars"),
+            F.element_at("c.ctoks", 1).alias("first_token"),
+            F.element_at("c.ctoks", -1).alias("last_token"),
+        )
+    )
+    return chunks
+
+
+# ---------------------------------------------------------------------------
 # Token-budget allocation: largest-remainder apportionment of a global
 # training-token budget across languages — integer-exact, so both
 # engines agree bit-for-bit.

@@ -341,3 +341,11 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in p and name not in allowed_bnlj:
             offenders.append(f"{name}: unexpected BroadcastNestedLoopJoin")
     assert not offenders, offenders
+
+
+def test_doc_sliding_chunks_is_pure_map_stage(spark, sf_dir):
+    """Chunking is in-row HOF work + one explode: zero shuffles, so it
+    scales with scan bandwidth."""
+    p = plan_of(spark, "doc_sliding_chunks", sf_dir)
+    assert "Exchange" not in p
+    assert "ReadSchema" in p and "text" in p
