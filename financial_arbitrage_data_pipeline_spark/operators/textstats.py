@@ -853,6 +853,74 @@ def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Packed-sequence boundaries: concat-then-split sequence packing (the
+# GPT-pretraining layout — documents concatenated in a deterministic
+# order, split at exact context-length boundaries) restated as window
+# arithmetic: each doc's span of packed sequences from the running
+# token cumsum.
+# ---------------------------------------------------------------------------
+_PACK_C = 512  # packed context length, tokens
+
+
+@query(
+    "packed_sequence_boundaries",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+w AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(before // {_PACK_C} AS BIGINT) AS first_seq,
+       CAST((before + n_tokens - 1) // {_PACK_C} AS BIGINT) AS last_seq,
+       before // {_PACK_C} <> (before + n_tokens - 1) // {_PACK_C}
+         AS straddles_boundary
+FROM w
+""",
+    tags=("text-packing", "training-prep", "A8"),
+)
+def packed_sequence_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing: documents are laid out in
+    deterministic (lang, doc_id) order and the token stream is cut
+    every {_PACK_C} tokens — each doc's packed-sequence span
+    [first_seq, last_seq] and whether it straddles a cut falls out of
+    ONE running-cumsum window per language (no explosion of the token
+    stream, no iteration): first_seq = floor(before/C), last_seq =
+    floor((before+n−1)/C). This is the attention-mask accounting a
+    packing-aware loader needs (straddling docs leak context across
+    sequence boundaries unless masked). At 100 TB: one shuffle on lang
+    (the window partition key), integer-exact everywhere."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    first_seq = F.floor(before / _PACK_C).cast("long")
+    last_seq = F.floor((before + F.col("n_tokens") - 1) / _PACK_C).cast("long")
+    return t.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (first_seq != last_seq).alias("straddles_boundary"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-budget allocation: largest-remainder apportionment of a global
 # training-token budget across languages — integer-exact, so both
 # engines agree bit-for-bit.
