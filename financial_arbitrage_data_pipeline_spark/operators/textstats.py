@@ -853,6 +853,92 @@ def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Train/eval contamination: exact n-gram containment between an eval
+# probe set and the training corpus — the decontamination gate every
+# serious pretraining pipeline runs before training.
+# ---------------------------------------------------------------------------
+_CONTAM_N = 5      # n-gram length
+_CONTAM_PCT = 20   # flag a probe doc when >= 20% of its n-grams appear
+
+
+@query(
+    "train_probe_contamination",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         (doc_id % 101 = 0) AS is_probe,
+         unnest(list_transform(
+           generate_series(1, GREATEST(len(string_split(text, ' ')) - {_CONTAM_N - 1}, 0)),
+           i -> array_to_string(string_split(text, ' ')[i : i + {_CONTAM_N - 1}], ' ')
+         )) AS gram
+  FROM documents
+),
+probe AS (SELECT DISTINCT doc_id, gram FROM g WHERE is_probe),
+corpus AS (SELECT DISTINCT gram FROM g WHERE NOT is_probe),
+hits AS (
+  SELECT p.doc_id, COUNT(*) AS n_matched
+  FROM probe p JOIN corpus c ON c.gram = p.gram
+  GROUP BY p.doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM probe GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_matched, 0) AS BIGINT) AS n_matched,
+       COALESCE(h.n_matched, 0) * 100 >= t.n_grams * {_CONTAM_PCT}
+         AS flagged
+FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id
+""",
+    tags=("text-decontamination", "training-prep", "J3"),
+)
+def train_probe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {_CONTAM_N}-gram containment decontamination: probe docs
+    (an eval-set stand-in, doc_id % 101 == 0) are checked against the
+    training corpus (everything else); a probe doc is flagged when ≥
+    {_CONTAM_PCT}% of its distinct {_CONTAM_N}-grams occur verbatim in
+    the corpus — the GPT-3-style n-gram overlap gate. Plan shape for
+    100 TB: probe n-grams are TINY (eval sets are small by definition)
+    and broadcast; the corpus side streams through the broadcast hash
+    join with NO corpus-wide distinct or shuffle — only matched (probe
+    doc, gram) pairs (bounded by probe size) are shuffled for the
+    distinct+count. The flag threshold is integer arithmetic
+    (n_matched·100 ≥ n_grams·{_CONTAM_PCT}), no float compare. In-row
+    n-gram construction via sequence→slice→array_join HOFs (short-doc
+    safe: greatest(n−{_CONTAM_N - 1}, 0)). At production scale you'd
+    join on xxhash64(gram) to shrink the broadcast; the string join
+    here keeps the oracle engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 101 == 0).alias("is_probe"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(text, ' ')) - {_CONTAM_N - 1}, 0)),"
+                f" i -> array_join(slice(split(text, ' '), i, {_CONTAM_N}), ' '))"
+            )
+        ).alias("gram"),
+    )
+    probe = grams.filter("is_probe").select("doc_id", "gram").distinct()
+    corpus = grams.filter(~F.col("is_probe")).select("gram")
+    hits = (
+        corpus.join(F.broadcast(probe), "gram")
+        .select("doc_id", "gram")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    tot = probe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+        (
+            F.coalesce("n_matched", F.lit(0)) * 100
+            >= F.col("n_grams") * _CONTAM_PCT
+        ).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Packed-sequence boundaries: concat-then-split sequence packing (the
 # GPT-pretraining layout — documents concatenated in a deterministic
 # order, split at exact context-length boundaries) restated as window
