@@ -927,7 +927,10 @@ def train_probe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )
     tot = probe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    return tot.join(hits, "doc_id", "left").select(
+    # hits is probe-sized (tiny by definition) — broadcast the result
+    # join too, so the whole query's only non-broadcast shuffle is the
+    # bounded matched-pairs distinct
+    return tot.join(F.broadcast(hits), "doc_id", "left").select(
         "doc_id",
         F.col("n_grams").cast("long").alias("n_grams"),
         F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),

@@ -349,3 +349,25 @@ def test_doc_sliding_chunks_is_pure_map_stage(spark, sf_dir):
     p = plan_of(spark, "doc_sliding_chunks", sf_dir)
     assert "Exchange" not in p
     assert "ReadSchema" in p and "text" in p
+
+
+def test_contamination_broadcasts_probe_side(spark, sf_dir):
+    """The corpus (big side) must stream through a broadcast hash join
+    against the tiny probe n-gram set, and the probe-sized result join
+    broadcasts too — no sort-merge join anywhere."""
+    p = plan_of(spark, "train_probe_contamination", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_packed_boundaries_single_window_shuffle(spark, sf_dir):
+    """One shuffle total — the hashpartitioning on lang feeding the
+    window; the cumsum and both boundary columns ride that one window."""
+    p = plan_of(spark, "packed_sequence_boundaries", sf_dir)
+    exchanges = [
+        ln for ln in p.splitlines()
+        if ln.strip().startswith("(") and ln.strip().endswith("Exchange")
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning(lang" in p
+    assert "Window" in p
