@@ -24,7 +24,7 @@ from financial_arbitrage_data_pipeline_spark.sources.tables import TESTDATA_TABL
 
 def main() -> int:
     sf = os.environ.get("SF", "0.01")
-    sf_dir = f"/root/testdata/sf{sf}"
+    sf_dir = os.environ.get("SF_DIR", f"/root/testdata/sf{sf}")
     only = {s for s in os.environ.get("ONLY", "").split(",") if s}
 
     spark = (
@@ -43,7 +43,12 @@ def main() -> int:
     assert set(osql) <= set(qs), "oracle_sql keys must be a subset of queries"
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata ships one file per table; the scale-curve dirs
+        # (scripts/gen_scale_data.py) are parquet DIRECTORIES — glob them
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     failures = []
     results: dict[str, dict] = {}
