@@ -623,3 +623,64 @@ def test_resample_audio_fuzz_matches_python_reference():
             assert got[i] == s1 + ((s2 - s1) * f) // dst, (i, src, dst)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence prep: chunking coverage + packing consistency
+# ---------------------------------------------------------------------------
+def test_sliding_chunks_cover_every_token_with_exact_overlap(spark, sf_dir):
+    """Properties the oracle's row-hash can't state directly: chunk
+    starts advance by exactly the stride, every token index is covered
+    by at least one chunk, and only the final chunk may be ragged."""
+    from financial_arbitrage_data_pipeline_spark.operators.textstats import (
+        _CHUNK_S,
+        _CHUNK_W,
+        doc_sliding_chunks,
+    )
+
+    chunks = doc_sliding_chunks(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        n = docs[doc_id]
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        covered = 0
+        for r in rows:
+            start = r.chunk_id * _CHUNK_S
+            assert start <= covered  # no gap before this chunk
+            if r.chunk_id < len(rows) - 1:
+                assert r.n_tokens == _CHUNK_W  # only the tail is ragged
+            covered = max(covered, start + r.n_tokens)
+        assert covered == n  # full coverage, no overrun
+
+
+def test_packed_boundaries_consistent_with_totals(spark, sf_dir):
+    """Per language: the highest last_seq equals ceil(total_tokens/C)-1
+    (no empty trailing sequence), spans are monotone in doc order, and
+    each doc's span width matches its token count."""
+    from financial_arbitrage_data_pipeline_spark.operators.textstats import (
+        _PACK_C,
+        packed_sequence_boundaries,
+    )
+
+    rows = packed_sequence_boundaries(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        total = sum(r.n_tokens for r in rs)
+        assert max(r.last_seq for r in rs) == (total - 1) // _PACK_C
+        before = 0
+        for r in rs:
+            assert r.first_seq == before // _PACK_C
+            assert r.last_seq == (before + r.n_tokens - 1) // _PACK_C
+            assert r.straddles_boundary == (r.first_seq != r.last_seq)
+            before += r.n_tokens
