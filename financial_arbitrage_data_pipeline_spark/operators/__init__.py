@@ -3,6 +3,7 @@ into `plans.REGISTRY` (each module's @query decorators run at import)."""
 
 from . import (  # noqa: F401
     analytics,
+    corpusprep,
     dedup,
     etl_queries,
     layout,
@@ -21,6 +22,7 @@ from . import (  # noqa: F401
 
 __all__ = [
     "analytics",
+    "corpusprep",
     "dedup",
     "etl_queries",
     "layout",

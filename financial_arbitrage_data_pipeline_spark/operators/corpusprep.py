@@ -1,0 +1,382 @@
+"""Corpus-preparation operators for LLM training pipelines: the
+keep/drop quality gate, the materialized dedup accounting, the
+deterministic global shuffle, the mixture/epoch upsampling plan, and the
+repeated-n-gram span detector.
+
+These compose the per-signal passes in `textstats.py` / `dedup.py` into
+the DECISION operators a 100 TB pipeline actually runs: which docs
+survive, in what order they are written, and how each source is
+up/downsampled to hit the training mixture.
+
+Scale notes: the gate and shuffle are single-pass (one projection, one
+range-partitioned sort); dedup accounting and span detection shuffle on
+content hashes (bounded by corpus tokens, the unavoidable minimum); the
+mixture plan's only data-sized stage is one per-source aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+from .dedup import _CRAWL_UNION_SQL, crawl_union
+
+# ---------------------------------------------------------------------------
+# Composite quality gate (Gopher/C4-style rule stack → keep/drop + reasons)
+# ---------------------------------------------------------------------------
+_GATE_MIN_TOKENS = 30
+_GATE_MAX_REPETITION = 0.65  # 1 - distinct/total
+_GATE_MAX_AVG_TOKLEN = 4.9
+
+_GATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, source,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+  FROM t
+),
+r AS (
+  SELECT doc_id, lang, source, n_tokens,
+         CASE WHEN n_tokens < {_GATE_MIN_TOKENS} THEN 1 ELSE 0 END
+         + CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens
+                     > {_GATE_MAX_REPETITION} THEN 2 ELSE 0 END
+         + CASE WHEN CAST(tok_chars AS DOUBLE) / n_tokens
+                     > {_GATE_MAX_AVG_TOKLEN} THEN 4 ELSE 0 END
+         AS reason_mask
+  FROM m
+)
+SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(reason_mask AS INTEGER) AS reason_mask,
+       reason_mask = 0 AS keep
+FROM r
+"""
+
+
+@query(
+    "corpus_quality_gate",
+    oracle=_GATE_SQL,
+    tags=("corpus-prep", "quality-gate"),
+)
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop DECISION operator: composes the standard
+    pre-training heuristics (minimum length, repetition ceiling, mean
+    token length ceiling — the Gopher/C4 rule stack shape) into one
+    reason BITMASK per document, so a dropped doc carries exactly which
+    rules it failed (auditable filtering, not a silent gate). Pure
+    in-row projection — array HOFs only, no explode, no shuffle — so at
+    100 TB this is a single corpus scan that co-schedules with whatever
+    pass runs next."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    repetition = F.lit(1.0) - n_distinct.cast("double") / n_tokens
+    avg_toklen = tok_chars.cast("double") / n_tokens
+    mask = (
+        F.when(n_tokens < _GATE_MIN_TOKENS, 1).otherwise(0)
+        + F.when(repetition > _GATE_MAX_REPETITION, 2).otherwise(0)
+        + F.when(avg_toklen > _GATE_MAX_AVG_TOKLEN, 4).otherwise(0)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.cast("long").alias("n_tokens"),
+        mask.cast("int").alias("reason_mask"),
+        (mask == 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialized exact-dedup accounting: what the deduped corpus looks like
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_keep_canonical",
+    oracle=f"""
+WITH corpus AS ({_CRAWL_UNION_SQL}),
+fp AS (
+  SELECT doc_id, lang, length(text) AS n_chars_fp, md5(text) AS fingerprint,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id
+  FROM corpus
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE doc_id = keep_doc_id) AS BIGINT) AS n_survivors,
+       CAST(COUNT(*) FILTER (WHERE doc_id <> keep_doc_id) AS BIGINT) AS n_dropped,
+       CAST(COALESCE(SUM(n_chars_fp) FILTER (WHERE doc_id <> keep_doc_id), 0)
+            AS BIGINT) AS chars_dropped
+FROM fp GROUP BY lang
+""",
+    tags=("corpus-prep", "dedup-exact"),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized DEDUP OUTPUT accounting: apply keep-min-doc_id over
+    exact content fingerprints to the two-crawl corpus and report, per
+    language, how many documents survive and how many bytes the dedup
+    actually saves — the number a storage planner needs before
+    committing the deduped corpus. `exact_dedup` reports the duplicate
+    GROUPS; this operator reports the resulting CORPUS. Plan: one
+    shuffle on the md5 fingerprint (window min per fingerprint — the
+    keeper assignment), then a per-lang aggregate over L rows. At 100 TB
+    the fingerprint shuffle is the unavoidable minimum for exact dedup;
+    wide text never crosses the exchange (only doc_id/lang/md5/length
+    are carried)."""
+    corpus = crawl_union(spark, sf_dir)
+    fp = corpus.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_fp"),
+        F.md5("text").alias("fingerprint"),
+    ).withColumn(
+        "keep_doc_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    )
+    dropped = F.col("doc_id") != F.col("keep_doc_id")
+    return fp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(~dropped, 1)).alias("n_survivors"),
+        F.count(F.when(dropped, 1)).alias("n_dropped"),
+        F.coalesce(
+            F.sum(F.when(dropped, F.col("n_chars_fp"))), F.lit(0)
+        ).cast("long").alias("chars_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle → sharded training order
+# ---------------------------------------------------------------------------
+_SHARD_SIZE = 64
+
+_SHUF_HEX8 = " + ".join(
+    f"(strpos('0123456789abcdef',"
+    f" substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), {1 + i}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@query(
+    "global_shuffle_order",
+    oracle=f"""
+WITH h AS (SELECT doc_id, ({_SHUF_HEX8}) AS shuffle_key FROM documents),
+r AS (
+  SELECT doc_id, shuffle_key,
+         ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos
+  FROM h
+)
+SELECT doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key,
+       CAST(pos // {_SHARD_SIZE} AS BIGINT) AS shard_id,
+       CAST(pos % {_SHARD_SIZE} AS BIGINT) AS pos_in_shard
+FROM r
+""",
+    tags=("corpus-prep", "shuffle", "W1"),
+)
+def global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE into fixed-size training shards:
+    order the corpus by a salted content-independent hash of the row id
+    and assign (shard_id, pos_in_shard). Reproducible under reruns,
+    repartitioning, and cluster-size changes — unlike orderBy(rand()) —
+    so a training run can be resumed or exactly re-created from the
+    shard manifest. Plan: one range-partitioned global sort on the hash
+    key (Spark samples ranges, each partition sorts locally — the
+    standard distributed sort, no single-node bottleneck) and a
+    zero-partition window for the global position. At 100 TB the sort
+    IS the shuffle a training-order writer needs anyway; everything
+    else is arithmetic on the sorted stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.orderBy("shuffle_key", "doc_id")
+    pos = F.row_number().over(w) - 1
+    return (
+        docs.select("doc_id", hkey.alias("shuffle_key"))
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (pos.cast("long") / _SHARD_SIZE).cast("long").alias("shard_id"),
+            (pos % _SHARD_SIZE).cast("long").alias("pos_in_shard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture/epoch upsampling plan (data-constrained scaling accounting)
+# ---------------------------------------------------------------------------
+_MIX_BUDGET = 200_000
+_MIX_MAX_EPOCHS = 4
+
+
+@query(
+    "mixture_epoch_plan",
+    oracle=f"""
+WITH avail AS (
+  SELECT source, SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+           AS available_tokens
+  FROM documents GROUP BY source
+),
+shares AS (
+  SELECT source, available_tokens,
+         {_MIX_BUDGET} // (SELECT COUNT(*) FROM avail) AS base,
+         {_MIX_BUDGET} % (SELECT COUNT(*) FROM avail) AS leftover,
+         ROW_NUMBER() OVER (ORDER BY source) AS rr
+  FROM avail
+),
+tgt AS (
+  SELECT source, available_tokens,
+         base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS target_tokens
+  FROM shares
+)
+SELECT source, CAST(available_tokens AS BIGINT) AS available_tokens,
+       CAST(target_tokens AS BIGINT) AS target_tokens,
+       CAST(LEAST((target_tokens + available_tokens - 1) // available_tokens,
+                  {_MIX_MAX_EPOCHS}) AS BIGINT) AS epochs,
+       CAST(LEAST(target_tokens,
+                  available_tokens * {_MIX_MAX_EPOCHS}) AS BIGINT)
+         AS planned_tokens,
+       CAST(GREATEST(target_tokens - available_tokens * {_MIX_MAX_EPOCHS}, 0)
+            AS BIGINT) AS deficit_tokens
+FROM tgt
+""",
+    tags=("corpus-prep", "mixture"),
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source UPSAMPLING plan for a uniform target mixture: each
+    source owes budget/S tokens (largest-remainder integer split, so
+    targets sum exactly to the budget); a source short of its target is
+    repeated for ceil(target/available) epochs, capped at
+    {_MIX_MAX_EPOCHS} passes (the data-constrained-scaling repeat
+    ceiling), and anything still short is reported as an explicit
+    deficit instead of being silently re-weighted. All integer-exact —
+    ceilings via (a+b-1) div b, no float apportionment. Plan: ONE
+    per-source aggregate is the only data-sized stage; the
+    apportionment is a window over S rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(F.expr("filter(split(text, ' '), x -> x <> '')")))
+        .cast("long")
+        .alias("available_tokens")
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy("source")
+    n_src = F.count(F.lit(1)).over(w_all)
+    shares = avail.select(
+        "source",
+        "available_tokens",
+        (F.lit(_MIX_BUDGET) / n_src).cast("long").alias("base"),
+        (F.lit(_MIX_BUDGET) % n_src).alias("leftover"),
+        F.row_number().over(w_rank).alias("rr"),
+    )
+    target = F.col("base") + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+    tgt = shares.select(
+        "source", "available_tokens", target.cast("long").alias("target_tokens")
+    )
+    ceil_epochs = (
+        (F.col("target_tokens") + F.col("available_tokens") - 1)
+        / F.col("available_tokens")
+    ).cast("long")
+    cap = F.col("available_tokens") * _MIX_MAX_EPOCHS
+    return tgt.select(
+        "source",
+        "available_tokens",
+        "target_tokens",
+        F.least(ceil_epochs, F.lit(_MIX_MAX_EPOCHS)).cast("long").alias("epochs"),
+        F.least(F.col("target_tokens"), cap).cast("long").alias("planned_tokens"),
+        F.greatest(F.col("target_tokens") - cap, F.lit(0))
+        .cast("long")
+        .alias("deficit_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-n-gram span detection (substring-dedup signal, Lee et al. shape)
+# ---------------------------------------------------------------------------
+_SPAN_N = 8
+
+
+def ngram_span_column(n: int) -> "F.Column":
+    """Array of all whitespace n-grams of `text`, built in-row. Guarded:
+    docs with fewer than n tokens yield an EMPTY array on both engines —
+    Spark's sequence(1, k) with k < 1 would produce a DESCENDING array
+    (the BPE short-doc trap, ADVICE r4), so the CASE must short-circuit
+    before sequence() is evaluated."""
+    return F.expr(
+        f"""
+        CASE WHEN size(filter(split(text, ' '), x -> x <> '')) >= {n}
+             THEN transform(
+                    sequence(1, size(filter(split(text, ' '), x -> x <> '')) - {n - 1}),
+                    i -> array_join(
+                          slice(filter(split(text, ' '), x -> x <> ''), i, {n}), ' '))
+             ELSE array()
+        END
+        """
+    )
+
+
+@query(
+    "ngram_duplicate_spans",
+    oracle=f"""
+WITH corpus AS ({_CRAWL_UNION_SQL}),
+tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM corpus
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, i, i + {_SPAN_N - 1}), ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_SPAN_N - 1})) AS i
+        FROM tok WHERE len(t) >= {_SPAN_N})
+)
+SELECT md5(gram) AS gram_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM g
+GROUP BY md5(gram)
+HAVING COUNT(DISTINCT doc_id) > 1
+""",
+    tags=("corpus-prep", "dedup-spans"),
+)
+def ngram_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated {_SPAN_N}-gram SPANS across documents — the
+    substring-duplication signal (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): a span occurring in more than
+    one document marks boilerplate/quotation that document-level dedup
+    cannot see. Per-position grams are built IN-ROW (slice + join over
+    the token array — guarded so docs shorter than {_SPAN_N} tokens
+    yield zero grams on both engines, no descending-sequence trap), then
+    one explode + one aggregate keyed on the gram hash. At 100 TB the
+    shuffle carries one md5 per token position — the floor for exact
+    span detection; only hashes cross the exchange, never gram text."""
+    corpus = crawl_union(spark, sf_dir)
+    grams = ngram_span_column(_SPAN_N)
+    exploded = corpus.select(
+        "doc_id", F.explode(grams).alias("gram")
+    ).select("doc_id", F.md5("gram").alias("gram_hash"))
+    return (
+        exploded.groupBy("gram_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

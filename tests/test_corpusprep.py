@@ -1,0 +1,108 @@
+"""Unit/property tests for the corpus-preparation decision operators
+(`operators/corpusprep.py`) beyond what oracle parity covers: plan
+shape, conservation laws, and short-input guards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_arbitrage_data_pipeline_spark.operators import corpusprep
+from financial_arbitrage_data_pipeline_spark.operators.dedup import crawl_union
+
+
+def test_quality_gate_mask_partitions_corpus(spark, sf_dir):
+    rows = corpusprep.corpus_quality_gate(spark, sf_dir).collect()
+    docs_total = crawl_union(spark, sf_dir).filter(
+        F.col("doc_id") < 1_000_000
+    ).count()
+    assert len(rows) == docs_total
+    for r in rows:
+        assert 0 <= r.reason_mask <= 7
+        assert r.keep == (r.reason_mask == 0)
+
+
+def test_quality_gate_is_pure_projection(spark, sf_dir):
+    plan = corpusprep.corpus_quality_gate(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_dedup_keep_canonical_conserves_docs(spark, sf_dir):
+    out = corpusprep.dedup_keep_canonical(spark, sf_dir).collect()
+    corpus = crawl_union(spark, sf_dir)
+    total = corpus.count()
+    distinct_fp = corpus.select(F.md5("text")).distinct().count()
+    assert sum(r.n_docs for r in out) == total
+    assert sum(r.n_survivors for r in out) == distinct_fp
+    assert sum(r.n_dropped for r in out) == total - distinct_fp
+    for r in out:
+        assert r.n_survivors + r.n_dropped == r.n_docs
+        assert (r.chars_dropped > 0) == (r.n_dropped > 0)
+
+
+def test_global_shuffle_is_a_deterministic_permutation(spark, sf_dir):
+    a = corpusprep.global_shuffle_order(spark, sf_dir).collect()
+    n = len(a)
+    positions = sorted(
+        r.shard_id * corpusprep._SHARD_SIZE + r.pos_in_shard for r in a
+    )
+    assert positions == list(range(n))
+    # full shards except possibly the last
+    by_shard: dict[int, int] = {}
+    for r in a:
+        by_shard[r.shard_id] = by_shard.get(r.shard_id, 0) + 1
+    last = max(by_shard)
+    for shard, cnt in by_shard.items():
+        assert cnt == corpusprep._SHARD_SIZE or shard == last
+    # rerun → identical assignment (reproducible training order)
+    b = corpusprep.global_shuffle_order(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_mixture_plan_targets_sum_to_budget(spark, sf_dir):
+    rows = corpusprep.mixture_epoch_plan(spark, sf_dir).collect()
+    assert sum(r.target_tokens for r in rows) == corpusprep._MIX_BUDGET
+    for r in rows:
+        assert 1 <= r.epochs <= corpusprep._MIX_MAX_EPOCHS
+        cap = r.available_tokens * corpusprep._MIX_MAX_EPOCHS
+        assert r.planned_tokens == min(r.target_tokens, cap)
+        assert r.deficit_tokens == max(r.target_tokens - cap, 0)
+        # epochs is exactly ceil(target/available), capped
+        import math
+
+        assert r.epochs == min(
+            math.ceil(r.target_tokens / r.available_tokens),
+            corpusprep._MIX_MAX_EPOCHS,
+        )
+
+
+def test_ngram_span_column_guards_short_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),           # 7 tokens < 8 → no grams
+            (2, "a b c d e f g h"),         # exactly 8 → one gram
+            (3, "a b c d e f g h i j"),     # 10 → three grams
+            (4, ""),                        # empty text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.grams
+        for r in df.select(
+            "doc_id", corpusprep.ngram_span_column(8).alias("grams")
+        ).collect()
+    }
+    assert rows[1] == []
+    assert rows[2] == ["a b c d e f g h"]
+    assert rows[3] == ["a b c d e f g h", "b c d e f g h i", "c d e f g h i j"]
+    assert rows[4] == []
+
+
+def test_ngram_duplicate_spans_only_cross_doc(spark, sf_dir):
+    rows = corpusprep.ngram_duplicate_spans(spark, sf_dir).collect()
+    assert rows, "recrawl duplicates must produce repeated spans"
+    for r in rows:
+        assert r.n_docs >= 2
+        assert r.n_occurrences >= r.n_docs
+        assert r.first_doc_id < r.last_doc_id
