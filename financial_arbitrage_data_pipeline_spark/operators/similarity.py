@@ -1080,3 +1080,77 @@ def ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "cand_id", "rank", "adist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) train/eval contamination — the cosine twin
+# of textstats.train_probe_contamination's exact n-gram gate.
+# ---------------------------------------------------------------------------
+_CONTAM_THRESHOLD = 0.40
+
+
+@query(
+    "semantic_contamination",
+    oracle=f"""
+WITH {{KMEANS}},
+dots AS (
+  SELECT qa.vec_id AS eval_id, ca.vec_id AS train_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM a2 qa
+  JOIN a2 ca ON ca.cid = qa.cid
+            AND qa.vec_id % 17 = 0 AND ca.vec_id % 17 <> 0
+  JOIN qe a ON a.vec_id = qa.vec_id
+  JOIN qe b ON b.vec_id = ca.vec_id AND b.i = a.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.eval_id, d.train_id,
+         CAST(d.dot AS DOUBLE)
+           / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+           AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.eval_id
+  JOIN norms nb ON nb.vec_id = d.train_id
+)
+SELECT eval_id, train_id AS nearest_train_id, cosine AS best_cosine,
+       cosine >= {_CONTAM_THRESHOLD} AS contaminated
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY eval_id ORDER BY cosine DESC, train_id
+) = 1
+""".replace("{KMEANS}", _kmeans_ctes(KMEANS_K)),
+    tags=("similarity-contamination",),
+)
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space CONTAMINATION gate between a held-out eval set
+    (vec_id % 17 == 0) and the training corpus (the rest): each eval
+    vector's nearest training vector by cosine, flagged contaminated
+    when similarity crosses {_CONTAM_THRESHOLD}. Complements the exact
+    n-gram gate (`train_probe_contamination`) with the paraphrase-level
+    leak detector an LLM data pipeline runs before trusting its evals.
+    Candidate generation is IVF-blocked (same trained coarse quantizer
+    as `ivf_search_topk`): each probe scores only its own cluster, so at
+    100 TB the cost is one partition per probe, not a full corpus scan —
+    and the oracle replays training + blocking + ranking end-to-end, so
+    a reported non-contamination is exactly reproducible."""
+    final = trained_assignment(spark, sf_dir).localCheckpoint()
+    emb = final.withColumn("nsq", sq_norm(F.col("q")))
+    probes = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("cid").alias("q_cid"),
+    )
+    cands = emb.filter(F.col("vec_id") % 17 != 0).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("cq"),
+        F.col("nsq").alias("c_nsq"),
+        F.col("cid").alias("c_cid"),
+    )
+    top = topk_per_query(probes, cands, F.col("c_cid") == F.col("q_cid"))
+    return top.filter(F.col("rank") == 1).select(
+        F.col("query_id").alias("eval_id"),
+        F.col("cand_id").alias("nearest_train_id"),
+        F.col("cosine").alias("best_cosine"),
+        (F.col("cosine") >= _CONTAM_THRESHOLD).alias("contaminated"),
+    )
