@@ -158,8 +158,9 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic global shuffle → sharded training order
 # ---------------------------------------------------------------------------
 _SHARD_SIZE = 64
+_SHUF_BUCKETS = 128  # 2^32 hash space / 2^25 per bucket
 
-_SHUF_HEX8 = " + ".join(
+_SHUF_HEX8 =" + ".join(
     f"(strpos('0123456789abcdef',"
     f" substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), {1 + i}, 1)) - 1)"
     f" * {16 ** (7 - i)}"
@@ -189,12 +190,21 @@ def global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     and assign (shard_id, pos_in_shard). Reproducible under reruns,
     repartitioning, and cluster-size changes — unlike orderBy(rand()) —
     so a training run can be resumed or exactly re-created from the
-    shard manifest. Plan: one range-partitioned global sort on the hash
-    key (Spark samples ranges, each partition sorts locally — the
-    standard distributed sort, no single-node bottleneck) and a
-    zero-partition window for the global position. At 100 TB the sort
-    IS the shuffle a training-order writer needs anyway; everything
-    else is arithmetic on the sorted stream."""
+    shard manifest.
+
+    The naive formulation (row_number over a global-ORDER window) plans
+    as a SinglePartition exchange — every row through one task, the
+    classic global-window bottleneck. Instead the global rank is
+    computed in TWO bounded phases: (1) bucket each row by the high
+    bits of its hash key (order-preserving: key div 2^25, so bucket
+    order = key order), rank locally inside each bucket — one keyed
+    shuffle, {_SHUF_BUCKETS} ways parallel, uniform by construction
+    because the keys are hashes; (2) prefix-sum the {_SHUF_BUCKETS}
+    bucket counts into starting offsets (a window over B rows, not N)
+    and broadcast-join them back. global_pos = offset + local_rank - 1
+    is exact regardless of how rows spread across buckets. At 100 TB
+    nothing funnels: the data path is one hash shuffle + one broadcast
+    join, and B scales with the cluster, not the data."""
     docs = load_table(spark, sf_dir, "documents")
     hkey = F.conv(
         F.substring(
@@ -203,16 +213,26 @@ def global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    w = Window.orderBy("shuffle_key", "doc_id")
-    pos = F.row_number().over(w) - 1
-    return (
-        docs.select("doc_id", hkey.alias("shuffle_key"))
-        .select(
-            "doc_id",
-            "shuffle_key",
-            (pos.cast("long") / _SHARD_SIZE).cast("long").alias("shard_id"),
-            (pos % _SHARD_SIZE).cast("long").alias("pos_in_shard"),
-        )
+    # keys are uniform in [0, 2^32); high 7 bits → _SHUF_BUCKETS buckets
+    keyed = docs.select("doc_id", hkey.alias("shuffle_key")).withColumn(
+        "bucket_id", (F.col("shuffle_key") / F.lit(2 ** 25)).cast("long")
+    )
+    w_local = Window.partitionBy("bucket_id").orderBy("shuffle_key", "doc_id")
+    local = keyed.withColumn("local_rank", F.row_number().over(w_local))
+    counts = keyed.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("n"))
+    w_off = Window.orderBy("bucket_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket_id",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+    )
+    pos = (F.col("offset") + F.col("local_rank") - 1).cast("long")
+    return local.join(F.broadcast(offsets), "bucket_id").select(
+        "doc_id",
+        "shuffle_key",
+        (pos / _SHARD_SIZE).cast("long").alias("shard_id"),
+        (pos % _SHARD_SIZE).cast("long").alias("pos_in_shard"),
     )
 
 

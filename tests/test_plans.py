@@ -371,3 +371,46 @@ def test_packed_boundaries_single_window_shuffle(spark, sf_dir):
     assert len(exchanges) == 1, exchanges
     assert "hashpartitioning(lang" in p
     assert "Window" in p
+
+
+def test_corpus_quality_gate_is_shuffle_free(spark, sf_dir):
+    p = plan_of(spark, "corpus_quality_gate", sf_dir)
+    assert "Exchange" not in p  # pure in-row rule stack
+
+
+def test_global_shuffle_order_has_no_global_window_funnel(spark, sf_dir):
+    # the data path must be a keyed (bucket) shuffle + broadcast offset
+    # join — the naive global row_number would plan SinglePartition for
+    # ALL rows; only the B-row offsets branch may be single-partition
+    p = plan_of(spark, "global_shuffle_order", sf_dir)
+    assert "hashpartitioning(bucket_id" in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("SinglePartition") <= 1  # offsets prefix-sum only
+
+
+def test_ngram_duplicate_spans_keyed_aggs_no_join(spark, sf_dir):
+    p = plan_of(spark, "ngram_duplicate_spans", sf_dir)
+    assert "Join" not in p  # grams built in-row, no self-join
+    # distinct-doc counting expands to two KEYED aggregates — the
+    # (gram,doc) pre-aggregate and the per-gram final; both hash-keyed,
+    # nothing funnels
+    assert p.count("hashpartitioning(gram_hash") == 2
+    assert "SinglePartition" not in p
+
+
+def test_mixture_epoch_plan_single_data_aggregate(spark, sf_dir):
+    p = plan_of(spark, "mixture_epoch_plan", sf_dir)
+    # only the per-source aggregate touches data; apportionment windows
+    # run over S rows (single partition is fine and expected there)
+    assert p.count("hashpartitioning(source") == 1
+
+
+def test_semantic_contamination_broadcasts_probes(spark, sf_dir):
+    p = plan_of(spark, "semantic_contamination", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_compressed_text_stats_is_shuffle_free(spark, sf_dir):
+    p = plan_of(spark, "compressed_text_stats", sf_dir)
+    assert "Exchange" not in p  # compress → decompress, same partition
