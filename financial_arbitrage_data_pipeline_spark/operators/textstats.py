@@ -1329,3 +1329,145 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The actual BPE TRAINING LOOP: iterate (count adjacent pairs → pick the
+# most frequent merge → apply it greedily corpus-wide), the algorithm a
+# tokenizer trainer runs — `bpe_pair_counts` is its round-0 counting
+# pass; this runs the full loop with exact cross-engine parity.
+# ---------------------------------------------------------------------------
+_BPE_ROUNDS = 3
+
+# Greedy left-to-right merge application is expressed through plain
+# string replace() over sentinel-wrapped tokens: every token is wrapped
+# in \x02 and adjacent tokens share a \x02\x02 boundary, so the pattern
+# \x02 p1 \x02\x02 p2 \x02 can only match whole-token pairs, and both
+# engines' replace() scan left-to-right over non-overlapping matches —
+# exactly BPE's greedy application order ("a a a" merges once, not
+# twice). Merged symbols carry \x01 between their parts.
+
+
+def _bpe_oracle(rounds: int) -> str:
+    ctes = [
+        "d0 AS (SELECT doc_id, chr(2) || array_to_string("
+        "list_filter(string_split(text, ' '), x -> x <> ''), chr(2)||chr(2))"
+        " || chr(2) AS s FROM documents)"
+    ]
+    rows = []
+    for r in range(rounds):
+        ctes.append(
+            f"t{r} AS (SELECT doc_id, string_split(trim(s, chr(2)),"
+            f" chr(2)||chr(2)) AS t FROM d{r})"
+        )
+        ctes.append(
+            f"p{r} AS (SELECT t[i] AS p1, t[i+1] AS p2, COUNT(*) AS c"
+            f" FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i"
+            f" FROM t{r} WHERE len(t) >= 2) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT p1, p2, c FROM p{r}"
+            f" ORDER BY c DESC, p1, p2 LIMIT 1)"
+        )
+        ctes.append(
+            f"d{r + 1} AS (SELECT doc_id,"
+            f" replace(s, chr(2)||b.p1||chr(2)||chr(2)||b.p2||chr(2),"
+            f" chr(2)||b.p1||chr(1)||b.p2||chr(2)) AS s FROM d{r}, b{r} b)"
+        )
+        ctes.append(
+            f"a{r} AS (SELECT SUM(len(string_split(trim(s, chr(2)),"
+            f" chr(2)||chr(2)))) AS n FROM d{r + 1})"
+        )
+        rows.append(
+            f"SELECT {r} AS merge_round,"
+            f" replace(b.p1 || chr(1) || b.p2, chr(1), '|') AS merged_pair,"
+            f" CAST(b.c AS BIGINT) AS pair_count,"
+            f" CAST(a.n AS BIGINT) AS tokens_after"
+            f" FROM b{r} b, a{r} a"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@query(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(_BPE_ROUNDS),
+    tags=("text-bpe", "iterative"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, the real loop: for each of
+    {_BPE_ROUNDS} rounds, count adjacent symbol pairs corpus-wide, pick
+    the most frequent (ties → lexicographically smallest, both engines),
+    and apply the merge greedily left-to-right everywhere. Emits one row
+    per round: the merged pair, its pre-merge count, and the corpus
+    token total after application. The oracle unrolls the IDENTICAL
+    rounds as chained CTEs (the `ivf_kmeans_clusters` pattern), so pair
+    counting, tie-breaking, and greedy application order are all
+    value-checked — including the overlap rule ("a a a" merges once).
+
+    Spark-first shape per round: in-row pair construction (zip_with
+    over two shifted slices — no self-join), one keyed count shuffle,
+    a TakeOrdered(1) for the winner, then the merge applied as a 1-row
+    broadcast join + string replace (no UDF anywhere). localCheckpoint
+    between rounds cuts lineage, so N rounds = N bounded plans — the
+    same discipline as distributed KMeans/connected-components. At
+    100 TB each round is one aggregation over the corpus; the winner
+    selection and merge broadcast are O(vocab) and O(1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrap = F.concat(
+        F.lit("\x02"),
+        F.array_join(
+            F.expr("filter(split(text, ' '), x -> x <> '')"), "\x02\x02"
+        ),
+        F.lit("\x02"),
+    )
+    cur = docs.select("doc_id", wrap.alias("s")).localCheckpoint()
+    toks_expr = "split(btrim(s, chr(2)), concat(chr(2), chr(2)))"
+    pairs_expr = f"""
+        CASE WHEN size({toks_expr}) >= 2
+             THEN zip_with(
+                    slice({toks_expr}, 1, size({toks_expr}) - 1),
+                    slice({toks_expr}, 2, size({toks_expr}) - 1),
+                    (a, b) -> named_struct('p1', a, 'p2', b))
+             ELSE array()
+        END
+    """
+    round_rows = []
+    for r in range(_BPE_ROUNDS):
+        best = (
+            cur.select(F.explode(F.expr(pairs_expr)).alias("pr"))
+            .select("pr.p1", "pr.p2")
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "p1", "p2")
+            .limit(1)
+            .localCheckpoint()
+        )
+        merged = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                "doc_id",
+                F.expr(
+                    "replace(s, concat(chr(2), p1, chr(2), chr(2), p2, chr(2)),"
+                    " concat(chr(2), p1, chr(1), p2, chr(2)))"
+                ).alias("s"),
+            )
+            .localCheckpoint()
+        )
+        after = merged.agg(
+            F.sum(F.size(F.expr(toks_expr))).cast("long").alias("tokens_after")
+        )
+        round_rows.append(
+            best.crossJoin(after).select(
+                F.lit(r).cast("long").alias("merge_round"),
+                F.expr(
+                    "replace(concat(p1, chr(1), p2), chr(1), '|')"
+                ).alias("merged_pair"),
+                F.col("c").cast("long").alias("pair_count"),
+                "tokens_after",
+            )
+        )
+        cur = merged
+    out = round_rows[0]
+    for extra in round_rows[1:]:
+        out = out.unionByName(extra)
+    return out

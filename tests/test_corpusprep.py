@@ -106,3 +106,35 @@ def test_ngram_duplicate_spans_only_cross_doc(spark, sf_dir):
         assert r.n_docs >= 2
         assert r.n_occurrences >= r.n_docs
         assert r.first_doc_id < r.last_doc_id
+
+
+def test_bpe_merge_application_is_greedy_non_overlapping(spark):
+    """'a a a' must merge ONCE (left pair), not twice — the sentinel-
+    wrapped replace() encodes BPE's greedy application order, with
+    identical semantics in DuckDB (see _bpe_oracle)."""
+    df = spark.createDataFrame([("\x02a\x02\x02a\x02\x02a\x02",)], "s string")
+    out = df.select(
+        F.expr(
+            "replace(s, concat(chr(2), 'a', chr(2), chr(2), 'a', chr(2)),"
+            " concat(chr(2), 'a', chr(1), 'a', chr(2)))"
+        ).alias("m")
+    ).first()
+    assert out.m == "\x02a\x01a\x02\x02a\x02"
+
+
+def test_bpe_train_merges_rounds_are_consistent(spark, sf_dir):
+    from financial_arbitrage_data_pipeline_spark.operators.textstats import (
+        bpe_train_merges,
+    )
+
+    rows = sorted(
+        bpe_train_merges(spark, sf_dir).collect(), key=lambda r: r.merge_round
+    )
+    assert [r.merge_round for r in rows] == [0, 1, 2]
+    for prev, cur in zip(rows, rows[1:]):
+        # token total strictly decreases, by at most the pre-merge pair
+        # count (overlaps merge fewer times than they are counted)
+        assert cur.tokens_after < prev.tokens_after
+        assert prev.tokens_after - cur.tokens_after <= cur.pair_count + prev.pair_count
+    for r in rows:
+        assert "|" in r.merged_pair and r.pair_count > 0
