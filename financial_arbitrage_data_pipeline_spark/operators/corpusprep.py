@@ -60,21 +60,11 @@ FROM r
 """
 
 
-@query(
-    "corpus_quality_gate",
-    oracle=_GATE_SQL,
-    tags=("corpus-prep", "quality-gate"),
-)
-def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The keep/drop DECISION operator: composes the standard
-    pre-training heuristics (minimum length, repetition ceiling, mean
-    token length ceiling — the Gopher/C4 rule stack shape) into one
-    reason BITMASK per document, so a dropped doc carries exactly which
-    rules it failed (auditable filtering, not a silent gate). Pure
-    in-row projection — array HOFs only, no explode, no shuffle — so at
-    100 TB this is a single corpus scan that co-schedules with whatever
-    pass runs next."""
-    docs = load_table(spark, sf_dir, "documents")
+def quality_gate_columns(docs: DataFrame) -> DataFrame:
+    """Apply the gate rule stack to any documents-shaped frame (batch OR
+    streaming — every expression is a stateless per-row projection, so
+    the same column builder serves both lanes and their semantics
+    cannot diverge)."""
     toks = F.expr("filter(split(text, ' '), x -> x <> '')")
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
@@ -98,6 +88,23 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask.cast("int").alias("reason_mask"),
         (mask == 0).alias("keep"),
     )
+
+
+@query(
+    "corpus_quality_gate",
+    oracle=_GATE_SQL,
+    tags=("corpus-prep", "quality-gate"),
+)
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop DECISION operator: composes the standard
+    pre-training heuristics (minimum length, repetition ceiling, mean
+    token length ceiling — the Gopher/C4 rule stack shape) into one
+    reason BITMASK per document, so a dropped doc carries exactly which
+    rules it failed (auditable filtering, not a silent gate). Pure
+    in-row projection — array HOFs only, no explode, no shuffle — so at
+    100 TB this is a single corpus scan that co-schedules with whatever
+    pass runs next."""
+    return quality_gate_columns(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -400,3 +407,76 @@ def ngram_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus gate: the quality gate run as a Structured Streaming
+# lane with a physically-bifurcating (partitioned) sink.
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_corpus_gate",
+    oracle=f"""
+WITH g AS ({_GATE_SQL})
+SELECT lang, keep,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM g GROUP BY lang, keep
+""",
+    tags=("corpus-prep", "quality-gate", "streaming", "T4"),
+)
+def streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality gate as a STREAMING lane: documents arrive in
+    micro-batches (file replay, one chunk per trigger), the gate columns
+    are computed in-stream by the SAME `quality_gate_columns` builder
+    the batch query uses (shared kernel — semantics cannot diverge), and
+    the sink physically BIFURCATES accepted from rejected docs via a
+    keep-partitioned parquet layout (the T4 two-lane shape: downstream
+    training readers scan keep=true only, audit readers scan
+    keep=false, no second pass). Checkpointed availableNow execution =
+    exactly-once landing; the oracle recomputes the gate on the
+    ORIGINAL table, so equality proves no doc was lost, duplicated, or
+    re-scored across micro-batch boundaries. At 100 TB this is the
+    shape incremental crawls actually run — only new chunks flow, and
+    the gate is a stateless projection so there is no streaming state
+    at all."""
+    import os
+    import shutil
+
+    from .streaming_queries import _workdir
+
+    root = _workdir()
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        chunk_dir = os.path.join(root, "chunks")
+        docs.repartition(4).write.parquet(chunk_dir)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        gated = quality_gate_columns(stream)
+        out_dir = os.path.join(root, "gated")
+        q = (
+            gated.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .partitionBy("keep")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # `keep` rides as a PARTITION value; Spark's partition-type
+        # inference yields string, so restore the oracle's boolean type
+        landed = spark.read.parquet(out_dir).withColumn(
+            "keep", F.col("keep").cast("boolean")
+        )
+        return (
+            landed.groupBy("lang", "keep")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("total_tokens"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

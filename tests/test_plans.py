@@ -329,6 +329,7 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "lang_id_ngram",        # tiny language-profile dimension
         "pq_recall_audit",      # contains ann_cosine_topk by construction
         "key_skew_report",      # 1-row broadcast totals bound
+        "bpe_train_merges",     # 1-row winning-merge broadcast per round
     }
     skip = {"ticket_fill_merge", "jdbc_pair_scan"}  # builders with write side effects
     offenders = []
