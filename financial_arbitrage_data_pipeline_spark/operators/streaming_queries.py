@@ -984,3 +984,103 @@ def streaming_volume_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(board_dir).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming embedding ingest → in-flight IVF cluster assignment (the
+# similarity family's streaming lane: new vectors are routed to their
+# coarse cell as they arrive, the indexing path of a live ANN service)
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_embedding_assign",
+    oracle="""
+WITH {KMEANS}
+SELECT cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(dist) AS BIGINT) AS sum_dist,
+       MIN(vec_id) AS min_vec_id,
+       MAX(vec_id) AS max_vec_id
+FROM a2 GROUP BY cid
+""",
+    tags=("similarity-ivf-stream", "streaming", "T1"),
+)
+def streaming_embedding_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF INDEXING: embeddings arrive in micro-batches and
+    each is routed to its nearest trained coarse centroid IN-FLIGHT —
+    the `_assign` kernel is a pure projection (centroids inlined as
+    K x dim literals, argmin via array_min — no join, no shuffle, no
+    state), so the exact batch assignment logic runs unchanged on the
+    stream. Centroids come from the same two-round Lloyd training as
+    every IVF query (`trained_model`); assignments land exactly-once
+    through a checkpointed availableNow file sink partitioned by
+    cluster — physically materializing the IVF inverted lists, which is
+    precisely how a vector index ingests at scale (route at the edge,
+    append to the cell's partition). The oracle replays training +
+    assignment declaratively (the shared `_kmeans_ctes` chain), so a
+    hash match proves no vector was mis-routed, lost, or double-landed
+    across micro-batch boundaries."""
+    from ..sources.tables import load_table
+    from .similarity import quantized, trained_model
+
+    root = _workdir()
+    try:
+        _, centroids = trained_model(spark, sf_dir)
+        cent_rows = [(r.cid, r.c) for r in centroids.collect()]
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        chunk_dir = os.path.join(root, "chunks")
+        emb.repartition(4).write.parquet(chunk_dir)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        from .similarity import _assign
+
+        assigned = _assign(
+            stream.select("vec_id", quantized("embedding").alias("q")),
+            cent_rows,
+        ).select("vec_id", "cid", "dist")
+        out_dir = os.path.join(root, "cells")
+        q = (
+            assigned.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .partitionBy("cid")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        landed = spark.read.parquet(out_dir).withColumn(
+            "cid", F.col("cid").cast("long")  # partition-value inference → string
+        )
+        return (
+            landed.groupBy(F.col("cid").alias("cluster_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.sum("dist").cast("long").alias("sum_dist"),
+                F.min("vec_id").alias("min_vec_id"),
+                F.max("vec_id").alias("max_vec_id"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# patch the oracle template with the shared k-means CTE chain at import
+# time (the oracle string must be self-contained SQL for the driver)
+def _patch_streaming_embedding_assign_oracle() -> None:
+    from ..plans.registry import REGISTRY as _REG
+    from .similarity import KMEANS_K, _kmeans_ctes
+
+    spec = _REG["streaming_embedding_assign"]
+    if spec.oracle and "{KMEANS}" in spec.oracle:
+        object.__setattr__(
+            spec, "oracle", spec.oracle.replace("{KMEANS}", _kmeans_ctes(KMEANS_K))
+        )
+
+
+_patch_streaming_embedding_assign_oracle()
