@@ -480,3 +480,60 @@ def streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest: the writer-side artifact of the global shuffle
+# ---------------------------------------------------------------------------
+@query(
+    "shard_manifest",
+    oracle=f"""
+WITH h AS (SELECT doc_id, ({_SHUF_HEX8}) AS shuffle_key FROM documents),
+r AS (
+  SELECT doc_id, shuffle_key,
+         ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos
+  FROM h
+),
+j AS (
+  SELECT r.doc_id, r.pos // {_SHARD_SIZE} AS shard_id,
+         r.pos % {_SHARD_SIZE} AS pos_in_shard,
+         len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_toks
+  FROM r JOIN documents d ON d.doc_id = r.doc_id
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       min_by(doc_id, pos_in_shard) AS first_doc_id,
+       max_by(doc_id, pos_in_shard) AS last_doc_id
+FROM j GROUP BY shard_id
+""",
+    tags=("corpus-prep", "shuffle", "manifest"),
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MANIFEST a training-shard writer commits next to the shards:
+    per shard_id, the document count, token total, and the first/last
+    document in shard order — what a dataloader needs to resume an
+    epoch mid-shard and what an auditor needs to re-derive any shard
+    without re-running the shuffle. Built ON TOP of
+    `global_shuffle_order` (the same deterministic bucket-ranked
+    permutation), joined back to the corpus for token weights and
+    reduced per shard. At 100 TB: the join is keyed on doc_id (both
+    sides hash-partition; text never moves — only its token count) and
+    the manifest itself is ~N/{_SHARD_SIZE} rows, written once."""
+    order = global_shuffle_order(spark, sf_dir)
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    return (
+        order.join(toks, "doc_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.min_by("doc_id", "pos_in_shard").alias("first_doc_id"),
+            F.max_by("doc_id", "pos_in_shard").alias("last_doc_id"),
+        )
+    )

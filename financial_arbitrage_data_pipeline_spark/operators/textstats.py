@@ -1412,6 +1412,23 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     same discipline as distributed KMeans/connected-components. At
     100 TB each round is one aggregation over the corpus; the winner
     selection and merge broadcast are O(vocab) and O(1)."""
+    _, round_rows = _bpe_rounds(spark, sf_dir, _BPE_ROUNDS)
+    out = round_rows[0]
+    for extra in round_rows[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+_BPE_TOKS_EXPR = "split(btrim(s, chr(2)), concat(chr(2), chr(2)))"
+
+
+def _bpe_rounds(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Run the BPE training loop; returns (final merged corpus as
+    (doc_id, s) with sentinel-wrapped symbols, one 1-row stats frame per
+    round). Shared by the trainer query and the corpus encoder so the
+    merges they report/apply are definitionally the same."""
     docs = load_table(spark, sf_dir, "documents")
     wrap = F.concat(
         F.lit("\x02"),
@@ -1421,7 +1438,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("\x02"),
     )
     cur = docs.select("doc_id", wrap.alias("s")).localCheckpoint()
-    toks_expr = "split(btrim(s, chr(2)), concat(chr(2), chr(2)))"
+    toks_expr = _BPE_TOKS_EXPR
     pairs_expr = f"""
         CASE WHEN size({toks_expr}) >= 2
              THEN zip_with(
@@ -1432,7 +1449,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
     """
     round_rows = []
-    for r in range(_BPE_ROUNDS):
+    for r in range(rounds):
         best = (
             cur.select(F.explode(F.expr(pairs_expr)).alias("pr"))
             .select("pr.p1", "pr.p2")
@@ -1467,7 +1484,48 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         cur = merged
-    out = round_rows[0]
-    for extra in round_rows[1:]:
-        out = out.unionByName(extra)
-    return out
+    return cur, round_rows
+
+
+@query(
+    "bpe_encode_corpus",
+    oracle=_bpe_oracle(_BPE_ROUNDS).split("\nSELECT 0 AS merge_round")[0]
+    + """
+SELECT d.doc_id,
+       CAST(len(string_split(trim(d0.s, chr(2)), chr(2)||chr(2))) AS BIGINT)
+         AS n_tokens_before,
+       CAST(len(string_split(trim(d.s, chr(2)), chr(2)||chr(2))) AS BIGINT)
+         AS n_tokens_after,
+       CAST(len(list_filter(string_split(trim(d.s, chr(2)), chr(2)||chr(2)),
+                            x -> contains(x, chr(1)))) AS BIGINT)
+         AS n_merged_symbols
+FROM d3 d JOIN d0 ON d0.doc_id = d.doc_id
+""",
+    tags=("text-bpe", "iterative"),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the trained merges: after the
+    {_BPE_ROUNDS}-round training loop, every document's symbol stream
+    has the winning merges applied greedily — this query reports the
+    per-document compression accounting (tokens before/after, merged
+    symbols present), i.e. what a tokenizer-application pass feeds to
+    sequence packing. Shares `_bpe_rounds` with the trainer, and the
+    oracle reuses the trainer's unrolled CTE chain ending at the merged
+    corpus d3, so training and application cannot diverge. Per-doc
+    arithmetic only on top of the loop — no additional shuffle."""
+    merged, _ = _bpe_rounds(spark, sf_dir, _BPE_ROUNDS)
+    before = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+        .cast("long")
+        .alias("n_tokens_before"),
+    )
+    toks = F.expr(_BPE_TOKS_EXPR)
+    after = merged.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens_after"),
+        F.size(F.filter(toks, lambda x: x.contains("\x01")))
+        .cast("long")
+        .alias("n_merged_symbols"),
+    )
+    return before.join(after, "doc_id")

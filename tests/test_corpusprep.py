@@ -138,3 +138,39 @@ def test_bpe_train_merges_rounds_are_consistent(spark, sf_dir):
         assert prev.tokens_after - cur.tokens_after <= cur.pair_count + prev.pair_count
     for r in rows:
         assert "|" in r.merged_pair and r.pair_count > 0
+
+
+def test_shard_manifest_matches_shuffle_order(spark, sf_dir):
+    manifest = {
+        r.shard_id: r
+        for r in corpusprep.shard_manifest(spark, sf_dir).collect()
+    }
+    order = corpusprep.global_shuffle_order(spark, sf_dir).collect()
+    by_shard: dict[int, list] = {}
+    for r in order:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    assert set(manifest) == set(by_shard)
+    for sid, rows in by_shard.items():
+        rows.sort(key=lambda r: r.pos_in_shard)
+        m = manifest[sid]
+        assert m.n_docs == len(rows)
+        assert m.first_doc_id == rows[0].doc_id
+        assert m.last_doc_id == rows[-1].doc_id
+
+
+def test_bpe_encode_consistent_with_trainer_totals(spark, sf_dir):
+    from financial_arbitrage_data_pipeline_spark.operators.textstats import (
+        bpe_encode_corpus,
+        bpe_train_merges,
+    )
+
+    enc = bpe_encode_corpus(spark, sf_dir).collect()
+    rounds = sorted(
+        bpe_train_merges(spark, sf_dir).collect(), key=lambda r: r.merge_round
+    )
+    # the corpus token total after the last merge equals the trainer's
+    # final tokens_after, and every doc shrank by exactly its merges
+    assert sum(r.n_tokens_after for r in enc) == rounds[-1].tokens_after
+    for r in enc:
+        assert r.n_tokens_before - r.n_tokens_after >= 0
+        assert r.n_merged_symbols <= r.n_tokens_before - r.n_tokens_after + r.n_merged_symbols
