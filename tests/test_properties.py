@@ -89,3 +89,33 @@ def test_scan_decision_margin_invariants(k_yes, k_no, p_yes, p_no):
         mn = (k_no - p_no) / p_no if p_no < k_no else None
         best = max([m for m in (my, mn) if m is not None], default=None)
         assert best is None or best <= 0.02
+
+
+def test_ngram_span_column_matches_python_reference(spark):
+    """Property: the in-row gram builder equals the obvious Python
+    n-gram reference for arbitrary token sequences (including docs
+    shorter than n, repeated tokens, single-char tokens)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from financial_arbitrage_data_pipeline_spark.operators.corpusprep import (
+        ngram_span_column,
+    )
+
+    token = st.text(alphabet="abcxyz", min_size=1, max_size=3)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(token, min_size=0, max_size=14), st.integers(2, 5))
+    def check(tokens, n):
+        text = " ".join(tokens)
+        expected = [
+            " ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)
+        ]
+        row = (
+            spark.createDataFrame([(text,)], "text string")
+            .select(ngram_span_column(n).alias("grams"))
+            .first()
+        )
+        assert row.grams == expected
+
+    check()
