@@ -537,3 +537,146 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("doc_id", "pos_in_shard").alias("last_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Relative quality cut: drop the worst X% per language (the percentile
+# sibling of the absolute-threshold gate)
+# ---------------------------------------------------------------------------
+_CUT_FRACTION = 0.2  # drop the bottom 20% per language
+
+
+@query(
+    "quality_percentile_cut",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+  FROM t
+),
+s AS (
+  SELECT doc_id, lang,
+         LEAST(1.0, n_tokens / 100.0) * 0.5
+           + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+           + LEAST(1.0, (CAST(tok_chars AS DOUBLE) / n_tokens) / 8.0) * 0.2
+           AS score
+  FROM m
+),
+r AS (
+  SELECT doc_id, lang, score,
+         PERCENT_RANK() OVER (PARTITION BY lang ORDER BY score, doc_id)
+           AS pct_rank
+  FROM s
+)
+SELECT doc_id, lang, score, pct_rank
+FROM r WHERE pct_rank >= {_CUT_FRACTION}
+""",
+    tags=("corpus-prep", "quality-gate", "percentile"),
+)
+def quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE quality filtering: score every document (the
+    `text_quality` blend restated with distinct-ratio in place of
+    stop-ratio so it is self-contained) and keep everything at or above
+    the per-language {_CUT_FRACTION:.0%} percentile — the
+    budget-against-distribution cut a pipeline uses when an absolute
+    threshold would gut one language and pass everything in another.
+    Deterministic under ties (percent_rank ordered by score THEN
+    doc_id, identically in both engines). Plan: pure projection + one
+    per-lang window sort — one shuffle keyed on the stratum, the same
+    WindowGroupLimit-family shape as the exact-N sampler."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.5
+        + (n_distinct.cast("double") / n_tokens) * 0.3
+        + F.least(
+            F.lit(1.0), (tok_chars.cast("double") / n_tokens) / F.lit(8.0)
+        )
+        * 0.2
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    return (
+        docs.select("doc_id", "lang", score.alias("score"))
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .filter(F.col("pct_rank") >= _CUT_FRACTION)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document duplicate-span load: how much of each doc is boilerplate
+# ---------------------------------------------------------------------------
+@query(
+    "doc_duplicate_span_load",
+    oracle=f"""
+WITH corpus AS ({_CRAWL_UNION_SQL}),
+tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM corpus
+),
+g AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, i, i + {_SPAN_N - 1}), ' '))
+           AS gram_hash
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_SPAN_N - 1})) AS i
+        FROM tok WHERE len(t) >= {_SPAN_N})
+),
+dup AS (
+  SELECT gram_hash FROM g GROUP BY gram_hash
+  HAVING COUNT(DISTINCT doc_id) > 1
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) FILTER (WHERE d.gram_hash IS NOT NULL) AS BIGINT)
+         AS n_dup_spans,
+       CAST(COUNT(*) FILTER (WHERE d.gram_hash IS NOT NULL) AS DOUBLE)
+         / COUNT(*) AS dup_load
+FROM g LEFT JOIN dup d ON d.gram_hash = g.gram_hash
+GROUP BY g.doc_id
+""",
+    tags=("corpus-prep", "dedup-spans"),
+)
+def doc_duplicate_span_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BOILERPLATE LOAD: the fraction of a doc's
+    {_SPAN_N}-gram positions that also occur in some other document —
+    the per-doc decision signal substring dedup acts on (a doc that is
+    90% shared spans is a template; 5% is a quotation). Two passes over
+    the same in-row gram stream: the cross-doc duplicate span set
+    (`ngram_duplicate_spans`' keyed aggregate) LEFT-joined back to each
+    doc's positions, then one per-doc reduce. Shuffles are keyed on
+    gram hash and doc_id only — gram text never crosses an exchange,
+    and the dup-set join is a hash join that AQE can broadcast when the
+    duplicate set is small relative to the corpus."""
+    corpus = crawl_union(spark, sf_dir)
+    grams = ngram_span_column(_SPAN_N)
+    g = corpus.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id", F.md5("gram").alias("gram_hash")
+    )
+    dup = (
+        g.groupBy("gram_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram_hash", F.lit(True).alias("is_dup"))
+    )
+    joined = g.join(dup, "gram_hash", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count(F.when(F.col("is_dup"), 1)).alias("n_dup_spans"),
+        (
+            F.count(F.when(F.col("is_dup"), 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_load"),
+    )

@@ -174,3 +174,41 @@ def test_bpe_encode_consistent_with_trainer_totals(spark, sf_dir):
     for r in enc:
         assert r.n_tokens_before - r.n_tokens_after >= 0
         assert r.n_merged_symbols <= r.n_tokens_before - r.n_tokens_after + r.n_merged_symbols
+
+
+def test_quality_percentile_cut_keeps_top_fraction_per_lang(spark, sf_dir):
+    from financial_arbitrage_data_pipeline_spark.operators.dedup import (
+        crawl_union as _cu,
+    )
+
+    kept = corpusprep.quality_percentile_cut(spark, sf_dir).collect()
+    totals = {
+        r.lang: r.n
+        for r in _cu(spark, sf_dir)
+        .filter(F.col("doc_id") < 1_000_000)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_lang: dict[str, int] = {}
+    for r in kept:
+        assert r.pct_rank >= corpusprep._CUT_FRACTION
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    for lang, n_total in totals.items():
+        # at least (1 - fraction) of each stratum survives; percent_rank
+        # semantics keep everything when the stratum is tiny
+        assert by_lang.get(lang, 0) >= int((1 - corpusprep._CUT_FRACTION) * n_total) - 1
+
+
+def test_doc_duplicate_span_load_bounds(spark, sf_dir):
+    rows = corpusprep.doc_duplicate_span_load(spark, sf_dir).collect()
+    assert rows
+    full_dup = 0
+    for r in rows:
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert abs(r.dup_load - r.n_dup_spans / r.n_spans) < 1e-12
+        if r.dup_load == 1.0:
+            full_dup += 1
+    # recrawled docs (every 7th, duplicated verbatim under a new id)
+    # must show up as 100%-duplicate-span documents
+    assert full_dup > 0
