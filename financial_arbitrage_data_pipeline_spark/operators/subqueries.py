@@ -280,3 +280,178 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape: correlated AVG threshold — "revenue locked in small orders".
+# ---------------------------------------------------------------------------
+@query(
+    "small_quantity_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lineitems,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem l
+JOIN pa ON pa.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < 0.2 * pa.avg_qty
+GROUP BY p.p_brand
+""",
+    tags=("subquery-avg", "A1", "J2"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape — correlated AVG subquery ("lineitems below 20% of
+    their part's average quantity"), decorrelated into one grouped AVG
+    joined back on the correlation key, then rolled up per brand with
+    the /7 yearly convention. Exactness: the AVG is an exact decimal
+    sum divided by a count (one correctly-rounded double divide,
+    bit-identical in both engines), so the 0.2x threshold comparison
+    can't flap; revenue sums through decimal. Scale: the grouped AVG
+    and the join both key on l_partkey — ONE shuffle partitioning
+    serves both (Catalyst reuses the exchange), the part dim broadcasts,
+    and the naive per-row correlated re-scan never exists."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.sum(money("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.pa_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lineitems"),
+            (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunction of conjunctive predicates (OR-of-ANDs pushdown).
+# ---------------------------------------------------------------------------
+@query(
+    "disjunctive_brand_revenue",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("F-pushdown", "J2", "predicate-disjunction"),
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — an OR of three (brand, size, quantity) conjunctions
+    across the join. The single-table legs of the disjunction
+    (p_brand/p_size on part, l_quantity bounds on lineitem) are
+    factored by Catalyst into scan-level filters on BOTH sides before
+    the join (CNF extraction: every disjunct constrains brand ∈ {1,2,3}
+    and quantity ∈ [1,30]), so the join probes only candidate rows and
+    the full predicate re-checks the cross-table residual. Revenue
+    through exact decimals. One fact shuffle... no: part broadcasts, so
+    ZERO extra shuffles beyond the final single-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    disj = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    rev = money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - rate("l_discount"))
+    return j.filter(disj).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: bilateral flows — volume shipped between two specific nations.
+# ---------------------------------------------------------------------------
+@query(
+    "bilateral_nation_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS volume
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
+""",
+    tags=("J2", "A1", "star-join"),
+)
+def bilateral_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape — trade volume between two named nations, per direction
+    and ship year: the bilateral-flow join (fact → orders → customer →
+    nation on one leg, fact → supplier → nation on the other) with a
+    symmetric two-nation disjunction. Scale plan: supplier, customer,
+    and nation broadcast (customer is the largest at ~1.5 MB/SF — still
+    broadcast range at any realistic cluster); orders joins the fact on
+    l_orderkey — the single real shuffle; the nation-pair filter
+    reaches both dimension scans (each nation leg prunes to 2 rows)
+    and AQE can convert even the orders join to broadcast after the
+    customer semi-reduction. Volume through exact decimals; year via
+    EXTRACT on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    rev = money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - rate("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(pair)
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(rev).cast("double").alias("volume"),
+    )

@@ -415,3 +415,30 @@ def test_semantic_contamination_broadcasts_probes(spark, sf_dir):
 def test_compressed_text_stats_is_shuffle_free(spark, sf_dir):
     p = plan_of(spark, "compressed_text_stats", sf_dir)
     assert "Exchange" not in p  # compress → decompress, same partition
+
+
+def test_disjunctive_predicates_push_to_both_scans(spark, sf_dir):
+    # Q19 shape: CNF extraction must land OR-of-ANDs legs at BOTH scans
+    p = plan_of(spark, "disjunctive_brand_revenue", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(" in p or (
+        "l_quantity,1.0" in p and "Or(" in p
+    )
+    assert "EqualTo(p_brand,Brand#1)" in p  # part-side disjunction pushed
+    assert "l_quantity,30.0" in p           # lineitem-side bounds pushed
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_bilateral_volume_prunes_nation_scans_and_broadcasts(spark, sf_dir):
+    p = plan_of(spark, "bilateral_nation_volume", sf_dir)
+    # the two-nation disjunction reaches BOTH nation dimension scans
+    assert p.count("EqualTo(n_name,NATION_1)") >= 2
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_small_quantity_revenue_single_fact_shuffle(spark, sf_dir):
+    p = plan_of(spark, "small_quantity_revenue", sf_dir)
+    # the grouped AVG is the only data-sized exchange on the fact key
+    assert p.count("hashpartitioning(l_partkey") <= 2  # partial+final pair
+    assert "CartesianProduct" not in p
