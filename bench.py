@@ -127,6 +127,21 @@ def main() -> None:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    # Corpus-prep throughput anchor: docs/sec through the quality-gate
+    # decision pass (pure-projection scan — the per-document cost floor
+    # of the training-data pipeline family)
+    from financial_arbitrage_data_pipeline_spark.operators.corpusprep import (
+        corpus_quality_gate,
+    )
+
+    gate_rps = 0.0
+    for _ in range(max(1, args.repeat)):
+        t0 = time.perf_counter()
+        n_docs = corpus_quality_gate(spark, sf_dir).count()
+        gate_rps = max(
+            gate_rps, round(n_docs / (time.perf_counter() - t0), 1)
+        )
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -137,6 +152,7 @@ def main() -> None:
                 "queries": timings,
                 "query_spreads": spreads,
                 "sf": sf_val,
+                "gate_docs_per_sec": gate_rps,
                 "ingest_rows_per_sec": ingest_rps,
                 "scan_rows_per_sec": scan_rps,
                 "reference_ingest_rows_per_sec": 93.0,

@@ -284,3 +284,87 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts_us",
         converted.alias("converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching (MATCH_RECOGNIZE shape): purchase preceded by
+# a fresh click with NO error in between
+# ---------------------------------------------------------------------------
+_PATTERN_WINDOW_US = 30 * 60 * 1_000_000  # click must be <= 30 min old
+
+
+@query(
+    "purchase_pattern_match",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+w AS (
+  SELECT event_id, user_id, event_type, ts_us,
+         MAX(CASE WHEN event_type = 'click' THEN ts_us END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_click_us,
+         MAX(CASE WHEN event_type = 'error' THEN ts_us END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_error_us
+  FROM e
+)
+SELECT event_id, user_id, ts_us AS purchase_ts_us, prev_click_us,
+       prev_click_us IS NOT NULL
+         AND ts_us - prev_click_us <= {_PATTERN_WINDOW_US}
+         AND (prev_error_us IS NULL OR prev_error_us < prev_click_us)
+         AS matched
+FROM w WHERE event_type = 'purchase'
+""",
+    tags=("pattern-match", "W3", "sessionization"),
+)
+def purchase_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-PATTERN detection (the MATCH_RECOGNIZE shape no Spark
+    builtin provides): for every purchase, did a click happen within 30
+    minutes before it with NO error event in between? The stricter
+    sibling of `session_funnel`'s ordered-MIN detection — "A then B
+    with no C between" needs the LAST preceding A and the LAST
+    preceding C, which two running conditional-MAX windows over one
+    (user, time, id)-ordered frame provide; the id tie-break makes peer
+    order total, so the ROWS frame is deterministic in both engines.
+    Plan: ONE sort-shuffle on user_id serves both windows and the
+    purchase filter — at 100 TB this is the minimum for any per-user
+    sequence semantics, and the state is two longs per user, not an
+    automaton."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts_us"))
+    ).over(w)
+    prev_error = F.max(
+        F.when(F.col("event_type") == "error", F.col("ts_us"))
+    ).over(w)
+    matched = (
+        prev_click.isNotNull()
+        & (F.col("ts_us") - prev_click <= _PATTERN_WINDOW_US)
+        & (prev_error.isNull() | (prev_error < prev_click))
+    )
+    return (
+        e.withColumn("prev_click_us", prev_click)
+        .withColumn("matched_raw", matched)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            "prev_click_us",
+            F.coalesce(F.col("matched_raw"), F.lit(False)).alias("matched"),
+        )
+    )
