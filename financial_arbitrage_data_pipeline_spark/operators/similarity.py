@@ -1154,3 +1154,75 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").alias("best_cosine"),
         (F.col("cosine") >= _CONTAM_THRESHOLD).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding DRIFT between corpus versions — the monitoring pass that
+# decides whether an index/model needs rebuilding after a re-embed.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_drift_report",
+    oracle=f"""
+WITH {{QUANT}},
+q2 AS (
+  SELECT vec_id, i, q + ((vec_id * 7 + i * 13) % 5 - 2) AS q
+  FROM qe
+),
+lab AS (SELECT vec_id, label FROM embeddings),
+s1 AS (
+  SELECT l.label, e.i, SUM(e.q) AS s FROM qe e JOIN lab l USING (vec_id)
+  GROUP BY l.label, e.i
+),
+s2 AS (
+  SELECT l.label, e.i, SUM(e.q) AS s FROM q2 e JOIN lab l USING (vec_id)
+  GROUP BY l.label, e.i
+),
+n AS (SELECT label, COUNT(*) AS n_vectors FROM lab GROUP BY label)
+SELECT s1.label,
+       CAST(n.n_vectors AS BIGINT) AS n_vectors,
+       CAST(SUM((s2.s - s1.s) * (s2.s - s1.s)) AS BIGINT) AS drift_sq,
+       SUM((s2.s - s1.s) * (s2.s - s1.s)) > 0 AS drifted
+FROM s1 JOIN s2 ON s2.label = s1.label AND s2.i = s1.i
+JOIN n ON n.label = s1.label
+GROUP BY s1.label, n.n_vectors
+""".replace("{QUANT}", _QUANT_SQL.strip().lstrip()),
+    tags=("similarity-drift", "monitoring"),
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DRIFT between two corpus versions, per label class: the
+    v2 embeddings are a fixture-derived re-embed (deterministic per-
+    (vector, dimension) jitter on the quantized values — identical
+    derivation in the oracle), and the report is the squared L2 norm of
+    the per-class component-sum difference — an integer-exact drift
+    statistic (n² × squared centroid shift) that needs NO float
+    tolerance to compare. This is the monitoring pass that tells a
+    vector platform "class 3 moved, rebuild its cells; the rest are
+    stable". Plan: one posexplode + (label, dim)-keyed aggregation per
+    version (the k-means update shape) and an L-row final reduce; at
+    100 TB both sums are map-side combinable and nothing touches the
+    driver."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantized("embedding").alias("q")
+    )
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("q").alias("i", "qv")
+    ).withColumn("i", F.col("i") + 1)  # 1-based like the oracle's subscripts
+    comp2 = comp.withColumn(
+        "qv", F.col("qv") + ((F.col("vec_id") * 7 + F.col("i") * 13) % 5 - 2)
+    )
+    s1 = comp.groupBy("label", "i").agg(F.sum("qv").alias("s1"))
+    s2 = comp2.groupBy("label", "i").agg(F.sum("qv").alias("s2"))
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    d = (F.col("s2") - F.col("s1")) * (F.col("s2") - F.col("s1"))
+    return (
+        s1.join(s2, ["label", "i"])
+        .groupBy("label")
+        .agg(F.sum(d).cast("long").alias("drift_sq"))
+        .join(F.broadcast(n), "label")
+        .select(
+            "label",
+            "n_vectors",
+            "drift_sq",
+            (F.col("drift_sq") > 0).alias("drifted"),
+        )
+    )

@@ -107,3 +107,40 @@ def test_orc_roundtrip_with_predicate_pushdown(spark, sf_dir, tmp_path):
     assert _rows(back) == want
     plan = back.filter(F.col("user_id") == 7)._jdf.queryExecution().toString()
     assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)" in plan
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """A table written in two schema versions (v2 adds a column) must
+    read back as one evolved frame under mergeSchema, with v1 rows
+    null-filled — the add-a-column migration every long-lived 100 TB
+    table goes through."""
+    from pyspark.sql import functions as F
+
+    from financial_arbitrage_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.length("text").alias("n_chars_v2")
+    )
+    path = str(tmp_path / "evolved")
+    v1.write.parquet(path)
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"doc_id", "lang", "n_chars_v2"}
+    assert merged.count() == docs.count()
+    # v1 rows surface the new column as NULL; v2 rows carry real values
+    nulls = merged.filter(F.col("n_chars_v2").isNull()).count()
+    assert nulls == docs.filter(F.col("doc_id") % 2 == 0).count()
+    total_v2 = (
+        merged.filter(F.col("n_chars_v2").isNotNull())
+        .agg(F.sum("n_chars_v2"))
+        .first()[0]
+    )
+    expected = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .agg(F.sum(F.length("text")))
+        .first()[0]
+    )
+    assert total_v2 == expected
