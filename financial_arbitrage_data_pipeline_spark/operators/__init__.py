@@ -4,6 +4,7 @@ into `plans.REGISTRY` (each module's @query decorators run at import)."""
 from . import (  # noqa: F401
     analytics,
     corpusprep,
+    dataquality,
     dedup,
     etl_queries,
     layout,
@@ -23,6 +24,7 @@ from . import (  # noqa: F401
 __all__ = [
     "analytics",
     "corpusprep",
+    "dataquality",
     "dedup",
     "etl_queries",
     "layout",

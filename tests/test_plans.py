@@ -330,6 +330,7 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "pq_recall_audit",      # contains ann_cosine_topk by construction
         "key_skew_report",      # 1-row broadcast totals bound
         "bpe_train_merges",     # 1-row winning-merge broadcast per round
+        "referential_integrity_audit",  # 1-row stats x 1-row orphan count per edge
     }
     skip = {"ticket_fill_merge", "jdbc_pair_scan"}  # builders with write side effects
     offenders = []
