@@ -1084,3 +1084,130 @@ def _patch_streaming_embedding_assign_oracle() -> None:
 
 
 _patch_streaming_embedding_assign_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Batch-trained thresholds scored ON the stream: the anomaly twin of
+# streaming_embedding_assign's train-batch/score-stream pattern
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_value_anomaly",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+  FROM ranked GROUP BY event_type
+),
+dev AS (
+  SELECT r.event_type, r.event_id, ABS(r.value - m.med) AS adev
+  FROM ranked r JOIN med m USING (event_type)
+),
+dranked AS (
+  SELECT event_type, event_id, adev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad
+  FROM dranked GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE d.adev > 3.0 * m.mad) AS BIGINT)
+         AS n_flagged
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+    tags=("data-quality", "anomaly", "streaming", "T1"),
+)
+def streaming_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-train, stream-score ANOMALY DETECTION: the per-type
+    median/MAD thresholds are fitted in batch (the exact nearest-rank
+    statistics of `value_anomaly_mad`), broadcast onto a live event
+    stream, and every micro-batch flags its arrivals in-flight — the
+    deployment shape of every monitoring model (fit offline, score
+    online, no per-record state). Flagged/total counts land through a
+    checkpointed exactly-once sink; the oracle recomputes the entire
+    fit+score in SQL over the original table, so equality proves the
+    stream scored every event exactly once with the batch-identical
+    thresholds. The stream side is a stateless projection + broadcast
+    join: nothing accumulates, any throughput scales."""
+    from .dataquality import value_anomaly_mad  # noqa: F401 (family link)
+    from ..sources.tables import load_table
+    from .dataquality import _MAD_K
+
+    root = _workdir()
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_type", "event_id", "value"
+        )
+
+        from pyspark.sql import Window
+
+        def lower_median(df, val, out):
+            w = Window.partitionBy("event_type").orderBy(val, "event_id")
+            wn = Window.partitionBy("event_type")
+            ranked = df.select(
+                "event_type",
+                val,
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wn).alias("n"),
+            )
+            half = (((F.col("n") + 1) - (F.col("n") + 1) % 2) / 2).cast("long")
+            return ranked.groupBy("event_type").agg(
+                F.max(F.when(F.col("rn") == half, F.col(val))).alias(out)
+            )
+
+        med = lower_median(ev, "value", "med")
+        dev = ev.join(F.broadcast(med), "event_type").withColumn(
+            "adev", F.abs(F.col("value") - F.col("med"))
+        )
+        mad = lower_median(
+            dev.select("event_type", "event_id", "adev"), "adev", "mad"
+        )
+        thresholds = (
+            med.join(mad, "event_type").localCheckpoint()
+        )  # the fitted "model": K rows
+
+        chunk_dir = os.path.join(root, "chunks")
+        ev.repartition(4).write.parquet(chunk_dir)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        scored = stream.join(F.broadcast(thresholds), "event_type").select(
+            "event_type",
+            "event_id",
+            (
+                F.abs(F.col("value") - F.col("med")) > _MAD_K * F.col("mad")
+            ).alias("flagged"),
+        )
+        out_dir = os.path.join(root, "scored")
+        q = (
+            scored.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        landed = spark.read.parquet(out_dir)
+        return (
+            landed.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count(F.when(F.col("flagged"), 1)).alias("n_flagged"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -554,3 +554,62 @@ def test_transient_sink_failure_then_restart_is_exactly_once(spark, sf_dir, tmp_
         os.path.join(str(tmp_path / "market_snapshot"), "source=*", "*.parquet")
     )
     assert len(raw_files) >= 1
+
+
+def test_observe_metrics_on_storage_lane(spark, sf_dir, tmp_path):
+    """Observability: the `observe` API must surface per-batch row
+    counts on a streaming lane (the engine-metrics story the reference
+    implements with hand-rolled counters, e.g. its rolling writer stats
+    at database/influx/writer.py:591-599)."""
+    import os
+
+    from pyspark.sql import Observation, functions as F
+
+    from financial_arbitrage_data_pipeline_spark.streaming import ingest
+
+    replay_dir = str(tmp_path / "replay")
+    n_rows = ingest.write_replay_chunks(spark, sf_dir, replay_dir, n_chunks=2)
+    stream = ingest.replay_stream(spark, replay_dir).observe(
+        "lane_metrics", F.count(F.lit(1)).alias("rows"), F.max("ts_us").alias("max_ts")
+    )
+    seen = []
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class L(StreamingQueryListener):
+        def onQueryStarted(self, e):  # noqa: N802
+            pass
+
+        def onQueryProgress(self, e):  # noqa: N802
+            row = e.progress.observedMetrics.get("lane_metrics")
+            if row is not None:
+                seen.append(row.asDict())
+
+        def onQueryIdle(self, e):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, e):  # noqa: N802
+            pass
+
+    listener = L()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener delivery is asynchronous; give it a beat
+        import time
+
+        for _ in range(40):
+            if sum(m["rows"] for m in seen) >= n_rows:
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    assert sum(m["rows"] for m in seen) == n_rows
+    assert all(m["max_ts"] is not None for m in seen)
