@@ -680,3 +680,82 @@ def doc_duplicate_span_load(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("dup_load"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: refresh per-language stats from a
+# snapshot DIFF instead of re-scanning the new corpus
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_lang_stats",
+    oracle="""
+WITH v2 AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, lang, text
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM v2 GROUP BY lang
+""",
+    tags=("corpus-prep", "incremental", "ivm"),
+)
+def incremental_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE: the per-language corpus statistics
+    are refreshed by applying the v1→v2 snapshot DELTA to the v1
+    aggregate — one signed aggregation over the CHANGED rows only —
+    instead of re-scanning the new corpus. Additions contribute
+    (+1, +chars); removals (-1, -chars); rewrites (0, chars_new −
+    chars_old). The ORACLE is the full recompute over v2, so a hash
+    match PROVES the maintenance algebra (the classic count/sum IVM
+    delta rules) reaches the exact same state. Uses the same
+    fixture-derived v2 as `corpus_snapshot_diff` (drop %13, rewrite %7,
+    add %11 re-keyed). At 100 TB this is the difference between a
+    churn-sized and a corpus-sized refresh — the delta aggregation is
+    keyed on lang and touches only changed keys."""
+    base = load_table(spark, sf_dir, "documents")
+    v1_stats = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    # the delta stream (what a CDC feed / snapshot diff would emit)
+    removed = base.filter(
+        (F.col("doc_id") % 13 == 0)
+    ).select("lang", F.lit(-1).alias("d_docs"), (-F.length("text")).alias("d_chars"))
+    rewritten = base.filter(
+        (F.col("doc_id") % 13 != 0) & (F.col("doc_id") % 7 == 0)
+    ).select(
+        "lang",
+        F.lit(0).alias("d_docs"),
+        # ' v2' suffix adds exactly 3 chars
+        F.lit(3).alias("d_chars"),
+    )
+    added = base.filter(F.col("doc_id") % 11 == 0).select(
+        "lang", F.lit(1).alias("d_docs"), F.length("text").alias("d_chars")
+    )
+    delta = (
+        removed.unionByName(rewritten)
+        .unionByName(added)
+        .groupBy("lang")
+        .agg(
+            F.sum("d_docs").alias("dd"),
+            F.sum("d_chars").alias("dc"),
+        )
+    )
+    return (
+        v1_stats.join(delta, "lang", "left")
+        .select(
+            "lang",
+            (F.col("n_docs") + F.coalesce(F.col("dd"), F.lit(0)))
+            .cast("long")
+            .alias("n_docs"),
+            (F.col("total_chars") + F.coalesce(F.col("dc"), F.lit(0)))
+            .cast("long")
+            .alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
