@@ -532,8 +532,10 @@ def make_pair_perf_upserter(spark: SparkSession, table: str):
         # committed-but-uncleaned merge rolls forward (reinstalling its
         # marker so this batch skips), an uncommitted one rolls back (so
         # re-applying is safe) — either way at-least-once redelivery is
-        # exactly-once into the table.
-        recover_merge_table(table)
+        # exactly-once into the table. break_lock: this upserter IS the
+        # table's single writer, so a lock found at batch start can only
+        # be a crashed predecessor's.
+        recover_merge_table(table, break_lock=True)
         marker = os.path.join(table, "_last_applied_batch")
         if os.path.exists(marker):
             with open(marker) as fh:

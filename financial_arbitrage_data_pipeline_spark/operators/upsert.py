@@ -54,6 +54,48 @@ _N_BUCKETS_FILE = "_n_buckets"
 _DEFAULT_BUCKETS = 16
 _PENDING_FILE = "_merge_pending"
 _COMMIT_FILE = "_commit_manifest"
+_LOCK_FILE = "_merge_writer_lock"
+
+
+class ConcurrentMergeError(RuntimeError):
+    """A second writer attempted to MERGE while another holds the
+    table's writer lock. The parquet MERGE paths are single-writer by
+    design (the streaming upserter shape — one foreachBatch owner per
+    table); without the lock, the second writer's crash recovery would
+    roll back the live merge's in-flight swaps and both writers would
+    then race the same buckets. Fail loudly instead."""
+
+
+def _acquire_merge_lock(target_dir: str) -> None:
+    path = os.path.join(target_dir, _LOCK_FILE)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileNotFoundError:
+        # target dir absent: the full-rewrite crash window (old exists,
+        # target gone) — its restore path owns this state; nothing to
+        # lock against until the directory exists again
+        return
+    except FileExistsError:
+        try:
+            with open(path) as fh:
+                holder = fh.read().strip()
+        except OSError:  # pragma: no cover - lock vanished mid-read
+            holder = "unknown"
+        raise ConcurrentMergeError(
+            f"merge already in progress on {target_dir} (lock held by"
+            f" {holder}). If that writer crashed, run"
+            " recover_merge_table(dir, break_lock=True) from the single"
+            " owner before retrying."
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        fh.write(f"pid={os.getpid()}")
+
+
+def _release_merge_lock(target_dir: str) -> None:
+    try:
+        os.remove(os.path.join(target_dir, _LOCK_FILE))
+    except FileNotFoundError:  # pragma: no cover - already released
+        pass
 
 # Test seam for the crash-injection suite: when set to a callable it is
 # invoked after every bucket swap with the bucket id — a test raises from
@@ -115,10 +157,20 @@ def _read_json(path: str) -> dict | None:
         return json.load(fh)
 
 
-def recover_merge_table(target_dir: str) -> None:
+def recover_merge_table(
+    target_dir: str, break_lock: bool = False, ignore_lock: bool = False
+) -> None:
     """Crash recovery for the bucketed-merge commit protocol — makes a
     multi-bucket MERGE all-or-nothing (the transactional contract the
     reference gets from Postgres, `database/postgres/writer.py:351-407`).
+
+    Writer-lock discipline: while `_merge_writer_lock` is held, a
+    pending intent file belongs to a LIVE merge — rolling it back from a
+    concurrent reader would corrupt the writer mid-flight, so recovery
+    is a NO-OP unless the caller either owns the lock (`ignore_lock`,
+    used internally by the merge itself) or explicitly claims ownership
+    (`break_lock=True`, used at lane startup after a crash — it removes
+    the stale lock before recovering).
 
     Protocol (see `_merge_bucketed`): swaps keep every replaced bucket as
     `__bucket__=<i>.__old__`; the `_commit_manifest` (tmp-written then
@@ -139,6 +191,12 @@ def recover_merge_table(target_dir: str) -> None:
 
     Idempotent and cheap (pure filesystem metadata ops), so callers run
     it before reading the applied-batch marker and before every merge."""
+    lock_p = os.path.join(target_dir, _LOCK_FILE)
+    if os.path.exists(lock_p):
+        if break_lock:
+            os.remove(lock_p)
+        elif not ignore_lock:
+            return  # live writer owns the pending state; do not touch it
     pending_p = os.path.join(target_dir, _PENDING_FILE)
     commit_p = os.path.join(target_dir, _COMMIT_FILE)
     tmp = target_dir.rstrip("/") + ".__merge_tmp__"
@@ -232,26 +290,33 @@ def merge_into_parquet(
        `<target>.__merge_old__` (recovery: rename it back and re-run).
     """
     if _HAS_DELTA and os.path.isdir(os.path.join(target_dir, "_delta_log")):
+        # Delta brings its own optimistic concurrency control
         _merge_delta(
             spark, target_dir, updates, key, set_exprs, insert_missing, extra_files
         )
         return
-    n_buckets = _bucketed_n(target_dir)
-    if n_buckets is not None:
-        _merge_bucketed(
-            spark,
-            target_dir,
-            updates,
-            key,
-            set_exprs,
-            insert_missing,
-            extra_files,
-            n_buckets,
+    # the parquet paths are single-writer: claim the writer lock so a
+    # second concurrent writer fails loudly instead of racing recovery
+    _acquire_merge_lock(target_dir)
+    try:
+        n_buckets = _bucketed_n(target_dir)
+        if n_buckets is not None:
+            _merge_bucketed(
+                spark,
+                target_dir,
+                updates,
+                key,
+                set_exprs,
+                insert_missing,
+                extra_files,
+                n_buckets,
+            )
+            return
+        _merge_full_rewrite(
+            spark, target_dir, updates, key, set_exprs, insert_missing, extra_files
         )
-        return
-    _merge_full_rewrite(
-        spark, target_dir, updates, key, set_exprs, insert_missing, extra_files
-    )
+    finally:
+        _release_merge_lock(target_dir)
 
 
 def _merged_output(
@@ -317,7 +382,7 @@ def _merge_bucketed(
     manifest lands, every swap rolls back (the merge never happened —
     redelivery re-applies, nothing lost); after it lands, cleanup rolls
     forward (marker present — redelivery skips, nothing double-applied)."""
-    recover_merge_table(target_dir)
+    recover_merge_table(target_dir, ignore_lock=True)  # caller holds the lock
     touched = sorted(
         r[0]
         for r in updates.select(

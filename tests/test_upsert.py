@@ -505,3 +505,109 @@ def test_delta_merge_into_path_when_available(spark, tmp_path):
     assert rows == {1: (10, "a"), 2: (25, "b")}
     with open(os.path.join(path, "_last_applied_batch")) as fh:
         assert fh.read() == "11"
+
+
+def test_concurrent_merge_rejected_and_lock_breakable(spark, tmp_path):
+    """Single-writer discipline: a second writer must fail loudly while
+    the lock is held, and the declared owner can break a stale lock at
+    startup and proceed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=4)
+    updates = spark.createDataFrame([(1, 11)], "k long, v long")
+
+    # simulate another live writer
+    with open(os.path.join(target, U._LOCK_FILE), "w") as fh:
+        fh.write("pid=99999")
+    import pytest as _pytest
+
+    with _pytest.raises(U.ConcurrentMergeError, match="merge already in progress"):
+        U.merge_into_parquet(
+            spark, target, updates, "k", {"v": F.col("u.v")}
+        )
+
+    # the single owner claims the table (crashed predecessor's lock)
+    U.recover_merge_table(target, break_lock=True)
+    U.merge_into_parquet(spark, target, updates, "k", {"v": F.col("u.v")})
+    got = {
+        r.k: r.v for r in U.read_merge_table(spark, target).collect()
+    }
+    assert got == {1: 11, 2: 20}
+    # lock released after a successful merge
+    assert not os.path.exists(os.path.join(target, U._LOCK_FILE))
+
+
+def test_reader_recovery_never_rolls_back_a_live_merge(spark, tmp_path):
+    """While the writer lock is held, a concurrent reader running
+    recovery must NOT roll back the in-flight pending state."""
+    import json
+    import os
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 10)], "k long, v long")
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=2)
+    # a live merge: lock held, intent file present
+    with open(os.path.join(target, U._LOCK_FILE), "w") as fh:
+        fh.write("pid=live")
+    pending = {"merge_id": "m1", "swaps": [], "extra_files": {}}
+    with open(os.path.join(target, U._PENDING_FILE), "w") as fh:
+        fh.write(json.dumps(pending))
+
+    U.recover_merge_table(target)  # reader path: must be a no-op
+    assert os.path.exists(os.path.join(target, U._PENDING_FILE))
+
+    U.recover_merge_table(target, break_lock=True)  # owner claims + recovers
+    assert not os.path.exists(os.path.join(target, U._PENDING_FILE))
+    assert not os.path.exists(os.path.join(target, U._LOCK_FILE))
+
+
+def test_lock_released_when_merge_fails_midway(spark, tmp_path):
+    """A merge that dies mid-swap leaves its pending state for recovery
+    but NEVER a dangling lock (the finally releases it), so the owner's
+    next attempt proceeds after recovery."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "k long, v long"
+    )
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=4)
+    updates = spark.createDataFrame(
+        [(1, 11), (2, 21), (3, 31), (4, 41)], "k long, v long"
+    )
+
+    calls = []
+
+    def boom(bucket):
+        calls.append(bucket)
+        if len(calls) == 2:
+            raise RuntimeError("injected crash between swaps")
+
+    U._post_swap_hook = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            U.merge_into_parquet(
+                spark, target, updates, "k", {"v": F.col("u.v")}
+            )
+    finally:
+        U._post_swap_hook = None
+    assert not os.path.exists(os.path.join(target, U._LOCK_FILE))
+    # recovery rolls the half-applied merge back; re-merge lands cleanly
+    U.recover_merge_table(target)
+    U.merge_into_parquet(spark, target, updates, "k", {"v": F.col("u.v")})
+    got = {r.k: r.v for r in U.read_merge_table(spark, target).collect()}
+    assert got == {1: 11, 2: 21, 3: 31, 4: 41}
