@@ -571,12 +571,13 @@ s AS (
 ),
 r AS (
   SELECT doc_id, lang, score,
-         PERCENT_RANK() OVER (PARTITION BY lang ORDER BY score, doc_id)
-           AS pct_rank
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score, doc_id)
+           AS quality_rank,
+         COUNT(*) OVER (PARTITION BY lang) AS n
   FROM s
 )
-SELECT doc_id, lang, score, pct_rank
-FROM r WHERE pct_rank >= {_CUT_FRACTION}
+SELECT doc_id, lang, score, CAST(quality_rank AS BIGINT) AS quality_rank
+FROM r WHERE quality_rank > (n * {int(_CUT_FRACTION * 100)}) // 100
 """,
     tags=("corpus-prep", "quality-gate", "percentile"),
 )
@@ -584,13 +585,17 @@ def quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RELATIVE quality filtering: score every document (the
     `text_quality` blend restated with distinct-ratio in place of
     stop-ratio so it is self-contained) and keep everything at or above
-    the per-language {_CUT_FRACTION:.0%} percentile — the
+    the per-language {_CUT_FRACTION:.0%} mark — the
     budget-against-distribution cut a pipeline uses when an absolute
     threshold would gut one language and pass everything in another.
-    Deterministic under ties (percent_rank ordered by score THEN
-    doc_id, identically in both engines). Plan: pure projection + one
-    per-lang window sort — one shuffle keyed on the stratum, the same
-    WindowGroupLimit-family shape as the exact-N sampler."""
+    The cut is COUNT-exact, not percent_rank-based: drop exactly
+    floor(f*n) lowest-ranked docs per stratum (integer arithmetic,
+    identical in both engines) — percent_rank would silently drop the
+    only document of a 1-doc stratum (its pct_rank is 0.0), where the
+    count rule correctly drops floor(0.2*1) = 0. Deterministic under
+    ties (rank ordered by score THEN doc_id). Plan: pure projection +
+    one per-lang window sort — one shuffle keyed on the stratum, the
+    same WindowGroupLimit-family shape as the exact-N sampler."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.expr("filter(split(text, ' '), x -> x <> '')")
     n_tokens = F.size(toks)
@@ -609,10 +614,16 @@ def quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 0.2
     )
     w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    wn = Window.partitionBy("lang")
+    drop_n = (F.count(F.lit(1)).over(wn) * int(_CUT_FRACTION * 100) / 100).cast(
+        "long"
+    )
     return (
         docs.select("doc_id", "lang", score.alias("score"))
-        .withColumn("pct_rank", F.percent_rank().over(w))
-        .filter(F.col("pct_rank") >= _CUT_FRACTION)
+        .withColumn("quality_rank", F.row_number().over(w).cast("long"))
+        .withColumn("__drop_n", drop_n)
+        .filter(F.col("quality_rank") > F.col("__drop_n"))
+        .drop("__drop_n")
     )
 
 

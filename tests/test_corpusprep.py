@@ -192,12 +192,11 @@ def test_quality_percentile_cut_keeps_top_fraction_per_lang(spark, sf_dir):
     }
     by_lang: dict[str, int] = {}
     for r in kept:
-        assert r.pct_rank >= corpusprep._CUT_FRACTION
         by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
     for lang, n_total in totals.items():
-        # at least (1 - fraction) of each stratum survives; percent_rank
-        # semantics keep everything when the stratum is tiny
-        assert by_lang.get(lang, 0) >= int((1 - corpusprep._CUT_FRACTION) * n_total) - 1
+        # exactly floor(f*n) lowest-ranked docs are dropped per stratum
+        drop = n_total * int(corpusprep._CUT_FRACTION * 100) // 100
+        assert by_lang.get(lang, 0) == n_total - drop
 
 
 def test_doc_duplicate_span_load_bounds(spark, sf_dir):
