@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     subqueries,
     textstats,
     timeseries,
+    transcode,
     universe,
     upsert,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "subqueries",
     "textstats",
     "timeseries",
+    "transcode",
     "universe",
     "upsert",
 ]
