@@ -732,3 +732,111 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "doc_c")
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact PageRank over the near-dup graph (iterative, hash-gated)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000  # initial token mass per node
+_PR_TELEPORT = 150_000  # 0.15 * scale, the constant teleport term
+_PR_ROUNDS = 3
+
+
+def _pagerank_round_sql(prev: str, out: str) -> str:
+    """One unrolled power-iteration round in DuckDB SQL: every node's
+    tokens = teleport + sum over in-neighbors of floor(floor(tok*85/100)
+    / deg). Floor division makes the semantics integer-exact on both
+    engines."""
+    return f"""
+{out} AS (
+  SELECT d.doc_id,
+         {_PR_TELEPORT} + SUM(((p.tok * 85) // 100) // pd.deg) AS tok,
+         d.deg
+  FROM deg d
+  JOIN edges e ON e.dst = d.doc_id
+  JOIN {prev} p ON p.doc_id = e.src
+  JOIN deg pd ON pd.doc_id = e.src
+  GROUP BY d.doc_id, d.deg
+)"""
+
+
+@query(
+    "dup_graph_pagerank",
+    oracle=f"""
+WITH {_minhash_sql(_CRAWL_UNION_SQL)},
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sh_sizes za ON za.doc_id = i.doc_a
+  JOIN sh_sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id, CAST({_PR_SCALE} AS BIGINT) AS tok, deg FROM deg),
+{_pagerank_round_sql("r0", "r1")},
+{_pagerank_round_sql("r1", "r2")},
+{_pagerank_round_sql("r2", "r3")}
+SELECT doc_id,
+       CAST(deg AS BIGINT) AS degree,
+       CAST(tok AS BIGINT) AS rank_tokens
+FROM r3
+""",
+    tags=("dedup-graph", "iterative", "pagerank"),
+)
+def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-dup graph: which documents are the HUBS
+    of duplication (templates, boilerplate sources, mirror roots)? Three
+    power-iteration rounds of PageRank, computed in INTEGER token
+    arithmetic — tokens' = teleport + Σ floor(floor(tok·85/100)/deg) —
+    so the result is bit-exact under any partitioning/merge order and
+    the oracle can unroll the identical rounds as chained CTEs (the same
+    verification pattern as the k-means and BPE training loops).
+
+    Spark-first shape: each round is ONE keyed join (edges ⋈ ranks ⋈
+    degrees, all on src) plus ONE aggregation on dst — the GraphX/Pregel
+    message-passing schedule expressed as DataFrame ops, with
+    `localCheckpoint` cutting lineage per round. At 100 TB: edges
+    pre-partitioned by src make the join co-located; rounds = O(1) by
+    declared iteration count, not data size. The teleport term is a
+    constant (not mass-conserving), which is the standard fixed-alpha
+    power iteration restated over integers for exact verifiability."""
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(
+        F.col("src").alias("doc_id"),
+        F.lit(_PR_SCALE).cast("long").alias("tok"),
+    ).localCheckpoint()
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.expr("tok * 85 div 100 div deg").alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("doc_id")
+            .agg((F.lit(_PR_TELEPORT) + F.sum("c")).cast("long").alias("tok"))
+            .localCheckpoint()
+        )
+    out = ranks.join(deg.withColumnRenamed("src", "doc_id"), "doc_id").select(
+        "doc_id",
+        F.col("deg").cast("long").alias("degree"),
+        F.col("tok").alias("rank_tokens"),
+    )
+    edges.unpersist()
+    return out

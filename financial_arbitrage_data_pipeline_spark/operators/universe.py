@@ -287,3 +287,161 @@ def either_year_buyers_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     y1 = o.filter(F.year("o_orderdate") == 1999).select("o_custkey")
     y2 = o.filter(F.year("o_orderdate") == 2001).select("o_custkey")
     return y1.union(y2).distinct()
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch overlap — the mergeable-sketch tier of the
+# EXCEPT / INTERSECT / UNION triad above
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_DOMAIN = 1 << 60  # md5 15-hex prefix domain
+_KMV_RATIO_CAP = 10**12  # caps DOMAIN/kth so 63*ratio can't overflow int64
+
+
+def _kmv_hash(col: F.Column) -> F.Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5(string)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def _kmv_sketch(df: DataFrame, key: str) -> DataFrame:
+    """The K smallest distinct hash values of a key set. orderBy+limit
+    plans as TakeOrderedAndProject: per-partition top-K, then a K-row
+    merge on one reducer — never a full sort, never a big collect."""
+    return (
+        df.select(_kmv_hash(F.col(key)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+    )
+
+
+_KMV_EST = (
+    f"CASE WHEN n_sk < {_KMV_K} THEN n_sk "
+    f"ELSE {_KMV_K - 1} * LEAST({_KMV_DOMAIN} div kth, {_KMV_RATIO_CAP}) END"
+)
+
+
+def _kmv_stats(sk: DataFrame, prefix: str) -> DataFrame:
+    return sk.agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
+    ).select(F.expr(_KMV_EST).cast("long").alias(f"est_{prefix}"))
+
+
+def _kmv_est_sql(sketch_cte: str) -> str:
+    return f"""(
+  SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+              ELSE {_KMV_K - 1} * LEAST({_KMV_DOMAIN} // MAX(h), {_KMV_RATIO_CAP}) END
+  FROM {sketch_cte}
+)"""
+
+
+_KMV_HASH_SQL = (
+    "("
+    + " + ".join(
+        "(strpos('0123456789abcdef', "
+        f"substr(md5(CAST(o_custkey AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    + ")"
+)
+
+
+@query(
+    "kmv_buyers_overlap",
+    oracle=f"""
+WITH ha AS (
+  SELECT DISTINCT {_KMV_HASH_SQL} AS h
+  FROM orders WHERE year(o_orderdate) = 1999
+),
+hb AS (
+  SELECT DISTINCT {_KMV_HASH_SQL} AS h
+  FROM orders WHERE year(o_orderdate) = 2001
+),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+sku AS (
+  SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+  ORDER BY h LIMIT {_KMV_K}
+),
+est AS (
+  SELECT {_kmv_est_sql("ska")} AS est_a,
+         {_kmv_est_sql("skb")} AS est_b,
+         {_kmv_est_sql("sku")} AS est_union,
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders
+          WHERE year(o_orderdate) = 1999) AS n_a_exact,
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders
+          WHERE year(o_orderdate) = 2001) AS n_b_exact
+)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       CAST(n_a_exact AS BIGINT) AS n_a_exact,
+       CAST(n_b_exact AS BIGINT) AS n_b_exact,
+       CAST(est_a AS BIGINT) AS est_a,
+       CAST(est_b AS BIGINT) AS est_b,
+       CAST(est_union AS BIGINT) AS est_union,
+       CAST(GREATEST(est_a + est_b - est_union, 0) AS BIGINT) AS est_inter,
+       CAST(GREATEST(est_a + est_b - est_union, 0) * 1000 // est_union
+            AS BIGINT) AS jaccard_x1000
+FROM est
+""",
+    tags=("set-ops", "sketch", "kmv"),
+)
+def kmv_buyers_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH tier of the set-op triad: estimate |A|, |B|, |A∪B|,
+    |A∩B| and Jaccard for the 1999-vs-2001 buyer sets from K=64-value
+    KMV sketches instead of exact distincts. KMV is the mergeable
+    sketch: the union estimate is computed purely from the two K-row
+    sketches (K smallest of their union) — the property that lets
+    100 TB jobs keep one tiny sketch per partition/day/source and
+    combine them later without rescanning. Deterministic by
+    construction (md5-derived hashes, floor arithmetic, capped ratio),
+    so the oracle restates the identical estimator in SQL and the gate
+    is an exact hash match — no probabilistic band. The exact
+    cardinalities ride along as audit columns (they're what
+    `either_year_buyers_union` / `repeat_buyers_intersect` compute the
+    slow way). Scale shape: each sketch is distinct → TakeOrdered top-K
+    (partial per partition, K-row merge); everything after operates on
+    ≤3K rows."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1999).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 2001).select("o_custkey")
+    ska, skb = _kmv_sketch(a, "o_custkey"), _kmv_sketch(b, "o_custkey")
+    ska = ska.persist()
+    skb = skb.persist()
+    sku = ska.unionByName(skb).distinct().orderBy("h").limit(_KMV_K)
+
+    key = F.lit(1).alias("_k")
+    est_a = _kmv_stats(ska, "a").select(key, "est_a")
+    est_b = _kmv_stats(skb, "b").select(key, "est_b")
+    est_u = _kmv_stats(sku, "union").select(key, "est_union")
+    n_a = a.agg(F.countDistinct("o_custkey").alias("n_a_exact")).select(
+        key, "n_a_exact"
+    )
+    n_b = b.agg(F.countDistinct("o_custkey").alias("n_b_exact")).select(
+        key, "n_b_exact"
+    )
+    return (
+        est_a.join(est_b, "_k")
+        .join(est_u, "_k")
+        .join(n_a, "_k")
+        .join(n_b, "_k")
+        .select(
+            F.lit(_KMV_K).cast("long").alias("k"),
+            F.col("n_a_exact").cast("long"),
+            F.col("n_b_exact").cast("long"),
+            F.col("est_a").cast("long"),
+            F.col("est_b").cast("long"),
+            F.col("est_union").cast("long"),
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
+            )
+            .cast("long")
+            .alias("est_inter"),
+            F.expr(
+                "CAST(GREATEST(est_a + est_b - est_union, 0) * 1000 "
+                "div est_union AS BIGINT)"
+            ).alias("jaccard_x1000"),
+        )
+    )

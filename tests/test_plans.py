@@ -331,6 +331,7 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "key_skew_report",      # 1-row broadcast totals bound
         "bpe_train_merges",     # 1-row winning-merge broadcast per round
         "referential_integrity_audit",  # 1-row stats x 1-row orphan count per edge
+        "kmv_buyers_overlap",   # five 1-row sketch-stat scalars combined
     }
     skip = {"ticket_fill_merge", "jdbc_pair_scan"}  # builders with write side effects
     offenders = []
@@ -443,3 +444,12 @@ def test_small_quantity_revenue_single_fact_shuffle(spark, sf_dir):
     # the grouped AVG is the only data-sized exchange on the fact key
     assert p.count("hashpartitioning(l_partkey") <= 2  # partial+final pair
     assert "CartesianProduct" not in p
+
+
+def test_kmv_sketches_are_topk_not_full_sort(spark, sf_dir):
+    """Every KMV sketch must plan as TakeOrderedAndProject (per-partition
+    top-K, K-row merge) — a global sort of the hash column would defeat
+    the sketch's point at scale."""
+    p = plan_of(spark, "kmv_buyers_overlap", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
