@@ -503,6 +503,119 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join: the watermark-expiry emission
+# semantics (NULL rows for never-matched state, held back until the global
+# watermark proves no future match is possible)
+# ---------------------------------------------------------------------------
+_ATTR_DELAY_US = 600_000_000  # the 10-minute watermark on both streams
+
+
+@query(
+    "streaming_click_attribution_outer",
+    oracle=f"""
+WITH c AS (
+  SELECT epoch_us(ts) AS c_ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id, epoch_us(ts) AS p_ts FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(c_ts) FROM c), (SELECT MAX(p_ts) FROM p))
+         - {_ATTR_DELAY_US} AS wm
+),
+m AS (
+  SELECT p.event_id, p.p_ts, COUNT(c.c_ts) AS nearby
+  FROM p LEFT JOIN c
+    ON c.c_ts BETWEEN p.p_ts - {_ATTR_RADIUS_US} AND p.p_ts + {_ATTR_RADIUS_US}
+  GROUP BY 1, 2
+)
+SELECT m.event_id, m.p_ts AS purchase_ts_us,
+       CAST(m.nearby AS BIGINT) AS nearby_clicks
+FROM m, wm
+WHERE m.nearby > 0 OR m.p_ts + {_ATTR_RADIUS_US} < wm.wm
+""",
+    tags=("T2", "range-join", "streaming", "outer-join"),
+)
+def streaming_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the semantics the inner
+    variant can't show: a purchase with NO click within +/-5 min must
+    still emit (with NULL click columns), but only once the global
+    watermark proves no future click can match. Spark holds the
+    unmatched left row in state and emits the NULL-padded row when
+    `p_ts + radius` falls behind min(both sides' watermarks); purchases
+    younger than that at end-of-stream are WITHHELD — and the oracle
+    states exactly that emission rule declaratively: matched purchases
+    always appear, unmatched ones appear iff their join bound expired
+    before the final watermark min(max_click, max_purchase) - 10 min.
+    A hash match therefore pins Spark's outer-emission timing, not just
+    the join pairs. The exploded radius-bucket copies mean a matched
+    purchase can also emit NULL rows for its never-matched bucket
+    copies — the assembly counts only non-null clicks, so those
+    expiries are harmless (and themselves deterministic).
+    Scale shape: same symmetric hash join + bucket equi-key as the
+    inner variant; state is bounded by watermark + radius per side."""
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        sink = os.path.join(root, "pairs")
+        R = _ATTR_RADIUS_US
+
+        purchases = (
+            ingest.replay_stream(spark, replay_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "event_id",
+                F.col("ts_us").alias("p_ts_us"),
+                F.timestamp_micros(F.col("ts_us")).alias("p_ts"),
+            )
+            .withColumn(
+                "bucket",
+                F.explode(
+                    F.array(
+                        F.expr(f"p_ts_us div {R}") - 1,
+                        F.expr(f"p_ts_us div {R}"),
+                        F.expr(f"p_ts_us div {R}") + 1,
+                    )
+                ),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        clicks = (
+            ingest.replay_stream(spark, replay_dir)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("ts_us").alias("c_ts_us"),
+                F.timestamp_micros(F.col("ts_us")).alias("c_ts"),
+            )
+            .withColumn("bucket", F.expr(f"c_ts_us div {R}"))
+            .withWatermark("c_ts", "10 minutes")
+        )
+        joined = purchases.join(
+            clicks,
+            (purchases.bucket == clicks.bucket)
+            & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 5 MINUTES"))
+            & (clicks.c_ts <= purchases.p_ts + F.expr("INTERVAL 5 MINUTES")),
+            "leftOuter",
+        ).select("event_id", "p_ts_us", "c_ts_us")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(sink)
+            .groupBy("event_id", F.col("p_ts_us").alias("purchase_ts_us"))
+            .agg(F.count(F.col("c_ts_us")).alias("nearby_clicks"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Continuous aggregate maintained by MERGE (A2 + K4 in streaming form):
 # the reference's running pair-performance counters
 # (`database/postgres/writer.py:409-468`) as a foreachBatch upsert
