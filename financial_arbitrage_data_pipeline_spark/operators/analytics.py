@@ -876,3 +876,80 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) entity matching with blocking — the ER join family
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 2
+
+
+@query(
+    "fuzzy_name_match",
+    oracle=f"""
+WITH names AS (
+  SELECT p_name,
+         string_split(p_name, ' ')[2] AS blk,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a,
+       b.p_name AS name_b,
+       a.blk AS block_key,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance,
+       a.n_parts AS n_parts_a,
+       b.n_parts AS n_parts_b
+FROM names a
+JOIN names b
+  ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+""",
+    tags=("entity-resolution", "fuzzy-join"),
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: part names within Levenshtein
+    distance {_FUZZY_MAX_DIST} of each other, candidate-generated by a
+    BLOCKING key (the type word) so the comparison space is
+    per-block-quadratic in DISTINCT names — never all-pairs over rows.
+    This is the standard ER pipeline shape (block -> compare -> match):
+    dedupe to the name level first (carrying per-name row counts for
+    the merge step), equi-join on the block key, then the expensive
+    edit-distance predicate runs only inside blocks. Both engines
+    implement classic DP Levenshtein, so the distance — and therefore
+    the match set — is exactly comparable. At 100 TB: names table is
+    vocabulary-sized (distinct entities, not rows); blocks bound the
+    quadratic term; swapping the block key for an LSH band generalizes
+    this to the minhash candidate generator in dedup.py."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .withColumn("blk", F.split("p_name", " ").getItem(1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("blk").alias("block_key"),
+        F.col("n_parts").alias("n_parts_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("n_parts").alias("n_parts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("block_key") == F.col("blk_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn(
+            "edit_distance",
+            F.levenshtein("name_a", "name_b").cast("long"),
+        )
+        .filter(F.col("edit_distance") <= _FUZZY_MAX_DIST)
+        .select(
+            "name_a", "name_b", "block_key",
+            "edit_distance", "n_parts_a", "n_parts_b",
+        )
+    )

@@ -1529,3 +1529,221 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_merged_symbols"),
     )
     return before.join(after, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance ranking in exact fixed-point integer arithmetic
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_TOPK = 10
+_BM25_TFCAP = 20  # tf saturation cap keeps the integer numerator in int64
+
+
+@query(
+    "bm25_topdocs",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+lens AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS L
+  FROM tok WHERE t <> '' GROUP BY doc_id
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(L) AS BIGINT) AS T FROM lens
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE t IN {repr(tuple(_BM25_TERMS))}
+  GROUP BY doc_id, t
+),
+df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+contrib AS (
+  SELECT tf.doc_id,
+         ((2 * tot.N - 2 * df.df + 1) * 1000 // (2 * df.df + 1))
+         * (44 * tot.T * LEAST(tf.tf, {_BM25_TFCAP}))
+         // (20 * tot.T * LEAST(tf.tf, {_BM25_TFCAP}) + 6 * tot.T
+             + 18 * lens.L * tot.N) AS c
+  FROM tf
+  JOIN df ON df.t = tf.t
+  JOIN lens ON lens.doc_id = tf.doc_id
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT c.doc_id, CAST(SUM(c.c) AS BIGINT) AS bm25_x1000
+  FROM contrib c GROUP BY c.doc_id
+)
+SELECT s.doc_id, d.lang, lens.L AS n_tokens, s.bm25_x1000,
+       CAST(ROW_NUMBER() OVER (ORDER BY s.bm25_x1000 DESC, s.doc_id)
+            AS BIGINT) AS rank
+FROM scored s
+JOIN documents d ON d.doc_id = s.doc_id
+JOIN lens ON lens.doc_id = s.doc_id
+ORDER BY s.bm25_x1000 DESC, s.doc_id
+LIMIT {_BM25_TOPK}
+""",
+    tags=("text-ranking", "bm25"),
+)
+def bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a fixed query term set,
+    computed ENTIRELY in integer arithmetic so the score — normally a
+    float with a log idf — is bit-exact and order-independent. The
+    algebra: with k1 = 6/5 and b = 3/4, tf·(k1+1)/(tf + k1(1-b+b·L/avg))
+    multiplied through by the corpus totals becomes
+    44·T·tf / (20·T·tf + 6·T + 18·L·N); the Robertson idf ratio
+    (N-df+1/2)/(df+1/2) is scaled x1000 as (2N-2df+1)·1000 // (2df+1)
+    (log-free — monotone in the same argument, so ranking-equivalent;
+    the absolute scores are the declared fixed-point semantics). tf is
+    capped at {_BM25_TFCAP} (BM25 saturates anyway), which bounds the
+    integer numerator within int64 through sf10.
+
+    Plan shape: per-term tf via in-row array filters (NO corpus
+    explode-shuffle for the query terms), document stats from one
+    projection, term df + corpus totals as tiny broadcast sides, final
+    top-{_BM25_TOPK} as TakeOrderedAndProject. At 100 TB this is one
+    narrow scan + vocabulary-sized joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    base = docs.select("doc_id", "lang", toks.alias("toks")).withColumn(
+        "L", F.size("toks").cast("long")
+    )
+    def _eq(term):  # one-arg lambda: a 2-arg one would bind (element, index)
+        return lambda x: x == F.lit(term)
+
+    term_tfs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.size(F.filter(F.col("toks"), _eq(t))).cast("long").alias("tf"),
+            )
+            for t in _BM25_TERMS
+        ]
+    )
+    tf = (
+        base.select("doc_id", "L", F.explode(term_tfs).alias("e"))
+        .select("doc_id", "L", "e.t", "e.tf")
+        .filter(F.col("tf") > 0)
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus"),
+        F.sum("L").cast("long").alias("t_corpus"),
+    )
+    ctf = f"LEAST(tf, {_BM25_TFCAP})"
+    contrib = (
+        tf.join(F.broadcast(df), "t")
+        .join(F.broadcast(tot))
+        .withColumn(
+            "c",
+            F.expr(
+                f"((2 * n_corpus - 2 * df + 1) * 1000 div (2 * df + 1))"
+                f" * (44 * t_corpus * {ctf})"
+                f" div (20 * t_corpus * {ctf} + 6 * t_corpus"
+                f" + 18 * L * n_corpus)"
+            ),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("bm25_x1000")
+    )
+    w = Window.orderBy(F.col("bm25_x1000").desc(), "doc_id")
+    return (
+        scored.join(base.select("doc_id", "lang", "L"), "doc_id")
+        .orderBy(F.col("bm25_x1000").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "doc_id", "lang", F.col("L").alias("n_tokens"), "bm25_x1000", "rank"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language model with Kneser-Ney discounting, in exact fixed point
+# ---------------------------------------------------------------------------
+
+_KN_TOPK = 20
+_KN_SCALE = 1_000_000  # probabilities reported as floor(p * 1e6)
+
+
+@query(
+    "bigram_kn_lm",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+idx AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, GREATEST(len(tk) - 1, 0))) AS i
+  FROM toks
+),
+pairs AS (
+  SELECT tk[i] AS a, tk[i + 1] AS b FROM idx
+  WHERE tk[i] <> '' AND tk[i + 1] <> ''
+),
+big AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c12 FROM pairs GROUP BY a, b
+),
+uni AS (SELECT a, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY a),
+fol AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n_follow FROM big GROUP BY a),
+pre AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_precede FROM big GROUP BY b),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM big)
+SELECT big.a, big.b, big.c12, uni.c1, fol.n_follow, pre.n_precede,
+       ({_KN_SCALE} * (4 * big.c12 - 3)) // (4 * uni.c1)
+       + ({_KN_SCALE} * 3 * fol.n_follow * pre.n_precede)
+         // (4 * uni.c1 * tot.n_types) AS pkn_x1e6
+FROM big
+JOIN uni ON uni.a = big.a
+JOIN fol ON fol.a = big.a
+JOIN pre ON pre.b = big.b
+CROSS JOIN tot
+ORDER BY big.c12 DESC, big.a, big.b
+LIMIT {_KN_TOPK}
+""",
+    tags=("text-lm", "kneser-ney"),
+)
+def bigram_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model over the corpus —
+    the classic n-gram LM estimator (Chen & Goodman 1999), in EXACT
+    fixed-point arithmetic: with discount D = 3/4,
+
+      p_kn(b|a) = max(c(a,b) - D, 0)/c(a)
+                + D·N1+(a,·)/c(a) · N1+(·,b)/B
+
+    becomes, multiplied through by 4 and floored at x1e6 scale,
+    1e6·(4c12-3) // (4c1)  +  1e6·3·n_follow·n_precede // (4c1·B) —
+    two integer floor divisions whose sum is bit-identical on any
+    engine and any aggregation order (c12 >= 1 for every emitted
+    bigram, so the max() clamp never binds).
+
+    Plan shape: ONE corpus-sized shuffle (the bigram count); unigram
+    totals, continuation counts (the novel-context counts that make KN
+    better than Katz backoff), and the type total B are all derived
+    from the vocabulary-sized bigram table itself — the same
+    derive-from-the-aggregate discipline as doc_tfidf_topterms. Final
+    top-{_KN_TOPK} by count is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = adjacent_token_pairs(docs)
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    big = big.persist()
+    uni = big.groupBy("a").agg(F.sum("c12").cast("long").alias("c1"))
+    fol = big.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("n_follow"))
+    pre = big.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n_precede"))
+    tot = big.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    return (
+        big.join(F.broadcast(uni.join(fol, "a")), "a")
+        .join(F.broadcast(pre), "b")
+        .join(F.broadcast(tot))
+        .withColumn(
+            "pkn_x1e6",
+            F.expr(
+                f"({_KN_SCALE} * (4 * c12 - 3)) div (4 * c1)"
+                f" + ({_KN_SCALE} * 3 * n_follow * n_precede)"
+                f" div (4 * c1 * n_types)"
+            ),
+        )
+        .orderBy(F.col("c12").desc(), "a", "b")
+        .limit(_KN_TOPK)
+        .select("a", "b", "c12", "c1", "n_follow", "n_precede", "pkn_x1e6")
+    )

@@ -332,6 +332,8 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "bpe_train_merges",     # 1-row winning-merge broadcast per round
         "referential_integrity_audit",  # 1-row stats x 1-row orphan count per edge
         "kmv_buyers_overlap",   # five 1-row sketch-stat scalars combined
+        "bm25_topdocs",         # 1-row corpus totals (N, T) broadcast
+        "bigram_kn_lm",         # 1-row bigram-type total broadcast
     }
     skip = {"ticket_fill_merge", "jdbc_pair_scan"}  # builders with write side effects
     offenders = []
