@@ -142,6 +142,22 @@ def main() -> None:
             gate_rps, round(n_docs / (time.perf_counter() - t0), 1)
         )
 
+    # Codec-lane throughput anchor: assets/sec through the REAL baseline
+    # JPEG lane (synthesize entropy-coded bitstream -> binary column ->
+    # full marker/Huffman/DPCM decode + IDCT, Arrow-batched mapInPandas)
+    # — the per-asset cost floor of the multimodal family's slow path.
+    from financial_arbitrage_data_pipeline_spark.operators.transcode import (
+        jpeg_coeff_stats,
+    )
+
+    codec_rps = 0.0
+    for _ in range(max(1, args.repeat)):
+        t0 = time.perf_counter()
+        n_assets = jpeg_coeff_stats(spark, sf_dir).count()
+        codec_rps = max(
+            codec_rps, round(n_assets / (time.perf_counter() - t0), 1)
+        )
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -153,6 +169,7 @@ def main() -> None:
                 "query_spreads": spreads,
                 "sf": sf_val,
                 "gate_docs_per_sec": gate_rps,
+                "jpeg_assets_per_sec": codec_rps,
                 "ingest_rows_per_sec": ingest_rps,
                 "scan_rows_per_sec": scan_rps,
                 "reference_ingest_rows_per_sec": 93.0,
