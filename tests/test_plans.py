@@ -455,3 +455,49 @@ def test_kmv_sketches_are_topk_not_full_sort(spark, sf_dir):
     p = plan_of(spark, "kmv_buyers_overlap", sf_dir)
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_runtime_bloom_filter_injected_on_shuffle_join(spark, sf_dir):
+    """Runtime-filter scale lever next to AQE-skew and salting: with a
+    selective dim-side filter and a shuffle join, Spark injects a bloom
+    filter from the dim side into the fact-side scan
+    (bloom_filter_might_contain), pruning fact rows BEFORE the shuffle —
+    at 100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~matching slice. Pinned here so the engine's
+    recommended remediation for selective-dim joins is a proven config,
+    not folklore."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        joined = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).groupBy("o_orderpriority").count()
+        optimized = (
+            joined._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "might_contain" in optimized, optimized[:2000]
+        assert "bloom_filter_agg" in optimized
+        joined.collect()  # the filtered plan must actually execute
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
