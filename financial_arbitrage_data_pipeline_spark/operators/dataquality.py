@@ -229,3 +229,61 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         results = row if results is None else results.unionByName(row)
     return results
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: re-identification risk over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, class_size,
+       (class_size < {_KANON_K}) AS violates_k,
+       CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END)
+            OVER () AS BIGINT) AS rows_at_risk,
+       CAST(SUM(class_size) OVER () AS BIGINT) AS rows_total
+FROM classes
+""",
+    tags=("data-governance", "k-anonymity"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit: equivalence-class sizes over the
+    quasi-identifier pair (nation, market segment) with a k={_KANON_K}
+    anonymity verdict per class, plus the dataset-level exposure
+    (rows living in sub-k classes — the rows a release would have to
+    suppress or generalize). One keyed aggregation; the unpartitioned
+    totals window runs over the CLASS table (bounded by the
+    quasi-identifier domain, ~|nations| x |segments|), never the row
+    table, so the global window is not a single-partition funnel at
+    scale. The governance sibling of `orders_profile` and
+    `referential_integrity_audit`."""
+    classes = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    )
+    w = Window.partitionBy()
+    return classes.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        (F.col("class_size") < _KANON_K).alias("violates_k"),
+        F.sum(
+            F.when(F.col("class_size") < _KANON_K, F.col("class_size")).otherwise(
+                0
+            )
+        )
+        .over(w)
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.sum("class_size").over(w).cast("long").alias("rows_total"),
+    )

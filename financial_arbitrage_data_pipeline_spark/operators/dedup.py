@@ -840,3 +840,133 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup gate: dedupe the DELTA against the corpus (asymmetric
+# LSH — the shape a daily crawl actually needs)
+# ---------------------------------------------------------------------------
+
+_INC_BASE_MAX = 1_000_000  # ids below this are the existing corpus
+
+_INC_CORPUS_SQL = """
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+  WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text,
+         lang
+  FROM documents WHERE doc_id % 7 = 3
+"""
+
+
+def _incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existing corpus (all documents) + an incoming crawl batch: exact
+    recrawl copies (ids +1M, expected DROP) and token-order rewrites
+    (ids +2M — every 3-shingle changes, expected KEEP)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+    )
+    rewrites = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split("text", " "))).alias("text"),
+        "lang",
+    )
+    return docs.unionByName(copies).unionByName(rewrites)
+
+
+@query(
+    "incremental_neardup_gate",
+    oracle=f"""
+WITH {_minhash_sql(_INC_CORPUS_SQL)},
+matches AS (
+  SELECT i.doc_b AS incoming_id,
+         COUNT(*) AS n_base_matches,
+         MIN(i.doc_a) AS best_base_id
+  FROM inter i
+  JOIN sh_sizes za ON za.doc_id = i.doc_a
+  JOIN sh_sizes zb ON zb.doc_id = i.doc_b
+  WHERE i.doc_a < {_INC_BASE_MAX} AND i.doc_b >= {_INC_BASE_MAX}
+    AND CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+  GROUP BY i.doc_b
+),
+incoming AS (SELECT doc_id FROM corpus WHERE doc_id >= {_INC_BASE_MAX})
+SELECT inc.doc_id AS incoming_id,
+       CAST(COALESCE(m.n_base_matches, 0) AS BIGINT) AS n_base_matches,
+       CAST(m.best_base_id AS BIGINT) AS best_base_id,
+       (m.incoming_id IS NOT NULL) AS is_duplicate
+FROM incoming inc LEFT JOIN matches m ON m.incoming_id = inc.doc_id
+""",
+    tags=("dedup-incremental", "lsh"),
+)
+def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup: gate an incoming crawl batch against the
+    EXISTING corpus without ever pairing the corpus with itself — the
+    shape a daily ingest actually runs (the batch is small, the corpus
+    is 100 TB; corpus x corpus candidate generation would be both
+    wasted and already-done). One shingle->minhash->band pipeline over
+    base + delta, then an ASYMMETRIC band join (incoming bands probe
+    base bands only), Jaccard verification on the candidate pairs, and
+    a per-incoming-doc verdict: matched docs are duplicates of the
+    corpus (with their best existing doc id), unmatched docs are new.
+    The fixture encodes both outcomes: exact recrawl copies must DROP,
+    token-order rewrites (every shingle changes) must KEEP.
+
+    Scale: at 100 TB the base signatures are a materialized table
+    maintained by the same pipeline (computed once per doc ever); the
+    per-batch cost is sig(delta) + a band-bucket join whose base side
+    is partition-pruned by band_id — nothing rescans the corpus text."""
+    corpus = with_minhash(with_shingles(_incremental_corpus(spark, sf_dir)))
+    shingle_sets = corpus.select("doc_id", "shingles").persist()
+    bands = band_signatures(corpus).persist()
+
+    base_b = bands.filter(F.col("doc_id") < _INC_BASE_MAX)
+    inc_b = bands.filter(F.col("doc_id") >= _INC_BASE_MAX)
+    cand = (
+        inc_b.alias("i")
+        .join(
+            base_b.alias("b"),
+            (F.col("i.band_id") == F.col("b.band_id"))
+            & (F.col("i.band_sig") == F.col("b.band_sig")),
+        )
+        .select(
+            F.col("b.doc_id").alias("base_id"),
+            F.col("i.doc_id").alias("incoming_id"),
+        )
+        .distinct()
+    )
+    sa = shingle_sets.select(
+        F.col("doc_id").alias("base_id"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingle_sets.select(
+        F.col("doc_id").alias("incoming_id"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    matches = (
+        cand.join(sa, "base_id")
+        .join(sb, "incoming_id")
+        .filter((inter.cast("double") / union) >= 0.5)
+        .groupBy("incoming_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_base_matches"),
+            F.min("base_id").cast("long").alias("best_base_id"),
+        )
+    )
+    incoming = shingle_sets.filter(F.col("doc_id") >= _INC_BASE_MAX).select(
+        F.col("doc_id").alias("incoming_id")
+    )
+    return (
+        incoming.join(matches, "incoming_id", "left")
+        .select(
+            "incoming_id",
+            F.coalesce("n_base_matches", F.lit(0)).cast("long").alias(
+                "n_base_matches"
+            ),
+            "best_base_id",
+            F.col("n_base_matches").isNotNull().alias("is_duplicate"),
+        )
+    )
