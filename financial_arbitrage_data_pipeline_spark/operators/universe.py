@@ -445,3 +445,64 @@ def kmv_buyers_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_x1000"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource (Spark 4 plugin API): the market feed as a
+# first-class `spark.read.format("market_feed")` source
+# ---------------------------------------------------------------------------
+
+_FEED_ROWS = 10_000
+
+
+@query(
+    "pyds_market_feed",
+    oracle=f"""
+WITH i AS (SELECT unnest(generate_series(0, {_FEED_ROWS - 1})) AS i),
+r AS (
+  SELECT CASE WHEN i % 2 = 0 THEN 'kalshi' ELSE 'polymarket' END AS source,
+         'T' || CAST(i % 500 AS VARCHAR) AS ticker,
+         1700000000000000 + i * 1000 AS ts_us,
+         (i * 17) % 100 AS yes_cents,
+         (i * 31) % 1000 AS volume
+  FROM i
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_quotes,
+       CAST(COUNT(DISTINCT ticker) AS BIGINT) AS n_tickers,
+       CAST(SUM(volume) AS BIGINT) AS total_volume,
+       CAST(SUM(yes_cents) AS BIGINT) AS sum_yes_cents,
+       CAST(MAX(ts_us) AS BIGINT) AS max_ts_us
+FROM r GROUP BY source
+""",
+    tags=("S1", "S3", "python-datasource"),
+)
+def pyds_market_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's poll-loop feed as a PLUGGABLE Spark data source
+    (Spark 4 Python DataSource API, `sources/pysource.py`): planned by
+    Catalyst like any V2 source — one task per InputPartition, venue
+    equality and ts range predicates absorbed into the generator via
+    pushFilters (plan-pinned: the pushed predicate leaves the post-scan
+    Filter), and a streaming twin whose offsets are checkpointable row
+    indices. The oracle recomputes the deterministic feed formula with
+    generate_series, so a hash match proves the full plugin path —
+    registration, partition planning, Python row generation, Arrow
+    transfer, aggregation — byte-exact. (sf-independent by design: the
+    source IS the data.)"""
+    from ..sources import pysource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pysource.register(spark)
+    feed = (
+        spark.read.format("market_feed")
+        .option("n_rows", str(_FEED_ROWS))
+        .option("n_partitions", "8")
+        .load()
+    )
+    return feed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_quotes"),
+        F.countDistinct("ticker").cast("long").alias("n_tickers"),
+        F.sum("volume").cast("long").alias("total_volume"),
+        F.sum("yes_cents").cast("long").alias("sum_yes_cents"),
+        F.max("ts_us").cast("long").alias("max_ts_us"),
+    )
