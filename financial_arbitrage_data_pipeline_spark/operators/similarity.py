@@ -1226,3 +1226,84 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("drift_sq") > 0).alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Topic discovery: k-means cells labeled by their characteristic terms —
+# the embedding-cluster x text-term composite a corpus EDA actually runs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_topic_clusters",
+    oracle=f"""
+WITH {_kmeans_ctes()},
+docs_in AS (
+  SELECT a2.cid, d.doc_id, d.text
+  FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
+),
+tok AS (SELECT cid, unnest(string_split(text, ' ')) AS term FROM docs_in),
+tfc AS (
+  SELECT cid, term, CAST(COUNT(*) AS BIGINT) AS tf_c
+  FROM tok WHERE term <> '' GROUP BY cid, term
+),
+dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_c FROM tfc GROUP BY term),
+nd AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs_in GROUP BY cid)
+SELECT t.cid AS cluster_id,
+       nd.n_docs,
+       t.term, t.tf_c, d.df_c,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank
+FROM tfc t
+JOIN dfc d ON d.term = t.term
+JOIN nd ON nd.cid = t.cid
+WINDOW w AS (PARTITION BY t.cid
+             ORDER BY CAST(t.tf_c AS DOUBLE) / d.df_c DESC, t.term)
+QUALIFY ROW_NUMBER() OVER w <= 3
+""",
+    tags=("similarity-topics", "composite"),
+)
+def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPIC DISCOVERY over the corpus: every document's embedding is
+    assigned to its trained k-means cell (the exact-parity Lloyd
+    pipeline shared with ivf_kmeans_clusters — training stated once,
+    reused verbatim), then each cluster is labeled with its 3 most
+    CHARACTERISTIC terms — highest cluster-term-frequency over
+    cross-cluster document frequency (the cluster-level tf·idf, same
+    log-free rank-equivalent form as doc_tfidf_topterms, one IEEE
+    divide of two exact integers). This is the embedding x text
+    composite a corpus EDA actually runs: "what is each region of
+    embedding space about?".
+
+    Plan shape: the k-means half is the known broadcast-assign pipeline
+    (K=8 centroids to the driver between rounds); the labeling half is
+    one doc_id equi-join, one corpus explode into (cluster, term)
+    counts, a cluster-vocabulary-sized df aggregate, and a per-cluster
+    top-3 window over the vocabulary — nothing after the explode scales
+    with rows, only with vocabulary x clusters."""
+    assigned = trained_assignment(spark, sf_dir).select("vec_id", "cid")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_in = docs.join(
+        assigned, docs.doc_id == assigned.vec_id
+    ).select("cid", "doc_id", "text")
+    tok = docs_in.select(
+        "cid", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tfc = tok.groupBy("cid", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf_c")
+    )
+    dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_c"))
+    nd = docs_in.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    score = F.col("tf_c").cast("double") / F.col("df_c")
+    w = Window.partitionBy("cid").orderBy(score.desc(), "term")
+    return (
+        tfc.join(F.broadcast(dfc), "term")
+        .join(F.broadcast(nd), "cid")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_docs", "term", "tf_c", "df_c", "rank",
+        )
+    )
