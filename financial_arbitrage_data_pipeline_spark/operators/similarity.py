@@ -1307,3 +1307,174 @@ def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs", "term", "tf_c", "df_c", "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) + embedding cosine (semantic) fused by
+# reciprocal-rank fusion — the RAG-era retrieval shape
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000
+_HYB_LIST = 20  # depth of each per-modality candidate list
+_HYB_TOP = 10
+_HYB_QVEC = 0  # the query embedding
+
+
+def _hybrid_oracle() -> str:
+    from .textstats import _BM25_TERMS, _BM25_TFCAP
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+lens AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS L
+  FROM tok WHERE t <> '' GROUP BY doc_id
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(L) AS BIGINT) AS T FROM lens
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE t IN {repr(tuple(_BM25_TERMS))}
+  GROUP BY doc_id, t
+),
+df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+contrib AS (
+  SELECT tf.doc_id,
+         ((2 * tot.N - 2 * df.df + 1) * 1000 // (2 * df.df + 1))
+         * (44 * tot.T * LEAST(tf.tf, {_BM25_TFCAP}))
+         // (20 * tot.T * LEAST(tf.tf, {_BM25_TFCAP}) + 6 * tot.T
+             + 18 * lens.L * tot.N) AS c
+  FROM tf
+  JOIN df ON df.t = tf.t
+  JOIN lens ON lens.doc_id = tf.doc_id
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bm25_x1000 FROM contrib GROUP BY doc_id
+),
+bm AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25_x1000 DESC, doc_id) AS BIGINT)
+           AS bm25_rank
+  FROM scored
+  QUALIFY ROW_NUMBER() OVER (ORDER BY bm25_x1000 DESC, doc_id) <= {_HYB_LIST}
+),
+{_QUANT_SQL.strip()},
+dots AS (
+  SELECT b.vec_id AS doc_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM qe a JOIN qe b ON a.i = b.i
+   AND a.vec_id = {_HYB_QVEC} AND b.vec_id <> {_HYB_QVEC}
+  GROUP BY b.vec_id
+),
+cosr AS (
+  SELECT d.doc_id,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS cos_rank
+  FROM dots d
+  JOIN norms na ON na.vec_id = {_HYB_QVEC}
+  JOIN norms nb ON nb.vec_id = d.doc_id
+  WINDOW w AS (ORDER BY CAST(d.dot AS DOUBLE)
+                        / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+                 DESC, d.doc_id)
+  QUALIFY ROW_NUMBER() OVER w <= {_HYB_LIST}
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, c.doc_id) AS doc_id,
+         bm.bm25_rank, c.cos_rank,
+         COALESCE({_RRF_SCALE} // ({_RRF_K} + bm.bm25_rank), 0)
+         + COALESCE({_RRF_SCALE} // ({_RRF_K} + c.cos_rank), 0) AS rrf
+  FROM bm FULL OUTER JOIN cosr c ON c.doc_id = bm.doc_id
+)
+SELECT doc_id, bm25_rank, cos_rank,
+       CAST(rrf AS BIGINT) AS rrf_x1e6,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+         AS fused_rank
+FROM fused
+QUALIFY ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) <= {_HYB_TOP}
+"""
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    oracle=_hybrid_oracle(),
+    tags=("similarity-hybrid", "bm25", "rrf"),
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval, the RAG-era search shape: a lexical candidate
+    list (exact fixed-point BM25 over the query terms, shared scoring
+    table with bm25_topdocs) and a semantic candidate list (integer-
+    exact cosine of every doc's embedding against the query vector),
+    fused by reciprocal-rank fusion — rrf(d) = Σ floor(1e6/(60+rank_l))
+    over the lists containing d, an INTEGER score so the fused ordering
+    is engine-exact with no float accumulation anywhere. Docs found by
+    only one modality keep a NULL rank on the other — exactly what RRF
+    is for.
+
+    Plan shape: both lists end in per-modality top-{_HYB_LIST}
+    (TakeOrdered / one window over already-tiny inputs); the fusion is
+    a {_HYB_LIST}x{_HYB_LIST}-row full outer join. At 100 TB each
+    modality's list would come from its own index (inverted index /
+    IVF-PQ — both built elsewhere in this engine); the fusion cost is
+    list-depth, never corpus-sized."""
+    from .textstats import bm25_scored
+
+    scored = bm25_scored(spark, sf_dir)
+    wb = Window.orderBy(F.col("bm25_x1000").desc(), "doc_id")
+    bm = (
+        scored.withColumn("bm25_rank", F.row_number().over(wb).cast("long"))
+        .filter(F.col("bm25_rank") <= _HYB_LIST)
+        .select("doc_id", "bm25_rank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized("embedding").alias("q")
+    )
+    qv = emb.filter(F.col("vec_id") == _HYB_QVEC).select(
+        F.col("q").alias("qq")
+    )
+    cands = emb.filter(F.col("vec_id") != _HYB_QVEC)
+    dotted = cands.join(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_from_ints(
+            dot_ll(F.col("qq"), F.col("q")),
+            F.aggregate(
+                F.transform(F.col("qq"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            F.aggregate(
+                F.transform(F.col("q"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        ).alias("cosine"),
+    )
+    wc = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    cosr = (
+        dotted.withColumn("cos_rank", F.row_number().over(wc).cast("long"))
+        .filter(F.col("cos_rank") <= _HYB_LIST)
+        .select("doc_id", "cos_rank")
+    )
+
+    fused = (
+        bm.join(cosr, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_x1e6",
+            (
+                F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({_RRF_K} + bm25_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({_RRF_K} + cos_rank)"), F.lit(0)
+                )
+            ).cast("long"),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf_x1e6").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= _HYB_TOP)
+        .select("doc_id", "bm25_rank", "cos_rank", "rrf_x1e6", "fused_rank")
+    )

@@ -1540,6 +1540,58 @@ _BM25_TOPK = 10
 _BM25_TFCAP = 20  # tf saturation cap keeps the integer numerator in int64
 
 
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, L, bm25_x1000) for every document containing at
+    least one query term — the shared scoring table behind bm25_topdocs
+    and the hybrid RRF retrieval composite."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    base = docs.select("doc_id", "lang", toks.alias("toks")).withColumn(
+        "L", F.size("toks").cast("long")
+    )
+
+    def _eq(term):  # one-arg lambda: a 2-arg one would bind (element, index)
+        return lambda x: x == F.lit(term)
+
+    term_tfs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.size(F.filter(F.col("toks"), _eq(t))).cast("long").alias("tf"),
+            )
+            for t in _BM25_TERMS
+        ]
+    )
+    tf = (
+        base.select("doc_id", "L", F.explode(term_tfs).alias("e"))
+        .select("doc_id", "L", "e.t", "e.tf")
+        .filter(F.col("tf") > 0)
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus"),
+        F.sum("L").cast("long").alias("t_corpus"),
+    )
+    ctf = f"LEAST(tf, {_BM25_TFCAP})"
+    contrib = (
+        tf.join(F.broadcast(df), "t")
+        .join(F.broadcast(tot))
+        .withColumn(
+            "c",
+            F.expr(
+                f"((2 * n_corpus - 2 * df + 1) * 1000 div (2 * df + 1))"
+                f" * (44 * t_corpus * {ctf})"
+                f" div (20 * t_corpus * {ctf} + 6 * t_corpus"
+                f" + 18 * L * n_corpus)"
+            ),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("bm25_x1000")
+    )
+    return scored.join(base.select("doc_id", "lang", "L"), "doc_id")
+
+
 @query(
     "bm25_topdocs",
     oracle=f"""
@@ -1603,54 +1655,10 @@ def bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, term df + corpus totals as tiny broadcast sides, final
     top-{_BM25_TOPK} as TakeOrderedAndProject. At 100 TB this is one
     narrow scan + vocabulary-sized joins."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
-    base = docs.select("doc_id", "lang", toks.alias("toks")).withColumn(
-        "L", F.size("toks").cast("long")
-    )
-    def _eq(term):  # one-arg lambda: a 2-arg one would bind (element, index)
-        return lambda x: x == F.lit(term)
-
-    term_tfs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                F.size(F.filter(F.col("toks"), _eq(t))).cast("long").alias("tf"),
-            )
-            for t in _BM25_TERMS
-        ]
-    )
-    tf = (
-        base.select("doc_id", "L", F.explode(term_tfs).alias("e"))
-        .select("doc_id", "L", "e.t", "e.tf")
-        .filter(F.col("tf") > 0)
-    )
-    df = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    tot = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_corpus"),
-        F.sum("L").cast("long").alias("t_corpus"),
-    )
-    ctf = f"LEAST(tf, {_BM25_TFCAP})"
-    contrib = (
-        tf.join(F.broadcast(df), "t")
-        .join(F.broadcast(tot))
-        .withColumn(
-            "c",
-            F.expr(
-                f"((2 * n_corpus - 2 * df + 1) * 1000 div (2 * df + 1))"
-                f" * (44 * t_corpus * {ctf})"
-                f" div (20 * t_corpus * {ctf} + 6 * t_corpus"
-                f" + 18 * L * n_corpus)"
-            ),
-        )
-    )
-    scored = contrib.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("bm25_x1000")
-    )
+    scored = bm25_scored(spark, sf_dir)
     w = Window.orderBy(F.col("bm25_x1000").desc(), "doc_id")
     return (
-        scored.join(base.select("doc_id", "lang", "L"), "doc_id")
-        .orderBy(F.col("bm25_x1000").desc(), "doc_id")
+        scored.orderBy(F.col("bm25_x1000").desc(), "doc_id")
         .limit(_BM25_TOPK)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select(

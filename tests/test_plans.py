@@ -334,6 +334,7 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "kmv_buyers_overlap",   # five 1-row sketch-stat scalars combined
         "bm25_topdocs",         # 1-row corpus totals (N, T) broadcast
         "bigram_kn_lm",         # 1-row bigram-type total broadcast
+        "hybrid_retrieval_rrf",  # 1-row query vector + corpus totals broadcast
     }
     skip = {"ticket_fill_merge", "jdbc_pair_scan"}  # builders with write side effects
     offenders = []
