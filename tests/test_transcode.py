@@ -235,3 +235,33 @@ def test_ydelta_diagnostics():
     bad = good[:10] + __import__("zlib").compress(b"\x00" * 3)
     with pytest.raises(ValueError, match="size mismatch"):
         decode_ydelta(bad)
+
+
+# ---------------------------------------------------------------------------
+# Decoder robustness: arbitrary garbage must fail with the parser's own
+# ValueError (or decode successfully) — never hang, never leak another
+# exception type out of the kernel
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=80, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=400))
+def test_decoders_fail_closed_on_garbage(junk):
+    for dec in (decode_jpeg, decode_ulaw_wav, decode_ydelta):
+        try:
+            dec(junk)
+        except (ValueError, IndexError):
+            pass  # a diagnostic rejection is the contract
+
+
+@settings(max_examples=40, deadline=None)
+@given(flip=st.integers(2, 200), junk=st.binary(min_size=1, max_size=8))
+def test_jpeg_decoder_survives_mid_stream_corruption(flip, junk):
+    good = synthesize_jpeg(9)
+    pos = flip % (len(good) - 4) + 2
+    bad = good[:pos] + junk + good[pos + len(junk):]
+    try:
+        d = decode_jpeg(bad)
+        assert d["width"] % 8 == 0  # if it decodes, the frame is coherent
+    except (ValueError, IndexError):
+        pass
