@@ -527,3 +527,74 @@ def max_drawdown_per_ticker(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak").alias("peak_cents"),
         F.count(F.lit(1)).alias("n_quotes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonality profile (the intraday baseline a monitoring
+# system compares against before alerting)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_hour_profile",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS hour_utc,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cell AS (
+  SELECT event_type, hour_utc,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM c GROUP BY event_type, hour_utc
+),
+tot AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM c GROUP BY event_type
+)
+SELECT cell.event_type, cell.hour_utc, cell.n_events, cell.sum_cents,
+       CAST(cell.sum_cents * tot.n_total AS DOUBLE)
+         / CAST(cell.n_events * tot.total_cents AS DOUBLE) AS seasonality
+FROM cell JOIN tot ON tot.event_type = cell.event_type
+""",
+    tags=("A6", "seasonality", "monitoring"),
+)
+def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday seasonality index per (event_type, UTC hour): the cell's
+    mean value over its type's overall mean — the baseline an alerting
+    system divides by before calling something an anomaly (a quiet hour
+    is not an incident). Both means come from integer-exact
+    (count, cent-sum) moments; the index is ONE IEEE divide of two
+    exact int64 products, so it is bit-identical across engines and
+    aggregation orders. Plan: two aggregations over the same
+    event_type-keyed shuffle (cell = finer key) + a broadcast join of
+    the per-type totals (|event types| rows). Hour bucketing is pure
+    integer arithmetic on the canonical ns timestamps — no timezone
+    library in the hot path."""
+    c = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(ts div 1000 div 3600000000) % 24").alias("hour_utc"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    cell = c.groupBy("event_type", "hour_utc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    tot = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    return cell.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour_utc",
+        "n_events",
+        "sum_cents",
+        (
+            (F.col("sum_cents") * F.col("n_total")).cast("double")
+            / (F.col("n_events") * F.col("total_cents")).cast("double")
+        ).alias("seasonality"),
+    )
