@@ -970,3 +970,121 @@ def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_base_matches").isNotNull().alias("is_duplicate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (rsync/LBFS-style): rolling-hash cut points →
+# variable-length chunks shared across documents
+# ---------------------------------------------------------------------------
+
+_CDC_DIVISOR = 32  # expected chunk length ~ divisor tokens
+_CDC_TOPK = 20
+
+_CDC_HEX15_SQL = "(" + " + ".join(
+    "(strpos('0123456789abcdef', substr(md5(array_to_string("
+    f"list_slice(t, i, i + 3), ' ')), {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
+    for j in range(15)
+) + ")"
+
+
+@query(
+    "cdc_shared_chunks",
+    oracle=f"""
+WITH corpus AS ({_CRAWL_UNION_SQL}),
+tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM corpus
+),
+cutsq AS (
+  SELECT doc_id, t, len(t) AS n,
+         list_filter(generate_series(1, GREATEST(len(t) - 3, 0)),
+                     i -> {_CDC_HEX15_SQL} % {_CDC_DIVISOR} = 0) AS cuts
+  FROM tok WHERE len(t) > 0
+),
+endsq AS (
+  SELECT doc_id, t,
+         list_sort(list_distinct(
+           list_concat(list_transform(cuts, i -> i + 3), [n]))) AS ends
+  FROM cutsq
+),
+chunksq AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(ends)),
+            j -> array_to_string(
+                   list_slice(t,
+                     CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END,
+                     ends[j]),
+                   ' ')) AS chunks
+  FROM endsq
+),
+c AS (SELECT doc_id, unnest(chunks) AS chunk_text FROM chunksq)
+SELECT md5(chunk_text) AS chunk_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(len(list_filter(string_split(chunk_text, ' '), x -> x <> '')))
+            AS BIGINT) AS chunk_tokens
+FROM c GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, chunk_hash
+LIMIT {_CDC_TOPK}
+""",
+    tags=("dedup-cdc", "chunking"),
+)
+def cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking, the rsync/LBFS/backup-dedup technique:
+    cut each document where the rolling hash of its 4-token window is
+    ≡ 0 mod {_CDC_DIVISOR}, producing variable-length chunks whose
+    boundaries move WITH the content — an insertion early in a recrawled
+    page shifts every fixed-size block but leaves all later CDC chunks
+    identical, which is why real dedup storage uses it over fixed
+    blocks. Emits the chunks shared across documents (the crawl-union
+    fixture guarantees exact recrawls share every chunk), top-{_CDC_TOPK}
+    by occurrence. Complements ngram_duplicate_spans (fixed 8-grams):
+    same signal family, boundary-stable variant.
+
+    Plan shape: the whole cut/slice/chunk pipeline is in-row array HOFs
+    (zero shuffles until the final chunk-hash aggregation — the one
+    exchange carries md5s, never chunk text beyond the md5 preimage
+    evaluation). At 100 TB chunk hashes are the natural bucketing key
+    for a chunk store; this query IS its build pass."""
+    corpus = crawl_union(spark, sf_dir)
+    ends_expr = (
+        "array_sort(array_distinct(concat(transform("
+        "filter(sequence(1, greatest(size(t) - 3, 0)),"
+        " i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, 4))),"
+        f" 1, 15), 16, 10) as bigint) % {_CDC_DIVISOR} = 0),"
+        " i -> i + 3), array(size(t)))))"
+    )
+    chunks = (
+        corpus.select(
+            "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("t")
+        )
+        .filter(F.size("t") > 0)
+        .withColumn("ends", F.expr(ends_expr))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(ends)),"
+                " j -> concat_ws(' ', slice(t,"
+                " if(j = 1, 1, element_at(ends, j - 1) + 1),"
+                " element_at(ends, j)"
+                " - if(j = 1, 1, element_at(ends, j - 1) + 1) + 1)))"
+            ).alias("chunks"),
+        )
+    )
+    c = chunks.select("doc_id", F.explode("chunks").alias("chunk_text"))
+    return (
+        c.groupBy(F.md5("chunk_text").alias("chunk_hash"))
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max(
+                F.size(F.expr("filter(split(chunk_text, ' '), x -> x != '')"))
+            )
+            .cast("long")
+            .alias("chunk_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_occurrences").desc(), "chunk_hash")
+        .limit(_CDC_TOPK)
+    )

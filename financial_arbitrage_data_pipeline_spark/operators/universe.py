@@ -299,7 +299,7 @@ _KMV_DOMAIN = 1 << 60  # md5 15-hex prefix domain
 _KMV_RATIO_CAP = 10**12  # caps DOMAIN/kth so 63*ratio can't overflow int64
 
 
-def _kmv_hash(col: F.Column) -> F.Column:
+def _kmv_hash(col):
     """Engine-portable 60-bit hash: first 15 hex chars of md5(string)."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
         "long"

@@ -265,3 +265,14 @@ def test_jpeg_decoder_survives_mid_stream_corruption(flip, junk):
         assert d["width"] % 8 == 0  # if it decodes, the frame is coherent
     except (ValueError, IndexError):
         pass
+
+
+def test_jpeg_encoder_rejects_out_of_range_magnitudes():
+    big_dc = np.zeros((1, 64), dtype=np.int64)
+    big_dc[0, 0] = 5000  # DC diff category 13 > the table's 11
+    with pytest.raises(ValueError, match="DC difference"):
+        encode_jpeg_from_coeffs(big_dc, 8, 8)
+    big_ac = np.zeros((1, 64), dtype=np.int64)
+    big_ac[0, 3] = 2000  # AC category 11 > the run/size tables' 10
+    with pytest.raises(ValueError, match="AC coefficient"):
+        encode_jpeg_from_coeffs(big_ac, 8, 8)
