@@ -1195,3 +1195,89 @@ def order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_mismatched_10pct"),
         F.max(F.when(F.col("line_total").isNotNull(), rel_dev)).alias("max_rel_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pre-flight join sizing: bucketed-histogram upper bound vs the exact
+# per-key product — the diagnostic you run BEFORE committing a 100 TB join
+# ---------------------------------------------------------------------------
+
+_JSB_BUCKETS = 64
+
+
+@query(
+    "join_size_histogram_bound",
+    oracle=f"""
+WITH ha AS (
+  SELECT l_orderkey % {_JSB_BUCKETS} AS b, CAST(COUNT(*) AS BIGINT) AS ca
+  FROM lineitem GROUP BY 1
+),
+hb AS (
+  SELECT o_orderkey % {_JSB_BUCKETS} AS b, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM orders GROUP BY 1
+),
+bound AS (
+  SELECT CAST(SUM(ha.ca * hb.cb) AS BIGINT) AS est_upper
+  FROM ha JOIN hb ON hb.b = ha.b
+),
+ka AS (SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1),
+kb AS (SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1),
+actual AS (
+  SELECT CAST(SUM(ka.ca * kb.cb) AS BIGINT) AS join_rows
+  FROM ka JOIN kb ON kb.k = ka.k
+)
+SELECT CAST({_JSB_BUCKETS} AS BIGINT) AS n_buckets,
+       bound.est_upper,
+       actual.join_rows,
+       CAST(bound.est_upper * 1000 // actual.join_rows AS BIGINT)
+         AS overestimate_x1000
+FROM bound, actual
+""",
+    tags=("diagnostics", "join-sizing"),
+)
+def join_size_histogram_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight JOIN SIZING: before running orders ⋈ lineitem, bound
+    its output from two {_JSB_BUCKETS}-bucket key histograms —
+    Σ_b cnt_a(b)·cnt_b(b) is a guaranteed UPPER bound on the equi-join
+    cardinality (every matching key pair lands in the same bucket; the
+    bound overcounts only cross-key collisions within a bucket). The
+    exact answer — Σ over matching keys of cnt_a·cnt_b — rides along,
+    so the output quantifies the histogram's overestimate factor. This
+    is the third member of the pre-join diagnostic family:
+    key_skew_report says WHERE the hot keys are, the AQE/salting tests
+    prove the remediations, and this bounds the blast radius before you
+    pay for the shuffle. At 100 TB the histograms are {_JSB_BUCKETS}-row
+    aggregates (one scan each, map-side combined) — the cheap probe; the
+    exact side here exists to GRADE the bound and would be skipped in
+    production."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % _JSB_BUCKETS).alias("b"),
+        F.col("l_orderkey").alias("k"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % _JSB_BUCKETS).alias("b"),
+        F.col("o_orderkey").alias("k"),
+    )
+    ha = li.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    hb = o.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    bound = (
+        ha.join(hb, "b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("est_upper"))
+    )
+    ka = li.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    kb = o.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    actual = (
+        ka.join(kb, "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("join_rows"))
+    )
+    return (
+        bound.join(actual)
+        .select(
+            F.lit(_JSB_BUCKETS).cast("long").alias("n_buckets"),
+            "est_upper",
+            "join_rows",
+            F.expr("CAST(est_upper * 1000 div join_rows AS BIGINT)").alias(
+                "overestimate_x1000"
+            ),
+        )
+    )

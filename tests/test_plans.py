@@ -335,6 +335,7 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "bm25_topdocs",         # 1-row corpus totals (N, T) broadcast
         "bigram_kn_lm",         # 1-row bigram-type total broadcast
         "hybrid_retrieval_rrf",  # 1-row query vector + corpus totals broadcast
+        "join_size_histogram_bound",  # two 1-row bound/actual scalars combined
     }
     skip = {"ticket_fill_merge", "jdbc_pair_scan"}  # builders with write side effects
     offenders = []
