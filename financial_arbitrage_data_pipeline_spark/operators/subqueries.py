@@ -455,3 +455,65 @@ def bilateral_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lineitems"),
         F.sum(rev).cast("double").alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native recursive CTE (Spark 4): iterative schedule generation in pure SQL
+# ---------------------------------------------------------------------------
+
+_REC_PERIODS = 12
+_REC_RATE_BP = 150  # 1.5% per period, integer basis points
+
+
+@query(
+    "recursive_interest_schedule",
+    oracle=f"""
+WITH RECURSIVE s(custkey, t, bal) AS (
+  SELECT c_custkey, 0, ABS(CAST(round(c_acctbal * 100) AS BIGINT))
+  FROM customer
+  UNION ALL
+  SELECT custkey, t + 1, bal + (bal * {_REC_RATE_BP}) // 10000
+  FROM s WHERE t < {_REC_PERIODS}
+)
+SELECT f.custkey,
+       f0.bal AS seed_cents,
+       f.bal AS final_cents,
+       f.bal - f0.bal AS interest_cents
+FROM s f JOIN s f0 ON f0.custkey = f.custkey AND f0.t = 0
+WHERE f.t = {_REC_PERIODS}
+""",
+    tags=("recursive-cte", "iterative", "sql-surface"),
+)
+def recursive_interest_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A NATIVE recursive CTE (Spark 4's WITH RECURSIVE, planned as an
+    iterative UnionLoop) generating a {_REC_PERIODS}-period integer
+    compounding schedule per customer: bal' = bal + floor(bal·rate/1e4).
+    All arithmetic is non-negative integer floor division, so Spark's
+    truncating `div` and DuckDB's flooring `//` agree and the hash gate
+    is exact. This is the declarative twin of the engine's driver-side
+    iterative operators (connected components, k-means, BPE, PageRank):
+    the same fixed-round iteration, but entirely inside the SQL planner.
+    Termination is by the explicit period bound — the shape to prefer
+    over unbounded recursion at any scale. Each round is one narrow
+    projection over the previous round's rows; total rows =
+    customers × ({_REC_PERIODS}+1)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_rec_customer_seed"
+    )
+    return spark.sql(
+        f"""
+WITH RECURSIVE s(custkey, t, bal) AS (
+  SELECT c_custkey, 0, ABS(CAST(round(c_acctbal * 100) AS BIGINT))
+  FROM _rec_customer_seed
+  UNION ALL
+  SELECT custkey, t + 1, bal + (bal * {_REC_RATE_BP}) div 10000
+  FROM s WHERE t < {_REC_PERIODS}
+)
+SELECT f.custkey,
+       f0.bal AS seed_cents,
+       f.bal AS final_cents,
+       f.bal - f0.bal AS interest_cents
+FROM s f JOIN s f0 ON f0.custkey = f.custkey AND f0.t = 0
+WHERE f.t = {_REC_PERIODS}
+"""
+    )
