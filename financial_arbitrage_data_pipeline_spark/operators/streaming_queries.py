@@ -1326,3 +1326,66 @@ def streaming_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream UNION: two live feeds merged into one exactly-once lane
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_union_ingest",
+    oracle="""
+SELECT CASE WHEN user_id % 2 = 0 THEN 'venue_a' ELSE 'venue_b' END AS lane,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+FROM events
+GROUP BY 1
+""",
+    tags=("T1", "T4", "streaming", "union"),
+)
+def streaming_union_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent live feeds (the two venues, modeled as two
+    readStream instances over the same replay with disjoint parity
+    filters) MERGED into one lane with a streaming unionByName, landed
+    through one checkpointed sink — the inverse of the T4 bifurcation:
+    N sources → one exactly-once table. Spark plans the union as two
+    concurrently-pulled source legs feeding one micro-batch; offsets
+    for BOTH legs live in the one checkpoint, so a restart resumes each
+    source at its own position with no cross-leg duplication. The
+    oracle recomputes per-lane totals from the events table — id
+    checksums catch any dropped or doubled row from either leg."""
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        table_dir = os.path.join(root, "merged")
+        a = (
+            ingest.replay_stream(spark, replay_dir)
+            .filter(F.col("user_id") % 2 == 0)
+            .withColumn("lane", F.lit("venue_a"))
+        )
+        b = (
+            ingest.replay_stream(spark, replay_dir)
+            .filter(F.col("user_id") % 2 == 1)
+            .withColumn("lane", F.lit("venue_b"))
+        )
+        merged = a.unionByName(b).select("lane", "event_id", "ts_us")
+        q = (
+            merged.writeStream.format("parquet")
+            .option("path", table_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(table_dir)
+            .groupBy("lane")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("event_id").cast("long").alias("id_checksum"),
+                F.max("ts_us").cast("long").alias("max_ts_us"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

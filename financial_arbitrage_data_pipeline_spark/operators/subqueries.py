@@ -517,3 +517,61 @@ FROM s f JOIN s f0 ON f0.custkey = f.custkey AND f0.t = 0
 WHERE f.t = {_REC_PERIODS}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Three-valued-logic audit: NOT IN vs NOT EXISTS over a NULL-bearing key
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "null_semantics_audit",
+    oracle="""
+WITH dirty AS (
+  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS k
+  FROM orders WHERE year(o_orderdate) = 1999
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_customers,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dirty WHERE k IS NULL)
+         AS n_null_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM dirty)) AS n_not_in,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM dirty d WHERE d.k = c.c_custkey))
+         AS n_not_exists
+""",
+    tags=("sql-surface", "null-semantics", "F9"),
+)
+def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic three-valued-logic trap, pinned as data: customers
+    "with no 1999 orders" via NOT IN against a NULL-bearing key column is
+    EMPTY whenever any key is NULL (x NOT IN (..., NULL) is never TRUE),
+    while NOT EXISTS with an equality predicate gives the intended
+    anti-join answer — both engines implement the same ANSI semantics,
+    and the hash gate proves this engine preserves them. Spark plans the
+    NOT IN as its null-aware anti join (broadcast NAAJ — a dedicated
+    operator precisely because naive anti-join would be WRONG here);
+    the NOT EXISTS is an ordinary null-rejecting LeftAnti. The audit
+    shape matters at 100 TB because dirty FK columns are the norm, and
+    a pipeline that silently swaps NOT IN for an anti join changes
+    answers."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_nsa_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_nsa_orders")
+    return spark.sql(
+        """
+WITH dirty AS (
+  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS k
+  FROM _nsa_orders WHERE year(o_orderdate) = 1999
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM _nsa_customer) AS n_customers,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dirty WHERE k IS NULL)
+         AS n_null_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM _nsa_customer
+        WHERE c_custkey NOT IN (SELECT k FROM dirty)) AS n_not_in,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM _nsa_customer c
+        WHERE NOT EXISTS (SELECT 1 FROM dirty d WHERE d.k = c.c_custkey))
+         AS n_not_exists
+"""
+    )
