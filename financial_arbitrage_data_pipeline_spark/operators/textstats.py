@@ -1755,3 +1755,71 @@ def bigram_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_KN_TOPK)
         .select("a", "b", "c12", "c1", "n_follow", "n_precede", "pkn_x1e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-score calibration: does the heuristic score actually predict
+# dedup survival? (the check you run before trusting a filter threshold)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_survival_calibration",
+    oracle=f"""
+WITH q AS ({_QUALITY_SQL}),
+s AS (
+  SELECT doc_id,
+         (doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))) AS keep
+  FROM documents
+),
+b AS (
+  SELECT LEAST(CAST(FLOOR(q.quality_score * 10) AS BIGINT), 9) AS bucket,
+         s.keep
+  FROM q JOIN s ON s.doc_id = q.doc_id
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+            AS BIGINT) AS survival_x1000
+FROM b GROUP BY bucket
+""",
+    tags=("text-quality", "calibration"),
+)
+def quality_survival_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION of the heuristic quality score against an observed
+    outcome: bucket every document into score deciles and measure, per
+    bucket, the exact-dedup survival rate (keep-first policy). This is
+    the check a pipeline runs before trusting a score threshold — if
+    survival is flat across buckets the score is not measuring what the
+    filter assumes. Deciles come from a fixed formula bucket
+    (floor(score*10), clamped), NOT ntile — no single-partition global
+    window, and the bucketing is reproducible across runs and engines
+    because the score itself is a fixed float op sequence. One md5
+    window for the outcome + one bucket aggregation; survival reported
+    as an integer rate (x1000, floor) so the gate stays hash-exact."""
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    keep = docs.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        ).alias("keep"),
+    )
+    b = q.join(keep, "doc_id").select(
+        F.least(
+            F.floor(F.col("quality_score") * 10).cast("long"), F.lit(9)
+        ).alias("bucket"),
+        "keep",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_survivors"),
+        F.expr(
+            "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("survival_x1000"),
+    )
