@@ -20,7 +20,7 @@ the same *result* with plain SQL — parity checks semantics, not plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -638,4 +638,185 @@ def book_imbalance_microprice(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (ask_px * bid_qty + bid_px * ask_qty).cast("double") / tot
             ).alias("microprice_cents"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Historical backtest: tick-by-tick arbitrage PnL accounting — what a user
+# of the live scanner runs next (same decision rules, replayed over the
+# whole history instead of latest-state-only)
+# ---------------------------------------------------------------------------
+
+_BT_FRESH_US = 86_400_000_000  # the scan's freshness gate
+_BT_THRESHOLD = 0.02  # the scan's margin threshold
+
+
+@query(
+    "arbitrage_backtest_pnl",
+    oracle=f"""
+WITH k AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         (CAST(round(value * 100) AS BIGINT) % 97 + 1) / 100.0 AS yes_bid,
+         (CAST(round(value * 100) AS BIGINT) % 89 + 1) / 100.0 AS no_bid
+  FROM events WHERE event_type IN ('click', 'view')
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         (CAST(round(value * 100) AS BIGINT) % 99 + 1) / 100.0 AS yes_price,
+         1.0 - (CAST(round(value * 100) AS BIGINT) % 99 + 1) / 100.0 AS no_price
+  FROM events WHERE event_type IN ('purchase', 'signup', 'error')
+),
+pairs AS (
+  SELECT c_custkey AS pair_id FROM customer
+  WHERE c_custkey < 200 AND c_custkey % 10 <> 0
+),
+merged AS (
+  SELECT user_id, ts_us, event_id, 0 AS is_k,
+         NULL::DOUBLE AS yes_bid, NULL::DOUBLE AS no_bid,
+         yes_price, no_price, ts_us AS p_ts
+  FROM p
+  UNION ALL
+  SELECT user_id, ts_us, event_id, 1 AS is_k,
+         yes_bid, no_bid, NULL, NULL, NULL
+  FROM k
+),
+aligned AS (
+  SELECT user_id, ts_us, event_id, is_k, yes_bid, no_bid,
+         LAST_VALUE(yes_price IGNORE NULLS) OVER w AS poly_yes,
+         LAST_VALUE(no_price IGNORE NULLS) OVER w AS poly_no,
+         LAST_VALUE(p_ts IGNORE NULLS) OVER w AS poly_ts
+  FROM merged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, is_k, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ticks AS (
+  SELECT a.user_id AS pair_id, a.ts_us, a.event_id,
+         a.yes_bid, a.no_bid, a.poly_yes, a.poly_no,
+         (a.yes_bid - a.poly_yes) / a.poly_yes AS margin_yes,
+         (a.no_bid - a.poly_no) / a.poly_no AS margin_no,
+         (a.poly_yes < a.yes_bid) AS yes_ok,
+         (a.poly_no < a.no_bid) AS no_ok
+  FROM aligned a
+  JOIN pairs ON pairs.pair_id = a.user_id
+  WHERE a.is_k = 1 AND a.poly_ts IS NOT NULL
+    AND a.ts_us - a.poly_ts <= {_BT_FRESH_US}
+),
+trades AS (
+  SELECT pair_id, ts_us,
+         CAST(round((CASE WHEN yes_ok AND (NOT no_ok OR margin_yes >= margin_no)
+                          THEN margin_yes ELSE margin_no END) * 10000)
+              AS BIGINT) AS pnl_bp
+  FROM ticks
+  WHERE (yes_ok OR no_ok)
+    AND (CASE WHEN yes_ok AND (NOT no_ok OR margin_yes >= margin_no)
+              THEN margin_yes ELSE margin_no END) > {_BT_THRESHOLD}
+)
+SELECT pair_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trades,
+       CAST(SUM(pnl_bp) AS BIGINT) AS pnl_bp_total,
+       CAST(MIN(ts_us) AS BIGINT) AS first_trade_ts_us,
+       CAST(MAX(ts_us) AS BIGINT) AS last_trade_ts_us
+FROM trades GROUP BY pair_id
+""",
+    tags=("J1", "F5", "F6", "backtest", "timeseries"),
+)
+def arbitrage_backtest_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKTEST the live scanner's decision rules over the whole history:
+    every Kalshi tick is as-of-aligned with the latest Polymarket quote
+    for its pair (union + IGNORE NULLS last_value window — the engine's
+    standard as-of idiom, one sort-shuffle, no range join), gated by the
+    same 24 h freshness rule, scored with the same margin/side-selection
+    logic as `arbitrage_scan`/the streaming fold, and every
+    above-threshold tick is booked as a trade at round(margin x 1e4)
+    basis points. Output: per-pair trade count, total PnL (integer bp),
+    and the active window. This is latest-state's missing complement —
+    the scanner says what to do NOW; the backtest says what the rule
+    WOULD have earned, tick by tick, which is how a threshold gets
+    chosen before deployment. Floats appear only in the fixed
+    derive-margin op sequence (identical in both engines); the booked
+    PnL is integer."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    k = events.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        ((cents % 97 + 1) / 100.0).alias("yes_bid"),
+        ((cents % 89 + 1) / 100.0).alias("no_bid"),
+    )
+    p = events.filter(
+        F.col("event_type").isin("purchase", "signup", "error")
+    ).select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        ((cents % 99 + 1) / 100.0).alias("yes_price"),
+        (1.0 - (cents % 99 + 1) / 100.0).alias("no_price"),
+    )
+    pairs = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") < 200) & (F.col("c_custkey") % 10 != 0))
+        .select(F.col("c_custkey").alias("pair_id"))
+    )
+    merged = p.select(
+        "user_id", "ts_us", "event_id",
+        F.lit(0).alias("is_k"),
+        F.lit(None).cast("double").alias("yes_bid"),
+        F.lit(None).cast("double").alias("no_bid"),
+        "yes_price", "no_price",
+        F.col("ts_us").alias("p_ts"),
+    ).unionByName(
+        k.select(
+            "user_id", "ts_us", "event_id",
+            F.lit(1).alias("is_k"),
+            "yes_bid", "no_bid",
+            F.lit(None).cast("double").alias("yes_price"),
+            F.lit(None).cast("double").alias("no_price"),
+            F.lit(None).cast("long").alias("p_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_k", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    aligned = merged.select(
+        "user_id", "ts_us", "event_id", "is_k", "yes_bid", "no_bid",
+        F.last("yes_price", ignorenulls=True).over(w).alias("poly_yes"),
+        F.last("no_price", ignorenulls=True).over(w).alias("poly_no"),
+        F.last("p_ts", ignorenulls=True).over(w).alias("poly_ts"),
+    )
+    ticks = (
+        aligned.filter(
+            (F.col("is_k") == 1)
+            & F.col("poly_ts").isNotNull()
+            & (F.col("ts_us") - F.col("poly_ts") <= _BT_FRESH_US)
+        )
+        .join(F.broadcast(pairs), aligned.user_id == pairs.pair_id)
+        .select(
+            "pair_id", "ts_us",
+            ((F.col("yes_bid") - F.col("poly_yes")) / F.col("poly_yes")).alias(
+                "margin_yes"
+            ),
+            ((F.col("no_bid") - F.col("poly_no")) / F.col("poly_no")).alias(
+                "margin_no"
+            ),
+            (F.col("poly_yes") < F.col("yes_bid")).alias("yes_ok"),
+            (F.col("poly_no") < F.col("no_bid")).alias("no_ok"),
+        )
+    )
+    chosen = F.when(
+        F.col("yes_ok") & (~F.col("no_ok") | (F.col("margin_yes") >= F.col("margin_no"))),
+        F.col("margin_yes"),
+    ).otherwise(F.col("margin_no"))
+    trades = ticks.filter(
+        (F.col("yes_ok") | F.col("no_ok")) & (chosen > _BT_THRESHOLD)
+    ).select(
+        "pair_id", "ts_us", F.round(chosen * 10000).cast("long").alias("pnl_bp")
+    )
+    return trades.groupBy("pair_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+        F.sum("pnl_bp").cast("long").alias("pnl_bp_total"),
+        F.min("ts_us").cast("long").alias("first_trade_ts_us"),
+        F.max("ts_us").cast("long").alias("last_trade_ts_us"),
     )
