@@ -1088,3 +1088,131 @@ def cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "chunk_hash")
         .limit(_CDC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH tuning curve: candidate volume & precision as the band count varies
+# ---------------------------------------------------------------------------
+
+_SENS_CONFIGS = (2, 4, 8)  # bands over the 16 minhashes → rows 8 / 4 / 2
+
+
+def _band_cte_sql(b: int, k: int = N_MINHASH) -> str:
+    rows = k // b
+    selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {j} AS band_id, {concat} AS sig FROM mh".format(
+            j=j,
+            concat=" || '|' || ".join(
+                f"CAST(mh{j * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for j in range(b)
+    )
+    return f"""
+bands{b} AS (
+{selects}
+),
+cand{b} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands{b} a JOIN bands{b} c
+    ON a.band_id = c.band_id AND a.sig = c.sig AND a.doc_id < c.doc_id
+),
+ver{b} AS (
+  SELECT COUNT(*) AS n_true FROM (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+    FROM cand{b} c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+  ) i
+  JOIN sh_sizes za ON za.doc_id = i.doc_a
+  JOIN sh_sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+)"""
+
+
+def _sens_select_sql(b: int, k: int = N_MINHASH) -> str:
+    return f"""
+SELECT CAST({b} AS BIGINT) AS n_bands,
+       CAST({k // b} AS BIGINT) AS rows_per_band,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{b}) AS n_candidates,
+       (SELECT CAST(n_true AS BIGINT) FROM ver{b}) AS n_true_pairs,
+       (SELECT CAST(n_true * 1000 // GREATEST((SELECT COUNT(*) FROM cand{b}), 1)
+                    AS BIGINT) FROM ver{b}) AS precision_x1000"""
+
+
+@query(
+    "lsh_band_sensitivity",
+    oracle=f"""
+WITH {_minhash_sql(_CRAWL_UNION_SQL)},
+{",".join(_band_cte_sql(b) for b in _SENS_CONFIGS)}
+{" UNION ALL ".join(_sens_select_sql(b) for b in _SENS_CONFIGS)}
+""",
+    tags=("dedup-lsh", "tuning"),
+)
+def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH TUNING CURVE: from ONE 16-minhash signature table, sweep
+    the band split (2x8 / 4x4 / 8x2) and report, per configuration, the
+    candidate-pair volume and how many candidates are true near-dups
+    (Jaccard >= 0.5) — i.e. the precision/volume trade the s-curve
+    theory predicts (more bands with fewer rows = lower effective
+    threshold = more candidates, lower precision). This is the
+    measurement a pipeline runs BEFORE fixing its production (b, r):
+    the signatures are computed once, each config is only a different
+    fold of the same columns. Scale shape: per config one
+    band-bucket self-join (exactly minhash_lsh_dedup's plan) + one
+    verification join over candidates only; the three 1-row summaries
+    union — no cross-config interaction, no all-pairs anywhere."""
+    corpus = with_minhash(with_shingles(crawl_union(spark, sf_dir)))
+    shingle_sets = corpus.select("doc_id", "shingles").persist()
+    sigs = corpus.persist()
+
+    results = None
+    for b in _SENS_CONFIGS:
+        bands = band_signatures(sigs, bands=b)
+        a, c = bands.alias("a"), bands.alias("c")
+        cand = (
+            a.join(
+                c,
+                (F.col("a.band_id") == F.col("c.band_id"))
+                & (F.col("a.band_sig") == F.col("c.band_sig"))
+                & (F.col("a.doc_id") < F.col("c.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("c.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .persist()
+        )
+        sa = shingle_sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        )
+        sb = shingle_sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        verified = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter((inter.cast("double") / union) >= 0.5)
+        )
+        n_cand = cand.count()
+        n_true = verified.count()
+        row = spark.createDataFrame(
+            [
+                (
+                    b,
+                    N_MINHASH // b,
+                    n_cand,
+                    n_true,
+                    n_true * 1000 // max(n_cand, 1),
+                )
+            ],
+            "n_bands long, rows_per_band long, n_candidates long,"
+            " n_true_pairs long, precision_x1000 long",
+        )
+        results = row if results is None else results.unionByName(row)
+        cand.unpersist()
+    return results

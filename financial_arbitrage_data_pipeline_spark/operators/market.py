@@ -820,3 +820,192 @@ def arbitrage_backtest_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").cast("long").alias("first_trade_ts_us"),
         F.max("ts_us").cast("long").alias("last_trade_ts_us"),
     )
+
+
+@query(
+    "backtest_equity_drawdown",
+    oracle=f"""
+WITH k AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         (CAST(round(value * 100) AS BIGINT) % 97 + 1) / 100.0 AS yes_bid,
+         (CAST(round(value * 100) AS BIGINT) % 89 + 1) / 100.0 AS no_bid
+  FROM events WHERE event_type IN ('click', 'view')
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         (CAST(round(value * 100) AS BIGINT) % 99 + 1) / 100.0 AS yes_price,
+         1.0 - (CAST(round(value * 100) AS BIGINT) % 99 + 1) / 100.0 AS no_price
+  FROM events WHERE event_type IN ('purchase', 'signup', 'error')
+),
+pairs AS (
+  SELECT c_custkey AS pair_id FROM customer
+  WHERE c_custkey < 200 AND c_custkey % 10 <> 0
+),
+merged AS (
+  SELECT user_id, ts_us, event_id, 0 AS is_k,
+         NULL::DOUBLE AS yes_bid, NULL::DOUBLE AS no_bid,
+         yes_price, no_price, ts_us AS p_ts
+  FROM p
+  UNION ALL
+  SELECT user_id, ts_us, event_id, 1, yes_bid, no_bid, NULL, NULL, NULL
+  FROM k
+),
+aligned AS (
+  SELECT user_id, ts_us, event_id, is_k, yes_bid, no_bid,
+         LAST_VALUE(yes_price IGNORE NULLS) OVER w AS poly_yes,
+         LAST_VALUE(no_price IGNORE NULLS) OVER w AS poly_no,
+         LAST_VALUE(p_ts IGNORE NULLS) OVER w AS poly_ts
+  FROM merged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, is_k, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ticks AS (
+  SELECT a.user_id AS pair_id, a.ts_us, a.event_id,
+         (a.yes_bid - a.poly_yes) / a.poly_yes AS margin_yes,
+         (a.no_bid - a.poly_no) / a.poly_no AS margin_no,
+         (a.poly_yes < a.yes_bid) AS yes_ok,
+         (a.poly_no < a.no_bid) AS no_ok
+  FROM aligned a
+  JOIN pairs ON pairs.pair_id = a.user_id
+  WHERE a.is_k = 1 AND a.poly_ts IS NOT NULL
+    AND a.ts_us - a.poly_ts <= {_BT_FRESH_US}
+),
+trades AS (
+  SELECT pair_id, ts_us, event_id,
+         CAST(round((CASE WHEN yes_ok AND (NOT no_ok OR margin_yes >= margin_no)
+                          THEN margin_yes ELSE margin_no END) * 10000)
+              AS BIGINT) - 250 AS pnl_bp
+  FROM ticks
+  WHERE (yes_ok OR no_ok)
+    AND (CASE WHEN yes_ok AND (NOT no_ok OR margin_yes >= margin_no)
+              THEN margin_yes ELSE margin_no END) > {_BT_THRESHOLD}
+),
+equity AS (
+  SELECT pair_id, ts_us, event_id,
+         SUM(pnl_bp) OVER (PARTITION BY pair_id
+                           ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS equity_bp
+  FROM trades
+),
+dd AS (
+  SELECT pair_id, equity_bp,
+         MAX(equity_bp) OVER (PARTITION BY pair_id
+                              ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - equity_bp AS drawdown_bp
+  FROM equity
+)
+SELECT pair_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trades,
+       CAST(MAX(equity_bp) AS BIGINT) AS peak_equity_bp,
+       CAST(MAX(drawdown_bp) AS BIGINT) AS max_drawdown_bp,
+       CAST(MIN(equity_bp) AS BIGINT) AS trough_equity_bp
+FROM dd GROUP BY pair_id
+""",
+    tags=("backtest", "risk", "W-windows"),
+)
+def backtest_equity_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RISK metrics over the backtest's equity curve: the same trade
+    stream as `arbitrage_backtest_pnl` but with a 25 bp per-trade cost
+    haircut (so the curve actually goes down sometimes), folded into a
+    running cumulative-equity window and a running-peak drawdown — the
+    max-drawdown / peak / trough numbers a strategy review asks for
+    before the threshold ships. Two stacked windows on one
+    (pair, time)-sorted frame: cumulative sum, then running max — a
+    single sort-shuffle per pair partition, the same plan family as
+    max_drawdown_per_ticker but over DERIVED trades rather than raw
+    prices. All equity arithmetic is integer basis points."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    k = events.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id",
+        ((cents % 97 + 1) / 100.0).alias("yes_bid"),
+        ((cents % 89 + 1) / 100.0).alias("no_bid"),
+    )
+    p = events.filter(
+        F.col("event_type").isin("purchase", "signup", "error")
+    ).select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id",
+        ((cents % 99 + 1) / 100.0).alias("yes_price"),
+        (1.0 - (cents % 99 + 1) / 100.0).alias("no_price"),
+    )
+    pairs = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") < 200) & (F.col("c_custkey") % 10 != 0))
+        .select(F.col("c_custkey").alias("pair_id"))
+    )
+    merged = p.select(
+        "user_id", "ts_us", "event_id", F.lit(0).alias("is_k"),
+        F.lit(None).cast("double").alias("yes_bid"),
+        F.lit(None).cast("double").alias("no_bid"),
+        "yes_price", "no_price", F.col("ts_us").alias("p_ts"),
+    ).unionByName(
+        k.select(
+            "user_id", "ts_us", "event_id", F.lit(1).alias("is_k"),
+            "yes_bid", "no_bid",
+            F.lit(None).cast("double").alias("yes_price"),
+            F.lit(None).cast("double").alias("no_price"),
+            F.lit(None).cast("long").alias("p_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_k", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    aligned = merged.select(
+        "user_id", "ts_us", "event_id", "is_k", "yes_bid", "no_bid",
+        F.last("yes_price", ignorenulls=True).over(w).alias("poly_yes"),
+        F.last("no_price", ignorenulls=True).over(w).alias("poly_no"),
+        F.last("p_ts", ignorenulls=True).over(w).alias("poly_ts"),
+    )
+    ticks = (
+        aligned.filter(
+            (F.col("is_k") == 1)
+            & F.col("poly_ts").isNotNull()
+            & (F.col("ts_us") - F.col("poly_ts") <= _BT_FRESH_US)
+        )
+        .join(F.broadcast(pairs), aligned.user_id == pairs.pair_id)
+        .select(
+            "pair_id", "ts_us", "event_id",
+            ((F.col("yes_bid") - F.col("poly_yes")) / F.col("poly_yes")).alias("margin_yes"),
+            ((F.col("no_bid") - F.col("poly_no")) / F.col("poly_no")).alias("margin_no"),
+            (F.col("poly_yes") < F.col("yes_bid")).alias("yes_ok"),
+            (F.col("poly_no") < F.col("no_bid")).alias("no_ok"),
+        )
+    )
+    chosen = F.when(
+        F.col("yes_ok") & (~F.col("no_ok") | (F.col("margin_yes") >= F.col("margin_no"))),
+        F.col("margin_yes"),
+    ).otherwise(F.col("margin_no"))
+    trades = ticks.filter(
+        (F.col("yes_ok") | F.col("no_ok")) & (chosen > _BT_THRESHOLD)
+    ).select(
+        "pair_id", "ts_us", "event_id",
+        (F.round(chosen * 10000).cast("long") - 250).alias("pnl_bp"),
+    )
+    weq = (
+        Window.partitionBy("pair_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    equity = trades.select(
+        "pair_id", "ts_us", "event_id",
+        F.sum("pnl_bp").over(weq).alias("equity_bp"),
+    )
+    wdd = (
+        Window.partitionBy("pair_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = equity.select(
+        "pair_id", "equity_bp",
+        (F.max("equity_bp").over(wdd) - F.col("equity_bp")).alias("drawdown_bp"),
+    )
+    return dd.groupBy("pair_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+        F.max("equity_bp").cast("long").alias("peak_equity_bp"),
+        F.max("drawdown_bp").cast("long").alias("max_drawdown_bp"),
+        F.min("equity_bp").cast("long").alias("trough_equity_bp"),
+    )
