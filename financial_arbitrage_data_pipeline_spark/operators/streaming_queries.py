@@ -1389,3 +1389,105 @@ def streaming_union_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static SCD2 enrichment: point-in-time dimension versions joined
+# onto a live stream (equality key + validity-range residual)
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_scd2_enrich",
+    oracle="""
+WITH dim AS (
+  SELECT o_custkey, o_orderstatus,
+         o_orderdate AS valid_from,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM orders WHERE o_custkey < 200
+),
+e AS (
+  SELECT event_id, user_id,
+         DATE '1995-01-01' + CAST(event_id % 2000 AS INT) AS asof_date
+  FROM events
+)
+SELECT d.o_orderstatus AS status_at_time,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(e.event_id) AS BIGINT) AS id_checksum
+FROM e
+JOIN dim d
+  ON d.o_custkey = e.user_id
+ AND e.asof_date >= d.valid_from
+ AND (d.valid_to IS NULL OR e.asof_date < d.valid_to)
+GROUP BY d.o_orderstatus
+""",
+    tags=("T2", "scd2", "streaming", "stream-static"),
+)
+def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension enrichment ON THE STREAM: each live event
+    carries an as-of date and joins the SCD2 customer-status history —
+    equality on the business key plus the validity-range residual
+    (valid_from <= asof < valid_to) — so every event is stamped with the
+    dimension version THAT WAS TRUE at its time, not today's row. This
+    is the streaming consumer of the customer_status_scd2 build: Spark
+    plans the static side as a broadcast hash join on the key with the
+    range predicate as residual filter, re-evaluated per micro-batch.
+    Exactly-once landing via the checkpointed file sink; the oracle is
+    the equivalent one-shot batch join, so a hash match proves no
+    version was mis-assigned across batch boundaries."""
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        table_dir = os.path.join(root, "enriched")
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        from ..sources.tables import load_table  # noqa: PLC0415
+
+        orders = load_table(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        dim = (
+            orders.filter(F.col("o_custkey") < 200)
+            .select(
+                "o_custkey",
+                "o_orderstatus",
+                F.col("o_orderdate").alias("valid_from"),
+                F.lead("o_orderdate").over(w).alias("valid_to"),
+            )
+        )
+        stream = (
+            ingest.replay_stream(spark, replay_dir)
+            .withColumn(
+                "asof_date",
+                F.date_add(
+                    F.lit("1995-01-01").cast("date"),
+                    (F.col("event_id") % 2000).cast("int"),
+                ),
+            )
+            .select("event_id", "user_id", "asof_date")
+        )
+        enriched = stream.join(
+            dim,
+            (dim.o_custkey == stream.user_id)
+            & (stream.asof_date >= dim.valid_from)
+            & (dim.valid_to.isNull() | (stream.asof_date < dim.valid_to)),
+        ).select("event_id", "user_id", "o_orderstatus")
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", table_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(table_dir)
+            .groupBy(F.col("o_orderstatus").alias("status_at_time"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+                F.sum("event_id").cast("long").alias("id_checksum"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1823,3 +1823,64 @@ def quality_survival_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(*) AS BIGINT)"
         ).alias("survival_x1000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary concentration (collision probability — the Rényi-2 entropy
+# proxy a corpus-health dashboard tracks without a transcendental log)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_concentration_stats",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (
+  SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok WHERE t <> '' GROUP BY lang, t
+),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY lang)
+SELECT tf.lang,
+       CAST(MAX(tot.n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(((tf.c * 1000000000) // tot.n) * tf.c // tot.n) AS BIGINT)
+         AS collision_x1e9,
+       CAST(MAX(tf.c) * 1000 // MAX(tot.n) AS BIGINT) AS top_share_x1000
+FROM tf JOIN tot ON tot.lang = tf.lang
+GROUP BY tf.lang
+""",
+    tags=("text-vocab", "corpus-health"),
+)
+def vocab_concentration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary CONCENTRATION: the token-collision
+    probability Σ(c/N)² — the Rényi-2 entropy proxy (2^-H2) — plus the
+    head token's share. A language whose collision probability climbs
+    between crawls is losing diversity (template flooding); unlike
+    Shannon entropy there is no transcendental log, so the declared
+    fixed-point estimator Σ ((c·1e9)//N)·c//N is bit-identical across
+    engines and merge orders. One corpus explode into (lang, term)
+    counts (the same exchange the vocabulary/TF-IDF family already
+    pays), then a vocabulary-sized aggregation."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    tf = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = tf.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    return (
+        tf.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.expr("((c * 1000000000) div n) * c div n"))
+            .cast("long")
+            .alias("collision_x1e9"),
+            F.expr("CAST(MAX(c) * 1000 div MAX(n) AS BIGINT)").alias(
+                "top_share_x1000"
+            ),
+        )
+    )
