@@ -953,3 +953,157 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_distance", "n_parts_a", "n_parts_b",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inequality measure: per-region Gini coefficient of account balances
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "region_acctbal_gini",
+    oracle="""
+WITH c AS (
+  SELECT n.n_regionkey AS region,
+         CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS w,
+         c_custkey
+  FROM customer JOIN nation n ON n.n_nationkey = c_nationkey
+),
+r AS (
+  SELECT region, w,
+         ROW_NUMBER() OVER (PARTITION BY region ORDER BY w, c_custkey) AS i
+  FROM c
+),
+s AS (
+  SELECT region,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(w) AS BIGINT) AS total,
+         CAST(SUM(i * w) AS BIGINT) AS rank_weighted
+  FROM r GROUP BY region
+)
+SELECT region, n, total, rank_weighted,
+       CAST(2 * rank_weighted - (n + 1) * total AS DOUBLE)
+         / CAST(n * total AS DOUBLE) AS gini
+FROM s
+""",
+    tags=("analytics-distribution", "gini"),
+)
+def region_acctbal_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region GINI coefficient of (shifted, non-negative) account
+    balances — the inequality summary next to the deciles/median family:
+    G = (2·Σ i·w_i − (n+1)·Σw) / (n·Σw) over rank-sorted weights. The
+    rank-weighted sums are exact integers (one deterministic sort order:
+    balance then custkey), the coefficient is one IEEE divide of two
+    exact int64 products — no float accumulation. Balances are shifted
+    by +1000.00 so the weight domain is non-negative (Gini's
+    precondition; TPC-H balances go to -999.99). One region-keyed
+    window sort + one aggregation."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_regionkey").alias("region"),
+            (F.expr("cast(round(c_acctbal * 100) as bigint)") + 100000).alias(
+                "w"
+            ),
+            "c_custkey",
+        )
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    win = Window.partitionBy("region").orderBy("w", "c_custkey")
+    r = c.withColumn("i", F.row_number().over(win))
+    s = r.groupBy("region").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("w")).cast("long").alias("rank_weighted"),
+    )
+    return s.select(
+        "region", "n", "total", "rank_weighted",
+        (
+            (2 * F.col("rank_weighted") - (F.col("n") + 1) * F.col("total")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("total")).cast("double")
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of the daily order count (integer moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "daily_orders_autocorr",
+    oracle="""
+WITH d AS (
+  SELECT o_orderdate AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY o_orderdate
+),
+l AS (
+  SELECT day, x,
+         LAG(x) OVER (ORDER BY day) AS xp
+  FROM d
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(xp) AS BIGINT) AS sy,
+         CAST(SUM(x * xp) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(xp * xp) AS BIGINT) AS syy
+  FROM l WHERE xp IS NOT NULL
+)
+SELECT n, sx, sy, sxy,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr_lag1
+FROM m
+""",
+    tags=("timeseries", "autocorrelation"),
+)
+def daily_orders_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily order count — the
+    is-there-weekly-memory probe a capacity planner runs before
+    forecasting. Day counts and all five cross-moments are exact
+    integers; the Pearson coefficient over (x_t, x_{t-1}) is the same
+    fixed op sequence as qty_price_corr_moments (two sqrt, one divide),
+    so it is bit-identical across engines. The LAG runs on the
+    DAY-level series (one row per date — thousands of rows at any SF),
+    so the unpartitioned window is bounded by the calendar, never the
+    order table."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    l = d.withColumn("xp", F.lag("x").over(Window.orderBy("day"))).filter(
+        F.col("xp").isNotNull()
+    )
+    m = l.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("xp").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("xp")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("xp") * F.col("xp")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "n", "sx", "sy", "sxy", (num / den).alias("autocorr_lag1")
+    )
