@@ -54,7 +54,7 @@ _N_BUCKETS_FILE = "_n_buckets"
 _DEFAULT_BUCKETS = 16
 _PENDING_FILE = "_merge_pending"
 _COMMIT_FILE = "_commit_manifest"
-_LOCK_FILE = "_merge_writer_lock"
+_LOCK_SUFFIX = ".__merge_lock__"
 
 
 class ConcurrentMergeError(RuntimeError):
@@ -66,34 +66,80 @@ class ConcurrentMergeError(RuntimeError):
     then race the same buckets. Fail loudly instead."""
 
 
-def _acquire_merge_lock(target_dir: str) -> None:
-    path = os.path.join(target_dir, _LOCK_FILE)
+def _lock_path(target_dir: str) -> str:
+    """The writer lock lives as a SIBLING of the table directory, not
+    inside it (ADVICE r5): the full-rewrite path renames target_dir
+    away, so an in-dir lock would travel with the old directory and be
+    deleted with it, leaving the rename window unguarded. A sibling
+    path also survives the momentary dir-absent window, so acquisition
+    never has to silently proceed without a lock."""
+    return target_dir.rstrip("/") + _LOCK_SUFFIX
+
+
+def _lock_owner_dead(path: str) -> bool:
+    """True iff the lock file names an owner pid that provably no
+    longer exists on this host. Unreadable/unparseable lock content is
+    treated as LIVE (conservative: a writer that just created the file
+    may not have flushed its pid yet), as is EPERM from the probe (the
+    pid exists but belongs to another user)."""
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with open(path) as fh:
+            pid = int(json.load(fh)["pid"])
+    except (OSError, ValueError, KeyError, TypeError, json.JSONDecodeError):
+        return False
+    if pid == os.getpid():
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return True
+    except PermissionError:  # pragma: no cover - cross-user pid reuse
+        return False
+    return False
+
+
+def _reclaim_stale_lock(path: str) -> bool:
+    """Atomically claim a dead owner's lock file. The rename is the
+    claim: of N racers detecting the same dead pid, exactly one rename
+    succeeds; the losers see FileNotFoundError and go back around the
+    acquire loop (where they will contend on O_EXCL like normal).
+    Returns True if this process claimed (and removed) the stale lock."""
+    claimed = path + f".reclaim.{uuid.uuid4().hex}"
+    try:
+        os.rename(path, claimed)
     except FileNotFoundError:
-        # target dir absent: the full-rewrite crash window (old exists,
-        # target gone) — its restore path owns this state; nothing to
-        # lock against until the directory exists again
-        return
-    except FileExistsError:
+        return False
+    os.remove(claimed)
+    return True
+
+
+def _acquire_merge_lock(target_dir: str) -> None:
+    path = _lock_path(target_dir)
+    while True:
         try:
-            with open(path) as fh:
-                holder = fh.read().strip()
-        except OSError:  # pragma: no cover - lock vanished mid-read
-            holder = "unknown"
-        raise ConcurrentMergeError(
-            f"merge already in progress on {target_dir} (lock held by"
-            f" {holder}). If that writer crashed, run"
-            " recover_merge_table(dir, break_lock=True) from the single"
-            " owner before retrying."
-        ) from None
-    with os.fdopen(fd, "w") as fh:
-        fh.write(f"pid={os.getpid()}")
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if _lock_owner_dead(path):
+                _reclaim_stale_lock(path)
+                continue  # retry the O_EXCL create against any racers
+            try:
+                with open(path) as fh:
+                    holder = fh.read().strip()
+            except OSError:  # pragma: no cover - lock vanished mid-read
+                continue  # released between the create and the read
+            raise ConcurrentMergeError(
+                f"merge already in progress on {target_dir} (lock held by"
+                f" {holder}). The lock self-clears once that pid exits; a"
+                " live holder is never preempted."
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"pid": os.getpid(), "host": os.uname().nodename}, fh)
+        return
 
 
 def _release_merge_lock(target_dir: str) -> None:
     try:
-        os.remove(os.path.join(target_dir, _LOCK_FILE))
+        os.remove(_lock_path(target_dir))
     except FileNotFoundError:  # pragma: no cover - already released
         pass
 
@@ -164,13 +210,17 @@ def recover_merge_table(
     multi-bucket MERGE all-or-nothing (the transactional contract the
     reference gets from Postgres, `database/postgres/writer.py:351-407`).
 
-    Writer-lock discipline: while `_merge_writer_lock` is held, a
-    pending intent file belongs to a LIVE merge — rolling it back from a
-    concurrent reader would corrupt the writer mid-flight, so recovery
-    is a NO-OP unless the caller either owns the lock (`ignore_lock`,
-    used internally by the merge itself) or explicitly claims ownership
-    (`break_lock=True`, used at lane startup after a crash — it removes
-    the stale lock before recovering).
+    Writer-lock discipline: while the sibling writer lock is held by a
+    LIVE pid, a pending intent file belongs to a live merge — rolling it
+    back from a concurrent reader would corrupt the writer mid-flight,
+    so recovery is a NO-OP unless the caller owns the lock
+    (`ignore_lock`, used internally by the merge itself). A lock whose
+    recorded owner pid is provably dead is reclaimed automatically
+    (r5 task 5): default-args readers after a crash recover to the last
+    committed state without anyone having to know to pass
+    `break_lock=True`; a live holder is never preempted. `break_lock`
+    remains for the declared single owner at lane startup (it claims
+    even a live-looking lock, e.g. after pid reuse on another host).
 
     Protocol (see `_merge_bucketed`): swaps keep every replaced bucket as
     `__bucket__=<i>.__old__`; the `_commit_manifest` (tmp-written then
@@ -191,10 +241,16 @@ def recover_merge_table(
 
     Idempotent and cheap (pure filesystem metadata ops), so callers run
     it before reading the applied-batch marker and before every merge."""
-    lock_p = os.path.join(target_dir, _LOCK_FILE)
+    lock_p = _lock_path(target_dir)
     if os.path.exists(lock_p):
         if break_lock:
-            os.remove(lock_p)
+            try:
+                os.remove(lock_p)
+            except FileNotFoundError:  # pragma: no cover - raced release
+                pass
+        elif _lock_owner_dead(lock_p):
+            if not _reclaim_stale_lock(lock_p) and not ignore_lock:
+                return  # a racer claimed it; treat as live until it acts
         elif not ignore_lock:
             return  # live writer owns the pending state; do not touch it
     pending_p = os.path.join(target_dir, _PENDING_FILE)

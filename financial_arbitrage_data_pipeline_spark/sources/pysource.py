@@ -88,15 +88,30 @@ class _FeedReader(DataSourceReader):
         self.source_eq: str | None = None
         self.ts_lo: int | None = None
         self.ts_hi: int | None = None
+        self.contradiction = False  # conflicting pushed equalities
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
+        """Absorb `source =` equality and `ts_us` range predicates.
+
+        Duplicate predicates on the same column are INTERSECTED, not
+        overwritten (ADVICE r5): `ts_us >= a AND ts_us >= b` keeps
+        max(a, b), `ts_us < a AND ts_us < b` keeps min(a, b), and two
+        conflicting `source =` equalities force the empty result.
+        Overwriting would let Spark drop its post-scan Filter for a
+        predicate the reader never actually applied — wrong results.
+        """
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("source",):
-                self.source_eq = f.value
+                if self.source_eq is not None and self.source_eq != f.value:
+                    self.contradiction = True  # s = a AND s = b, a != b
+                else:
+                    self.source_eq = f.value
             elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("ts_us",):
-                self.ts_lo = int(f.value)
+                v = int(f.value)
+                self.ts_lo = v if self.ts_lo is None else max(self.ts_lo, v)
             elif isinstance(f, LessThan) and f.attribute == ("ts_us",):
-                self.ts_hi = int(f.value)
+                v = int(f.value)
+                self.ts_hi = v if self.ts_hi is None else min(self.ts_hi, v)
             else:
                 yield f  # residual: Spark evaluates it post-scan
 
@@ -117,6 +132,8 @@ class _FeedReader(DataSourceReader):
         import pyarrow as pa
 
         lo, hi = partition.start, partition.end
+        if self.contradiction:
+            hi = lo  # conflicting pushed equalities: provably empty
         if self.ts_lo is not None:
             lo = max(lo, -(-(self.ts_lo - _TS0) // 1000))
         if self.ts_hi is not None:
@@ -205,9 +222,10 @@ class _LpCommit(WriterCommitMessage):
 
 
 class _LineProtocolWriter(DataSourceWriter):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, overwrite: bool = False) -> None:
         self.path = options["path"]
         self.measurement = options.get("measurement", "quotes")
+        self.overwrite = overwrite
 
     def write(self, rows: Iterator) -> _LpCommit:
         """Runs on executors: one temp-named shard per task. The shard is
@@ -228,15 +246,32 @@ class _LineProtocolWriter(DataSourceWriter):
 
     def commit(self, messages, batch_id=None) -> None:
         """Driver-side: publish the manifest naming exactly the committed
-        shards — aborted/speculative tasks' files are never listed."""
+        shards — aborted/speculative tasks' files are never listed.
+
+        Readers must trust only _MANIFEST.json, never a bare ``*.lp``
+        glob. In overwrite mode (ADVICE r5) every previously committed
+        shard absent from the new manifest is removed after the manifest
+        swap, so repeated ``mode("overwrite")`` saves don't accumulate
+        orphans; in append-ish modes orphans from aborted tasks are
+        swept the same way (they were never in any manifest).
+        """
+        committed = sorted(m.filename for m in messages)
         manifest = {
-            "files": sorted(m.filename for m in messages),
+            "files": committed,
             "rows": sum(m.n_rows for m in messages),
         }
         tmp = os.path.join(self.path, "_manifest.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+        if self.overwrite:
+            keep = set(committed)
+            for name in os.listdir(self.path):
+                if name.endswith(".lp") and name not in keep:
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
 
     def abort(self, messages, batch_id=None) -> None:
         for m in messages:
@@ -258,7 +293,7 @@ class LineProtocolDataSource(DataSource):
         return FEED_SCHEMA
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return _LineProtocolWriter(self.options)
+        return _LineProtocolWriter(self.options, overwrite=overwrite)
 
 
 def register(spark) -> None:

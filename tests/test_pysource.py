@@ -64,6 +64,44 @@ def test_unsupported_filter_stays_residual_and_correct(feed):
     assert "900" in plan  # Spark still evaluates the residual post-scan
 
 
+def test_duplicate_range_predicates_intersect_not_overwrite(feed):
+    """ADVICE r5: two pushed predicates on the same column must BOTH be
+    honored. Spark drops its post-scan Filter for every absorbed
+    predicate, so an overwrite would silently return rows violating the
+    earlier one. ts_us >= a AND ts_us >= b → max(a,b); < a AND < b →
+    min(a,b)."""
+    lo1, lo2 = 1_700_000_000_100_000, 1_700_000_000_150_000
+    hi1, hi2 = 1_700_000_000_400_000, 1_700_000_000_200_000
+    f = feed.filter(
+        (F.col("ts_us") >= lo1)
+        & (F.col("ts_us") >= lo2)
+        & (F.col("ts_us") < hi1)
+        & (F.col("ts_us") < hi2)
+    )
+    # surviving window is [max(lo1,lo2), min(hi1,hi2)) = [150ms, 200ms)
+    assert f.agg(F.min("ts_us"), F.max("ts_us"), F.count("*")).first() == (
+        lo2,
+        hi2 - 1000,
+        50,
+    )
+
+
+def test_conflicting_source_equalities_yield_empty(spark):
+    """s = 'kalshi' AND s = 'polymarket' is unsatisfiable; both
+    predicates are consumed by pushdown, so the reader itself must
+    produce zero rows rather than applying only the last one."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pysource.register(spark)
+    df = (
+        spark.read.format("market_feed")
+        .option("n_rows", "1000")
+        .load()
+        .filter(F.col("source") == "kalshi")
+        .filter(F.col("source") == "polymarket")
+    )
+    assert df.count() == 0
+
+
 def test_stream_reader_is_exactly_once_across_restart(spark, tmp_path):
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     pysource.register(spark)
@@ -118,3 +156,22 @@ def test_line_protocol_sink_commit_protocol(spark, tmp_path, feed):
     assert head.startswith("quotes,ticker=T") and ",source=" in head
     assert fields.count("=") == 3 and fields.endswith("i")
     assert int(ts) % 1000 == 0  # µs feed stamps exported as ns
+
+
+def test_line_protocol_overwrite_clears_prior_shards(spark, tmp_path, feed):
+    """ADVICE r5: mode('overwrite') must not accumulate orphaned .lp
+    shards across repeated saves — after the second save only the new
+    manifest's shards remain, so even a (wrong) *.lp glob consumer
+    cannot double-count."""
+    out = str(tmp_path / "lp")
+    for _ in range(2):
+        feed.limit(10).write.format("line_protocol").option(
+            "path", out
+        ).mode("overwrite").save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".lp"))
+    assert shards == sorted(manifest["files"])
+    total = sum(
+        sum(1 for _ in open(os.path.join(out, s))) for s in shards
+    )
+    assert total == manifest["rows"] == 10

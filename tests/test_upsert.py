@@ -507,10 +507,11 @@ def test_delta_merge_into_path_when_available(spark, tmp_path):
         assert fh.read() == "11"
 
 
-def test_concurrent_merge_rejected_and_lock_breakable(spark, tmp_path):
+def test_concurrent_merge_rejected_while_holder_is_alive(spark, tmp_path):
     """Single-writer discipline: a second writer must fail loudly while
-    the lock is held, and the declared owner can break a stale lock at
-    startup and proceed."""
+    a LIVE pid holds the lock — a live holder is never preempted, not
+    even by break_lock-free recovery."""
+    import json
     import os
 
     from pyspark.sql import functions as F
@@ -522,9 +523,10 @@ def test_concurrent_merge_rejected_and_lock_breakable(spark, tmp_path):
     U.create_bucketed_table(spark, target, base, "k", n_buckets=4)
     updates = spark.createDataFrame([(1, 11)], "k long, v long")
 
-    # simulate another live writer
-    with open(os.path.join(target, U._LOCK_FILE), "w") as fh:
-        fh.write("pid=99999")
+    # simulate another live writer: a lock naming a pid that exists
+    # (this test process) but is not the acquiring logic's own check
+    with open(U._lock_path(target), "w") as fh:
+        json.dump({"pid": os.getppid(), "host": "test"}, fh)
     import pytest as _pytest
 
     with _pytest.raises(U.ConcurrentMergeError, match="merge already in progress"):
@@ -532,7 +534,11 @@ def test_concurrent_merge_rejected_and_lock_breakable(spark, tmp_path):
             spark, target, updates, "k", {"v": F.col("u.v")}
         )
 
-    # the single owner claims the table (crashed predecessor's lock)
+    # default-args recovery must also leave the live holder alone
+    U.recover_merge_table(target)
+    assert os.path.exists(U._lock_path(target))
+
+    # the declared single owner can still claim explicitly
     U.recover_merge_table(target, break_lock=True)
     U.merge_into_parquet(spark, target, updates, "k", {"v": F.col("u.v")})
     got = {
@@ -540,7 +546,67 @@ def test_concurrent_merge_rejected_and_lock_breakable(spark, tmp_path):
     }
     assert got == {1: 11, 2: 20}
     # lock released after a successful merge
-    assert not os.path.exists(os.path.join(target, U._LOCK_FILE))
+    assert not os.path.exists(U._lock_path(target))
+
+
+def test_dead_holder_lock_self_clears_without_break_lock(spark, tmp_path):
+    """r5 task 5: a crashed lock holder (owner pid provably dead) must
+    NOT require callers to know about break_lock=True — the next merge
+    reclaims the lock and proceeds, and a default-args reader recovers
+    the pending crash state to the last committed table."""
+    import json
+    import os
+    import subprocess
+
+    from pyspark.sql import functions as F
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "k long, v long"
+    )
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=4)
+    updates = spark.createDataFrame(
+        [(1, 11), (2, 21), (3, 31), (4, 41)], "k long, v long"
+    )
+
+    # kill a lock-holding merge mid-swap: the injected crash leaves the
+    # pending intent file; then plant a lock owned by a genuinely dead
+    # pid (a finished subprocess), as if the merge process itself died
+    calls = []
+
+    def boom(bucket):
+        calls.append(bucket)
+        if len(calls) == 2:
+            raise RuntimeError("injected crash between swaps")
+
+    U._post_swap_hook = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            U.merge_into_parquet(
+                spark, target, updates, "k", {"v": F.col("u.v")}
+            )
+    finally:
+        U._post_swap_hook = None
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(U._lock_path(target), "w") as fh:
+        json.dump({"pid": proc.pid, "host": "test"}, fh)
+    assert os.path.exists(os.path.join(target, U._PENDING_FILE))
+
+    # a plain reader — NO break_lock — sees the last committed state
+    got = {r.k: r.v for r in U.read_merge_table(spark, target).collect()}
+    assert got == {1: 10, 2: 20, 3: 30, 4: 40}
+    assert not os.path.exists(os.path.join(target, U._PENDING_FILE))
+    assert not os.path.exists(U._lock_path(target))
+
+    # and the next merge — NO break_lock — reopens the table cleanly
+    U.merge_into_parquet(spark, target, updates, "k", {"v": F.col("u.v")})
+    got = {r.k: r.v for r in U.read_merge_table(spark, target).collect()}
+    assert got == {1: 11, 2: 21, 3: 31, 4: 41}
 
 
 def test_reader_recovery_never_rolls_back_a_live_merge(spark, tmp_path):
@@ -554,9 +620,10 @@ def test_reader_recovery_never_rolls_back_a_live_merge(spark, tmp_path):
     target = str(tmp_path / "t")
     base = spark.createDataFrame([(1, 10)], "k long, v long")
     U.create_bucketed_table(spark, target, base, "k", n_buckets=2)
-    # a live merge: lock held, intent file present
-    with open(os.path.join(target, U._LOCK_FILE), "w") as fh:
-        fh.write("pid=live")
+    # a live merge: lock held by THIS process, intent file present.
+    # (Unparseable lock content is also treated as live — conservative.)
+    with open(U._lock_path(target), "w") as fh:
+        json.dump({"pid": os.getpid(), "host": "test"}, fh)
     pending = {"merge_id": "m1", "swaps": [], "extra_files": {}}
     with open(os.path.join(target, U._PENDING_FILE), "w") as fh:
         fh.write(json.dumps(pending))
@@ -564,9 +631,15 @@ def test_reader_recovery_never_rolls_back_a_live_merge(spark, tmp_path):
     U.recover_merge_table(target)  # reader path: must be a no-op
     assert os.path.exists(os.path.join(target, U._PENDING_FILE))
 
+    # unparseable lock content must also be treated as a live holder
+    with open(U._lock_path(target), "w") as fh:
+        fh.write("pid=not-json")
+    U.recover_merge_table(target)
+    assert os.path.exists(os.path.join(target, U._PENDING_FILE))
+
     U.recover_merge_table(target, break_lock=True)  # owner claims + recovers
     assert not os.path.exists(os.path.join(target, U._PENDING_FILE))
-    assert not os.path.exists(os.path.join(target, U._LOCK_FILE))
+    assert not os.path.exists(U._lock_path(target))
 
 
 def test_lock_released_when_merge_fails_midway(spark, tmp_path):
@@ -605,7 +678,7 @@ def test_lock_released_when_merge_fails_midway(spark, tmp_path):
             )
     finally:
         U._post_swap_hook = None
-    assert not os.path.exists(os.path.join(target, U._LOCK_FILE))
+    assert not os.path.exists(U._lock_path(target))
     # recovery rolls the half-applied merge back; re-merge lands cleanly
     U.recover_merge_table(target)
     U.merge_into_parquet(spark, target, updates, "k", {"v": F.col("u.v")})
