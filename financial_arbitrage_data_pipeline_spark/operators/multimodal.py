@@ -80,7 +80,9 @@ def decode_video(payload: bytes) -> dict:
 
 def fake_decode_features(payload: bytes) -> dict:
     """Deterministic stand-in for a decode+feature-extract kernel:
-    byte length, crc32, and a fake 'brightness' from the byte sum."""
+    byte length, crc32, and a fake 'brightness' from the byte sum.
+    Since r6 this is only the documented FALLBACK for payloads whose
+    magic bytes match no real decoder (see `decode_features`)."""
     return {
         "n_bytes": len(payload),
         "crc32": zlib.crc32(payload) & 0xFFFFFFFF,
@@ -88,13 +90,102 @@ def fake_decode_features(payload: bytes) -> dict:
     }
 
 
+def sniff_media_format(payload: bytes) -> str:
+    """Magic-byte container sniff — the dispatch key for the generic
+    asset lane. Recognizes exactly the formats the engine has REAL
+    decoders for; everything else is 'unknown' (fake-kernel fallback)."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
+    return "unknown"
+
+
+def decode_features(payload: bytes) -> dict:
+    """REAL decode+feature-extract with magic-byte dispatch (r5 verdict
+    task 3): BMP/PNG/JPEG → image decoders, RIFF/WAVE → PCM or G.711
+    mu-law audio, YUV4MPEG2 → video. Features are unified integer-exact
+    stats so SQL oracles can restate them per format:
+
+    - n_units: decoded sample count (channel samples / PCM samples /
+      plane samples / JPEG coefficients)
+    - sum_values: the decoder's content checksum (channel sum / energy
+      sum-of-squares / plane sum / |coefficient| sum)
+    - peak: max channel value / peak |sample| / peak luma / max |coeff|
+
+    Unrecognized payloads take the documented fake fallback with
+    n_units = n_bytes and NULL content stats — size-only features, never
+    fabricated decode output."""
+    fmt = sniff_media_format(payload)
+    n_bytes = len(payload)
+    if fmt in ("bmp", "png"):
+        d = decode_bmp(payload) if fmt == "bmp" else decode_png(payload)
+        return {
+            "format": fmt,
+            "n_bytes": n_bytes,
+            "n_units": 3 * d["n_pixels"],
+            "sum_values": d["sum_b"] + d["sum_g"] + d["sum_r"],
+            "peak": d["peak"],
+        }
+    if fmt == "jpeg":
+        from .transcode import decode_jpeg
+
+        d = decode_jpeg(payload)
+        c = d["coeffs"]
+        return {
+            "format": fmt,
+            "n_bytes": n_bytes,
+            "n_units": d["n_blocks"] * 64,
+            "sum_values": int(abs(c).sum()),
+            "peak": int(abs(c).max()),
+        }
+    if fmt == "wav":
+        try:
+            d = decode_wav_pcm(payload)
+        except ValueError:
+            from .transcode import decode_ulaw_wav
+
+            d = decode_ulaw_wav(payload)
+        return {
+            "format": fmt,
+            "n_bytes": n_bytes,
+            "n_units": d["n_samples"],
+            "sum_values": d["sum_sq"],
+            "peak": d["peak_abs"],
+        }
+    if fmt == "y4m":
+        d = decode_y4m(payload)
+        return {
+            "format": fmt,
+            "n_bytes": n_bytes,
+            "n_units": 3 * d["width"] * d["height"] * d["n_frames"],
+            "sum_values": d["sum_y"] + d["sum_u"] + d["sum_v"],
+            "peak": d["peak_luma"],
+        }
+    return {
+        "format": "unknown",
+        "n_bytes": n_bytes,
+        "n_units": n_bytes,
+        "sum_values": None,
+        "peak": None,
+    }
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),
         T.StructField("media_type", T.StringType(), False),
+        T.StructField("format", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("crc32", T.LongType(), True),
-        T.StructField("brightness", T.DoubleType(), True),
+        T.StructField("n_units", T.LongType(), True),
+        T.StructField("sum_values", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
     ]
 )
 
@@ -102,18 +193,26 @@ FEATURE_SCHEMA = T.StructType(
 def extract_features(assets: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads — the real
     multimodal hot path shape: Arrow batches in, Arrow batches out, one
-    Python crossing per batch."""
+    Python crossing per batch. The kernel dispatches on magic bytes to
+    the REAL codec per payload (`decode_features`); the fake kernel is
+    only reached for unrecognized formats."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_decode_features(p) for p in pdf["payload"]]
+            feats = [decode_features(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].values,
                     "media_type": pdf["media_type"].values,
+                    "format": [f["format"] for f in feats],
                     "n_bytes": [f["n_bytes"] for f in feats],
-                    "crc32": [f["crc32"] for f in feats],
-                    "brightness": [f["brightness"] for f in feats],
+                    "n_units": [f["n_units"] for f in feats],
+                    "sum_values": pd.array(
+                        [f["sum_values"] for f in feats], dtype="Int64"
+                    ),
+                    "peak": pd.array(
+                        [f["peak"] for f in feats], dtype="Int64"
+                    ),
                 }
             )
 
@@ -161,12 +260,36 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in: truncate/tile the payload to width*height
     bytes — preserves the contract that output size is a pure function of
-    the target dims, which is what partition sizing depends on."""
+    the target dims, which is what partition sizing depends on. Since r6
+    only the FALLBACK for unrecognized formats (see `resize_any`)."""
     target = width * height
     if not payload:
         return bytes(target)
     reps = (target + len(payload) - 1) // len(payload)
     return (payload * reps)[:target]
+
+
+def resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """REAL compressed-image resize: PNG decode (inflate + unfilter) →
+    the same exact integer nearest-neighbor index map as `resize_image`
+    (src = (dst * in_size) // out_size) → PNG re-encode (filter +
+    DEFLATE). Output stays a valid, CRC-correct PNG."""
+    w_in, h_in, img = _parse_png(payload)
+    xs = (_np.arange(width) * w_in) // width
+    ys = (_np.arange(height) * h_in) // height
+    return encode_png(img[ys][:, xs])
+
+
+def resize_any(payload: bytes, width: int, height: int) -> bytes:
+    """Magic-byte dispatch for the generic resize lane: BMP and PNG run
+    the real nearest-neighbor kernels (and stay valid files of their own
+    format); unrecognized payloads take the documented fake fallback."""
+    fmt = sniff_media_format(payload)
+    if fmt == "bmp":
+        return resize_image(payload, width, height)
+    if fmt == "png":
+        return resize_png(payload, width, height)
+    return fake_resize(payload, width, height)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -185,7 +308,7 @@ def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [fake_resize(p, width, height) for p in pdf["payload"]]
+            out = [resize_any(p, width, height) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].values,
@@ -235,39 +358,289 @@ def sample_frames(assets: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int
 
 
 # ---------------------------------------------------------------------------
-# Oracle-checked query: metadata stats through the binary+mapInPandas path
+# Oracle-checked queries: the GENERIC asset lane with real-decoder
+# dispatch (r5 verdict task 3) — one mixed-format corpus, one kernel,
+# magic-byte routing to every real codec, fake fallback pinned too.
 # ---------------------------------------------------------------------------
+
+MIXED_FORMATS = ["bmp", "wav", "y4m", "png", "jpeg", "unknown"]
+
+
+def mixed_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A mixed-format media corpus derived from documents: doc_id % 6
+    selects the container (bmp/wav/y4m/png/jpeg, and an 'unknown' stripe
+    whose payload is the raw utf-8 text — no recognizable magic bytes).
+    Every real payload is synthesized by the engine's own encoders from
+    id-derived formulas, so decode results are SQL-restatable."""
+    from .transcode import synthesize_jpeg
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    asset_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    media_types = ["image", "audio", "video", "image", "image", "binary"]
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        makers = [
+            synthesize_bmp,
+            synthesize_wav,
+            synthesize_y4m,
+            synthesize_png,
+            synthesize_jpeg,
+            None,
+        ]
+        for pdf in batches:
+            ids, mts, payloads = [], [], []
+            for aid, text in zip(pdf["doc_id"], pdf["text"]):
+                stripe = int(aid) % 6
+                make = makers[stripe]
+                ids.append(int(aid))
+                mts.append(media_types[stripe])
+                payloads.append(
+                    make(int(aid)) if make else str(text).encode("utf-8")
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": mts, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(synth, asset_schema)
+
+
 @query(
     "media_asset_stats",
     oracle="""
-WITH assets AS (
-  SELECT doc_id AS asset_id,
-         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
-           AS media_type,
-         encode(text) AS payload
-  FROM documents
+WITH bmp AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 6 = 0
+),
+bmp_px AS (
+  SELECT doc_id, w, h, x.x, y.y,
+         (doc_id * 13 + x.x * 3 + y.y * 7) % 256 AS b,
+         (doc_id * 13 + x.x * 3 + y.y * 7 + 101) % 256 AS g,
+         (doc_id * 13 + x.x * 3 + y.y * 7 + 202) % 256 AS r
+  FROM bmp,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y
+),
+bmp_agg AS (
+  SELECT 'bmp' AS format, 'image' AS media_type,
+         COUNT(DISTINCT doc_id) AS n_assets,
+         CAST(COUNT(*) * 3 AS BIGINT) AS total_units,
+         CAST(SUM(b + g + r) AS BIGINT) AS total_values,
+         CAST(MAX(GREATEST(b, g, r)) AS BIGINT) AS max_peak
+  FROM bmp_px
+),
+wav AS (
+  SELECT doc_id, 256 + doc_id % 64 AS n
+  FROM documents WHERE doc_id % 6 = 1
+),
+wav_s AS (
+  SELECT doc_id, (doc_id * 31 + i.i * 7) % 65536 - 32768 AS x
+  FROM wav, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i
+),
+wav_agg AS (
+  SELECT 'wav' AS format, 'audio' AS media_type,
+         COUNT(DISTINCT doc_id) AS n_assets,
+         CAST(COUNT(*) AS BIGINT) AS total_units,
+         CAST(SUM(x * x) AS BIGINT) AS total_values,
+         CAST(MAX(ABS(x)) AS BIGINT) AS max_peak
+  FROM wav_s
+),
+y4m AS (
+  SELECT doc_id, 4 + 2 * (doc_id % 5) AS w, 4 + 2 * (doc_id % 3) AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id % 6 = 2
+),
+y4m_px AS (
+  SELECT doc_id,
+         (doc_id * 7 + t.t * 13 + y.y * 5 + x.x * 3) % 256 AS py,
+         (doc_id * 7 + t.t * 13 + y.y * 5 + x.x * 3 + 101) % 256 AS pu,
+         (doc_id * 7 + t.t * 13 + y.y * 5 + x.x * 3 + 202) % 256 AS pv
+  FROM y4m,
+       LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS t) t,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x
+),
+y4m_agg AS (
+  SELECT 'y4m' AS format, 'video' AS media_type,
+         COUNT(DISTINCT doc_id) AS n_assets,
+         CAST(COUNT(*) * 3 AS BIGINT) AS total_units,
+         CAST(SUM(py + pu + pv) AS BIGINT) AS total_values,
+         CAST(MAX(py) AS BIGINT) AS max_peak
+  FROM y4m_px
+),
+png AS (
+  SELECT doc_id, 6 + doc_id % 7 AS w, 3 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 6 = 3
+),
+png_px AS (
+  SELECT doc_id,
+         (doc_id * 17 + x.x * 5 + y.y * 11) % 256 AS r,
+         (doc_id * 17 + x.x * 5 + y.y * 11 + 29) % 256 AS g,
+         (doc_id * 17 + x.x * 5 + y.y * 11 + 58) % 256 AS b
+  FROM png,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y
+),
+png_agg AS (
+  SELECT 'png' AS format, 'image' AS media_type,
+         COUNT(DISTINCT doc_id) AS n_assets,
+         CAST(COUNT(*) * 3 AS BIGINT) AS total_units,
+         CAST(SUM(r + g + b) AS BIGINT) AS total_values,
+         CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS max_peak
+  FROM png_px
+),
+jp AS (
+  SELECT doc_id, (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+  FROM documents WHERE doc_id % 6 = 4
+),
+jp_c AS (
+  SELECT doc_id, nb, b.b AS blk,
+         (doc_id * 7 + b.b * 13) % 201 - 100 AS dc
+  FROM jp, LATERAL (SELECT unnest(generate_series(0, nb - 1)) AS b) b
+),
+jp_ac AS (
+  SELECT doc_id, blk,
+         CASE WHEN z.z <= 1 + (doc_id + blk) % 6
+              THEN (doc_id * 3 + blk * 5 + z.z * 17) % 21 - 10
+              ELSE 0 END AS v
+  FROM jp_c, LATERAL (SELECT unnest(generate_series(1, 63)) AS z) z
+),
+jp_agg AS (
+  SELECT 'jpeg' AS format, 'image' AS media_type,
+         (SELECT COUNT(*) FROM jp) AS n_assets,
+         CAST((SELECT SUM(nb) * 64 FROM jp) AS BIGINT) AS total_units,
+         CAST((SELECT SUM(ABS(dc)) FROM jp_c)
+              + (SELECT SUM(ABS(v)) FROM jp_ac) AS BIGINT) AS total_values,
+         CAST(GREATEST((SELECT MAX(ABS(dc)) FROM jp_c),
+                       (SELECT MAX(ABS(v)) FROM jp_ac)) AS BIGINT) AS max_peak
+),
+unk_agg AS (
+  SELECT 'unknown' AS format, 'binary' AS media_type,
+         COUNT(*) AS n_assets,
+         CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_units,
+         CAST(NULL AS BIGINT) AS total_values,
+         CAST(NULL AS BIGINT) AS max_peak
+  FROM documents WHERE doc_id % 6 = 5
 )
-SELECT media_type,
-       COUNT(*) AS n_assets,
-       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
-       CAST(SUM(octet_length(payload)) AS DOUBLE) / COUNT(*) AS avg_bytes,
-       MAX(octet_length(payload)) AS max_bytes
-FROM assets
-GROUP BY media_type
+SELECT * FROM bmp_agg UNION ALL SELECT * FROM wav_agg
+UNION ALL SELECT * FROM y4m_agg UNION ALL SELECT * FROM png_agg
+UNION ALL SELECT * FROM jp_agg UNION ALL SELECT * FROM unk_agg
 """,
-    tags=("multimodal",),
+    tags=("multimodal", "dispatch"),
 )
 def media_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-media-type size stats computed *through the binary decode
-    path*: payloads go binary → mapInPandas kernel (Arrow batches) →
-    aggregate. Verifies the multimodal plumbing end-to-end; the kernel is
-    the deterministic decode stub."""
-    feats = extract_features(assets_from_documents(spark, sf_dir))
-    return feats.groupBy("media_type").agg(
+    """The GENERIC asset lane end-to-end with REAL decoders: a
+    mixed-format corpus (real BMP/WAV/y4m/PNG/JPEG bytes plus an
+    unrecognizable utf-8 stripe) goes through ONE `extract_features`
+    kernel that routes each payload by magic bytes to the matching real
+    codec; per-format aggregate stats come back out. The oracle knows
+    nothing about any container — it recomputes every decoded unit from
+    the generator formulas in pure SQL — so a hash match proves the
+    dispatcher picked the right decoder for every payload and each
+    decoder bit-exactly recovered the encoded content. The 'unknown'
+    stripe pins the fallback: size-only features, NULL content stats."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the codec kernels")
+    feats = extract_features(mixed_assets_from_documents(spark, sf_dir))
+    return feats.groupBy("format", "media_type").agg(
         F.count(F.lit(1)).alias("n_assets"),
-        F.sum("n_bytes").alias("total_bytes"),
-        (F.sum("n_bytes").cast("double") / F.count(F.lit(1))).alias("avg_bytes"),
-        F.max("n_bytes").alias("max_bytes"),
+        F.sum("n_units").alias("total_units"),
+        F.sum("sum_values").alias("total_values"),
+        F.max("peak").alias("max_peak"),
+    )
+
+
+@query(
+    "generic_resize_stats",
+    oracle="""
+WITH bmp AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 6 = 0
+),
+bmp_px AS (
+  SELECT doc_id,
+         (doc_id * 13 + ((x.x * w) // 7) * 3 + ((y.y * h) // 5) * 7) % 256 AS b,
+         (doc_id * 13 + ((x.x * w) // 7) * 3 + ((y.y * h) // 5) * 7 + 101) % 256 AS g,
+         (doc_id * 13 + ((x.x * w) // 7) * 3 + ((y.y * h) // 5) * 7 + 202) % 256 AS r
+  FROM bmp,
+       LATERAL (SELECT unnest(generate_series(0, 6)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, 4)) AS y) y
+),
+bmp_agg AS (
+  SELECT 'bmp' AS format,
+         COUNT(DISTINCT doc_id) AS n_assets,
+         CAST(COUNT(*) * 3 AS BIGINT) AS total_units,
+         CAST(SUM(b + g + r) AS BIGINT) AS total_values,
+         CAST(MAX(GREATEST(b, g, r)) AS BIGINT) AS max_peak
+  FROM bmp_px
+),
+png AS (
+  SELECT doc_id, 6 + doc_id % 7 AS w, 3 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 6 = 3
+),
+png_px AS (
+  SELECT doc_id,
+         (doc_id * 17 + ((x.x * w) // 7) * 5 + ((y.y * h) // 5) * 11) % 256 AS r,
+         (doc_id * 17 + ((x.x * w) // 7) * 5 + ((y.y * h) // 5) * 11 + 29) % 256 AS g,
+         (doc_id * 17 + ((x.x * w) // 7) * 5 + ((y.y * h) // 5) * 11 + 58) % 256 AS b
+  FROM png,
+       LATERAL (SELECT unnest(generate_series(0, 6)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, 4)) AS y) y
+),
+png_agg AS (
+  SELECT 'png' AS format,
+         COUNT(DISTINCT doc_id) AS n_assets,
+         CAST(COUNT(*) * 3 AS BIGINT) AS total_units,
+         CAST(SUM(r + g + b) AS BIGINT) AS total_values,
+         CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS max_peak
+  FROM png_px
+),
+unk_agg AS (
+  SELECT 'unknown' AS format,
+         COUNT(*) AS n_assets,
+         CAST(COUNT(*) * 35 AS BIGINT) AS total_units,
+         CAST(NULL AS BIGINT) AS total_values,
+         CAST(NULL AS BIGINT) AS max_peak
+  FROM documents WHERE doc_id % 6 = 5
+)
+SELECT * FROM bmp_agg UNION ALL SELECT * FROM png_agg
+UNION ALL SELECT * FROM unk_agg
+""",
+    tags=("multimodal", "dispatch", "resize"),
+)
+def generic_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic RESIZE lane with real-kernel dispatch: mixed
+    BMP + PNG + unknown payloads go through ONE `resize_assets(7, 5)`
+    pass — BMP and PNG take their real nearest-neighbor kernels and
+    come out as valid (re-encoded) files of their own format; the
+    unknown stripe takes the fake byte-tiling fallback (7*5 = 35
+    bytes). The resized payloads are then re-decoded by the dispatching
+    feature kernel, and the oracle restates the nearest-neighbor index
+    map src = (dst*in) div out over both pixel formulas — a hash match
+    proves resize picked exactly the right source pixels AND the
+    re-encoded container round-tripped, per format."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the codec kernels")
+    assets = mixed_assets_from_documents(spark, sf_dir).filter(
+        (F.col("asset_id") % 6).isin(0, 3, 5)
+    )
+    resized = resize_assets(assets, 7, 5)
+    feats = extract_features(
+        resized.select(
+            "asset_id", F.lit("binary").alias("media_type"), "payload"
+        )
+    )
+    return feats.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_units").alias("total_units"),
+        F.sum("sum_values").alias("total_values"),
+        F.max("peak").alias("max_peak"),
     )
 
 

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Regenerate BENCH_scale_curve.json: run bench.py at sf0.1 (driver
+testdata) plus the key-shifted sf0.3 / sf1 replicas in scaledata/, and
+assemble the per-query scaling ratios. Each SF runs in a FRESH process
+so no JVM/page-cache state leaks between scale points.
+
+Usage: python scripts/bench_scale_curve.py [--repeat N] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIRS = {
+    "sf0.1": "/root/testdata/sf0.1",
+    "sf0.3": os.path.join(ROOT, "scaledata", "sf0.3"),
+    "sf1.0": os.path.join(ROOT, "scaledata", "sf1"),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument(
+        "--out", default=os.path.join(ROOT, "BENCH_scale_curve.json")
+    )
+    args = ap.parse_args()
+
+    runs = {}
+    for label, sf_dir in SF_DIRS.items():
+        if not os.path.isdir(sf_dir):
+            print(f"skip {label}: {sf_dir} absent", file=sys.stderr)
+            continue
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py"),
+             "--repeat", str(args.repeat)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        runs[label] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(f"{label}: {runs[label]['value']} s "
+              f"(normalized {runs[label]['value_normalized']} s, "
+              f"machine_factor {runs[label]['machine_factor']})",
+              file=sys.stderr)
+
+    lo, hi = runs.get("sf0.1"), runs.get("sf1.0")
+    ratios = {}
+    if lo and hi:
+        ratios = {
+            q: round(hi["queries"][q] / max(lo["queries"][q], 1e-9), 2)
+            for q in lo["queries"]
+        }
+    doc = {
+        "generated_by": (
+            "scripts/bench_scale_curve.py (sf0.3 = 3 and sf1 = 10 "
+            "key-shifted copies of the driver's sf0.1, via "
+            "scripts/gen_scale_data.py)"
+        ),
+        "harness": (
+            f"python bench.py --repeat {args.repeat} (best-of-N per "
+            "query, Arrow toPandas result materialization, fresh "
+            "process per SF; calib_* fields measure the machine)"
+        ),
+        "runs": runs,
+        "ratios_sf1_over_sf0.1": ratios,
+        "total_wall_ratio_sf1_over_sf0.1": (
+            round(hi["value"] / lo["value"], 2) if lo and hi else None
+        ),
+        "ingest_rows_per_sec": {
+            k: v.get("ingest_rows_per_sec") for k, v in runs.items()
+        },
+        "scan_rows_per_sec": {
+            k: v.get("scan_rows_per_sec") for k, v in runs.items()
+        },
+    }
+    with open(args.out, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

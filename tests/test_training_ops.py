@@ -110,7 +110,46 @@ def test_extract_features_batch_shape(spark):
     )
     rows = {r.asset_id: r for r in multimodal.extract_features(df).collect()}
     assert rows[1].n_bytes == 3 and rows[2].n_bytes == 4
-    assert 0.0 <= rows[1].brightness <= 1.0
+    # unrecognized payloads take the fallback: size-only features
+    assert rows[1].format == "unknown" and rows[1].sum_values is None
+
+
+def test_extract_features_dispatches_real_decoders(spark):
+    """Magic-byte routing: each real container decodes with its own
+    codec and the features equal a direct decoder call; an unknown
+    payload falls back to size-only features."""
+    from financial_arbitrage_data_pipeline_spark.operators.transcode import (
+        synthesize_jpeg, synthesize_ulaw_wav,
+    )
+
+    payloads = {
+        1: multimodal.synthesize_bmp(7),
+        2: multimodal.synthesize_png(11),
+        3: synthesize_jpeg(5),
+        4: multimodal.synthesize_wav(9),
+        5: multimodal.synthesize_y4m(3),
+        6: synthesize_ulaw_wav(4),  # RIFF but fmt tag 7: mu-law branch
+        7: b"not a media file",
+    }
+    df = spark.createDataFrame(
+        [(k, "x", v) for k, v in payloads.items()],
+        "asset_id long, media_type string, payload binary",
+    )
+    rows = {r.asset_id: r for r in multimodal.extract_features(df).collect()}
+    assert {rows[k].format for k in (1, 2, 3)} == {"bmp", "png", "jpeg"}
+    assert rows[4].format == "wav" and rows[6].format == "wav"
+    assert rows[5].format == "y4m" and rows[7].format == "unknown"
+    for aid, payload in payloads.items():
+        expect = multimodal.decode_features(payload)
+        got = rows[aid]
+        assert got.n_units == expect["n_units"], aid
+        assert got.sum_values == expect["sum_values"], aid
+        assert got.peak == expect["peak"], aid
+    # cross-check two formats against the raw decoders
+    d = multimodal.decode_bmp(payloads[1])
+    assert rows[1].sum_values == d["sum_b"] + d["sum_g"] + d["sum_r"]
+    w = multimodal.decode_wav_pcm(payloads[4])
+    assert (rows[4].n_units, rows[4].peak) == (w["n_samples"], w["peak_abs"])
 
 
 def test_fake_resize_output_size_contract():
@@ -126,6 +165,33 @@ def test_resize_assets_batch(spark):
     rows = {r.asset_id: r for r in multimodal.resize_assets(df, 4, 4).collect()}
     assert rows[1].n_bytes == 16 and rows[2].n_bytes == 16
     assert bytes(rows[1].payload) == (b"abc" * 6)[:16]
+
+
+def test_resize_assets_dispatches_real_kernels(spark):
+    """resize_any routes BMP/PNG to the real nearest-neighbor kernels
+    (output stays a valid file of the same format); unknown payloads
+    take the byte-tiling fake."""
+    bmp, png = multimodal.synthesize_bmp(4), multimodal.synthesize_png(8)
+    df = spark.createDataFrame(
+        [(1, bmp), (2, png), (3, b"zz")], "asset_id long, payload binary"
+    )
+    rows = {
+        r.asset_id: bytes(r.payload)
+        for r in multimodal.resize_assets(df, 5, 3).collect()
+    }
+    assert rows[1] == multimodal.resize_image(bmp, 5, 3)
+    assert rows[2] == multimodal.resize_png(png, 5, 3)
+    d1, d2 = multimodal.decode_bmp(rows[1]), multimodal.decode_png(rows[2])
+    assert (d1["width"], d1["height"]) == (5, 3)
+    assert (d2["width"], d2["height"]) == (5, 3)
+    # PNG resize picks pixels via src = (dst*in) div out on the formula
+    w_in, h_in = multimodal._png_dims(8)
+    expect = sum(
+        multimodal._png_pixel(8, (x * w_in) // 5, (y * h_in) // 3, c)
+        for x in range(5) for y in range(3) for c in range(3)
+    )
+    assert d2["sum_r"] + d2["sum_g"] + d2["sum_b"] == expect
+    assert rows[3] == multimodal.fake_resize(b"zz", 5, 3)
 
 
 def test_sample_frames_stride_arithmetic(spark):
