@@ -89,6 +89,98 @@ def streaming_ingest_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The same storage lane over the in-process Kafka STAND-IN (r5 task 8)
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_kafka_standin_ingest",
+    oracle="""
+SELECT CASE WHEN user_id % 2 = 0 THEN 'kalshi' ELSE 'polymarket' END AS source,
+       COUNT(*) AS n_snapshots,
+       COUNT(DISTINCT user_id) AS n_tickers,
+       MIN(epoch_us(ts)) AS min_ts_us,
+       MAX(epoch_us(ts)) AS max_ts_us,
+       CAST(SUM(epoch_us(ts) * 1000 + 1000000 - epoch_us(ts) * 1000) AS BIGINT)
+         AS total_transport_ns
+FROM events
+GROUP BY 1
+""",
+    tags=("S1", "T1", "T4", "K1", "streaming", "kafka-standin"),
+)
+def streaming_kafka_standin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`streaming_ingest_storage`-shape over the Kafka STAND-IN source
+    (`sources/kafka_standin.py`): the events fixture is PUBLISHED as
+    keyed JSON records into a partitioned append-only topic (same-key →
+    same-partition, like Kafka's default partitioner), the lane consumes
+    it through `kafka_standin_feed_stream` → `decode_feed_lines` →
+    enrich → partitioned sink, and the oracle recomputes the stats from
+    events directly. A hash match proves the full Kafka-shaped path —
+    per-partition offsets, JSON value decode, micro-batch boundaries —
+    lands every published record exactly once. (Publishing collects the
+    fixture driver-side: that is the BROKER stand-in's setup, the role a
+    real broker plays, not engine work; the consuming lane is fully
+    distributed.)"""
+    import json as _json
+
+    from ..sources import kafka_standin
+
+    root = _workdir()
+    try:
+        ev = ingest.load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        pdf = ev.toPandas()
+        records = [
+            (
+                str(int(u)),
+                _json.dumps(
+                    {
+                        "event_id": int(e),
+                        "ts_us": int(t),
+                        "user_id": int(u),
+                        "event_type": str(et),
+                        "value": float(v),
+                    },
+                    separators=(",", ":"),
+                ),
+            )
+            for e, t, u, et, v in zip(
+                pdf["event_id"], pdf["ts_us"], pdf["user_id"],
+                pdf["event_type"], pdf["value"],
+            )
+        ]
+        topic_dir = os.path.join(root, "topic")
+        kafka_standin.publish(topic_dir, records, n_partitions=4)
+        table_dir = os.path.join(root, "market_snapshot")
+        q = ingest.start_storage_lane(
+            ingest.enrich_snapshots(
+                ingest.kafka_standin_feed_stream(spark, topic_dir)
+            ),
+            table_dir,
+            os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+        snap = spark.read.parquet(table_dir)
+        return (
+            snap.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_snapshots"),
+                F.countDistinct("ticker").alias("n_tickers"),
+                F.min("ts_us").alias("min_ts_us"),
+                F.max("ts_us").alias("max_ts_us"),
+                F.sum(
+                    F.col("virginia_received_ns") - F.col("api_call_start_ns")
+                ).alias("total_transport_ns"),
+            )
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Trading lane: the continuous opportunity scan (T2/T3/F5 + J1/J2/F6/A7)
 # ---------------------------------------------------------------------------
 _STREAM_SCAN_ORACLE = f"""

@@ -1,0 +1,237 @@
+"""An in-process Kafka STAND-IN built on the Spark 4 Python DataSource
+API (VERDICT r5 task 8): a replayable, partitioned "topic" with the
+exact semantics the real `readStream.format("kafka")` path relies on —
+so the Kafka-shaped ingest lane (`decode_feed_lines` → enrich →
+bifurcate → sink) can be exercised end-to-end in a container that has
+neither the spark-sql-kafka jar nor a broker. The real
+`kafka_feed_stream` (classpath-gated) and the `KAFKA_BOOTSTRAP`-gated
+broker test remain for live environments; this module replaces neither,
+it removes the last untested gap between them and the file replay.
+
+Broker model (the part of Kafka that matters to Spark's source
+contract, `KafkaSourceProvider`-shaped):
+
+- A topic is a directory of APPEND-ONLY partition logs
+  `<log_dir>/p<k>.jsonl`, one JSON record per line.
+- The offset of a record is its line index within its partition log —
+  monotone, contiguous, immutable once written (appends only), exactly
+  Kafka's per-partition offset contract.
+- The stream reader's checkpoint offset is `{partition: next_line}`;
+  `latestOffset` re-scans the logs, so records published WHILE the
+  stream runs (or between restarts) are picked up.
+- Replay of any committed range re-reads the same lines → byte-exact
+  determinism, the property the exactly-once restart test pins.
+- NO per-trigger offset cap: Kafka's `maxOffsetsPerTrigger` is
+  engine-side connector machinery, and a Python `latestOffset` cannot
+  carry the pacing state reliably — Spark may instantiate several
+  reader objects for one query (observed: one receives initialOffset,
+  another the first latestOffset), so instance-local progress state
+  desynchronizes and produces NON-MONOTONE offsets → duplicate/lost
+  ranges. latestOffset is therefore a PURE function of the logs.
+  Backpressure for tests lives where it always did: the file-replay
+  lane's `maxFilesPerTrigger` (T8) and availableNow batching.
+
+Rows come out Kafka-shaped: (topic, partition, offset, key, value,
+timestamp_ms), with `value` the JSON line a real broker would carry;
+`kafka_standin_feed_stream` in `streaming/ingest.py` decodes values
+through the SAME `decode_feed_lines` as the Kafka and socket paths.
+
+Scale notes: one Spark task per topic-partition slice per micro-batch
+(partition-parallel like the real connector); reads are sequential
+line scans of only the [start, end) slice. The stand-in itself is a
+test/dev transport — at production scale the real connector takes over
+with the identical downstream plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+KAFKA_SHAPE_SCHEMA = (
+    "topic string, partition int, offset long, key string, "
+    "value string, timestamp_ms long"
+)
+
+
+def publish(
+    log_dir: str,
+    records: list[str | tuple[str | None, str]],
+    n_partitions: int = 3,
+) -> None:
+    """Append records to the topic logs. A record is a value string or a
+    (key, value) tuple; keyed records go to hash(key) % n_partitions
+    (Kafka's default partitioner shape, same-key → same-partition
+    ordering), unkeyed ones round-robin. Appends only — existing offsets
+    are never rewritten, which is what makes replay deterministic."""
+    os.makedirs(log_dir, exist_ok=True)
+    handles = {}
+    try:
+        rr = 0
+        for rec in records:
+            key, value = rec if isinstance(rec, tuple) else (None, rec)
+            if key is not None:
+                # stable across processes (unlike hash()): fnv-1a
+                h = 2166136261
+                for b in key.encode("utf-8"):
+                    h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+                p = h % n_partitions
+            else:
+                p = rr % n_partitions
+                rr += 1
+            if p not in handles:
+                handles[p] = open(
+                    os.path.join(log_dir, f"p{p}.jsonl"), "a", encoding="utf-8"
+                )
+            handles[p].write(
+                json.dumps({"key": key, "value": value}) + "\n"
+            )
+    finally:
+        for fh in handles.values():
+            fh.close()
+
+
+def _partition_files(log_dir: str) -> dict[int, str]:
+    out = {}
+    if os.path.isdir(log_dir):
+        for name in os.listdir(log_dir):
+            if name.startswith("p") and name.endswith(".jsonl"):
+                try:
+                    out[int(name[1:-6])] = os.path.join(log_dir, name)
+                except ValueError:
+                    continue
+    return out
+
+
+def _line_count(path: str) -> int:
+    n = 0
+    with open(path, "rb") as fh:
+        for _ in fh:
+            n += 1
+    return n
+
+
+@dataclass
+class _TopicSlice(InputPartition):
+    partition_id: int
+    path: str
+    start: int
+    end: int
+    topic: str
+
+
+def _read_slice(sl: _TopicSlice) -> Iterator[tuple]:
+    """Yield Kafka-shaped rows for lines [start, end) of one partition
+    log. Offsets are line indices; timestamp_ms comes from the record's
+    append position being unavailable in a plain file, so it is the
+    file's mtime floor — consumers that need event time parse it from
+    the value, exactly as the real ingest lane does."""
+    ts_ms = int(os.path.getmtime(sl.path) * 1000)
+    with open(sl.path, encoding="utf-8") as fh:
+        for i, line in enumerate(fh):
+            if i < sl.start:
+                continue
+            if i >= sl.end:
+                break
+            rec = json.loads(line)
+            yield (
+                sl.topic,
+                sl.partition_id,
+                i,
+                rec.get("key"),
+                rec.get("value"),
+                ts_ms,
+            )
+
+
+class _StandinBatchReader(DataSourceReader):
+    """Batch form: the whole topic as it stands (Kafka's batch read with
+    earliest→latest offsets)."""
+
+    def __init__(self, options: dict) -> None:
+        self.log_dir = options["path"]
+        self.topic = options.get("topic", "standin")
+
+    def partitions(self):
+        return [
+            _TopicSlice(p, path, 0, _line_count(path), self.topic)
+            for p, path in sorted(_partition_files(self.log_dir).items())
+        ]
+
+    def read(self, partition: _TopicSlice) -> Iterator[tuple]:
+        return _read_slice(partition)
+
+
+class _StandinStreamReader(DataSourceStreamReader):
+    """Stateless by design: every method is a pure function of the
+    option dict, the logs on disk, and Spark's own (start, end) offsets
+    — see the module docstring for why instance state is unsafe here."""
+
+    def __init__(self, options: dict) -> None:
+        self.log_dir = options["path"]
+        self.topic = options.get("topic", "standin")
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {str(p): 0 for p in sorted(_partition_files(self.log_dir))}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        # re-scan the logs so new appends (and wholly new partitions)
+        # become visible to the next micro-batch — the real source
+        # polling the broker's end offsets
+        return {
+            str(p): _line_count(path)
+            for p, path in sorted(_partition_files(self.log_dir).items())
+        }
+
+    def partitions(self, start: dict, end: dict):
+        files = _partition_files(self.log_dir)
+        out = []
+        for key, hi in end.items():
+            lo = int(start.get(key, 0))
+            hi = int(hi)
+            if hi > lo and int(key) in files:
+                out.append(
+                    _TopicSlice(int(key), files[int(key)], lo, hi, self.topic)
+                )
+        return out
+
+    def read(self, partition: _TopicSlice) -> Iterator[tuple]:
+        return _read_slice(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are line indices over append-only logs
+
+    def stop(self) -> None:
+        pass
+
+
+class KafkaStandinDataSource(DataSource):
+    """`spark.readStream.format("kafka_standin").option("path", dir)` —
+    and the batch `spark.read` form for catch-up jobs."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_standin"
+
+    def schema(self) -> str:
+        return KAFKA_SHAPE_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _StandinBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:  # noqa: N802
+        return _StandinStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the stand-in source on a session."""
+    spark.dataSource.register(KafkaStandinDataSource)

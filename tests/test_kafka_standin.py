@@ -1,0 +1,182 @@
+"""The in-process Kafka stand-in (`sources/kafka_standin.py`): the
+Kafka-shaped lane semantics — partitioned offsets, exactly-once restart
+over an append-only topic, per-key partition ordering, backpressure
+capping — proven in-container through the SAME `decode_feed_lines` →
+enrich → storage-sink lane the real `kafka_feed_stream` drives. The
+`KAFKA_BOOTSTRAP`-gated broker test in test_streaming.py remains the
+live-environment twin."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from financial_arbitrage_data_pipeline_spark.sources import kafka_standin
+from financial_arbitrage_data_pipeline_spark.streaming import ingest
+
+US = 1_000_000
+
+
+def _feed_rows(n, start=0):
+    return [
+        {
+            "event_id": i,
+            "ts_us": 1_700_000_000 * US + i * US,
+            "user_id": i % 7,
+            "event_type": ["click", "view", "purchase"][i % 3],
+            "value": (i % 97 + 1) / 100.0,
+        }
+        for i in range(start, start + n)
+    ]
+
+
+def _publish_rows(log_dir, rows, n_partitions=3):
+    kafka_standin.publish(
+        log_dir,
+        [(str(r["user_id"]), json.dumps(r)) for r in rows],
+        n_partitions=n_partitions,
+    )
+
+
+def test_batch_read_is_kafka_shaped(spark, tmp_path):
+    log = str(tmp_path / "topic")
+    _publish_rows(log, _feed_rows(30))
+    kafka_standin.register(spark)
+    df = spark.read.format("kafka_standin").option("path", log).load()
+    rows = df.collect()
+    assert len(rows) == 30
+    assert set(df.columns) == {
+        "topic", "partition", "offset", "key", "value", "timestamp_ms",
+    }
+    # offsets are contiguous per partition starting at 0
+    per_part = {}
+    for r in rows:
+        per_part.setdefault(r.partition, []).append(r.offset)
+    for offs in per_part.values():
+        assert sorted(offs) == list(range(len(offs)))
+    # same key -> same partition (the keyed-ordering contract)
+    key_parts = {}
+    for r in rows:
+        key_parts.setdefault(r.key, set()).add(r.partition)
+    assert all(len(ps) == 1 for ps in key_parts.values())
+
+
+def test_storage_lane_over_standin_is_exactly_once(spark, tmp_path):
+    """streaming_ingest_storage-shape over the stand-in: decode →
+    enrich → partitioned parquet sink; every published record lands
+    exactly once with the timing chain stamped, and a restart on the
+    same checkpoint after MORE records are published appends exactly
+    the new ones (offset replay, no duplication, no loss)."""
+    log = str(tmp_path / "topic")
+    out = str(tmp_path / "snap")
+    ck = str(tmp_path / "ckpt")
+    rows1 = _feed_rows(60)
+    _publish_rows(log, rows1)
+
+    def run_lane():
+        q = ingest.start_storage_lane(
+            ingest.enrich_snapshots(
+                ingest.kafka_standin_feed_stream(spark, log)
+            ),
+            out,
+            ck,
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    run_lane()
+    snap = spark.read.parquet(out)
+    assert snap.count() == 60
+    got_ids = {r.event_id for r in snap.collect()}
+    assert got_ids == {r["event_id"] for r in rows1}
+    # the serialized payload carries the decoded record (P1/P2 shape)
+    one = snap.filter(F.col("event_id") == 3).first()
+    assert json.loads(one.full_orderbook)["event_id"] == 3
+    # timing chain stamped like every other transport
+    assert snap.filter(
+        F.col("virginia_received_ns") <= F.col("api_call_start_ns")
+    ).count() == 0
+
+    # live-topic append + restart on the same checkpoint
+    rows2 = _feed_rows(25, start=60)
+    _publish_rows(log, rows2)
+    run_lane()
+    snap2 = spark.read.parquet(out)
+    assert snap2.count() == 85  # 60 old (not replayed) + 25 new
+    got_all = {r.event_id for r in snap2.collect()}
+    assert got_all == set(range(85))
+
+
+def test_live_appends_arrive_in_later_microbatches(spark, tmp_path):
+    """A continuously-running query picks up records published to the
+    topic WHILE it runs (latestOffset re-scans the logs per trigger),
+    and every record still lands exactly once — the live-broker shape
+    Kafka's end-offset polling provides."""
+    import time
+
+    log = str(tmp_path / "topic")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _publish_rows(log, _feed_rows(20), n_partitions=2)
+    sdf = ingest.kafka_standin_feed_stream(spark, log)
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def wait_rows(want, timeout=90.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= want:
+                    return True
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(0.3)
+        return False
+
+    try:
+        assert wait_rows(20)
+        _publish_rows(log, _feed_rows(15, start=20), n_partitions=2)
+        assert wait_rows(35)
+        _publish_rows(log, _feed_rows(5, start=35), n_partitions=2)
+        assert wait_rows(40)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    df = spark.read.parquet(out)
+    assert df.count() == 40
+    assert {r.event_id for r in df.collect()} == set(range(40))
+    # the drain spanned multiple committed micro-batches
+    commits = [
+        f
+        for f in os.listdir(os.path.join(ck, "commits"))
+        if not f.startswith(".")
+    ]
+    assert len(commits) >= 2
+
+
+def test_malformed_values_are_dropped_by_decode(spark, tmp_path):
+    log = str(tmp_path / "topic")
+    out = str(tmp_path / "out")
+    kafka_standin.publish(
+        log,
+        [json.dumps(r) for r in _feed_rows(10)]
+        + ["{not json", json.dumps({"wrong": "shape"})],
+        n_partitions=2,
+    )
+    sdf = ingest.kafka_standin_feed_stream(spark, log)
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 10
