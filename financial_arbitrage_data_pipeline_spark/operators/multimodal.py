@@ -357,6 +357,84 @@ def sample_frames(assets: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int
     return assets.select("asset_id", "payload").mapInPandas(kernel, FRAME_SCHEMA)
 
 
+def sample_frames_y4m(payload: bytes, stride: int = 2) -> bytes:
+    """REAL video frame sampling: demux the YUV4MPEG2 stream at its
+    actual FRAME boundaries, keep every `stride`-th frame, and re-emit a
+    VALID y4m stream with the original header — the kernel a training
+    pipeline runs before per-frame feature extraction. C444 only (the
+    synthesis format); plane size comes from the header's W/H tags."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    for tag in payload[:nl].decode("ascii", "replace").split()[1:]:
+        if tag.startswith("W"):
+            w = int(tag[1:])
+        elif tag.startswith("H"):
+            h = int(tag[1:])
+        elif tag.startswith("C") and tag[1:] != "444":
+            raise ValueError("only C444 supported by this kernel")
+    if not w or not h:
+        raise ValueError("missing W/H header tags")
+    frame_size = 3 * w * h
+    out = bytearray(payload[: nl + 1])
+    pos = nl + 1
+    idx = 0
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        body = payload[fnl + 1 : fnl + 1 + frame_size]
+        if len(body) < frame_size:
+            raise ValueError("truncated frame")
+        if idx % stride == 0:
+            out += b"FRAME\n" + body
+        pos = fnl + 1 + frame_size
+        idx += 1
+    return bytes(out)
+
+
+def fake_sample_frames(
+    payload: bytes, stride: int = 2, frame_bytes: int = FRAME_BYTES
+) -> bytes:
+    """Fallback frame sampling for unrecognized formats: the payload's
+    fixed-size byte windows stand in for frames; every `stride`-th
+    window is kept (concatenated). Output size is a pure function of
+    input size — the contract partition sizing depends on."""
+    return b"".join(
+        payload[i : i + frame_bytes]
+        for i in range(0, len(payload), frame_bytes * stride)
+    )
+
+
+def sample_assets(assets: DataFrame, stride: int = 2) -> DataFrame:
+    """mapInPandas frame sampling with magic-byte dispatch: y4m payloads
+    take the REAL demux-and-keep-every-Nth kernel (output stays a valid
+    y4m stream that re-enters any decode lane); unrecognized payloads
+    take the byte-window fallback. Binary in → binary out, composable
+    with `extract_features` exactly like `resize_assets`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                sample_frames_y4m(p, stride)
+                if sniff_media_format(p) == "y4m"
+                else fake_sample_frames(p, stride)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "payload": out,
+                    "n_bytes": [len(p) for p in out],
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        kernel, RESIZED_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked queries: the GENERIC asset lane with real-decoder
 # dispatch (r5 verdict task 3) — one mixed-format corpus, one kernel,
@@ -549,6 +627,86 @@ def media_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise NotImplementedError("numpy required for the codec kernels")
     feats = extract_features(mixed_assets_from_documents(spark, sf_dir))
     return feats.groupBy("format", "media_type").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_units").alias("total_units"),
+        F.sum("sum_values").alias("total_values"),
+        F.max("peak").alias("max_peak"),
+    )
+
+
+@query(
+    "video_frame_sample_stats",
+    oracle="""
+WITH y4m AS (
+  SELECT doc_id, 4 + 2 * (doc_id % 5) AS w, 4 + 2 * (doc_id % 3) AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id % 6 = 2
+),
+samp AS (
+  SELECT doc_id, w, h, t.t AS t
+  FROM y4m, LATERAL (SELECT unnest(generate_series(0, nf - 1, 2)) AS t) t
+),
+px AS (
+  SELECT doc_id,
+         (doc_id * 7 + t * 13 + y.y * 5 + x.x * 3) % 256 AS py,
+         (doc_id * 7 + t * 13 + y.y * 5 + x.x * 3 + 101) % 256 AS pu,
+         (doc_id * 7 + t * 13 + y.y * 5 + x.x * 3 + 202) % 256 AS pv
+  FROM samp,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x
+),
+y4m_agg AS (
+  SELECT 'y4m' AS format,
+         COUNT(DISTINCT doc_id) AS n_assets,
+         CAST(COUNT(*) * 3 AS BIGINT) AS total_units,
+         CAST(SUM(py + pu + pv) AS BIGINT) AS total_values,
+         CAST(MAX(py) AS BIGINT) AS max_peak
+  FROM px
+),
+unk AS (
+  SELECT doc_id, octet_length(encode(text)) AS len
+  FROM documents WHERE doc_id % 6 = 5
+),
+wins AS (
+  SELECT doc_id, LEAST(64, len - 64 * w.w) AS kept
+  FROM unk,
+       LATERAL (SELECT unnest(
+         generate_series(0, (len + 63) // 64 - 1, 2)) AS w) w
+),
+unk_agg AS (
+  SELECT 'unknown' AS format,
+         COUNT(DISTINCT doc_id) AS n_assets,
+         CAST(SUM(kept) AS BIGINT) AS total_units,
+         CAST(NULL AS BIGINT) AS total_values,
+         CAST(NULL AS BIGINT) AS max_peak
+  FROM wins
+)
+SELECT * FROM y4m_agg UNION ALL SELECT * FROM unk_agg
+""",
+    tags=("multimodal", "dispatch", "frames"),
+)
+def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic FRAME-SAMPLING lane with real-kernel dispatch: y4m
+    payloads are demuxed at their actual FRAME boundaries, every 2nd
+    frame kept, and re-emitted as VALID y4m; unknown payloads take the
+    byte-window fallback. The sampled payloads then re-enter the
+    dispatching feature kernel, and the oracle restates the sampled
+    frames' plane sums straight from the generator formula (frames
+    t = 0, 2, ... only) — a hash match proves the sampler cut at the
+    right frame boundaries, kept exactly the right frames, and
+    re-encoded a stream the decoder bit-exactly recovers."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the codec kernels")
+    assets = mixed_assets_from_documents(spark, sf_dir).filter(
+        (F.col("asset_id") % 6).isin(2, 5)
+    )
+    sampled = sample_assets(assets, stride=2)
+    feats = extract_features(
+        sampled.select(
+            "asset_id", F.lit("binary").alias("media_type"), "payload"
+        )
+    )
+    return feats.groupBy("format").agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum("n_units").alias("total_units"),
         F.sum("sum_values").alias("total_values"),

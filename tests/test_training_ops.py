@@ -194,6 +194,42 @@ def test_resize_assets_dispatches_real_kernels(spark):
     assert rows[3] == multimodal.fake_resize(b"zz", 5, 3)
 
 
+def test_sample_frames_y4m_cuts_at_real_frame_boundaries():
+    """Real y4m sampling: output is a valid y4m stream holding exactly
+    frames 0, stride, 2*stride... of the input, bit-identical planes."""
+    src = multimodal.synthesize_y4m(9)  # 4+2*(9%5)=12 wide... nf=2+9%4=3
+    out = multimodal.sample_frames_y4m(src, stride=2)
+    d_in, d_out = multimodal.decode_y4m(src), multimodal.decode_y4m(out)
+    assert (d_out["width"], d_out["height"]) == (d_in["width"], d_in["height"])
+    assert d_out["n_frames"] == (d_in["n_frames"] + 1) // 2
+    # content check: sampled sums equal the formula over frames {0, 2}
+    w, h, nf = multimodal._y4m_dims(9)
+    expect_y = sum(
+        int(multimodal._y4m_pixel(9, t, x, y, 0))
+        for t in range(0, nf, 2) for y in range(h) for x in range(w)
+    )
+    assert d_out["sum_y"] == expect_y
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.sample_frames_y4m(b"not a stream", 2)
+
+
+def test_sample_assets_dispatch_and_fallback(spark):
+    y4m = multimodal.synthesize_y4m(5)
+    blob = bytes(range(200))
+    df = spark.createDataFrame(
+        [(1, y4m), (2, blob)], "asset_id long, payload binary"
+    )
+    rows = {
+        r.asset_id: bytes(r.payload)
+        for r in multimodal.sample_assets(df, stride=2).collect()
+    }
+    assert rows[1] == multimodal.sample_frames_y4m(y4m, 2)
+    # fallback: every 2nd 64-byte window, concatenated
+    assert rows[2] == blob[0:64] + blob[128:192]
+
+
 def test_sample_frames_stride_arithmetic(spark):
     payload = bytes(range(200))  # 4 frames of 64 (last=8 bytes)
     df = spark.createDataFrame([(1, payload)], "asset_id long, payload binary")
