@@ -348,6 +348,109 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_oracle(n_planes: int, dim: int) -> str:
+    """Both retrieval paths restated in one DuckDB query: the exact
+    brute-force top-k and the LSH-bucketed top-k (same bucket
+    construction as `_lsh_oracle`), joined to count per-query hits."""
+    weights = plane_weights(n_planes, dim)
+    cosine = (
+        "CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) *"
+        " sqrt(CAST(nb.nsq AS DOUBLE)))"
+    )
+    return f"""
+WITH {_QUANT_SQL},
+exact_dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+exact_topk AS (
+  SELECT query_id, cand_id FROM (
+    SELECT d.query_id, d.cand_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id
+                              ORDER BY {cosine} DESC, d.cand_id) AS rn
+    FROM exact_dots d
+    JOIN norms na ON na.vec_id = d.query_id
+    JOIN norms nb ON nb.vec_id = d.cand_id
+  ) WHERE rn <= {TOPK}
+),
+pdots AS (
+  SELECT qe.vec_id, pw.p, CAST(SUM(qe.q * pw.w) AS BIGINT) AS d
+  FROM qe JOIN {_weights_values_sql(weights)} ON pw.i = qe.i - 1
+  GROUP BY qe.vec_id, pw.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM pdots GROUP BY vec_id
+),
+lsh_dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM qe a
+  JOIN buckets ba ON ba.vec_id = a.vec_id AND a.vec_id < {N_QUERIES}
+  JOIN buckets bb ON bb.bucket = ba.bucket AND bb.vec_id <> a.vec_id
+  JOIN qe b ON b.vec_id = bb.vec_id AND b.i = a.i
+  GROUP BY a.vec_id, b.vec_id
+),
+lsh_topk AS (
+  SELECT query_id, cand_id FROM (
+    SELECT d.query_id, d.cand_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id
+                              ORDER BY {cosine} DESC, d.cand_id) AS rn
+    FROM lsh_dots d
+    JOIN norms na ON na.vec_id = d.query_id
+    JOIN norms nb ON nb.vec_id = d.cand_id
+  ) WHERE rn <= {TOPK}
+)
+SELECT e.query_id,
+       CAST(COUNT(l.cand_id) AS BIGINT) AS n_hits,
+       CAST({TOPK} AS BIGINT) AS k,
+       COUNT(l.cand_id) / {TOPK}.0 AS recall
+FROM exact_topk e
+LEFT JOIN lsh_topk l ON l.query_id = e.query_id AND l.cand_id = e.cand_id
+GROUP BY e.query_id
+"""
+
+
+@query(
+    "ann_recall_at_k",
+    oracle=_recall_oracle(LSH_PLANES, 64),
+    tags=("similarity-ann-recall",),
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metric an ANN user actually tunes against: per-query
+    recall@K of the LSH-bucketed path measured against the exact
+    brute-force top-k — |topk_exact ∩ topk_lsh| / K, integer hit counts
+    so the gate is an exact hash match. 'Measure, don't guess': the
+    bucket/plane knobs (LSH_PLANES, multi-probe) trade this number
+    against the candidate-count reduction the dedup curve records; on a
+    real corpus this query IS the tuning loop, run on a sample before
+    committing a bucketing to the full 100 TB scan."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = ann_lsh_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"], "inner")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.lit(TOPK).cast("long").alias("k"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(TOPK))
+            ).alias("recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF coarse quantizer training: mini-KMeans (Lloyd) with exact parity
 # ---------------------------------------------------------------------------

@@ -189,9 +189,9 @@ def read_merge_table(spark: SparkSession, target_dir: str) -> DataFrame:
     """Read a merge target in user-schema form (bucket column dropped).
     Runs crash recovery first so a reader after a mid-merge crash sees
     exactly the last COMMITTED state (uncommitted bucket swaps rolled
-    back, committed-but-unfinished merges rolled forward)."""
-    if _bucketed_n(target_dir) is not None:
-        recover_merge_table(target_dir)
+    back, committed-but-unfinished merges rolled forward, a crashed
+    whole-table swap's parked layout restored)."""
+    recover_merge_table(target_dir)
     df = spark.read.parquet(target_dir)
     return df.drop("__bucket__") if "__bucket__" in df.columns else df
 
@@ -253,6 +253,13 @@ def recover_merge_table(
                 return  # a racer claimed it; treat as live until it acts
         elif not ignore_lock:
             return  # live writer owns the pending state; do not touch it
+    # whole-table swap crash (full rewrite / rebucket): the old layout
+    # was renamed aside but the new one never landed — restore it
+    whole_old = target_dir.rstrip("/") + ".__merge_old__"
+    if os.path.exists(whole_old) and not os.path.exists(target_dir):
+        os.rename(whole_old, target_dir)
+    if not os.path.isdir(target_dir):
+        return  # nothing on disk to recover
     pending_p = os.path.join(target_dir, _PENDING_FILE)
     commit_p = os.path.join(target_dir, _COMMIT_FILE)
     tmp = target_dir.rstrip("/") + ".__merge_tmp__"
@@ -570,6 +577,65 @@ def _merge_full_rewrite(
     os.rename(target_dir, old)
     os.rename(tmp, target_dir)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def rebucket_merge_table(
+    spark: SparkSession, target_dir: str, key: str, n_buckets: int
+) -> None:
+    """Maintenance op for table GROWTH (the docstring note above —
+    'on a 100 TB table you would raise n_buckets so each bucket is a
+    few GB' — made executable): rewrite the bucketed layout under a new
+    modulus. Holds the single-writer lock (concurrent merges fail
+    loudly, crashed holders self-clear); runs crash recovery first; the
+    swap is the same two-rename protocol as the full rewrite (new layout
+    fully materialized in `.__merge_tmp__`, old layout parked at
+    `.__merge_old__`), and `recover_merge_table` restores the old layout
+    if the process dies between the renames — readers never see a
+    missing or half-written table. Root metadata files (applied-batch
+    markers, the last commit manifest) are carried into the new layout,
+    so streaming upserters keep their exactly-once anchor across the
+    re-bucketing. Cost is one full-table read+write — the same as
+    Delta/Iceberg OPTIMIZE-style rewrites — after which every MERGE is
+    again proportional to touched buckets at the new granularity."""
+    _acquire_merge_lock(target_dir)
+    try:
+        recover_merge_table(target_dir, ignore_lock=True)
+        if _bucketed_n(target_dir) is None:
+            raise ValueError(
+                f"{target_dir} is not a bucketed merge table (no "
+                f"{_N_BUCKETS_FILE} marker); use create_bucketed_table"
+            )
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        df = spark.read.parquet(target_dir)
+        data = df.drop("__bucket__") if "__bucket__" in df.columns else df
+        tmp = target_dir.rstrip("/") + ".__merge_tmp__"
+        old = target_dir.rstrip("/") + ".__merge_old__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            data.withColumn("__bucket__", _bucket_of(F.col(key), n_buckets))
+            .repartition("__bucket__")
+            .write.mode("overwrite")
+            .partitionBy("__bucket__")
+            .parquet(tmp)
+        )
+        # carry root metadata into the new layout; _n_buckets is
+        # rewritten with the new modulus, Spark's _SUCCESS is tmp's own
+        for entry in os.listdir(target_dir):
+            p = os.path.join(target_dir, entry)
+            if (
+                os.path.isfile(p)
+                and entry not in (_N_BUCKETS_FILE, "_SUCCESS")
+                and not entry.startswith(".")
+            ):
+                shutil.copy2(p, os.path.join(tmp, entry))
+        with open(os.path.join(tmp, _N_BUCKETS_FILE), "w") as fh:
+            fh.write(str(n_buckets))
+        os.rename(target_dir, old)
+        os.rename(tmp, target_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        _release_merge_lock(target_dir)
 
 
 def apply_fills(

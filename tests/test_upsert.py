@@ -684,3 +684,97 @@ def test_lock_released_when_merge_fails_midway(spark, tmp_path):
     U.merge_into_parquet(spark, target, updates, "k", {"v": F.col("u.v")})
     got = {r.k: r.v for r in U.read_merge_table(spark, target).collect()}
     assert got == {1: 11, 2: 21, 3: 31, 4: 41}
+
+
+def test_rebucket_preserves_data_and_changes_modulus(spark, tmp_path):
+    """rebucket_merge_table: data byte-identical, new modulus effective
+    (bucket dirs match pmod(xxhash64(key), new_n)), root metadata
+    (applied-batch marker) carried over, and merges after the rebucket
+    land correctly at the new granularity."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "k long, v long"
+    )
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=4)
+    U._install_root_files(target, {"_last_applied_batch": "7"})
+
+    U.rebucket_merge_table(spark, target, "k", n_buckets=16)
+
+    assert U._bucketed_n(target) == 16
+    with open(os.path.join(target, "_last_applied_batch")) as fh:
+        assert fh.read() == "7"
+    got = {r.k: r.v for r in U.read_merge_table(spark, target).collect()}
+    assert got == {i: i * 10 for i in range(50)}
+    # layout really uses the new modulus
+    df = spark.read.parquet(target)
+    mism = df.filter(
+        F.col("__bucket__")
+        != F.pmod(F.xxhash64(F.col("k")), F.lit(16)).cast("int")
+    )
+    assert mism.count() == 0
+    # lock released; merge at the new granularity works
+    assert not os.path.exists(U._lock_path(target))
+    updates = spark.createDataFrame([(3, 999)], "k long, v long")
+    U.merge_into_parquet(spark, target, updates, "k", {"v": F.col("u.v")})
+    got = {r.k: r.v for r in U.read_merge_table(spark, target).collect()}
+    assert got[3] == 999 and got[4] == 40
+
+
+def test_rebucket_crash_between_renames_is_recoverable(spark, tmp_path):
+    """If the process dies after parking the old layout but before the
+    new one lands, a plain reader restores the parked layout — no data
+    loss, no missing table."""
+    import os
+    import shutil
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=4)
+
+    # simulate the crash window: old parked, target gone, tmp half-baked
+    old = target + ".__merge_old__"
+    os.rename(target, old)
+    os.makedirs(target + ".__merge_tmp__", exist_ok=True)
+
+    got = {r.k: r.v for r in U.read_merge_table(spark, target).collect()}
+    assert got == {1: 10, 2: 20}
+    assert not os.path.exists(old)
+    # the stale tmp is swept by the next merge/rebucket, not by readers
+    U.rebucket_merge_table(spark, target, "k", n_buckets=8)
+    assert U._bucketed_n(target) == 8
+    got = {r.k: r.v for r in U.read_merge_table(spark, target).collect()}
+    assert got == {1: 10, 2: 20}
+
+
+def test_rebucket_rejects_unbucketed_and_concurrent_writer(spark, tmp_path):
+    import json
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    plain = str(tmp_path / "plain")
+    spark.createDataFrame([(1, 1)], "k long, v long").write.parquet(plain)
+    with _pytest.raises(ValueError, match="not a bucketed merge table"):
+        U.rebucket_merge_table(spark, plain, "k", 8)
+
+    target = str(tmp_path / "t")
+    U.create_bucketed_table(
+        spark, target,
+        spark.createDataFrame([(1, 1)], "k long, v long"), "k", n_buckets=2,
+    )
+    with open(U._lock_path(target), "w") as fh:
+        json.dump({"pid": os.getppid(), "host": "test"}, fh)
+    with _pytest.raises(U.ConcurrentMergeError):
+        U.rebucket_merge_table(spark, target, "k", 8)
+    os.remove(U._lock_path(target))
