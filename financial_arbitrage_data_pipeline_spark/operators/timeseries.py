@@ -598,3 +598,137 @@ def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_events") * F.col("total_cents")).cast("double")
         ).alias("seasonality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average price (interval-weighted, integer-exact)
+# ---------------------------------------------------------------------------
+@query(
+    "twap_per_ticker",
+    oracle="""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+d AS (
+  SELECT user_id, cents,
+         LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           - ts_us AS dur_us
+  FROM c
+),
+s AS (
+  SELECT user_id,
+         SUM(CAST(cents AS HUGEINT) * dur_us) AS num,
+         SUM(CAST(dur_us AS HUGEINT)) AS den,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals
+  FROM d WHERE dur_us IS NOT NULL AND dur_us > 0
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(num // den AS BIGINT) AS twap_cents,
+       CAST(den AS BIGINT) AS total_dur_us,
+       n_intervals
+FROM s
+""",
+    tags=("A2", "finance", "W3"),
+)
+def twap_per_ticker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per ticker — the execution benchmark
+    next to VWAP (`book_vwap_fill`): each quote weighted by how long it
+    was the standing price (lead(ts) - ts), not by traded size. The
+    reference keeps only the latest quote per key
+    (`virginia/logic/opportunity_scanner.py:190-191`) so its users
+    compute TWAP downstream; here it is one declared pass. Zero-duration
+    intervals (same-µs requotes) carry no weight and are excluded, as is
+    the final standing quote (no close-out timestamp exists in the
+    data — a real TWAP would extend it to the window end).
+
+    Exactness: cents×µs products summed in decimal(38,0) (int64 would
+    overflow at ~10^18: 10^5 cents × 10^12 µs × 10 rows) and one
+    integral divide — DuckDB `//` floors, Spark `div` truncates,
+    identical on these non-negative sums. Plan: one keyed sort-shuffle
+    for the lead window, then a partial-aggregated groupBy on the SAME
+    key — Catalyst reuses the window exchange, so the whole query is a
+    single shuffle."""
+    c = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = c.select(
+        "user_id",
+        "cents",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    s = d.groupBy("user_id").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dur_us")).alias("num"),
+        F.sum(F.col("dur_us").cast("decimal(38,0)")).alias("den"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )
+    return s.select(
+        "user_id",
+        F.expr("cast(num div den as bigint)").alias("twap_cents"),
+        F.col("den").cast("long").alias("total_dur_us"),
+        "n_intervals",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Realized variance (sum of squared successive moves, integer-exact)
+# ---------------------------------------------------------------------------
+@query(
+    "realized_variance",
+    oracle="""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+d AS (
+  SELECT user_id,
+         cents - LAG(cents) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS move
+  FROM c
+)
+SELECT user_id,
+       CAST(SUM(move * move) AS BIGINT) AS rv_cents2,
+       CAST(MAX(ABS(move)) AS BIGINT) AS max_abs_move_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_moves
+FROM d WHERE move IS NOT NULL
+GROUP BY user_id
+""",
+    tags=("A2", "finance", "W3"),
+)
+def realized_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized variance per ticker: the sum of squared successive quote
+    moves — the standard high-frequency volatility estimator (sum of
+    squared returns, here in absolute cents so every term is integer)
+    plus the largest single move as the jump flag. Pairs with
+    max_drawdown_per_ticker: drawdown is the path risk, realized
+    variance the local one. Squared cent moves are ≤ (2×10^5)² = 4×10^10
+    per term — int64-safe to ~2×10^8 moves per key, far past any
+    per-ticker quote count. Plan: same single keyed sort-shuffle shape
+    as twap_per_ticker — lag window then groupBy on the window key."""
+    c = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = c.select(
+        "user_id",
+        (F.col("cents") - F.lag("cents").over(w)).alias("move"),
+    ).filter(F.col("move").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.sum(F.col("move") * F.col("move")).alias("rv_cents2"),
+        F.max(F.abs("move")).alias("max_abs_move_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_moves"),
+    )
