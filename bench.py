@@ -117,20 +117,43 @@ def main() -> None:
 
     calib = _calibrate(spark)
 
+    import statistics
+
+    # Adaptive repeats (VERDICT r6 task 3): the n=2 best-of harness
+    # recorded per-query stddevs larger than the walls it measured
+    # (minhash_lsh_dedup 3.80 s). A query whose spread exceeds
+    # SPREAD_TARGET of its median keeps re-running (to MAX_RUNS) until
+    # the median is interpretable; median+MAD are reported alongside
+    # best so a reader can tell signal from scheduler noise.
+    SPREAD_TARGET = 0.20
+    MAX_RUNS = 7
+
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
     for name in names:
         spec = REGISTRY[name]
         runs: list[float] = []
-        for _ in range(max(1, args.repeat)):
+
+        def one_run() -> None:
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
+
+        for _ in range(max(1, args.repeat)):
+            one_run()
+        med = statistics.median(runs)
+        mad = statistics.median(abs(r - med) for r in runs)
+        while len(runs) < MAX_RUNS and mad > SPREAD_TARGET * med:
+            one_run()
+            med = statistics.median(runs)
+            mad = statistics.median(abs(r - med) for r in runs)
         timings[name] = round(min(runs), 4)
         mean = sum(runs) / len(runs)
         sd = (sum((r - mean) ** 2 for r in runs) / len(runs)) ** 0.5
         spreads[name] = {
             "mean": round(mean, 4),
+            "median": round(med, 4),
+            "mad": round(mad, 4),
             "stddev": round(sd, 4),
             "n": len(runs),
         }

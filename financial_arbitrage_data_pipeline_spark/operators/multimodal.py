@@ -121,9 +121,26 @@ def decode_features(payload: bytes) -> dict:
 
     Unrecognized payloads take the documented fake fallback with
     n_units = n_bytes and NULL content stats — size-only features, never
-    fabricated decode output."""
-    fmt = sniff_media_format(payload)
+    fabricated decode output. A payload whose magic bytes MATCH a real
+    decoder but whose body does not parse (an utf-8 doc starting with
+    'BM', a y4m colorspace the decoder doesn't speak) takes the SAME
+    fallback instead of failing the whole Arrow batch (ADVICE r6): the
+    sniff is a routing hint, not a validity proof."""
     n_bytes = len(payload)
+    try:
+        return _decode_features_strict(payload, n_bytes)
+    except (ValueError, IndexError, zlib.error):
+        return {
+            "format": "unknown",
+            "n_bytes": n_bytes,
+            "n_units": n_bytes,
+            "sum_values": None,
+            "peak": None,
+        }
+
+
+def _decode_features_strict(payload: bytes, n_bytes: int) -> dict:
+    fmt = sniff_media_format(payload)
     if fmt in ("bmp", "png"):
         d = decode_bmp(payload) if fmt == "bmp" else decode_png(payload)
         return {
@@ -283,12 +300,17 @@ def resize_png(payload: bytes, width: int, height: int) -> bytes:
 def resize_any(payload: bytes, width: int, height: int) -> bytes:
     """Magic-byte dispatch for the generic resize lane: BMP and PNG run
     the real nearest-neighbor kernels (and stay valid files of their own
-    format); unrecognized payloads take the documented fake fallback."""
+    format); unrecognized payloads take the documented fake fallback —
+    as does a payload whose sniffed body fails to parse (ADVICE r6: one
+    mis-sniffed payload must not fail the Arrow batch)."""
     fmt = sniff_media_format(payload)
-    if fmt == "bmp":
-        return resize_image(payload, width, height)
-    if fmt == "png":
-        return resize_png(payload, width, height)
+    try:
+        if fmt == "bmp":
+            return resize_image(payload, width, height)
+        if fmt == "png":
+            return resize_png(payload, width, height)
+    except ValueError:
+        pass
     return fake_resize(payload, width, height)
 
 
@@ -411,17 +433,22 @@ def sample_assets(assets: DataFrame, stride: int = 2) -> DataFrame:
     """mapInPandas frame sampling with magic-byte dispatch: y4m payloads
     take the REAL demux-and-keep-every-Nth kernel (output stays a valid
     y4m stream that re-enters any decode lane); unrecognized payloads
-    take the byte-window fallback. Binary in → binary out, composable
-    with `extract_features` exactly like `resize_assets`."""
+    take the byte-window fallback — as does a sniffed-y4m payload whose
+    body fails to demux (non-C444, truncated: ADVICE r6). Binary in →
+    binary out, composable with `extract_features` exactly like
+    `resize_assets`."""
+
+    def sample_one(p: bytes) -> bytes:
+        if sniff_media_format(p) == "y4m":
+            try:
+                return sample_frames_y4m(p, stride)
+            except ValueError:
+                pass
+        return fake_sample_frames(p, stride)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [
-                sample_frames_y4m(p, stride)
-                if sniff_media_format(p) == "y4m"
-                else fake_sample_frames(p, stride)
-                for p in pdf["payload"]
-            ]
+            out = [sample_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].values,

@@ -242,6 +242,7 @@ def recover_merge_table(
     Idempotent and cheap (pure filesystem metadata ops), so callers run
     it before reading the applied-batch marker and before every merge."""
     lock_p = _lock_path(target_dir)
+    we_hold = False
     if os.path.exists(lock_p):
         if break_lock:
             try:
@@ -251,8 +252,37 @@ def recover_merge_table(
         elif _lock_owner_dead(lock_p):
             if not _reclaim_stale_lock(lock_p) and not ignore_lock:
                 return  # a racer claimed it; treat as live until it acts
+            if not ignore_lock:
+                # Reclaim + recover must be ATOMIC w.r.t. new writers
+                # (ADVICE r6): hold the writer lock through recovery,
+                # else a writer acquiring the just-freed lock could
+                # start a merge whose LIVE _merge_pending this reader
+                # would then roll back mid-flight.
+                try:
+                    fd = os.open(lock_p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    return  # a new writer got in first; it owns recovery
+                with os.fdopen(fd, "w") as fh:
+                    json.dump(
+                        {"pid": os.getpid(), "host": os.uname().nodename}, fh
+                    )
+                we_hold = True
         elif not ignore_lock:
             return  # live writer owns the pending state; do not touch it
+    try:
+        _recover_unlocked(target_dir)
+    finally:
+        if we_hold:
+            try:
+                os.remove(lock_p)
+            except FileNotFoundError:  # pragma: no cover - raced release
+                pass
+
+
+def _recover_unlocked(target_dir: str) -> None:
+    """The recovery state machine proper — callers must either hold the
+    writer lock or have established that no live writer exists (see
+    recover_merge_table's lock discipline)."""
     # whole-table swap crash (full rewrite / rebucket): the old layout
     # was renamed aside but the new one never landed — restore it
     whole_old = target_dir.rstrip("/") + ".__merge_old__"
@@ -612,6 +642,14 @@ def rebucket_merge_table(
         tmp = target_dir.rstrip("/") + ".__merge_tmp__"
         old = target_dir.rstrip("/") + ".__merge_old__"
         shutil.rmtree(tmp, ignore_errors=True)
+        # Crash-retry safety (ADVICE r6): a prior rewrite that died after
+        # its second rename but before rmtree(old) leaves a stale
+        # non-empty .__merge_old__ next to a LIVE target — recovery only
+        # restores it when the target is missing, so without this sweep
+        # the os.rename(target_dir, old) below would raise ENOTEMPTY on
+        # every retry. Mirrors _merge_full_rewrite's pre-swap cleanup.
+        if os.path.exists(old) and os.path.exists(target_dir):
+            shutil.rmtree(old, ignore_errors=True)
         (
             data.withColumn("__bucket__", _bucket_of(F.col(key), n_buckets))
             .repartition("__bucket__")

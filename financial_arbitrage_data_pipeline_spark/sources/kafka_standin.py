@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -67,13 +68,22 @@ def publish(
     log_dir: str,
     records: list[str | tuple[str | None, str]],
     n_partitions: int = 3,
+    ts_ms: int | None = None,
 ) -> None:
     """Append records to the topic logs. A record is a value string or a
     (key, value) tuple; keyed records go to hash(key) % n_partitions
     (Kafka's default partitioner shape, same-key → same-partition
     ordering), unkeyed ones round-robin. Appends only — existing offsets
-    are never rewritten, which is what makes replay deterministic."""
+    are never rewritten, which is what makes replay deterministic.
+
+    The broker stamps LogAppendTime ONCE at append (`ts_ms`, wall clock
+    unless the test pins one) and stores it IN the record — so replaying
+    a committed offset range after later publishes returns byte-identical
+    rows, which the exactly-once restart test relies on (ADVICE r6: the
+    previous mtime-derived timestamp changed on every append)."""
     os.makedirs(log_dir, exist_ok=True)
+    if ts_ms is None:
+        ts_ms = int(time.time() * 1000)
     handles = {}
     try:
         rr = 0
@@ -93,7 +103,8 @@ def publish(
                     os.path.join(log_dir, f"p{p}.jsonl"), "a", encoding="utf-8"
                 )
             handles[p].write(
-                json.dumps({"key": key, "value": value}) + "\n"
+                json.dumps({"key": key, "value": value, "ts_ms": ts_ms})
+                + "\n"
             )
     finally:
         for fh in handles.values():
@@ -131,11 +142,11 @@ class _TopicSlice(InputPartition):
 
 def _read_slice(sl: _TopicSlice) -> Iterator[tuple]:
     """Yield Kafka-shaped rows for lines [start, end) of one partition
-    log. Offsets are line indices; timestamp_ms comes from the record's
-    append position being unavailable in a plain file, so it is the
-    file's mtime floor — consumers that need event time parse it from
-    the value, exactly as the real ingest lane does."""
-    ts_ms = int(os.path.getmtime(sl.path) * 1000)
+    log. Offsets are line indices; timestamp_ms is the LogAppendTime the
+    broker stored in the record at publish — immutable, so the same
+    offset range always replays the same bytes (legacy records without a
+    stored ts get 0; consumers needing event time parse it from the
+    value, exactly as the real ingest lane does)."""
     with open(sl.path, encoding="utf-8") as fh:
         for i, line in enumerate(fh):
             if i < sl.start:
@@ -149,7 +160,7 @@ def _read_slice(sl: _TopicSlice) -> Iterator[tuple]:
                 i,
                 rec.get("key"),
                 rec.get("value"),
-                ts_ms,
+                int(rec.get("ts_ms") or 0),
             )
 
 

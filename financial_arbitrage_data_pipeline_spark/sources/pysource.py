@@ -249,29 +249,38 @@ class _LineProtocolWriter(DataSourceWriter):
         shards — aborted/speculative tasks' files are never listed.
 
         Readers must trust only _MANIFEST.json, never a bare ``*.lp``
-        glob. In overwrite mode (ADVICE r5) every previously committed
-        shard absent from the new manifest is removed after the manifest
-        swap, so repeated ``mode("overwrite")`` saves don't accumulate
-        orphans; in append-ish modes orphans from aborted tasks are
-        swept the same way (they were never in any manifest).
+        glob. In overwrite mode (ADVICE r5) the manifest is replaced
+        wholesale; in append mode (ADVICE r6) the prior manifest's
+        entries are MERGED in, so a second save cannot silently drop
+        previously committed files from manifest-trusting readers. After
+        the manifest swap, every ``*.lp`` not in the (merged) manifest
+        is swept unconditionally — such a file is either an aborted
+        task's orphan or an overwritten generation, never legitimately
+        referenced.
         """
         committed = sorted(m.filename for m in messages)
-        manifest = {
-            "files": committed,
-            "rows": sum(m.n_rows for m in messages),
-        }
+        n_rows = sum(m.n_rows for m in messages)
+        manifest_p = os.path.join(self.path, "_MANIFEST.json")
+        if not self.overwrite and os.path.exists(manifest_p):
+            try:
+                with open(manifest_p) as fh:
+                    prior = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                prior = {}
+            committed = sorted(set(prior.get("files", ())) | set(committed))
+            n_rows += int(prior.get("rows", 0))
+        manifest = {"files": committed, "rows": n_rows}
         tmp = os.path.join(self.path, "_manifest.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
-        if self.overwrite:
-            keep = set(committed)
-            for name in os.listdir(self.path):
-                if name.endswith(".lp") and name not in keep:
-                    try:
-                        os.remove(os.path.join(self.path, name))
-                    except OSError:
-                        pass
+        os.replace(tmp, manifest_p)
+        keep = set(committed)
+        for name in os.listdir(self.path):
+            if name.endswith(".lp") and name not in keep:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
 
     def abort(self, messages, batch_id=None) -> None:
         for m in messages:

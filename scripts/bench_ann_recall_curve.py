@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""The ANN recall-vs-cost FRONTIER with wall clock (VERDICT r6 task 4):
+sweep LSH plane count x multiprobe breadth on one embedding table,
+emitting per config
+
+  (n_planes, n_probes, recall@K vs exact, candidate pairs, wall)
+
+— the table a 100 TB user reads to pick the cheapest bucketing that
+clears their recall target. Multiprobe breadth b probes the query's own
+bucket plus every bucket at Hamming distance <= b from it (bit flips of
+the sign signature) — the standard recall dial that costs extra
+candidates instead of extra index copies.
+
+Timing discipline (VERDICT r6 task 3): REPEATS runs per config, report
+median + MAD alongside best — the n=2 best-of harness had stddevs larger
+than the walls it measured.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), REPEATS (5).
+Output: BENCH_ann_recall_curve.json
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from financial_arbitrage_data_pipeline_spark.operators.similarity import (
+    N_QUERIES,
+    TOPK,
+    ann_cosine_topk,
+    lsh_bucket,
+    plane_weights,
+    quantized,
+    sq_norm,
+    topk_per_query,
+)
+from financial_arbitrage_data_pipeline_spark.session import get_spark
+from financial_arbitrage_data_pipeline_spark.sources.tables import load_table
+
+PLANES = (2, 3, 4, 5, 6, 8)
+PROBE_BREADTHS = (0, 1)
+DIM = 64
+
+
+def probe_set_expr(p: int, breadth: int):
+    """array of bucket ids within Hamming distance <= breadth of
+    q_bucket (breadth 0 -> just the query's own bucket; 1 -> + p
+    single-bit flips)."""
+    cols = [F.col("q_bucket")]
+    if breadth >= 1:
+        cols += [F.col("q_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(p)]
+    if breadth >= 2:
+        cols += [
+            F.col("q_bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(p)
+            for j in range(i + 1, p)
+        ]
+    return F.array(*cols)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = int(os.environ.get("REPEATS", "5"))
+    spark = get_spark(app_name="ann-recall-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", quantized("embedding").alias("q"))
+        .withColumn("nsq", sq_norm(F.col("q")))
+    )
+    n_vectors = emb.count()
+    exact = (
+        ann_cosine_topk(spark, sf_dir).select("query_id", "cand_id").toPandas()
+    )
+    exact_pairs = {(r.query_id, r.cand_id) for r in exact.itertuples()}
+    k_total = N_QUERIES * TOPK
+
+    rows = []
+    for p, breadth in itertools.product(PLANES, PROBE_BREADTHS):
+        weights = plane_weights(p, DIM)
+        b = emb.withColumn("bucket", lsh_bucket("q", weights))
+        queries_df = b.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("nsq").alias("q_nsq"),
+            F.col("bucket").alias("q_bucket"),
+        ).withColumn("probes", probe_set_expr(p, breadth))
+        cands = b.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("q").alias("cq"),
+            F.col("nsq").alias("c_nsq"),
+            F.col("bucket").alias("c_bucket"),
+        )
+        cond = F.array_contains(F.col("probes"), F.col("c_bucket")) & (
+            F.col("cand_id") != F.col("query_id")
+        )
+        n_pairs = (
+            cands.join(F.broadcast(queries_df), cond)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .toPandas()["n"][0]
+        )
+        walls = []
+        got = None
+        for _ in range(repeats):
+            t0 = time.time()
+            got = topk_per_query(queries_df, cands, cond).toPandas()
+            walls.append(time.time() - t0)
+        hits = sum(
+            1 for r in got.itertuples() if (r.query_id, r.cand_id) in exact_pairs
+        )
+        med = statistics.median(walls)
+        mad = statistics.median(abs(w - med) for w in walls)
+        rows.append(
+            {
+                "n_planes": p,
+                "probe_breadth": breadth,
+                "n_probe_buckets": 1 + (p if breadth >= 1 else 0),
+                "recall_at_k": round(hits / k_total, 4),
+                "n_cand_pairs": int(n_pairs),
+                "cand_pairs_per_query": round(n_pairs / N_QUERIES, 1),
+                "scan_fraction": round(n_pairs / (N_QUERIES * (n_vectors - 1)), 4),
+                "wall_best_sec": round(min(walls), 3),
+                "wall_median_sec": round(med, 3),
+                "wall_mad_sec": round(mad, 3),
+            }
+        )
+        print(json.dumps(rows[-1]))
+
+    out = {
+        "metric": "ann_recall_curve",
+        "sf_dir": sf_dir,
+        "n_vectors": int(n_vectors),
+        "n_queries": N_QUERIES,
+        "k": TOPK,
+        "repeats": repeats,
+        "rows": rows,
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_ann_recall_curve.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"written": "BENCH_ann_recall_curve.json", "configs": len(rows)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -21,6 +21,7 @@ SF_DIRS = {
     "sf0.1": "/root/testdata/sf0.1",
     "sf0.3": os.path.join(ROOT, "scaledata", "sf0.3"),
     "sf1.0": os.path.join(ROOT, "scaledata", "sf1"),
+    "sf3.0": os.path.join(ROOT, "scaledata", "sf3"),
 }
 
 
@@ -50,27 +51,40 @@ def main() -> None:
               file=sys.stderr)
 
     lo, hi = runs.get("sf0.1"), runs.get("sf1.0")
+    hi3 = runs.get("sf3.0")
     ratios = {}
+    ratios3 = {}
     if lo and hi:
         ratios = {
             q: round(hi["queries"][q] / max(lo["queries"][q], 1e-9), 2)
             for q in lo["queries"]
         }
+    if lo and hi3:
+        ratios3 = {
+            q: round(hi3["queries"][q] / max(lo["queries"][q], 1e-9), 2)
+            for q in lo["queries"]
+        }
     doc = {
         "generated_by": (
-            "scripts/bench_scale_curve.py (sf0.3 = 3 and sf1 = 10 "
+            "scripts/bench_scale_curve.py (sf0.3/sf1/sf3 = 3/10/30 "
             "key-shifted copies of the driver's sf0.1, via "
             "scripts/gen_scale_data.py)"
         ),
         "harness": (
-            f"python bench.py --repeat {args.repeat} (best-of-N per "
-            "query, Arrow toPandas result materialization, fresh "
-            "process per SF; calib_* fields measure the machine)"
+            f"python bench.py --repeat {args.repeat} (best-of-N with "
+            "adaptive extra runs while MAD > 20% of median, "
+            "median+MAD in query_spreads; Arrow toPandas result "
+            "materialization, fresh process per SF; calib_* fields "
+            "measure the machine)"
         ),
         "runs": runs,
         "ratios_sf1_over_sf0.1": ratios,
+        "ratios_sf3_over_sf0.1": ratios3,
         "total_wall_ratio_sf1_over_sf0.1": (
             round(hi["value"] / lo["value"], 2) if lo and hi else None
+        ),
+        "total_wall_ratio_sf3_over_sf0.1": (
+            round(hi3["value"] / lo["value"], 2) if lo and hi3 else None
         ),
         "ingest_rows_per_sec": {
             k: v.get("ingest_rows_per_sec") for k, v in runs.items()

@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Streaming end-to-end latency evidence (VERDICT r6 task 5): the
+reference claims sub-100 ms publish→store latency for its asyncio
+pipeline (`/root/reference/README.md:14`). This engine is micro-batch
+Structured Streaming — per-RECORD latency is bounded below by the
+trigger interval — so the honest comparison is:
+
+  - end-to-end publish→sink-commit latency per record (p50/p95/p99) at
+    trigger = 1 s, measured against the broker's stored LogAppendTime
+    (`kafka_standin` stamps it immutably at publish, ADVICE r6), and
+  - the PROCESSING component alone (batch read→commit wall time), which
+    is what a lower trigger (or continuous mode on a real cluster) would
+    leave.
+
+A publisher thread appends keyed records to the stand-in topic every
+`PUB_INTERVAL_MS`; the consumer is the REAL Kafka-shaped lane
+(kafka_standin source → decode_feed_lines → enrich_snapshots) landed by
+a foreachBatch parquet sink that records the batch's commit wall-clock.
+Latency per record = batch commit wall time − record LogAppendTime.
+
+Output: one JSON line + BENCH_stream_latency.json with
+{p50_ms, p95_ms, p99_ms, proc_p50_ms, proc_p95_ms, n_records,
+ trigger_sec, batches}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from financial_arbitrage_data_pipeline_spark.session import get_spark
+from financial_arbitrage_data_pipeline_spark.sources import kafka_standin
+from financial_arbitrage_data_pipeline_spark.streaming import ingest
+
+US = 1_000_000
+PUB_INTERVAL_MS = 100
+RECORDS_PER_PUB = 20
+RUN_SECONDS = 25
+TRIGGER_SEC = 1
+
+
+def _records(start: int, n: int) -> list[tuple[str, str]]:
+    out = []
+    for i in range(start, start + n):
+        rec = {
+            "event_id": i,
+            "ts_us": 1_700_000_000 * US + i * US,
+            "user_id": i % 7,
+            "event_type": ["click", "view", "purchase"][i % 3],
+            "value": (i % 97 + 1) / 100.0,
+        }
+        out.append((str(rec["user_id"]), json.dumps(rec)))
+    return out
+
+
+def percentile(sorted_vals: list[float], q: float) -> float:
+    """Exact nearest-rank percentile (the engine's own discipline)."""
+    if not sorted_vals:
+        return float("nan")
+    k = max(1, int(round(q * len(sorted_vals) + 0.5)))
+    return sorted_vals[min(k, len(sorted_vals)) - 1]
+
+
+def main() -> int:
+    spark = get_spark(app_name="stream-latency-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    kafka_standin.register(spark)
+
+    workdir = tempfile.mkdtemp(prefix="latbench_")
+    log_dir = os.path.join(workdir, "topic")
+    out_dir = os.path.join(workdir, "out")
+    ck_dir = os.path.join(workdir, "ckpt")
+    os.makedirs(out_dir)
+
+    stop_flag = threading.Event()
+    published = {"n": 0}
+    # event_id -> publish wall-clock ms; foreachBatch runs driver-side so
+    # the sink reads this directly (no data-plane plumbing needed — the
+    # lane under test stays byte-identical to the production one)
+    pub_ms: dict[int, float] = {}
+
+    def publisher() -> None:
+        while not stop_flag.is_set():
+            now_ms = time.time() * 1000
+            recs = _records(published["n"], RECORDS_PER_PUB)
+            for i in range(published["n"], published["n"] + RECORDS_PER_PUB):
+                pub_ms[i] = now_ms
+            kafka_standin.publish(
+                log_dir, recs, n_partitions=3, ts_ms=int(now_ms)
+            )
+            published["n"] += RECORDS_PER_PUB
+            time.sleep(PUB_INTERVAL_MS / 1000.0)
+
+    # per-record end-to-end latencies and per-batch processing walls,
+    # recorded at the sink's commit point
+    latencies_ms: list[float] = []
+    proc_ms: list[float] = []
+    batches = {"n": 0}
+
+    def sink(df, batch_id: int) -> None:
+        t0 = time.time()
+        pdf = df.toPandas()
+        if len(pdf) == 0:
+            return
+        pdf.to_parquet(os.path.join(out_dir, f"b{batch_id}.parquet"))
+        commit_ms = time.time() * 1000
+        latencies_ms.extend(
+            commit_ms - pub_ms[e] for e in pdf["event_id"] if e in pub_ms
+        )
+        proc_ms.append((time.time() - t0) * 1000)
+        batches["n"] += 1
+
+    # the REAL Kafka-shaped lane, byte-identical to production:
+    # stand-in source -> decode_feed_lines -> enrich_snapshots
+    lane = ingest.enrich_snapshots(
+        ingest.kafka_standin_feed_stream(spark, log_dir)
+    )
+
+    q = (
+        lane.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck_dir)
+        .trigger(processingTime=f"{TRIGGER_SEC} seconds")
+        .start()
+    )
+
+    pub = threading.Thread(target=publisher, daemon=True)
+    t_start = time.time()
+    pub.start()
+    time.sleep(RUN_SECONDS)
+    stop_flag.set()
+    pub.join()
+    time.sleep(2 * TRIGGER_SEC + 1)  # drain the tail
+    q.stop()
+    q.awaitTermination()
+
+    lat = sorted(latencies_ms)
+    pm = sorted(proc_ms)
+    result = {
+        "metric": "stream_latency",
+        "unit": "ms",
+        "trigger_sec": TRIGGER_SEC,
+        "pub_interval_ms": PUB_INTERVAL_MS,
+        "records_per_pub": RECORDS_PER_PUB,
+        "run_sec": round(time.time() - t_start, 1),
+        "n_published": published["n"],
+        "n_measured": len(lat),
+        "batches": batches["n"],
+        "p50_ms": round(percentile(lat, 0.50), 1),
+        "p95_ms": round(percentile(lat, 0.95), 1),
+        "p99_ms": round(percentile(lat, 0.99), 1),
+        "max_ms": round(lat[-1], 1) if lat else None,
+        "proc_p50_ms": round(percentile(pm, 0.50), 1),
+        "proc_p95_ms": round(percentile(pm, 0.95), 1),
+        "reference_claim_ms": 100,
+        "note": (
+            "end-to-end = queueing (≤ trigger) + processing; the "
+            "processing component is the sub-trigger floor a smaller "
+            "trigger approaches"
+        ),
+    }
+    print(json.dumps(result))
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "BENCH_stream_latency.json"),
+        "w",
+    ) as fh:
+        json.dump(result, fh, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

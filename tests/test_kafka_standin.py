@@ -180,3 +180,146 @@ def test_malformed_values_are_dropped_by_decode(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(out).count() == 10
+
+
+def test_timestamp_is_append_time_stable_across_later_publishes(spark, tmp_path):
+    """ADVICE r6: timestamp_ms is LogAppendTime stored IN the record at
+    publish — replaying a committed offset range after later publishes
+    must return byte-identical rows (the determinism contract the
+    exactly-once restart test pins). The old mtime-derived stamp changed
+    on every append."""
+    from financial_arbitrage_data_pipeline_spark.sources import kafka_standin as K
+
+    log_dir = str(tmp_path / "topic")
+    K.publish(log_dir, [("a", "v1"), ("b", "v2")], n_partitions=2, ts_ms=1111)
+    K.register(spark)
+    first = sorted(
+        spark.read.format("kafka_standin").option("path", log_dir).load().collect(),
+        key=lambda r: (r.partition, r.offset),
+    )
+    assert all(r.timestamp_ms == 1111 for r in first)
+
+    import time as _t
+    _t.sleep(0.05)  # ensure a later mtime would have changed the old stamp
+    K.publish(log_dir, [("a", "v3")], n_partitions=2, ts_ms=2222)
+    again = sorted(
+        spark.read.format("kafka_standin").option("path", log_dir).load().collect(),
+        key=lambda r: (r.partition, r.offset),
+    )
+    # the original offset range replays byte-identically...
+    old_keys = {(r.partition, r.offset) for r in first}
+    replayed = [r for r in again if (r.partition, r.offset) in old_keys]
+    assert [tuple(r) for r in replayed] == [tuple(r) for r in first]
+    # ...and the new record carries its own append stamp
+    new = [r for r in again if (r.partition, r.offset) not in old_keys]
+    assert len(new) == 1 and new[0].timestamp_ms == 2222
+
+
+def test_concurrent_publishers_keep_offsets_contiguous(spark, tmp_path):
+    """VERDICT r6 task 8 (part 2): interleaved publishers appending to
+    the same topic must never tear a partition log — offsets stay
+    contiguous 0..n-1 per partition and every published value survives
+    exactly once. (Appends of single short lines are atomic at the OS
+    level; this pins that the stand-in actually relies only on that.)"""
+    import threading
+
+    from financial_arbitrage_data_pipeline_spark.sources import kafka_standin as K
+
+    log_dir = str(tmp_path / "topic")
+    n_threads, per_thread = 4, 50
+
+    def worker(t):
+        for i in range(per_thread):
+            K.publish(
+                log_dir,
+                [(f"k{t}-{i}", f"t{t}v{i}")],
+                n_partitions=3,
+                ts_ms=1000 + t,
+            )
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    K.register(spark)
+    rows = (
+        spark.read.format("kafka_standin").option("path", log_dir).load().collect()
+    )
+    assert len(rows) == n_threads * per_thread
+    # every value exactly once
+    vals = sorted(r.value for r in rows)
+    assert vals == sorted(
+        f"t{t}v{i}" for t in range(n_threads) for i in range(per_thread)
+    )
+    # offsets contiguous per partition
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.partition, []).append(r.offset)
+    for p, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), f"partition {p} torn"
+    # keyed routing still deterministic: same key always same partition
+    part_of = {}
+    for r in rows:
+        assert part_of.setdefault(r.key, r.partition) == r.partition
+
+
+def test_crash_between_offset_resolution_and_commit_is_exactly_once(
+    spark, tmp_path
+):
+    """VERDICT r6 task 8 (crash injection): the query dies AFTER the
+    stand-in resolved [start, end) offsets and produced the batch but
+    BEFORE the sink committed — the restart must re-run that exact
+    offset range from the checkpoint WAL and land every record exactly
+    once. Failure is injected in foreachBatch after the batch's rows
+    are already materialized (the worst window: data read, nothing
+    durable)."""
+    import glob
+
+    log = str(tmp_path / "topic")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ckpt")
+    os.makedirs(out)
+    _publish_rows(log, _feed_rows(40))
+    kafka_standin.register(spark)
+
+    state = {"crashes": 0}
+
+    def sink(df, batch_id):
+        pdf = df.toPandas()  # the batch is fully read before we die
+        if state["crashes"] == 0 and len(pdf) > 0:
+            state["crashes"] += 1
+            raise RuntimeError("injected crash post-read pre-commit")
+        pdf.to_parquet(os.path.join(out, f"b{batch_id}-{len(pdf)}.parquet"))
+
+    def run():
+        q = (
+            spark.readStream.format("kafka_standin")
+            .option("path", log)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass  # the injected crash surfaces here
+
+    run()
+    assert state["crashes"] == 1, "crash was not injected"
+    run()  # restart on the same checkpoint replays the WAL'd range
+
+    import pandas as pd
+
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert files, "restart landed nothing"
+    got = pd.concat([pd.read_parquet(f) for f in files])
+    # exactly once: every (partition, offset) exactly one row, all 40
+    assert len(got) == 40
+    assert not got.duplicated(subset=["partition", "offset"]).any()
+    assert sorted(json.loads(v)["event_id"] for v in got["value"]) == list(
+        range(40)
+    )

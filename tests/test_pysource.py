@@ -175,3 +175,35 @@ def test_line_protocol_overwrite_clears_prior_shards(spark, tmp_path, feed):
         sum(1 for _ in open(os.path.join(out, s))) for s in shards
     )
     assert total == manifest["rows"] == 10
+
+
+def test_line_protocol_append_merges_manifest_and_sweeps_orphans(
+    spark, tmp_path, feed
+):
+    """ADVICE r6: a second mode('append') save must MERGE the prior
+    manifest's shards (not silently drop them from manifest-trusting
+    readers) and the orphan sweep runs unconditionally — a .lp never
+    listed in any manifest is an aborted-task leftover, gone after the
+    next commit."""
+    out = str(tmp_path / "lp")
+    feed.limit(10).write.format("line_protocol").option("path", out).mode(
+        "append"
+    ).save()
+    first = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    # plant an orphan between commits
+    with open(os.path.join(out, "part-orphan.lp"), "w") as fh:
+        fh.write("quotes,ticker=TX,source=kalshi yes=1i,no=99i,volume=0i 0\n")
+
+    feed.limit(5).write.format("line_protocol").option("path", out).mode(
+        "append"
+    ).save()
+    merged = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    # prior shards still listed, row count accumulates
+    assert set(first["files"]) <= set(merged["files"])
+    assert merged["rows"] == 15
+    # disk agrees with the manifest exactly; the orphan was swept
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".lp"))
+    assert shards == sorted(merged["files"])
+    assert "part-orphan.lp" not in shards
+    total = sum(sum(1 for _ in open(os.path.join(out, s))) for s in shards)
+    assert total == 15

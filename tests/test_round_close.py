@@ -1,0 +1,25 @@
+"""Round-close evidence invariants, runnable without Spark.
+
+Wraps scripts/round_close_check.py into the suite so a snapshot commit
+that lands operators after the last artifact regeneration turns the
+suite red immediately (VERDICT r6 'What's wrong' #1/#2: the r6 snapshot
+commit added two queries after the final pytest + artifact run)."""
+
+import importlib.util
+import os
+
+
+def _load_check():
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "round_close_check.py"
+    )
+    spec = importlib.util.spec_from_file_location("round_close_check", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_round_close_invariants():
+    mod = _load_check()
+    problems = mod.check()
+    assert not problems, "\n".join(problems)

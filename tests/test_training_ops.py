@@ -872,3 +872,42 @@ def test_png_is_actually_compressed():
     for aid in (2, 20, 41):
         w, h = _png_dims(aid)
         assert len(synthesize_png(aid)) < 8 + 12 * 3 + 25 + h * (1 + 3 * w)
+
+
+def test_missniffed_payloads_fall_back_instead_of_failing_batch(spark):
+    """ADVICE r6: a payload whose MAGIC bytes match a real decoder but
+    whose body does not parse (utf-8 text starting with 'BM', a
+    RIFF/WAVE header over garbage, a non-C444 y4m) must take the
+    documented fake fallback — one mis-sniffed payload may never fail
+    the whole mapInPandas batch."""
+    from financial_arbitrage_data_pipeline_spark.operators import multimodal as M
+
+    bm_text = b"BMark this: plain utf-8 that sniffs as bmp"
+    riff_garbage = b"RIFF\x10\x00\x00\x00WAVEgarbage-not-a-fmt-chunk"
+    png_garbage = b"\x89PNG\r\n\x1a\n" + b"corrupt" * 3
+    jpeg_garbage = b"\xff\xd8\xff" + b"\x00" * 16
+    y4m_non444 = b"YUV4MPEG2 W2 H2 C420\nFRAME\n" + bytes(6)
+
+    for p in (bm_text, riff_garbage, png_garbage, jpeg_garbage, y4m_non444):
+        f = M.decode_features(p)
+        assert f["format"] == "unknown", p[:12]
+        assert f["n_units"] == len(p) and f["sum_values"] is None
+
+    # resize / frame-sample dispatch take the same fallback
+    assert M.resize_any(bm_text, 4, 4) == M.fake_resize(bm_text, 4, 4)
+    assert M.resize_any(png_garbage, 4, 4) == M.fake_resize(png_garbage, 4, 4)
+
+    # whole Arrow batch with one poisoned payload still succeeds
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(bm_text)), (2, "audio", bytearray(riff_garbage))],
+        "asset_id long, media_type string, payload binary",
+    )
+    rows = {r.asset_id: r.format for r in M.extract_features(df).collect()}
+    assert rows == {1: "unknown", 2: "unknown"}
+
+    sampled = M.sample_assets(
+        spark.createDataFrame(
+            [(9, bytearray(y4m_non444))], "asset_id long, payload binary"
+        )
+    ).collect()
+    assert sampled[0].payload == M.fake_sample_frames(y4m_non444)

@@ -778,3 +778,75 @@ def test_rebucket_rejects_unbucketed_and_concurrent_writer(spark, tmp_path):
     with _pytest.raises(U.ConcurrentMergeError):
         U.rebucket_merge_table(spark, target, "k", 8)
     os.remove(U._lock_path(target))
+
+
+def test_rebucket_retries_after_crash_past_second_rename(spark, tmp_path):
+    """ADVICE r6: a prior rewrite that died AFTER the second rename but
+    BEFORE rmtree(old) leaves a stale non-empty .__merge_old__ next to a
+    LIVE target. Recovery never touches it (target exists), so without
+    the pre-swap sweep every rebucket retry would die on
+    os.rename(target, old) → ENOTEMPTY."""
+    import os
+    import shutil
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i * 7) for i in range(20)], "k long, v long"
+    )
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=4)
+
+    # simulate: old generation parked and orphaned while the target lives
+    old = target + ".__merge_old__"
+    shutil.copytree(target, old)
+
+    U.rebucket_merge_table(spark, target, "k", n_buckets=8)
+    assert U._bucketed_n(target) == 8
+    assert not os.path.exists(old)
+    got = {r.k: r.v for r in U.read_merge_table(spark, target).collect()}
+    assert got == {i: i * 7 for i in range(20)}
+
+
+def test_reclaimed_lock_is_held_through_reader_recovery(spark, tmp_path):
+    """ADVICE r6: reclaim + recover must be atomic w.r.t. new writers —
+    while a reader is recovering a dead owner's crash state it must HOLD
+    the writer lock, so a writer starting in that window fails loudly
+    instead of writing pending state the reader would roll back."""
+    import json
+    import os
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=2)
+
+    # dead-owner lock + an uncommitted pending intent (crash mid-merge)
+    with open(U._lock_path(target), "w") as fh:
+        json.dump({"pid": 2**22 + 12345, "host": "test"}, fh)
+    with open(os.path.join(target, U._PENDING_FILE), "w") as fh:
+        json.dump({"merge_id": "dead", "swaps": []}, fh)
+
+    observed = {}
+    real_recover = U._recover_unlocked
+
+    def spying_recover(td):
+        # the lock file must exist and name THIS pid while recovery runs
+        observed["lock_exists"] = os.path.exists(U._lock_path(td))
+        if observed["lock_exists"]:
+            with open(U._lock_path(td)) as fh:
+                observed["owner"] = json.load(fh)["pid"]
+        return real_recover(td)
+
+    U._recover_unlocked = spying_recover
+    try:
+        U.recover_merge_table(target)
+    finally:
+        U._recover_unlocked = real_recover
+
+    assert observed["lock_exists"], "recovery ran without holding the lock"
+    assert observed["owner"] == os.getpid()
+    # and the lock is released afterwards; pending state was cleaned
+    assert not os.path.exists(U._lock_path(target))
+    assert not os.path.exists(os.path.join(target, U._PENDING_FILE))
