@@ -96,6 +96,8 @@ def sniff_media_format(payload: bytes) -> str:
     decoders for; everything else is 'unknown' (fake-kernel fallback)."""
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
@@ -149,6 +151,17 @@ def _decode_features_strict(payload: bytes, n_bytes: int) -> dict:
             "n_units": 3 * d["n_pixels"],
             "sum_values": d["sum_b"] + d["sum_g"] + d["sum_r"],
             "peak": d["peak"],
+        }
+    if fmt == "gif":
+        from .transcode import decode_gif
+
+        d = decode_gif(payload)
+        return {
+            "format": fmt,
+            "n_bytes": n_bytes,
+            "n_units": 3 * d["n_pixels"],
+            "sum_values": d["r_sum"] + d["g_sum"] + d["b_sum"],
+            "peak": d["peak_channel"],
         }
     if fmt == "jpeg":
         from .transcode import decode_jpeg

@@ -1281,3 +1281,163 @@ def join_size_histogram_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Same-nation cycle join (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "regional_nation_revenue",
+    oracle="""
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o    ON o.o_orderkey = l.l_orderkey
+JOIN customer c  ON c.c_custkey = o.o_custkey
+JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n    ON n.n_nationkey = s.s_nationkey
+JOIN region r    ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+WHERE o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+""",
+    tags=("J2", "A1", "tpch-q5-shape"),
+)
+def regional_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): yearly revenue per ASIA
+    nation counting only order lines SUPPLIED FROM the customer's own
+    nation — the same-nation CYCLE join (customer.nation = supplier
+    .nation closes a loop through orders→lineitem→supplier) that defeats
+    naive join-order heuristics. Plan: the one big-big edge
+    (lineitem⋈orders) shuffles on the order key with the year filter
+    pushed to the orders scan first; customer/supplier/nation/region are
+    broadcast, and the cycle closes as a broadcast-side residual — the
+    fact table crosses the network once. Exactness: decimal revenue,
+    cast to double only at output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = money("l_extendedprice") * (one - rate("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer-join count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "customer_order_distribution",
+    oracle="""
+WITH per_customer AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM per_customer
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+""",
+    tags=("J2", "A1", "tpch-q13-shape"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed how many (non-urgent) orders — the
+    TPC-H Q13 shape: LEFT OUTER join so zero-order customers stay in the
+    distribution (COUNT over the null-padded side counts them as 0),
+    then a SECOND aggregation over the first's output — the
+    distribution-of-counts idiom an inner join + single groupBy cannot
+    express. Plan: the join-side filter is pushed to the orders scan;
+    the second aggregation's input is one row per customer, so its
+    exchange is tiny. At 100 TB the orders→customer key shuffle is the
+    only full-size exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_customer = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    return (
+        per_customer.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join + conditional class counts (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "ship_lag_priority_classes",
+    oracle="""
+SELECT
+  CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+       THEN 'late' ELSE 'on-time' END AS ship_class,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+ORDER BY ship_class
+""",
+    tags=("J2", "A9", "tpch-q12-shape"),
+)
+def ship_lag_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did late-shipping lines skew toward high-priority orders — the
+    TPC-H Q12 shape (join the fact to orders, bucket each line by a
+    derived shipping class, conditional counts of priority classes per
+    bucket) restated on this schema's columns (no l_shipmode /
+    l_receiptdate here: the class is ship lag vs a 90-day SLA). Two
+    output rows; the single big-big shuffle on the order key dominates,
+    and both CASE families compute in one pass over the joined rows —
+    no second scan, no pivot."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    ship_class = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, "late"
+    ).otherwise("on-time")
+    return (
+        joined.groupBy(ship_class.alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_priority_lines"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
+                "low_priority_lines"
+            ),
+        )
+        .orderBy("ship_class")
+    )

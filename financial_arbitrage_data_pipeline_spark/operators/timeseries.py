@@ -732,3 +732,262 @@ def realized_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs("move")).alias("max_abs_move_cents"),
         F.count(F.lit(1)).cast("long").alias("n_moves"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC candlestick bars (the market-data downsample every charting and
+# backtest consumer asks of a tick store)
+# ---------------------------------------------------------------------------
+_BAR_US = 300_000_000  # 5-minute bars
+
+
+@query(
+    "ohlc_bars_5m",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+b AS (SELECT *, ts_us // {_BAR_US} AS bucket FROM c),
+w AS (
+  SELECT user_id, bucket, cents,
+         FIRST_VALUE(cents) OVER win AS open_c,
+         LAST_VALUE(cents)  OVER win AS close_c
+  FROM b
+  WINDOW win AS (PARTITION BY user_id, bucket ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       CAST(bucket * {_BAR_US} AS BIGINT) AS bar_start_us,
+       MIN(open_c) AS open_cents,
+       MAX(cents) AS high_cents,
+       MIN(cents) AS low_cents,
+       MIN(close_c) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM w GROUP BY user_id, bucket
+""",
+    tags=("A6", "finance", "W1"),
+)
+def ohlc_bars_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per ticker per 5-minute bucket — the
+    market-data downsample a tick store serves to every charting and
+    backtest consumer (the reference's Flux users aggregate the same
+    `market_snapshot` measurement downstream; cf.
+    `database/influx/client.py` query helpers). Open/close are the
+    FIRST/LAST tick by (ts, event_id) — deterministic ties — high/low
+    plain MIN/MAX in integer cents.
+
+    Plan: one sort-shuffle for the (ticker, bar) window; the groupBy on
+    the same keys reuses that exchange (partitioning by a subset of the
+    group keys satisfies the clustered distribution), so the whole bar
+    build is a single shuffle — at 100 TB the same shape as the
+    rollup_multi_resolution family."""
+    c = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    ).withColumn("bucket", F.expr(f"ts_us div {_BAR_US}"))
+    win = (
+        Window.partitionBy("user_id", "bucket")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = c.select(
+        "user_id",
+        "bucket",
+        "cents",
+        F.first("cents").over(win).alias("open_c"),
+        F.last("cents").over(win).alias("close_c"),
+    )
+    return w.groupBy("user_id", "bucket").agg(
+        F.min("open_c").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.min("close_c").alias("close_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+    ).select(
+        "user_id",
+        (F.col("bucket") * _BAR_US).cast("long").alias("bar_start_us"),
+        "open_cents",
+        "high_cents",
+        "low_cents",
+        "close_cents",
+        "n_ticks",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point EWMA smoothing (16-lag, alpha = 1/2) — integer-exact
+# ---------------------------------------------------------------------------
+_EWMA_LAGS = 16
+
+
+def _ewma_terms() -> tuple[str, str]:
+    """num/den SQL fragments shared verbatim by Spark and DuckDB: lag j
+    (0 = current tick) carries weight 2^(15-j); absent lags (sequence
+    head) drop out of BOTH numerator and denominator, so the average is
+    always over the ticks that exist. 16 LAG columns over one window =
+    one sort-shuffle; every term is int64 (cents * 2^15 * 16 terms
+    << 2^63)."""
+    nums, dens = [], []
+    for j in range(_EWMA_LAGS):
+        w = 1 << (_EWMA_LAGS - 1 - j)
+        col = "cents" if j == 0 else f"lag(cents, {j}) OVER win"
+        nums.append(f"COALESCE({col} * {w}, 0)")
+        dens.append(f"CASE WHEN {col} IS NULL THEN 0 ELSE {w} END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+@query(
+    "ewma_quote_smoothing",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+t AS (
+  SELECT user_id, ts_us, event_id, cents,
+         CAST({_ewma_terms()[0]} AS BIGINT) AS num,
+         CAST({_ewma_terms()[1]} AS BIGINT) AS den
+  FROM c
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, ts_us, event_id, cents,
+       CAST(num // den AS BIGINT) AS ewma_cents
+FROM t
+""",
+    tags=("A8", "finance"),
+)
+def ewma_quote_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each ticker's quote in
+    FIXED-POINT integer arithmetic: alpha = 1/2 truncated at 16 lags, so
+    ewma_t = floor(sum_j c_(t-j)*2^(15-j) / sum_j 2^(15-j)) — the
+    smoothing a market-maker runs before quoting against microstructure
+    noise. Float EWMA is order-fragile (recursive state, no associative
+    regrouping); the truncated fixed-point form is exact under ANY
+    partitioning/merge order, which is what makes it 100 TB-safe. Tail
+    weights below 2^-16 are sub-cent — truncation is lossless for the
+    output's integer precision.
+
+    Plan: 16 LAGs over ONE (ticker)-keyed window = a single sort-shuffle;
+    everything else is per-row integer arithmetic in whole-stage
+    codegen."""
+    num_sql, den_sql = _ewma_terms()
+    c = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    # the same window expression text as the oracle, via expr-with-window
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lag_cols = {
+        f"l{j}": F.lag("cents", j).over(w) for j in range(1, _EWMA_LAGS)
+    }
+    t = c.select("user_id", "ts_us", "event_id", "cents", *[
+        col.alias(name) for name, col in lag_cols.items()
+    ])
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(_EWMA_LAGS):
+        wgt = 1 << (_EWMA_LAGS - 1 - j)
+        col = F.col("cents") if j == 0 else F.col(f"l{j}")
+        num = num + F.coalesce(col * wgt, F.lit(0))
+        den = den + F.when(col.isNull(), 0).otherwise(wgt)
+    return t.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "cents",
+        num.cast("long").alias("__num"),
+        den.cast("long").alias("__den"),
+    ).select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "cents",
+        F.expr("cast(__num div __den as bigint)").alias("ewma_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tick-rule order-flow imbalance (Lee-Ready tick test over the tape)
+# ---------------------------------------------------------------------------
+_FLOW_BUCKET_US = 3_600_000_000  # hourly
+
+
+@query(
+    "tick_rule_flow",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+d AS (
+  SELECT user_id, ts_us,
+         cents - LAG(cents) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS move
+  FROM c
+)
+SELECT user_id,
+       CAST((ts_us // {_FLOW_BUCKET_US}) * {_FLOW_BUCKET_US} AS BIGINT)
+         AS bucket_start_us,
+       CAST(SUM(CASE WHEN move > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(SUM(CASE WHEN move < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       CAST(SUM(CASE WHEN move = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+       CAST(SUM(CASE WHEN move > 0 THEN 1 WHEN move < 0 THEN -1 ELSE 0 END)
+            AS BIGINT) AS flow
+FROM d WHERE move IS NOT NULL
+GROUP BY user_id, ts_us // {_FLOW_BUCKET_US}
+""",
+    tags=("A2", "finance"),
+)
+def tick_rule_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-flow imbalance by the TICK RULE (the Lee-Ready tick test):
+    classify each quote move as an up-tick (+1), down-tick (-1) or flat,
+    and sum per ticker-hour — the flow-toxicity signal a market-maker
+    watches next to realized_variance. All counts are integers.
+
+    Plan: LAG over the ticker-keyed window (one sort-shuffle), then the
+    hourly groupBy's (ticker, bucket) clustered distribution is already
+    satisfied by the window's ticker hash-partitioning — no second
+    exchange."""
+    c = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = c.select(
+        "user_id",
+        "ts_us",
+        (F.col("cents") - F.lag("cents").over(w)).alias("move"),
+    ).filter(F.col("move").isNotNull())
+    return d.groupBy(
+        "user_id", F.expr(f"ts_us div {_FLOW_BUCKET_US}").alias("__b")
+    ).agg(
+        F.sum(F.when(F.col("move") > 0, 1).otherwise(0)).cast("long").alias("n_up"),
+        F.sum(F.when(F.col("move") < 0, 1).otherwise(0)).cast("long").alias("n_down"),
+        F.sum(F.when(F.col("move") == 0, 1).otherwise(0)).cast("long").alias("n_flat"),
+        F.sum(
+            F.when(F.col("move") > 0, 1).when(F.col("move") < 0, -1).otherwise(0)
+        ).cast("long").alias("flow"),
+    ).select(
+        "user_id",
+        (F.col("__b") * _FLOW_BUCKET_US).cast("long").alias("bucket_start_us"),
+        "n_up",
+        "n_down",
+        "n_flat",
+        "flow",
+    )

@@ -557,3 +557,13 @@ def test_incremental_gate_band_join_is_hash(spark, sf_dir):
     p = plan_of(spark, "incremental_neardup_gate", sf_dir)
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_ohlc_and_tick_flow_are_single_shuffle(spark, sf_dir):
+    """The bar build and the tick-rule flow each claim ONE exchange: the
+    keyed window sort-shuffle, whose partitioning then satisfies the
+    clustered distribution of the same-key (or superset-key) groupBy."""
+    for name in ("ohlc_bars_5m", "ewma_quote_smoothing", "tick_rule_flow"):
+        p = plan_of(spark, name, sf_dir)
+        # one Exchange node; formatted mode prints each node twice
+        assert p.count("Exchange") == 2, f"{name}: expected 1 exchange\n{p}"

@@ -276,3 +276,45 @@ def test_jpeg_encoder_rejects_out_of_range_magnitudes():
     big_ac[0, 3] = 2000  # AC category 11 > the run/size tables' 10
     with pytest.raises(ValueError, match="AC coefficient"):
         encode_jpeg_from_coeffs(big_ac, 8, 8)
+
+
+def test_gif_lzw_roundtrip_and_generic_dispatch():
+    """The GIF87a/LZW codec: full-file round trip (variable-width codes,
+    sub-block framing, palette indirection), KwKwK + dict-reset paths,
+    and the generic feature lane routing GIF payloads to the real
+    decoder — with a mis-sniffed 'GIF87a'-prefixed text payload taking
+    the documented fallback."""
+    import random
+
+    from financial_arbitrage_data_pipeline_spark.operators import multimodal as M
+    from financial_arbitrage_data_pipeline_spark.operators.transcode import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        synthesize_gif,
+    )
+
+    rnd = random.Random(11)
+    for _ in range(50):
+        data = bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 4000)))
+        assert _lzw_decode(_lzw_encode(data)) == data
+    # dict growth past every width boundary + the reset path
+    big = bytes((i * i) % 256 for i in range(40000))
+    assert _lzw_decode(_lzw_encode(big)) == big
+
+    payload = synthesize_gif(9)
+    d = decode_gif(payload)
+    w, h = 16 + 9 % 8, 8 + 9 % 5
+    exp = [(9 * 31 + k * 17) % 256 for k in range(w * h)]
+    assert list(d["indices"]) == exp
+    assert d["r_sum"] == sum(exp)
+    assert d["g_sum"] == sum((x * 7) % 256 for x in exp)
+
+    f = M.decode_features(payload)
+    assert f["format"] == "gif"
+    assert f["n_units"] == 3 * w * h
+    assert f["sum_values"] == d["r_sum"] + d["g_sum"] + d["b_sum"]
+    assert f["peak"] == d["peak_channel"]
+
+    g = M.decode_features(b"GIF87a but actually just prose")
+    assert g["format"] == "unknown" and g["sum_values"] is None
