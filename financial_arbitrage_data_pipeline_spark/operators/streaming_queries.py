@@ -1583,3 +1583,117 @@ def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming OHLC bars (the candlestick build running ON the feed)
+# ---------------------------------------------------------------------------
+_OHLC_BAR_S = 300  # 5-minute bars, matching batch ohlc_bars_5m
+
+_STREAM_OHLC_ORACLE = f"""
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL 10 MINUTE AS watermark
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+b AS (SELECT *, ts_us // {_OHLC_BAR_S * 1_000_000} AS bucket FROM c),
+w AS (
+  SELECT user_id, bucket, cents,
+         FIRST_VALUE(cents) OVER win AS open_c,
+         LAST_VALUE(cents)  OVER win AS close_c
+  FROM b
+  WINDOW win AS (PARTITION BY user_id, bucket ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+agg AS (
+  SELECT user_id, bucket,
+         MIN(open_c) AS open_cents, MAX(cents) AS high_cents,
+         MIN(cents) AS low_cents, MIN(close_c) AS close_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_ticks
+  FROM w GROUP BY user_id, bucket
+)
+SELECT a.user_id,
+       CAST(a.bucket * {_OHLC_BAR_S * 1_000_000} AS BIGINT) AS bar_start_us,
+       a.open_cents, a.high_cents, a.low_cents, a.close_cents, a.n_ticks
+FROM agg a CROSS JOIN wm
+WHERE (a.bucket + 1) * {_OHLC_BAR_S * 1_000_000} <= epoch_us(wm.watermark)
+"""
+
+
+@query(
+    "streaming_ohlc_bars",
+    oracle=_STREAM_OHLC_ORACLE,
+    tags=("A6", "T2", "W1", "finance", "streaming"),
+)
+def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OHLC candlestick build running ON the live feed — batch
+    `ohlc_bars_5m`'s streaming twin: 5-minute tumbling event-time
+    windows with a 10-minute watermark in append mode, so each bar is
+    emitted exactly once when the watermark passes its end (the oracle
+    states that rule: bars with window-end ≤ final watermark). Open and
+    close are min_by/max_by over the deterministic (ts_us, event_id)
+    struct order — the same tie rule as the batch bars, so a bar closed
+    by the stream is bit-identical to the bar a backfill would compute.
+    Late ticks inside the watermark fold into the still-open bar; the
+    result is independent of how the replay is chunked into
+    micro-batches. State per key x window is one bar row — bounded by
+    (#tickers x watermark/bar) regardless of throughput."""
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        sink_dir = os.path.join(root, "bars")
+        ticks = (
+            ingest.replay_stream(spark, replay_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                "user_id",
+                "ts_us",
+                "event_id",
+                F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+                F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            )
+            .withWatermark("ts", "10 minutes")
+        )
+        ordkey = F.struct(F.col("ts_us"), F.col("event_id"))
+        bars = (
+            ticks.groupBy(
+                F.window("ts", f"{_OHLC_BAR_S} seconds").alias("win"),
+                "user_id",
+            )
+            .agg(
+                F.expr("min_by(cents, struct(ts_us, event_id))").alias(
+                    "open_cents"
+                ),
+                F.max("cents").alias("high_cents"),
+                F.min("cents").alias("low_cents"),
+                F.expr("max_by(cents, struct(ts_us, event_id))").alias(
+                    "close_cents"
+                ),
+                F.count(F.lit(1)).cast("long").alias("n_ticks"),
+            )
+            .select(
+                "user_id",
+                (F.unix_micros(F.col("win.start"))).alias("bar_start_us"),
+                "open_cents",
+                "high_cents",
+                "low_cents",
+                "close_cents",
+                "n_ticks",
+            )
+        )
+        q = (
+            bars.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink_dir).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

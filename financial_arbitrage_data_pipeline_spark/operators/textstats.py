@@ -1884,3 +1884,206 @@ def vocab_concentration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LM-likelihood quality gate: score every document under the corpus
+# Kneser-Ney bigram LM (the CCNet/Gopher-style perplexity filter, in the
+# engine's exact fixed-point restatement)
+# ---------------------------------------------------------------------------
+
+_LM_GATE_X1E6 = 20_000  # mean bigram probability below 2% → gibberish flag
+
+
+@query(
+    "doc_lm_likelihood_gate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+idx AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, GREATEST(len(tk) - 1, 0))) AS i
+  FROM toks
+),
+dpairs AS (
+  SELECT doc_id, tk[i] AS a, tk[i + 1] AS b FROM idx
+  WHERE tk[i] <> '' AND tk[i + 1] <> ''
+),
+big AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c12 FROM dpairs GROUP BY a, b
+),
+uni AS (SELECT a, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY a),
+fol AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n_follow FROM big GROUP BY a),
+pre AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_precede FROM big GROUP BY b),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM big),
+prob AS (
+  SELECT big.a, big.b,
+         ({_KN_SCALE} * (4 * big.c12 - 3)) // (4 * uni.c1)
+         + ({_KN_SCALE} * 3 * fol.n_follow * pre.n_precede)
+           // (4 * uni.c1 * tot.n_types) AS pkn_x1e6
+  FROM big
+  JOIN uni ON uni.a = big.a
+  JOIN fol ON fol.a = big.a
+  JOIN pre ON pre.b = big.b
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT dp.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(p.pkn_x1e6) AS BIGINT) AS sum_pkn_x1e6
+  FROM dpairs dp JOIN prob p ON p.a = dp.a AND p.b = dp.b
+  GROUP BY dp.doc_id
+)
+SELECT s.doc_id, d.lang, s.n_bigrams,
+       CAST(s.sum_pkn_x1e6 // s.n_bigrams AS BIGINT) AS mean_pkn_x1e6,
+       (s.sum_pkn_x1e6 // s.n_bigrams) < {_LM_GATE_X1E6} AS flag_gibberish
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+""",
+    tags=("text-lm", "quality-gate", "kneser-ney"),
+)
+def doc_lm_likelihood_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT likelihood under the corpus bigram LM — the
+    CCNet/Gopher-style LM quality filter (score each doc with a language
+    model trained on the corpus, flag the improbable tail as gibberish)
+    composed from `bigram_kn_lm`'s exact fixed-point KN estimator: every
+    bigram occurrence in a doc scores its corpus p_kn (x1e6), and the
+    doc's mean (one integer floor divide) gates against a declared 2%
+    threshold. Unlike real perplexity (a float log-sum), the fixed-point
+    mean is bit-exact on any engine and merge order — the declared
+    semantics, rank-equivalent for thresholding.
+
+    Plan: one corpus bigram-count shuffle; uni/fol/pre/tot derive from
+    the vocabulary-sized bigram table and broadcast back onto the
+    doc-keyed pair stream; the per-doc aggregation is the only other
+    exchange. At 100 TB: corpus-sized work is 2 shuffles, everything
+    else is vocabulary-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    dpairs = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with("
+                    "slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                    "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+                    "(a, b) -> struct(a, b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    big = dpairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    big = big.persist()
+    uni = big.groupBy("a").agg(F.sum("c12").cast("long").alias("c1"))
+    fol = big.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("n_follow"))
+    pre = big.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n_precede"))
+    tot = big.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    prob = (
+        big.join(F.broadcast(uni.join(fol, "a")), "a")
+        .join(F.broadcast(pre), "b")
+        .join(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.expr(
+                f"({_KN_SCALE} * (4 * c12 - 3)) div (4 * c1)"
+                f" + ({_KN_SCALE} * 3 * n_follow * n_precede)"
+                f" div (4 * c1 * n_types)"
+            ).alias("pkn_x1e6"),
+        )
+    )
+    scored = (
+        dpairs.join(F.broadcast(prob), ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("pkn_x1e6").cast("long").alias("sum_pkn_x1e6"),
+        )
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.expr("cast(sum_pkn_x1e6 div n_bigrams as bigint)").alias(
+                "mean_pkn_x1e6"
+            ),
+            (
+                F.expr("sum_pkn_x1e6 div n_bigrams") < _LM_GATE_X1E6
+            ).alias("flag_gibberish"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (the metric tokenizer teams track:
+# subword tokens per whitespace word, per language)
+# ---------------------------------------------------------------------------
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=_bpe_oracle(_BPE_ROUNDS).split("\nSELECT 0 AS merge_round")[0]
+    + """
+, fert AS (
+  SELECT doc.lang,
+         CAST(SUM(len(string_split(trim(d0.s, chr(2)), chr(2)||chr(2))))
+              AS BIGINT) AS n_words,
+         CAST(SUM(len(string_split(trim(d3.s, chr(2)), chr(2)||chr(2))))
+              AS BIGINT) AS n_tokens
+  FROM d3 JOIN d0 ON d0.doc_id = d3.doc_id
+  JOIN documents doc ON doc.doc_id = d3.doc_id
+  GROUP BY doc.lang
+)
+SELECT lang, n_words, n_tokens,
+       CAST(n_tokens * 1000 // n_words AS BIGINT) AS fertility_x1000
+FROM fert
+""",
+    tags=("text-bpe", "tokenizer-metrics"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — subword tokens emitted per
+    whitespace word, the number tokenizer teams watch when a vocabulary
+    under-serves a language (high fertility = more sequence length spent
+    per word = worse effective context and higher training cost for that
+    language). Uses the engine's own trained BPE (shared `_bpe_rounds`
+    kernel, so the merges are definitionally the trainer's); with only
+    3 merge rounds fertility sits just under the pre-merge 1.0
+    baseline — on a real vocab the same query reports the 1.2-2x spreads
+    that drive per-language budget corrections (`token_budget_allocation`
+    is the downstream consumer). Fixed-point x1000 ratio, one floor
+    divide per language; per-lang rollup adds one vocabulary-bounded
+    shuffle on top of the training loop."""
+    merged, _ = _bpe_rounds(spark, sf_dir, _BPE_ROUNDS)
+    docs = load_table(spark, sf_dir, "documents")
+    before = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+        .cast("long")
+        .alias("n_w"),
+    )
+    toks = F.expr(_BPE_TOKS_EXPR)
+    after = merged.select(
+        "doc_id", F.size(toks).cast("long").alias("n_t")
+    )
+    return (
+        before.join(after, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_w").cast("long").alias("n_words"),
+            F.sum("n_t").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("cast(n_tokens * 1000 div n_words as bigint)").alias(
+                "fertility_x1000"
+            ),
+        )
+    )

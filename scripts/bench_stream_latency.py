@@ -98,8 +98,11 @@ def main() -> int:
             time.sleep(PUB_INTERVAL_MS / 1000.0)
 
     # per-record end-to-end latencies and per-batch processing walls,
-    # recorded at the sink's commit point
-    latencies_ms: list[float] = []
+    # recorded at the sink's commit point; batch-tagged so the stream
+    # STARTUP transient (the first triggers fire seconds after .start()
+    # while the publisher is already appending) can be separated from
+    # steady state
+    batch_lat: list[list[float]] = []
     proc_ms: list[float] = []
     batches = {"n": 0}
 
@@ -110,8 +113,8 @@ def main() -> int:
             return
         pdf.to_parquet(os.path.join(out_dir, f"b{batch_id}.parquet"))
         commit_ms = time.time() * 1000
-        latencies_ms.extend(
-            commit_ms - pub_ms[e] for e in pdf["event_id"] if e in pub_ms
+        batch_lat.append(
+            [commit_ms - pub_ms[e] for e in pdf["event_id"] if e in pub_ms]
         )
         proc_ms.append((time.time() - t0) * 1000)
         batches["n"] += 1
@@ -139,8 +142,12 @@ def main() -> int:
     q.stop()
     q.awaitTermination()
 
-    lat = sorted(latencies_ms)
+    lat = sorted(x for b in batch_lat for x in b)
+    # steady state: drop the first 3 committed batches — they drain the
+    # backlog that accumulated while the query was still starting up
+    steady = sorted(x for b in batch_lat[3:] for x in b)
     pm = sorted(proc_ms)
+    pm_steady = sorted(proc_ms[3:])
     result = {
         "metric": "stream_latency",
         "unit": "ms",
@@ -155,13 +162,19 @@ def main() -> int:
         "p95_ms": round(percentile(lat, 0.95), 1),
         "p99_ms": round(percentile(lat, 0.99), 1),
         "max_ms": round(lat[-1], 1) if lat else None,
+        "steady_n": len(steady),
+        "steady_p50_ms": round(percentile(steady, 0.50), 1),
+        "steady_p95_ms": round(percentile(steady, 0.95), 1),
+        "steady_p99_ms": round(percentile(steady, 0.99), 1),
         "proc_p50_ms": round(percentile(pm, 0.50), 1),
         "proc_p95_ms": round(percentile(pm, 0.95), 1),
+        "steady_proc_p50_ms": round(percentile(pm_steady, 0.50), 1),
         "reference_claim_ms": 100,
         "note": (
-            "end-to-end = queueing (≤ trigger) + processing; the "
-            "processing component is the sub-trigger floor a smaller "
-            "trigger approaches"
+            "end-to-end = queueing (≤ trigger) + processing; steady_* "
+            "drops the 3 startup-backlog batches; the processing "
+            "component is the sub-trigger floor a smaller trigger "
+            "approaches"
         ),
     }
     print(json.dumps(result))

@@ -338,6 +338,8 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "kmv_buyers_overlap",   # five 1-row sketch-stat scalars combined
         "bm25_topdocs",         # 1-row corpus totals (N, T) broadcast
         "bigram_kn_lm",         # 1-row bigram-type total broadcast
+        "doc_lm_likelihood_gate",  # same 1-row type-total broadcast (shares
+                                   # bigram_kn_lm's estimator algebra)
         "hybrid_retrieval_rrf",  # 1-row query vector + corpus totals broadcast
         "join_size_histogram_bound",  # two 1-row bound/actual scalars combined
     }
