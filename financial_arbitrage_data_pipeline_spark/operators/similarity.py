@@ -1581,3 +1581,107 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= _HYB_TOP)
         .select("doc_id", "bm25_rank", "cos_rank", "rrf_x1e6", "fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall audit — closes the recall-audit family: every approximate
+# tier (LSH → ann_recall_at_k, PQ → pq_recall_audit, IVF → here) now
+# carries its own oracle-checked accuracy measurement.
+# ---------------------------------------------------------------------------
+_IVF_RECALL_ORACLE = f"""
+WITH {_kmeans_ctes(KMEANS_K)},
+qd AS (
+  SELECT e.vec_id AS query_id, c.cid,
+         CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS cdist
+  FROM qe e JOIN c1 c ON c.i = e.i
+  WHERE e.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT query_id, cid FROM qd
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cdist, cid) <= {NPROBE}
+),
+ivf_cands AS (
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM probes p JOIN a2 a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+ivf_dots AS (
+  SELECT ca.query_id, ca.cand_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM ivf_cands ca
+  JOIN qe a ON a.vec_id = ca.query_id
+  JOIN qe b ON b.vec_id = ca.cand_id AND b.i = a.i
+  GROUP BY 1, 2
+),
+ivf_topk AS (
+  SELECT d.query_id, d.cand_id FROM ivf_dots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.cand_id
+  WINDOW w AS (
+    PARTITION BY d.query_id
+    ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               DESC, d.cand_id
+  )
+  QUALIFY ROW_NUMBER() OVER w <= {TOPK}
+),
+ex_dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+ex_topk AS (
+  SELECT d.query_id, d.cand_id FROM ex_dots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.cand_id
+  WINDOW w AS (
+    PARTITION BY d.query_id
+    ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               DESC, d.cand_id
+  )
+  QUALIFY ROW_NUMBER() OVER w <= {TOPK}
+)
+SELECT e.query_id,
+       CAST(COUNT(p.cand_id) AS BIGINT) AS hits,
+       CAST(COUNT(p.cand_id) AS DOUBLE) / {TOPK} AS recall_at_k
+FROM ex_topk e
+LEFT JOIN ivf_topk p ON p.query_id = e.query_id AND p.cand_id = e.cand_id
+GROUP BY e.query_id
+"""
+
+
+@query(
+    "ivf_recall_at_k",
+    oracle=_IVF_RECALL_ORACLE,
+    tags=("similarity-ivf-audit", "iterative"),
+)
+def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the TRAINED tier: per query, how many of the
+    exact cosine top-K survive in the IVF multiprobe (nprobe=2) top-K —
+    completing the recall-audit family (LSH → ann_recall_at_k, PQ →
+    pq_recall_audit, IVF → here), so every approximate index the engine
+    ships carries its own oracle-checked accuracy number. On clustered
+    real-world embeddings this is the audit that usually wins (the
+    trained quantizer respects structure sign-LSH can't see — SCALE.md
+    §16); the nprobe wall/recall trade is swept in
+    `BENCH_ann_recall_curve.json`. Both rankings deterministic; recall
+    is an exact hashable value."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = ivf_multiprobe_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("h"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("h"), F.lit(0)).cast("double") / F.lit(TOPK)).alias(
+                "recall_at_k"
+            ),
+        )
+    )

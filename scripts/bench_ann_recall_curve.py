@@ -30,9 +30,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from financial_arbitrage_data_pipeline_spark.operators.similarity import (
+    _DIST_EXPR,
     N_QUERIES,
     TOPK,
     ann_cosine_topk,
@@ -41,6 +43,7 @@ from financial_arbitrage_data_pipeline_spark.operators.similarity import (
     quantized,
     sq_norm,
     topk_per_query,
+    trained_model,
 )
 from financial_arbitrage_data_pipeline_spark.session import get_spark
 from financial_arbitrage_data_pipeline_spark.sources.tables import load_table
@@ -84,6 +87,36 @@ def main() -> int:
     exact_pairs = {(r.query_id, r.cand_id) for r in exact.itertuples()}
     k_total = N_QUERIES * TOPK
 
+    def timed_config(queries_df, cands, cond, label: dict) -> dict:
+        """Shared scoring tail: candidate count, recall@K vs exact, and
+        median+MAD wall over `repeats` runs for one configuration."""
+        n_pairs = (
+            cands.join(F.broadcast(queries_df), cond)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .toPandas()["n"][0]
+        )
+        walls = []
+        got = None
+        for _ in range(repeats):
+            t0 = time.time()
+            got = topk_per_query(queries_df, cands, cond).toPandas()
+            walls.append(time.time() - t0)
+        hits = sum(
+            1 for r in got.itertuples() if (r.query_id, r.cand_id) in exact_pairs
+        )
+        med = statistics.median(walls)
+        mad = statistics.median(abs(w - med) for w in walls)
+        return {
+            **label,
+            "recall_at_k": round(hits / k_total, 4),
+            "n_cand_pairs": int(n_pairs),
+            "cand_pairs_per_query": round(n_pairs / N_QUERIES, 1),
+            "scan_fraction": round(n_pairs / (N_QUERIES * (n_vectors - 1)), 4),
+            "wall_best_sec": round(min(walls), 3),
+            "wall_median_sec": round(med, 3),
+            "wall_mad_sec": round(mad, 3),
+        }
+
     rows = []
     for p, breadth in itertools.product(PLANES, PROBE_BREADTHS):
         weights = plane_weights(p, DIM)
@@ -103,35 +136,59 @@ def main() -> int:
         cond = F.array_contains(F.col("probes"), F.col("c_bucket")) & (
             F.col("cand_id") != F.col("query_id")
         )
-        n_pairs = (
-            cands.join(F.broadcast(queries_df), cond)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .toPandas()["n"][0]
-        )
-        walls = []
-        got = None
-        for _ in range(repeats):
-            t0 = time.time()
-            got = topk_per_query(queries_df, cands, cond).toPandas()
-            walls.append(time.time() - t0)
-        hits = sum(
-            1 for r in got.itertuples() if (r.query_id, r.cand_id) in exact_pairs
-        )
-        med = statistics.median(walls)
-        mad = statistics.median(abs(w - med) for w in walls)
         rows.append(
-            {
-                "n_planes": p,
-                "probe_breadth": breadth,
-                "n_probe_buckets": 1 + (p if breadth >= 1 else 0),
-                "recall_at_k": round(hits / k_total, 4),
-                "n_cand_pairs": int(n_pairs),
-                "cand_pairs_per_query": round(n_pairs / N_QUERIES, 1),
-                "scan_fraction": round(n_pairs / (N_QUERIES * (n_vectors - 1)), 4),
-                "wall_best_sec": round(min(walls), 3),
-                "wall_median_sec": round(med, 3),
-                "wall_mad_sec": round(mad, 3),
-            }
+            timed_config(
+                queries_df,
+                cands,
+                cond,
+                {
+                    "method": "lsh",
+                    "n_planes": p,
+                    "probe_breadth": breadth,
+                    "n_probe_buckets": 1 + (p if breadth >= 1 else 0),
+                },
+            )
+        )
+        print(json.dumps(rows[-1]))
+
+    # --- IVF nprobe sweep (the trained-quantizer recall dial) ---------
+    assigned, centroids = trained_model(spark, sf_dir)
+    assigned = assigned.localCheckpoint()
+    emb_ivf = assigned.withColumn("nsq", sq_norm(F.col("q")))
+    cands_ivf = emb_ivf.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("cq"),
+        F.col("nsq").alias("c_nsq"),
+        F.col("cid").alias("c_cid"),
+    )
+    qd = (
+        emb_ivf.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "q", "nsq")
+        .join(F.broadcast(centroids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "q",
+            "nsq",
+            F.col("cid").alias("probe_cid"),
+            F.expr(_DIST_EXPR).alias("cdist"),
+        )
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("cdist", "probe_cid")
+    ranked = qd.withColumn("rn", F.row_number().over(wprobe)).localCheckpoint()
+    for nprobe in (1, 2, 4):
+        probes = ranked.filter(F.col("rn") <= nprobe).select(
+            "query_id",
+            F.col("q").alias("qq"),
+            F.col("nsq").alias("q_nsq"),
+            "probe_cid",
+        )
+        cond = (F.col("c_cid") == F.col("probe_cid")) & (
+            F.col("cand_id") != F.col("query_id")
+        )
+        rows.append(
+            timed_config(
+                probes, cands_ivf, cond, {"method": "ivf", "nprobe": nprobe}
+            )
         )
         print(json.dumps(rows[-1]))
 
