@@ -67,3 +67,58 @@ def test_connected_components_long_chain_converges(spark):
     labels = {r.doc_id: r.label for r in connected_components(pairs).collect()}
     assert set(labels.values()) == {0}
     assert len(labels) == 13
+
+
+def test_prefix_doubling_matches_python_suffix_sort(spark, tmp_path):
+    """Property check for the distributed suffix-array build: on a
+    corpus of adversarial short strings (runs, periodic patterns,
+    overlapping repeats — the inputs where rank-pair logic usually
+    breaks), the prefix-doubling ranks must equal a Python brute-force
+    suffix sort exactly."""
+    import pandas as pd
+
+    from financial_arbitrage_data_pipeline_spark.operators.dedup import (
+        suffix_array_fingerprint,
+    )
+
+    texts = [
+        "aaaaaaaaaa",
+        "abababababab",
+        "banana",
+        "mississippi",
+        "abcabcabcabcabcx",
+        "zyxwvutsrq",
+        "aabaabaabaab",
+        "a",
+        "ab",
+        "ba",
+        "abracadabra abracadabra",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "test",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.n_suffixes, r.suffix_order_md5, r.top_pos)
+        for r in suffix_array_fingerprint(spark, sf_dir).collect()
+    }
+    import hashlib
+
+    for doc_id, t in enumerate(texts):
+        order = sorted(range(len(t)), key=lambda i: t[i:])
+        rank = [0] * len(t)
+        for pos_rank, i in enumerate(order, start=1):
+            rank[i] = pos_rank
+        expected_md5 = hashlib.md5(
+            ",".join(str(x) for x in rank).encode()
+        ).hexdigest()
+        assert got[doc_id] == (len(t), expected_md5, order[0]), t
