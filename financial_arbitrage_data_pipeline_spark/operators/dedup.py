@@ -1234,6 +1234,43 @@ def _suffix_rounds(max_len: int) -> int:
     return r
 
 
+def _suffix_ranks(docs: DataFrame) -> DataFrame:
+    """The prefix-doubling core shared by `suffix_array_fingerprint` and
+    `longest_repeated_substring`: (doc_id, i, rank) with rank the
+    suffix's final lexicographic position within its document. One
+    1-row driver collect (the corpus max length fixes the round count);
+    each round is a single doc-keyed window stage, localCheckpoint per
+    round."""
+    max_len = docs.agg(F.max(F.length("text"))).collect()[0][0] or 1
+    rounds = _suffix_rounds(max_len)
+    pos = docs.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, length(text))")).alias("p"),
+        F.expr("text").alias("t"),
+    ).select(
+        "doc_id",
+        (F.col("p") - 1).alias("i"),
+        F.ascii(F.expr("substr(t, p, 1)")).cast("long").alias("rank"),
+    )
+    r = pos.localCheckpoint()
+    w_ord = Window.partitionBy("doc_id").orderBy("i")
+    for k in range(rounds):
+        off = 1 << k
+        paired = r.select(
+            "doc_id",
+            "i",
+            "rank",
+            F.lead("rank", off, -1).over(w_ord).alias("r2"),
+        )
+        w_rank = Window.partitionBy("doc_id").orderBy("rank", "r2")
+        r = paired.select(
+            "doc_id",
+            "i",
+            F.dense_rank().over(w_rank).cast("long").alias("rank"),
+        ).localCheckpoint()
+    return r
+
+
 @query(
     "suffix_array_fingerprint",
     oracle="""
@@ -1284,36 +1321,7 @@ def suffix_array_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     document would instead shard its position table (the DC3/pDC3
     construction) — out of scope, documented, and irrelevant to
     crawl-shaped corpora whose documents are MBs at most."""
-    docs = load_table(spark, sf_dir, "documents")
-    max_len = docs.agg(F.max(F.length("text"))).collect()[0][0] or 1
-    rounds = _suffix_rounds(max_len)
-
-    pos = docs.select(
-        "doc_id",
-        F.explode(F.expr("sequence(1, length(text))")).alias("p"),
-        F.expr("text").alias("t"),
-    ).select(
-        "doc_id",
-        (F.col("p") - 1).alias("i"),
-        F.ascii(F.expr("substr(t, p, 1)")).cast("long").alias("rank"),
-    )
-    r = pos.localCheckpoint()
-    w_ord = Window.partitionBy("doc_id").orderBy("i")
-    for k in range(rounds):
-        off = 1 << k
-        paired = r.select(
-            "doc_id",
-            "i",
-            "rank",
-            F.lead("rank", off, -1).over(w_ord).alias("r2"),
-        )
-        w_rank = Window.partitionBy("doc_id").orderBy("rank", "r2")
-        r = paired.select(
-            "doc_id",
-            "i",
-            F.dense_rank().over(w_rank).cast("long").alias("rank"),
-        ).localCheckpoint()
-
+    r = _suffix_ranks(load_table(spark, sf_dir, "documents"))
     return (
         r.groupBy("doc_id")
         .agg(
@@ -1330,4 +1338,142 @@ def suffix_array_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("i", "rank").cast("long").alias("top_pos"),
         )
         .select("doc_id", "n_suffixes", "suffix_order_md5", "top_pos")
+    )
+
+
+@query(
+    "longest_repeated_substring",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, len(text))) AS ip FROM d
+),
+ranked AS (
+  SELECT doc_id, text, ip - 1 AS i,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY substr(text, CAST(ip AS INT))) AS rank
+  FROM pos
+),
+pairs AS (
+  SELECT doc_id, text, i,
+         LAG(i) OVER (PARTITION BY doc_id ORDER BY rank) AS j
+  FROM ranked
+),
+p AS (
+  SELECT doc_id, text, i, j,
+         LEAST(len(text) - i, len(text) - j) AS minlen
+  FROM pairs WHERE j IS NOT NULL
+),
+expand AS (
+  SELECT doc_id, text, i, j, minlen, unnest(range(0, minlen)) AS m FROM p
+),
+mm AS (
+  SELECT doc_id, i, j,
+         MIN(CASE WHEN substr(text, CAST(i + 1 + m AS INT), 1)
+                   <> substr(text, CAST(j + 1 + m AS INT), 1)
+                  THEN m END) AS first_mm
+  FROM expand GROUP BY doc_id, i, j
+),
+lcps AS (
+  SELECT p.doc_id, p.text, p.i, p.j,
+         COALESCE(mm.first_mm, p.minlen) AS lcp
+  FROM p LEFT JOIN mm ON mm.doc_id = p.doc_id AND mm.i = p.i AND mm.j = p.j
+),
+best AS (
+  SELECT doc_id, text, lcp, LEAST(i, j) AS s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY lcp DESC, LEAST(i, j), GREATEST(i, j))
+           AS rn
+  FROM lcps
+)
+SELECT doc_id,
+       CAST(lcp AS BIGINT) AS lrs_len,
+       CAST(CASE WHEN lcp = 0 THEN -1 ELSE s END AS BIGINT) AS lrs_start,
+       CASE WHEN lcp = 0 THEN ''
+            ELSE substr(text, CAST(s + 1 AS INT), CAST(lcp AS INT)) END
+         AS lrs_text
+FROM best WHERE rn = 1
+""",
+    tags=("dedup-substring", "suffix-array", "iterative"),
+)
+def longest_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LONGEST REPEATED SUBSTRING per document — the actual
+    boilerplate/template signal substring dedup acts on (a doc whose
+    LRS is half its length is a template; `doc_duplicate_span_load`
+    approximates this with fixed 8-grams). Classic suffix-array result:
+    the max LCP over ALL O(n^2) suffix pairs is attained by a pair
+    ADJACENT in suffix order, so after the shared prefix-doubling build
+    (`_suffix_ranks`) only n-1 adjacent pairs are compared. Each LCP is
+    an in-row HOF scan for the first mismatching character (documents
+    here are < 1 KB; for giant documents the rank tables support
+    O(log n) LCP by binary lifting — documented trade, same plan
+    shape). Runs on the doc_id % 10 stratum so the oracle's
+    per-character brute force stays tractable at sf0.1; ties broken
+    (max lcp, min start, min partner) for a deterministic winner.
+
+    Plan: the doubling rounds' doc-keyed exchanges, one lag window on
+    the same key, a doc-keyed text join, then per-row HOF arithmetic
+    and a per-doc top-1 — nothing quadratic anywhere in the engine
+    path."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    r = _suffix_ranks(docs)
+    w = Window.partitionBy("doc_id").orderBy("rank")
+    # carry the text as a pre-split char ARRAY: element_at is O(1)
+    # where substr(text, k, 1) is O(k) (UTF8 byte navigation), which
+    # would make each pair's LCP scan O(L^2)
+    pairs = (
+        r.select("doc_id", "i", F.lag("i").over(w).alias("j"))
+        .filter(F.col("j").isNotNull())
+        .join(
+            docs.select(
+                "doc_id", "text", F.split("text", "").alias("chars")
+            ),
+            "doc_id",
+        )
+        .withColumn(
+            "minlen",
+            F.least(
+                F.length("text") - F.col("i"), F.length("text") - F.col("j")
+            ),
+        )
+    )
+    first_mismatch = F.expr(
+        "array_min(filter(transform(sequence(0, minlen - 1),"
+        " m -> if(element_at(chars, cast(i + 1 + m as int))"
+        "      <> element_at(chars, cast(j + 1 + m as int)), m,"
+        "      cast(null as int))),"
+        " x -> x is not null))"
+    )
+    lcps = pairs.select(
+        "doc_id",
+        "text",
+        "i",
+        "j",
+        F.coalesce(first_mismatch, F.col("minlen")).cast("long").alias("lcp"),
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.col("lcp").desc(), F.least("i", "j"), F.greatest("i", "j")
+    )
+    return (
+        lcps.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lcp").alias("lrs_len"),
+            F.when(F.col("lcp") == 0, F.lit(-1))
+            .otherwise(F.least("i", "j"))
+            .cast("long")
+            .alias("lrs_start"),
+            F.when(F.col("lcp") == 0, F.lit(""))
+            .otherwise(
+                F.expr(
+                    "substr(text, cast(least(i, j) + 1 as int), cast(lcp as int))"
+                )
+            )
+            .alias("lrs_text"),
+        )
     )
