@@ -43,6 +43,10 @@ PUB_INTERVAL_MS = 100
 RECORDS_PER_PUB = 20
 RUN_SECONDS = 25
 TRIGGER_SEC = 1
+# the trigger SWEEP: end-to-end latency ≈ trigger/2 + processing, so
+# shrinking the trigger converges on the processing floor — the
+# micro-batch answer to the reference's per-message latency claim
+SWEEP_TRIGGERS = (1.0, 0.5, 0.2)
 
 
 def _records(start: int, n: int) -> list[tuple[str, str]]:
@@ -67,11 +71,7 @@ def percentile(sorted_vals: list[float], q: float) -> float:
     return sorted_vals[min(k, len(sorted_vals)) - 1]
 
 
-def main() -> int:
-    spark = get_spark(app_name="stream-latency-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    kafka_standin.register(spark)
-
+def run_one(spark, trigger_sec: float) -> dict:
     workdir = tempfile.mkdtemp(prefix="latbench_")
     log_dir = os.path.join(workdir, "topic")
     out_dir = os.path.join(workdir, "out")
@@ -128,7 +128,7 @@ def main() -> int:
     q = (
         lane.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ck_dir)
-        .trigger(processingTime=f"{TRIGGER_SEC} seconds")
+        .trigger(processingTime=f"{int(trigger_sec * 1000)} milliseconds")
         .start()
     )
 
@@ -138,7 +138,7 @@ def main() -> int:
     time.sleep(RUN_SECONDS)
     stop_flag.set()
     pub.join()
-    time.sleep(2 * TRIGGER_SEC + 1)  # drain the tail
+    time.sleep(2 * trigger_sec + 1)  # drain the tail
     q.stop()
     q.awaitTermination()
 
@@ -149,11 +149,7 @@ def main() -> int:
     pm = sorted(proc_ms)
     pm_steady = sorted(proc_ms[3:])
     result = {
-        "metric": "stream_latency",
-        "unit": "ms",
-        "trigger_sec": TRIGGER_SEC,
-        "pub_interval_ms": PUB_INTERVAL_MS,
-        "records_per_pub": RECORDS_PER_PUB,
+        "trigger_sec": trigger_sec,
         "run_sec": round(time.time() - t_start, 1),
         "n_published": published["n"],
         "n_measured": len(lat),
@@ -169,21 +165,38 @@ def main() -> int:
         "proc_p50_ms": round(percentile(pm, 0.50), 1),
         "proc_p95_ms": round(percentile(pm, 0.95), 1),
         "steady_proc_p50_ms": round(percentile(pm_steady, 0.50), 1),
-        "reference_claim_ms": 100,
-        "note": (
-            "end-to-end = queueing (≤ trigger) + processing; steady_* "
-            "drops the 3 startup-backlog batches; the processing "
-            "component is the sub-trigger floor a smaller trigger "
-            "approaches"
-        ),
     }
     print(json.dumps(result))
+    return result
+
+
+def main() -> int:
+    spark = get_spark(app_name="stream-latency-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    kafka_standin.register(spark)
+
+    rows = [run_one(spark, t) for t in SWEEP_TRIGGERS]
+    out = {
+        "metric": "stream_latency",
+        "unit": "ms",
+        "pub_interval_ms": PUB_INTERVAL_MS,
+        "records_per_pub": RECORDS_PER_PUB,
+        "reference_claim_ms": 100,
+        "rows": rows,
+        "note": (
+            "end-to-end = queueing (≤ trigger) + processing; steady_* "
+            "drops the 3 startup-backlog batches; the trigger sweep "
+            "shows end-to-end converging on the processing floor as "
+            "the trigger shrinks"
+        ),
+    }
     with open(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "BENCH_stream_latency.json"),
         "w",
     ) as fh:
-        json.dump(result, fh, indent=1)
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"written": "BENCH_stream_latency.json", "rows": len(rows)}))
     return 0
 
 
