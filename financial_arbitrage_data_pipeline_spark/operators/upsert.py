@@ -51,6 +51,10 @@ except Exception:  # pragma: no cover - delta not shipped in this container
     _HAS_DELTA = False
 
 _N_BUCKETS_FILE = "_n_buckets"
+_HISTORY_MARKER = "_history_enabled"
+_COMMIT_LOG = "_commit_log.jsonl"
+_VERSIONS_DIR = "_versions"
+_VACUUM_MARKER = "_history_vacuumed"
 _DEFAULT_BUCKETS = 16
 _PENDING_FILE = "_merge_pending"
 _COMMIT_FILE = "_commit_manifest"
@@ -163,12 +167,21 @@ def create_bucketed_table(
     df: DataFrame,
     key: str,
     n_buckets: int = _DEFAULT_BUCKETS,
+    keep_history: bool = False,
 ) -> None:
     """Materialize `df` as a hash-bucketed merge target:
     `<dir>/__bucket__=<i>/part-*.parquet` + an `_n_buckets` marker so
     later merges reproduce the same modulus. An empty seed writes its
     (empty) schema into `__bucket__=0` so the layout is readable before
-    the first merge."""
+    the first merge.
+
+    `keep_history=True` turns on TIME TRAVEL (the Delta/Iceberg
+    snapshot-read feature on this plain-parquet layout): each committed
+    merge ARCHIVES the replaced buckets' pre-merge content under
+    `_versions/<seq>/` instead of deleting it, and appends one line to
+    `_commit_log.jsonl` — an UNDO LOG sized by what changed, never by
+    the table. `read_merge_table_asof` reconstructs any committed
+    version; `vacuum_merge_history` truncates retention."""
     if df.take(1):
         (
             df.withColumn("__bucket__", _bucket_of(F.col(key), n_buckets))
@@ -183,6 +196,165 @@ def create_bucketed_table(
         )
     with open(os.path.join(target_dir, _N_BUCKETS_FILE), "w") as fh:
         fh.write(str(n_buckets))
+    if keep_history:
+        with open(os.path.join(target_dir, _HISTORY_MARKER), "w") as fh:
+            fh.write("1")
+
+
+def _history_enabled(target_dir: str) -> bool:
+    return os.path.exists(os.path.join(target_dir, _HISTORY_MARKER))
+
+
+def _read_commit_log(target_dir: str) -> list[dict]:
+    path = os.path.join(target_dir, _COMMIT_LOG)
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def _archive_commit(target_dir: str, manifest: dict) -> None:
+    """History-mode cleanup for a COMMITTED merge: move every replaced
+    bucket's `.__old__` backup into `_versions/<seq>/` and append the
+    commit-log line. IDEMPOTENT under crash-retry: if the log's last
+    entry already carries this merge_id the seq is reused and the append
+    is skipped; bucket moves skip already-moved (absent) backups — so
+    recovery can re-run it from any crash point and the archive lands
+    exactly once."""
+    log = _read_commit_log(target_dir)
+    if log and log[-1]["merge_id"] == manifest["merge_id"]:
+        seq = log[-1]["seq"]
+        append = False
+    else:
+        seq = (log[-1]["seq"] + 1) if log else 1
+        append = True
+    vdir = os.path.join(target_dir, _VERSIONS_DIR, str(seq))
+    for swap in manifest["swaps"]:
+        old = os.path.join(
+            target_dir, f"__bucket__={swap['bucket']}.__old__"
+        )
+        if swap.get("had_prev") and os.path.exists(old):
+            os.makedirs(vdir, exist_ok=True)
+            dst = os.path.join(vdir, f"__bucket__={swap['bucket']}")
+            if os.path.exists(dst):  # pragma: no cover - raced retry
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, dst)
+        elif os.path.exists(old):  # pragma: no cover - defensive
+            shutil.rmtree(old, ignore_errors=True)
+    if append:
+        entry = {
+            "seq": seq,
+            "merge_id": manifest["merge_id"],
+            "swaps": [
+                {"bucket": s["bucket"], "had_prev": bool(s.get("had_prev"))}
+                for s in manifest["swaps"]
+            ],
+        }
+        with open(
+            os.path.join(target_dir, _COMMIT_LOG), "a", encoding="utf-8"
+        ) as fh:
+            fh.write(json.dumps(entry) + "\n")
+
+
+def history_versions(target_dir: str) -> list[int]:
+    """Committed version numbers readable via as-of: 0 (the created
+    table) through the latest merge's seq, floored by any vacuum."""
+    log = _read_commit_log(target_dir)
+    last = log[-1]["seq"] if log else 0
+    floor = 0
+    vac = os.path.join(target_dir, _VACUUM_MARKER)
+    if os.path.exists(vac):
+        with open(vac) as fh:
+            floor = int(fh.read().strip() or 0)
+    return list(range(floor, last + 1))
+
+
+def read_merge_table_asof(
+    spark: SparkSession, target_dir: str, version: int
+) -> DataFrame:
+    """TIME-TRAVEL read of a history-enabled merge table: the state
+    exactly as of committed version `version` (0 = as created, N = after
+    the N-th merge). Reconstruction is the undo-log overlay: a bucket's
+    as-of content is the archive of the EARLIEST later merge that
+    replaced it (that archive is the pre-merge copy, and no merge
+    between `version` and it touched the bucket), else the live bucket;
+    a bucket first created by a later merge is absent. Cost: metadata +
+    a parquet read over exactly the as-of file set — no copy, no
+    restore."""
+    recover_merge_table(target_dir)
+    if not _history_enabled(target_dir):
+        raise ValueError(f"{target_dir} was not created with keep_history")
+    log = _read_commit_log(target_dir)
+    versions = history_versions(target_dir)
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not readable; available: "
+            f"{versions[0]}..{versions[-1]}"
+        )
+    # every bucket id ever live: current dirs + any archived bucket
+    current = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(target_dir)
+        if e.startswith("__bucket__=") and not e.endswith(".__old__")
+    }
+    paths: list[str] = []
+    for b in sorted(
+        current | {s["bucket"] for e in log for s in e["swaps"]}
+    ):
+        chosen = None
+        for e in log:  # ascending seq
+            if e["seq"] > version and any(
+                s["bucket"] == b for s in e["swaps"]
+            ):
+                swap = next(s for s in e["swaps"] if s["bucket"] == b)
+                if swap["had_prev"]:
+                    chosen = os.path.join(
+                        target_dir, _VERSIONS_DIR, str(e["seq"]), f"__bucket__={b}"
+                    )
+                else:
+                    chosen = ""  # bucket did not exist at `version`
+                break
+        if chosen is None:
+            if b in current:
+                paths.append(os.path.join(target_dir, f"__bucket__={b}"))
+        elif chosen:
+            if not os.path.isdir(chosen):  # pragma: no cover - vacuum race
+                raise ValueError(
+                    f"archive for bucket {b} at seq > {version} was vacuumed"
+                )
+            paths.append(chosen)
+    if not paths:  # as-of an empty table
+        return read_merge_table(spark, target_dir).limit(0)
+    df = spark.read.parquet(*paths)
+    return df.drop("__bucket__") if "__bucket__" in df.columns else df
+
+
+def vacuum_merge_history(target_dir: str, keep_last: int) -> list[int]:
+    """Retention: drop archived versions older than the newest
+    `keep_last` merges (Delta VACUUM's role for the undo log). Readable
+    history then starts at `last_seq - keep_last`; the floor is recorded
+    so as-of requests below it fail loudly instead of reconstructing
+    from missing archives. Returns the seqs removed."""
+    log = _read_commit_log(target_dir)
+    if not log:
+        return []
+    cutoff = max(log[-1]["seq"] - max(keep_last, 0), 0)
+    removed = []
+    for e in log:
+        if e["seq"] <= cutoff:
+            vdir = os.path.join(target_dir, _VERSIONS_DIR, str(e["seq"]))
+            if os.path.isdir(vdir):
+                shutil.rmtree(vdir, ignore_errors=True)
+                removed.append(e["seq"])
+    if cutoff > 0:
+        _install_root_files(target_dir, {_VACUUM_MARKER: str(cutoff)})
+    return removed
 
 
 def read_merge_table(spark: SparkSession, target_dir: str) -> DataFrame:
@@ -310,13 +482,19 @@ def _recover_unlocked(target_dir: str) -> None:
         return
     commit = _read_json(commit_p)
     if commit is not None and commit.get("merge_id") == pending["merge_id"]:
-        # committed: finish what the cleanup phase would have done
+        # committed: finish what the cleanup phase would have done —
+        # archiving the replaced buckets when history is on (the
+        # _archive_commit idempotence contract makes this re-runnable
+        # from any crash point), deleting them otherwise
         _install_root_files(target_dir, commit.get("extra_files") or {})
-        for swap in pending["swaps"]:
-            old = os.path.join(
-                target_dir, f"__bucket__={swap['bucket']}.__old__"
-            )
-            shutil.rmtree(old, ignore_errors=True)
+        if _history_enabled(target_dir):
+            _archive_commit(target_dir, pending)
+        else:
+            for swap in pending["swaps"]:
+                old = os.path.join(
+                    target_dir, f"__bucket__={swap['bucket']}.__old__"
+                )
+                shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         os.remove(pending_p)
         return
@@ -528,13 +706,17 @@ def _merge_bucketed(
             _post_swap_hook(b)
     # ---- COMMIT POINT: one atomic rename makes the whole merge real ----
     _install_root_files(target_dir, {_COMMIT_FILE: json.dumps(manifest)})
-    # cleanup (crash-safe: recover_merge_table re-runs it on demand)
+    # cleanup (crash-safe: recover_merge_table re-runs it on demand);
+    # with history enabled the replaced buckets ARCHIVE instead of dying
     _install_root_files(target_dir, extra_files)
-    for swap in swaps:
-        shutil.rmtree(
-            os.path.join(target_dir, f"__bucket__={swap['bucket']}.__old__"),
-            ignore_errors=True,
-        )
+    if _history_enabled(target_dir):
+        _archive_commit(target_dir, manifest)
+    else:
+        for swap in swaps:
+            shutil.rmtree(
+                os.path.join(target_dir, f"__bucket__={swap['bucket']}.__old__"),
+                ignore_errors=True,
+            )
     shutil.rmtree(tmp, ignore_errors=True)
     os.remove(os.path.join(target_dir, _PENDING_FILE))
 
@@ -637,6 +819,14 @@ def rebucket_merge_table(
             )
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        if _history_enabled(target_dir):
+            # the undo log is keyed by bucket ids under the OLD modulus;
+            # a re-bucket invalidates every archived overlay
+            raise ValueError(
+                f"{target_dir} keeps merge history; re-bucketing would "
+                "orphan the undo log. vacuum_merge_history(keep_last=0) "
+                "and remove _history_enabled first if you mean it."
+            )
         df = spark.read.parquet(target_dir)
         data = df.drop("__bucket__") if "__bucket__" in df.columns else df
         tmp = target_dir.rstrip("/") + ".__merge_tmp__"
@@ -787,5 +977,100 @@ def ticket_fill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_fill_price"),
         )
         return final.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "ticket_fill_history_asof",
+    oracle="""
+WITH tickets AS (
+  SELECT o_orderkey AS ticket_id, o_orderkey % 50 + 1 AS quantity FROM orders
+),
+fills AS (
+  SELECT l_orderkey AS ticket_id, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(l_partkey % 97 + 1 AS BIGINT) AS p
+  FROM lineitem
+),
+state AS (
+  SELECT v.version, t.ticket_id, t.quantity,
+         COALESCE(a.fq, 0) AS eq, COALESCE(a.cost, 0) AS cost
+  FROM (VALUES (1), (2)) v(version)
+  CROSS JOIN tickets t
+  LEFT JOIN (
+    SELECT 1 AS version, ticket_id,
+           CAST(SUM(q) AS BIGINT) AS fq, CAST(SUM(q * p) AS BIGINT) AS cost
+    FROM fills WHERE l_linenumber <= 3 GROUP BY ticket_id
+    UNION ALL
+    SELECT 2, ticket_id, CAST(SUM(q) AS BIGINT), CAST(SUM(q * p) AS BIGINT)
+    FROM fills GROUP BY ticket_id
+  ) a ON a.ticket_id = t.ticket_id AND a.version = v.version
+)
+SELECT version,
+       CASE WHEN eq >= quantity THEN 'filled'
+            WHEN eq > 0 THEN 'partially_filled'
+            ELSE 'pending' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_tickets,
+       CAST(SUM(eq) AS BIGINT) AS total_executed_qty,
+       CAST(SUM(cost) AS BIGINT) AS total_cost_cents
+FROM state
+GROUP BY 1, 2
+""",
+    tags=("K4", "time-travel", "lakehouse"),
+)
+def ticket_fill_history_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the merge table (the Delta/Iceberg snapshot-read
+    feature on the plain-parquet bucketed layout): seed tickets with
+    `keep_history=True`, apply the SAME two fill batches as
+    `ticket_fill_merge`, then read BOTH committed versions back via
+    `read_merge_table_asof` — version 1 must show exactly the state
+    after the first batch even though a second merge has since
+    rewritten those buckets. The undo-log archive is sized by what each
+    merge touched, never by the table, so history on a 100 TB target
+    costs delta-bytes per commit. The oracle recomputes both version
+    states declaratively from the raw tables; matching BOTH rowsets
+    proves the as-of overlay picks exactly the right archived buckets."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="sgasof_")
+    tickets_dir = os.path.join(root, "trade_tickets")
+    try:
+        create_bucketed_table(
+            spark,
+            tickets_dir,
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("ticket_id"),
+                (F.col("o_orderkey") % 50 + 1).alias("quantity"),
+                F.lit(0).cast("long").alias("executed_quantity"),
+                F.lit(0).cast("long").alias("executed_cost_cents"),
+                F.lit("pending").alias("status"),
+            ),
+            key="ticket_id",
+            keep_history=True,
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ticket_id"),
+            F.col("l_quantity").cast("long").alias("fill_qty"),
+            (F.col("l_partkey") % 97 + 1).cast("long").alias("fill_price_cents"),
+            "l_linenumber",
+        )
+        apply_fills(spark, tickets_dir, li.filter(F.col("l_linenumber") <= 3))
+        apply_fills(spark, tickets_dir, li.filter(F.col("l_linenumber") > 3))
+
+        def rollup(df: DataFrame, version: int) -> DataFrame:
+            return df.groupBy("status").agg(
+                F.count(F.lit(1)).cast("long").alias("n_tickets"),
+                F.sum("executed_quantity").cast("long").alias(
+                    "total_executed_qty"
+                ),
+                F.sum("executed_cost_cents").cast("long").alias(
+                    "total_cost_cents"
+                ),
+            ).select(F.lit(version).cast("int").alias("version"), "*")
+
+        v1 = rollup(read_merge_table_asof(spark, tickets_dir, 1), 1)
+        v2 = rollup(read_merge_table_asof(spark, tickets_dir, 2), 2)
+        return v1.unionByName(v2).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -61,7 +61,10 @@ def test_text_quality_is_narrow(spark, sf_dir):
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     offenders = []
     for name in sorted(REGISTRY):
-        if name.startswith("streaming_") or name == "ticket_fill_merge":
+        if name.startswith("streaming_") or name in (
+            "ticket_fill_merge",
+            "ticket_fill_history_asof",
+        ):
             continue  # these execute work in the builder; covered elsewhere
         p = plan_of(spark, name, sf_dir)
         if "CartesianProduct" in p:
@@ -344,7 +347,11 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "hybrid_retrieval_rrf",  # 1-row query vector + corpus totals broadcast
         "join_size_histogram_bound",  # two 1-row bound/actual scalars combined
     }
-    skip = {"ticket_fill_merge", "jdbc_pair_scan"}  # builders with write side effects
+    skip = {  # builders with write side effects
+        "ticket_fill_merge",
+        "ticket_fill_history_asof",
+        "jdbc_pair_scan",
+    }
     offenders = []
     for name, spec in sorted(REGISTRY.items()):
         if name.startswith("streaming_") or name.startswith("etl_") or name in skip:
