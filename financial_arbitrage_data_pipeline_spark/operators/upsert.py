@@ -297,16 +297,33 @@ def read_merge_table_asof(
             f"version {version} not readable; available: "
             f"{versions[0]}..{versions[-1]}"
         )
-    # every bucket id ever live: current dirs + any archived bucket
+    paths = _asof_bucket_paths(target_dir, version, log)
+    if not paths:  # as-of an empty table
+        return read_merge_table(spark, target_dir).limit(0)
+    df = spark.read.parquet(*paths.values())
+    return df.drop("__bucket__") if "__bucket__" in df.columns else df
+
+
+def _asof_bucket_paths(
+    target_dir: str,
+    version: int,
+    log: list[dict],
+    only_buckets: set[int] | None = None,
+) -> dict[int, str]:
+    """bucket id → the directory holding that bucket's content AS OF
+    `version` (the earliest later archive, else the live dir); buckets
+    absent at `version` are omitted. `only_buckets` restricts the
+    resolution — the delta-sized path the change feed uses."""
     current = {
         int(e.split("=", 1)[1])
         for e in os.listdir(target_dir)
         if e.startswith("__bucket__=") and not e.endswith(".__old__")
     }
-    paths: list[str] = []
-    for b in sorted(
-        current | {s["bucket"] for e in log for s in e["swaps"]}
-    ):
+    universe = current | {s["bucket"] for e in log for s in e["swaps"]}
+    if only_buckets is not None:
+        universe &= only_buckets
+    paths: dict[int, str] = {}
+    for b in sorted(universe):
         chosen = None
         for e in log:  # ascending seq
             if e["seq"] > version and any(
@@ -322,17 +339,87 @@ def read_merge_table_asof(
                 break
         if chosen is None:
             if b in current:
-                paths.append(os.path.join(target_dir, f"__bucket__={b}"))
+                paths[b] = os.path.join(target_dir, f"__bucket__={b}")
         elif chosen:
             if not os.path.isdir(chosen):  # pragma: no cover - vacuum race
                 raise ValueError(
                     f"archive for bucket {b} at seq > {version} was vacuumed"
                 )
-            paths.append(chosen)
-    if not paths:  # as-of an empty table
-        return read_merge_table(spark, target_dir).limit(0)
-    df = spark.read.parquet(*paths)
-    return df.drop("__bucket__") if "__bucket__" in df.columns else df
+            paths[b] = chosen
+    return paths
+
+
+def merge_table_changes(
+    spark: SparkSession,
+    target_dir: str,
+    from_version: int,
+    to_version: int,
+    key: str,
+) -> DataFrame:
+    """CHANGE DATA FEED between two committed versions (Delta's CDF on
+    the plain-parquet layout): every key whose row differs between
+    `from_version` and `to_version`, tagged 'insert' / 'update' /
+    'delete', with the full pre- and post-image structs. Reads ONLY the
+    buckets the intervening merges touched (from the commit log), so
+    feed cost is delta-sized — on a 100 TB table a feed over one merge
+    reads that merge's buckets, nothing else. Row equality compares
+    every data column (null-safe), so a no-op rewrite emits nothing."""
+    recover_merge_table(target_dir)
+    if not _history_enabled(target_dir):
+        raise ValueError(f"{target_dir} was not created with keep_history")
+    versions = history_versions(target_dir)
+    if not (
+        from_version in versions
+        and to_version in versions
+        and from_version < to_version
+    ):
+        raise ValueError(
+            f"need readable from_version < to_version; available: "
+            f"{versions[0]}..{versions[-1]}"
+        )
+    log = _read_commit_log(target_dir)
+    touched = {
+        s["bucket"]
+        for e in log
+        if from_version < e["seq"] <= to_version
+        for s in e["swaps"]
+    }
+    if not touched:
+        empty = read_merge_table(spark, target_dir).limit(0)
+        return empty.select(
+            F.col(key),
+            F.lit("").alias("change_type"),
+            F.struct(*[c for c in empty.columns]).alias("old"),
+            F.struct(*[c for c in empty.columns]).alias("new"),
+        ).limit(0)
+
+    def read_side(version: int) -> DataFrame:
+        paths = _asof_bucket_paths(target_dir, version, log, touched)
+        if not paths:
+            return read_merge_table(spark, target_dir).limit(0)
+        df = spark.read.parquet(*paths.values())
+        return df.drop("__bucket__") if "__bucket__" in df.columns else df
+
+    old_df = read_side(from_version)
+    new_df = read_side(to_version)
+    cols = [c for c in new_df.columns]
+    o = old_df.select(
+        F.col(key).alias("__k"), F.struct(*cols).alias("old")
+    )
+    n = new_df.select(
+        F.col(key).alias("__k"), F.struct(*cols).alias("new")
+    )
+    joined = o.join(n, "__k", "full_outer")
+    change = (
+        F.when(F.col("old").isNull(), F.lit("insert"))
+        .when(F.col("new").isNull(), F.lit("delete"))
+        .when(~F.col("old").eqNullSafe(F.col("new")), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(F.col("__k").alias(key), "change_type", "old", "new")
+    )
 
 
 def vacuum_merge_history(target_dir: str, keep_last: int) -> list[int]:
@@ -1072,5 +1159,100 @@ def ticket_fill_history_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         v1 = rollup(read_merge_table_asof(spark, tickets_dir, 1), 1)
         v2 = rollup(read_merge_table_asof(spark, tickets_dir, 2), 2)
         return v1.unionByName(v2).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "ticket_fill_changes_feed",
+    oracle="""
+WITH tickets AS (
+  SELECT o_orderkey AS ticket_id, o_orderkey % 50 + 1 AS quantity FROM orders
+),
+fills AS (
+  SELECT l_orderkey AS ticket_id, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(l_partkey % 97 + 1 AS BIGINT) AS p
+  FROM lineitem
+),
+b1 AS (
+  SELECT ticket_id, CAST(SUM(q) AS BIGINT) AS fq,
+         CAST(SUM(q * p) AS BIGINT) AS cost
+  FROM fills WHERE l_linenumber <= 3 GROUP BY ticket_id
+),
+ball AS (
+  SELECT ticket_id, CAST(SUM(q) AS BIGINT) AS fq,
+         CAST(SUM(q * p) AS BIGINT) AS cost
+  FROM fills GROUP BY ticket_id
+),
+changed AS (SELECT DISTINCT ticket_id FROM fills WHERE l_linenumber > 3)
+SELECT t.ticket_id,
+       'update' AS change_type,
+       COALESCE(b1.fq, 0) AS old_executed_qty,
+       ball.fq AS new_executed_qty,
+       CASE WHEN COALESCE(b1.fq, 0) >= t.quantity THEN 'filled'
+            WHEN COALESCE(b1.fq, 0) > 0 THEN 'partially_filled'
+            ELSE 'pending' END AS old_status,
+       CASE WHEN ball.fq >= t.quantity THEN 'filled'
+            WHEN ball.fq > 0 THEN 'partially_filled'
+            ELSE 'pending' END AS new_status,
+       COALESCE(b1.cost, 0) AS old_cost_cents,
+       ball.cost AS new_cost_cents
+FROM changed c
+JOIN tickets t ON t.ticket_id = c.ticket_id
+LEFT JOIN b1 ON b1.ticket_id = c.ticket_id
+JOIN ball ON ball.ticket_id = c.ticket_id
+""",
+    tags=("K4", "time-travel", "cdc", "lakehouse"),
+)
+def ticket_fill_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED off the merge table's undo log (Delta CDF's
+    role): the exact per-key deltas between committed versions 1 and 2
+    of the ticket lifecycle — pre- and post-image columns tagged with
+    the change type, computed by reading ONLY the buckets the second
+    merge touched. This is what a downstream incremental consumer
+    (`incremental_lang_stats`-style view maintenance, a replication
+    feed, an audit trail) subscribes to instead of diffing table
+    snapshots. The oracle derives the same feed declaratively: exactly
+    the tickets with second-batch fills, with both images recomputed
+    from the raw tables — matching rowsets prove the feed emits every
+    changed key, no unchanged key, and the right images."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="sgcdf_")
+    tickets_dir = os.path.join(root, "trade_tickets")
+    try:
+        create_bucketed_table(
+            spark,
+            tickets_dir,
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("ticket_id"),
+                (F.col("o_orderkey") % 50 + 1).alias("quantity"),
+                F.lit(0).cast("long").alias("executed_quantity"),
+                F.lit(0).cast("long").alias("executed_cost_cents"),
+                F.lit("pending").alias("status"),
+            ),
+            key="ticket_id",
+            keep_history=True,
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ticket_id"),
+            F.col("l_quantity").cast("long").alias("fill_qty"),
+            (F.col("l_partkey") % 97 + 1).cast("long").alias("fill_price_cents"),
+            "l_linenumber",
+        )
+        apply_fills(spark, tickets_dir, li.filter(F.col("l_linenumber") <= 3))
+        apply_fills(spark, tickets_dir, li.filter(F.col("l_linenumber") > 3))
+        feed = merge_table_changes(spark, tickets_dir, 1, 2, "ticket_id")
+        return feed.select(
+            "ticket_id",
+            "change_type",
+            F.col("old.executed_quantity").alias("old_executed_qty"),
+            F.col("new.executed_quantity").alias("new_executed_qty"),
+            F.col("old.status").alias("old_status"),
+            F.col("new.status").alias("new_status"),
+            F.col("old.executed_cost_cents").alias("old_cost_cents"),
+            F.col("new.executed_cost_cents").alias("new_cost_cents"),
+        ).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -64,6 +64,7 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         if name.startswith("streaming_") or name in (
             "ticket_fill_merge",
             "ticket_fill_history_asof",
+            "ticket_fill_changes_feed",
         ):
             continue  # these execute work in the builder; covered elsewhere
         p = plan_of(spark, name, sf_dir)
@@ -350,6 +351,7 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
     skip = {  # builders with write side effects
         "ticket_fill_merge",
         "ticket_fill_history_asof",
+        "ticket_fill_changes_feed",
         "jdbc_pair_scan",
     }
     offenders = []

@@ -994,3 +994,51 @@ def test_history_vacuum_truncates_and_rebucket_refuses(spark, tmp_path):
     assert got[1] == 101
     with _pytest.raises(ValueError, match="keeps merge history"):
         U.rebucket_merge_table(spark, target, "k", 8)
+
+
+def test_change_feed_detects_update_and_insert_delta_sized(spark, tmp_path):
+    """merge_table_changes: between two versions it must emit exactly
+    the changed keys — updates with both images, inserts with a null
+    old image — and nothing for untouched keys, reading only touched
+    buckets."""
+    from pyspark.sql import functions as F
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k long, v long"
+    )
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=4, keep_history=True)
+    U.merge_into_parquet(
+        spark, target,
+        spark.createDataFrame([(3, 333)], "k long, v long"),
+        "k", {"v": F.col("u.v")},
+    )
+    U.merge_into_parquet(
+        spark, target,
+        spark.createDataFrame([(3, 3333), (100, 1000)], "k long, v long"),
+        "k", {"v": F.col("u.v")}, insert_missing=True,
+    )
+
+    feed = {
+        r.k: (r.change_type, r.old, r.new)
+        for r in U.merge_table_changes(spark, target, 1, 2, "k").collect()
+    }
+    assert set(feed) == {3, 100}
+    ct, old, new = feed[3]
+    assert ct == "update" and old.v == 333 and new.v == 3333
+    ct, old, new = feed[100]
+    assert ct == "insert" and old is None and new.v == 1000
+
+    # whole-range feed vs version 0: key 3's old image is the seed value
+    feed0 = {
+        r.k: (r.change_type, r.old, r.new)
+        for r in U.merge_table_changes(spark, target, 0, 2, "k").collect()
+    }
+    assert feed0[3][1].v == 30 and feed0[3][2].v == 3333
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="from_version < to_version"):
+        U.merge_table_changes(spark, target, 2, 1, "k")
