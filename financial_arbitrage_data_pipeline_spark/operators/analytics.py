@@ -1107,3 +1107,86 @@ def daily_orders_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "n", "sx", "sy", "sxy", (num / den).alias("autocorr_lag1")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto-dominance (multi-objective "best" — an operator class
+# SQL engines lack natively)
+# ---------------------------------------------------------------------------
+@query(
+    "pareto_parts_skyline",
+    oracle="""
+SELECT p.p_partkey,
+       CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_cents,
+       CAST(p.p_size AS BIGINT) AS size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE round(q.p_retailprice * 100) <= round(p.p_retailprice * 100)
+    AND q.p_size >= p.p_size
+    AND (round(q.p_retailprice * 100) < round(p.p_retailprice * 100)
+         OR q.p_size > p.p_size)
+)
+""",
+    tags=("skyline", "pareto", "W2"),
+)
+def pareto_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKYLINE (Pareto front) of parts over (minimize price,
+    maximize size): every part no other part beats on both axes — the
+    multi-objective 'best' that no ORDER BY can express (Börzsönyi et
+    al.'s skyline operator). The oracle states it as the quadratic
+    NOT EXISTS dominance test; the engine runs the DISTRIBUTED
+    two-phase algorithm:
+
+    1. GRID PRUNE — bucket by $10 price bands; a part is dead if any
+       strictly-cheaper band contains an equal-or-larger size, decided
+       against a broadcast prefix-max table of one row per band. This
+       eliminates ~everything (survivors ≲ #distinct sizes) with one
+       narrow scan + a bands-sized broadcast join — the shape that
+       holds at 100 TB.
+    2. EXACT MERGE — the survivors (bounded by the skyline plus band-
+       boundary strays, documented single-partition) run the classic
+       sort-sweep: keep a row iff no strictly-cheaper survivor has size
+       ≥ mine (RANGE-frame running max) and no same-price survivor has
+       size > mine.
+
+    Integer cents everywhere, deterministic ties (equal (price, size)
+    pairs are mutually non-dominating and all kept)."""
+    from pyspark.sql import Window
+
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("cast(round(p_retailprice * 100) as bigint)").alias(
+            "price_cents"
+        ),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    band = (F.col("price_cents") / 1000).cast("long")
+    banded = parts.withColumn("band", band)
+    band_max = banded.groupBy("band").agg(F.max("size").alias("bmax"))
+    w_pref = (
+        Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # prefix over the ~10-row band table: tiny single-partition window
+    prefix = band_max.select(
+        "band", F.max("bmax").over(w_pref).alias("premax")
+    )
+    survivors = (
+        banded.join(F.broadcast(prefix), "band")
+        .filter(F.col("premax").isNull() | (F.col("premax") < F.col("size")))
+        .drop("band", "premax")
+    )
+    # exact sweep over the pruned (skyline-sized) survivor set
+    w_cheaper = Window.orderBy("price_cents").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_same = Window.partitionBy("price_cents")
+    return (
+        survivors.withColumn("m1", F.max("size").over(w_cheaper))
+        .withColumn("m2", F.max("size").over(w_same))
+        .filter(
+            (F.col("m1").isNull() | (F.col("m1") < F.col("size")))
+            & (F.col("size") == F.col("m2"))
+        )
+        .select("p_partkey", "price_cents", "size")
+    )
