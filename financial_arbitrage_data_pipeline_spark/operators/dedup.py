@@ -1239,8 +1239,18 @@ def _suffix_ranks(docs: DataFrame) -> DataFrame:
     `longest_repeated_substring`: (doc_id, i, rank) with rank the
     suffix's final lexicographic position within its document. One
     1-row driver collect (the corpus max length fixes the round count);
-    each round is a single doc-keyed window stage, localCheckpoint per
-    round."""
+    each round is a single doc-keyed window stage.
+
+    Round-state memory discipline: a localCheckpoint per round RETAINS
+    every round's materialization for the session (no reliable
+    unpersist), which at sf3 is rounds x positions x row ≈ 20 GB and
+    OOMs the 16 GB local heap. Instead each round persists DISK_ONLY
+    (cache-manager storage, where unpersist IS reliable), the
+    superseded round is dropped as soon as the next materializes, and
+    ONE terminal localCheckpoint truncates the accumulated lineage —
+    peak footprint is two rounds on disk plus one in the checkpoint."""
+    from pyspark.storagelevel import StorageLevel
+
     max_len = docs.agg(F.max(F.length("text"))).collect()[0][0] or 1
     rounds = _suffix_rounds(max_len)
     pos = docs.select(
@@ -1252,7 +1262,8 @@ def _suffix_ranks(docs: DataFrame) -> DataFrame:
         (F.col("p") - 1).alias("i"),
         F.ascii(F.expr("substr(t, p, 1)")).cast("long").alias("rank"),
     )
-    r = pos.localCheckpoint()
+    r = pos.persist(StorageLevel.DISK_ONLY)
+    r.count()
     w_ord = Window.partitionBy("doc_id").orderBy("i")
     for k in range(rounds):
         off = 1 << k
@@ -1263,12 +1274,17 @@ def _suffix_ranks(docs: DataFrame) -> DataFrame:
             F.lead("rank", off, -1).over(w_ord).alias("r2"),
         )
         w_rank = Window.partitionBy("doc_id").orderBy("rank", "r2")
-        r = paired.select(
+        new = paired.select(
             "doc_id",
             "i",
             F.dense_rank().over(w_rank).cast("long").alias("rank"),
-        ).localCheckpoint()
-    return r
+        ).persist(StorageLevel.DISK_ONLY)
+        new.count()
+        r.unpersist()
+        r = new
+    out = r.localCheckpoint()
+    r.unpersist()
+    return out
 
 
 @query(

@@ -1042,3 +1042,86 @@ def test_change_feed_detects_update_and_insert_delta_sized(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="from_version < to_version"):
         U.merge_table_changes(spark, target, 2, 1, "k")
+
+
+def test_streaming_upserter_with_history_gives_per_batch_time_travel(
+    spark, tmp_path, sf_dir
+):
+    """Integration: the SHIPPED streaming pair-perf upserter
+    (foreachBatch MERGE, exactly-once marker) over a HISTORY-ENABLED
+    table yields one committed version per non-empty micro-batch, and
+    read_merge_table_asof(k) equals the batch recompute over the first
+    k chunks — continuous aggregate + time travel composed."""
+    from pyspark.sql import functions as F
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+    from financial_arbitrage_data_pipeline_spark.operators.streaming_queries import (
+        make_pair_perf_upserter,
+    )
+    from financial_arbitrage_data_pipeline_spark.streaming import ingest
+
+    replay_dir = str(tmp_path / "replay")
+    n_chunks = 3
+    ingest.write_replay_chunks(spark, sf_dir, replay_dir, n_chunks=n_chunks)
+    table = str(tmp_path / "pair_perf")
+    # pre-create WITH history; the upserter keeps an existing table
+    U.create_bucketed_table(
+        spark,
+        table,
+        spark.createDataFrame(
+            [],
+            "pair_id long, total_trades long, total_volume long,"
+            " total_cost_cents long",
+        ),
+        key="pair_id",
+        keep_history=True,
+    )
+    q = (
+        ingest.replay_stream(spark, replay_dir)
+        .writeStream.foreachBatch(make_pair_perf_upserter(spark, table))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    versions = U.history_versions(table)
+    assert versions[0] == 0 and len(versions) >= n_chunks + 1
+
+    # asof after the FIRST merge == recompute over chunk files that fed
+    # batch 0 (chunks are time-ordered; batch k reads chunk k)
+    import glob
+
+    chunks = sorted(glob.glob(replay_dir + "/*.parquet"))
+    assert len(chunks) == n_chunks
+
+    def recompute(paths):
+        df = spark.read.parquet(*paths)
+        qty = F.col("event_id") % 10 + 1
+        cents = F.round(F.col("value") * 100).cast("long")
+        return {
+            r.pair_id: (r.t, r.v, r.c)
+            for r in df.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("pair_id"), qty.alias("q"), (qty * cents).alias("cc"))
+            .groupBy("pair_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("t"),
+                F.sum("q").cast("long").alias("v"),
+                F.sum("cc").cast("long").alias("c"),
+            )
+            .collect()
+        }
+
+    for k in (1, len(versions) - 1):
+        got = {
+            r.pair_id: (r.total_trades, r.total_volume, r.total_cost_cents)
+            for r in U.read_merge_table_asof(spark, table, versions[k]).collect()
+        }
+        exp = recompute(chunks[: k if k < len(versions) - 1 else n_chunks])
+        assert got == exp, f"version index {k}"
+
+    # the change feed between first and last version covers exactly the
+    # pairs that traded after batch 0
+    feed = U.merge_table_changes(spark, table, versions[1], versions[-1], "pair_id")
+    later = recompute(chunks[1:])
+    assert {r.pair_id for r in feed.collect()} == set(later)
