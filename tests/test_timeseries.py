@@ -71,3 +71,71 @@ def test_range_join_bucket_coverage_is_tight(spark):
     )
     expected = sum(1 for o in offsets if abs(o) <= R)
     assert row.n == expected
+
+
+def test_ewma_and_ohlc_match_python_bruteforce(spark, tmp_path):
+    """Property check for the fixed-point EWMA and the OHLC bars on a
+    crafted tick tape (same-microsecond requotes, single-tick buckets,
+    16+ tick history so the lag ladder saturates): both operators must
+    equal a direct Python recomputation of their declared formulas."""
+    import pandas as pd
+
+    from financial_arbitrage_data_pipeline_spark.operators.timeseries import (
+        _BAR_US,
+        _EWMA_LAGS,
+        ewma_quote_smoothing,
+        ohlc_bars_5m,
+    )
+
+    # one ticker, 40 ticks: bursts inside one bar, ties on ts, gaps
+    ticks = []
+    ts0 = 1_700_000_000_000_000  # µs
+    prices = [100 + ((7 * i * i) % 60) - 30 for i in range(40)]
+    for i, p in enumerate(prices):
+        ts_us = ts0 + (i // 3) * 97_000_000 + (i % 3) * 0  # 3-way ts ties
+        ticks.append((i, ts_us * 1000, 7, "view", p / 100.0))
+    pdf = pd.DataFrame(
+        ticks, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).selectExpr(
+        "event_id", "timestamp_micros(cast(ts div 1000 as long)) as ts",
+        "user_id", "event_type", "value"
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    # brute-force EWMA: ordered by (ts_us, event_id)
+    order = sorted(range(40), key=lambda i: ((ts0 + (i // 3) * 97_000_000), i))
+    cents = [prices[i] for i in order]
+    expected_ewma = {}
+    for n, i in enumerate(order):
+        num = den = 0
+        for j in range(min(_EWMA_LAGS, n + 1)):
+            w = 1 << (_EWMA_LAGS - 1 - j)
+            num += cents[n - j] * w
+            den += w
+        expected_ewma[i] = num // den
+    got = {
+        r.event_id: r.ewma_cents
+        for r in ewma_quote_smoothing(spark, sf_dir).collect()
+    }
+    assert got == expected_ewma
+
+    # brute-force OHLC per 5-minute bucket
+    import collections
+
+    buckets = collections.defaultdict(list)
+    for n, i in enumerate(order):
+        ts_us = ts0 + (i // 3) * 97_000_000
+        buckets[ts_us // _BAR_US].append((ts_us, i, cents[n]))
+    bars = {}
+    for b, rows in buckets.items():
+        rows.sort()
+        cs = [c for _, _, c in rows]
+        bars[b * _BAR_US] = (cs[0], max(cs), min(cs), cs[-1], len(cs))
+    got_bars = {
+        r.bar_start_us: (
+            r.open_cents, r.high_cents, r.low_cents, r.close_cents, r.n_ticks
+        )
+        for r in ohlc_bars_5m(spark, sf_dir).collect()
+    }
+    assert got_bars == bars
