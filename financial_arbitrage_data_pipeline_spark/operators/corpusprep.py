@@ -770,3 +770,90 @@ def incremental_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling (probability proportional to size) — the exact,
+# integer-arithmetic cousin of weighted reservoir sampling
+# ---------------------------------------------------------------------------
+_PPS_K = 100
+
+
+@query(
+    "pps_systematic_sample",
+    oracle=f"""
+WITH h AS (SELECT doc_id, n_chars, ({_SHUF_HEX8}) AS skey FROM documents),
+c AS (
+  SELECT doc_id, n_chars, skey,
+         SUM(n_chars) OVER (ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING) AS cum_w
+  FROM h
+),
+t AS (SELECT SUM(n_chars) // {_PPS_K} AS step FROM documents)
+SELECT doc_id, n_chars, CAST(cum_w AS BIGINT) AS cum_w,
+       CAST(cum_w // step - (cum_w - n_chars) // step AS BIGINT) AS n_ticks
+FROM c, t
+WHERE (cum_w - n_chars) // step < cum_w // step
+""",
+    tags=("corpus-prep", "sampling", "W1"),
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample (probability proportional to size): walk the
+    corpus in a deterministic salted-hash order, accumulate token weight
+    (n_chars), and select every document whose cumulative weight crosses
+    a multiple of step = total_weight / k. Each selection's `n_ticks`
+    (multiples crossed) is the standard PPS multiplicity — a document
+    heavier than the step is drawn more than once. This is the exact
+    integer-arithmetic construction of the weighted training-mixture
+    draw (the A-ES exponential-race formulation needs log/pow, whose
+    libm rounding differs across engines; the systematic walk needs only
+    integer sums and floor divides, so the oracle hash-matches).
+
+    Scale shape: the cumulative sum is NOT a single-partition global
+    window — it reuses global_shuffle_order's two-phase prefix sum
+    (hash-high-bit buckets are uniform by construction: rank locally per
+    bucket, prefix-sum the bucket TOTALS on the driver-sized side,
+    broadcast the offsets back). The only all-rows reduction is the
+    1-row total-weight scalar, combined via a broadcast (allowlisted
+    1-row BNLJ pattern). At 100 TB: one keyed shuffle + one broadcast —
+    the same plan the shard assignment runs.
+
+    Weights here are n_chars (the tokenizer-cost proxy);
+    `token_budget_allocation` holds the per-source budget variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.select(
+        "doc_id", F.col("n_chars").cast("long").alias("w"), hkey.alias("skey")
+    ).withColumn("bucket_id", (F.col("skey") / F.lit(2 ** 25)).cast("long"))
+    w_local = (
+        Window.partitionBy("bucket_id")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = keyed.withColumn("local_cum", F.sum("w").over(w_local))
+    totals = keyed.groupBy("bucket_id").agg(F.sum("w").alias("bw"))
+    w_off = Window.orderBy("bucket_id").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket_id", F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("offset")
+    )
+    step_df = docs.agg(
+        F.expr(f"sum(cast(n_chars as bigint)) div {_PPS_K}").alias("step")
+    )
+    cum = (
+        local.join(F.broadcast(offsets), "bucket_id")
+        .withColumn("cum_w", F.col("offset") + F.col("local_cum"))
+        .join(F.broadcast(step_df))
+    )
+    return (
+        cum.withColumn(
+            "n_ticks",
+            F.expr("cum_w div step") - F.expr("(cum_w - w) div step"),
+        )
+        .filter(F.col("n_ticks") > 0)
+        .select("doc_id", F.col("w").alias("n_chars"), "cum_w", "n_ticks")
+    )

@@ -1685,3 +1685,109 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup): prune near-duplicate embeddings
+# within the trained coarse-quantizer cells
+# ---------------------------------------------------------------------------
+SEMDEDUP_TAU = 0.3
+
+
+@query(
+    "semdedup_embedding_prune",
+    oracle=f"""
+WITH {{KMEANS}},
+members AS (
+  SELECT a2.vec_id, a2.cid, n.nsq FROM a2 JOIN norms n ON n.vec_id = a2.vec_id
+),
+pairdots AS (
+  SELECT ma.vec_id AS a_id, mb.vec_id AS b_id,
+         CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot,
+         ma.nsq AS a_nsq, mb.nsq AS b_nsq
+  FROM members ma
+  JOIN members mb ON ma.cid = mb.cid AND ma.vec_id < mb.vec_id
+  JOIN qe qa ON qa.vec_id = ma.vec_id
+  JOIN qe qb ON qb.vec_id = mb.vec_id AND qb.i = qa.i
+  GROUP BY 1, 2, ma.nsq, mb.nsq
+),
+dups AS (
+  SELECT b_id,
+         CAST(COUNT(*) AS BIGINT) AS n_prior_dups,
+         MAX(CAST(dot AS DOUBLE) /
+             (sqrt(CAST(a_nsq AS DOUBLE)) * sqrt(CAST(b_nsq AS DOUBLE)))) AS mx
+  FROM pairdots
+  WHERE CAST(dot AS DOUBLE) /
+        (sqrt(CAST(a_nsq AS DOUBLE)) * sqrt(CAST(b_nsq AS DOUBLE))) >= {SEMDEDUP_TAU}
+  GROUP BY b_id
+)
+SELECT m.vec_id, m.cid AS cluster_id,
+       CAST(CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       COALESCE(d.n_prior_dups, 0) AS n_prior_dups,
+       d.mx AS max_prior_cosine
+FROM members m LEFT JOIN dups d ON d.b_id = m.vec_id
+""".replace("{KMEANS}", _kmeans_ctes(KMEANS_K)),
+    tags=("semantic-dedup", "similarity-ivf-train", "corpus-prep"),
+)
+def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning —
+    cluster the corpus embeddings with the trained coarse quantizer,
+    then inside each cell drop every vector that is cosine-similar
+    (>= tau) to an earlier-id keeper. The greedy lowest-id-wins rule is
+    the paper's implementation trick stated deterministically: a vector
+    is DROPPED iff some same-cell vector with a smaller vec_id sits
+    within tau, so no connected-components pass is needed and the
+    decision is a pure pairwise predicate both engines can hash.
+
+    Shape: the pairwise stage is confined to cells (the whole point —
+    O(sum m_c^2), never O(N^2)); the cell join is one BroadcastHashJoin
+    here and a shuffle join on cid at 100 TB, where cid fans out to
+    sqrt(N) cells so cells stay bounded and skew-salting applies if one
+    cell runs hot. Exactness: integer dots/norms from the shared
+    quantization, one IEEE divide per pair, integer outputs (kept flag,
+    prior-dup count) plus a max of exact doubles. On this synthetic
+    near-isotropic corpus tau=0.3 sits at the ~99th pairwise percentile
+    (measured), so the prune exercises real drops while a true semantic
+    corpus would see its duplicate clusters collapse far below tau.
+
+    Reference scope anchor: the reference dedups only by exact pair id
+    (`database/postgres/writer.py` ON CONFLICT); semantic pruning is the
+    training-corpus extension (SURVEY "beyond the reference")."""
+    assigned = trained_assignment(spark, sf_dir)  # vec_id, q, cid, dist
+    members = assigned.select("vec_id", "cid", "q", sq_norm(F.col("q")).alias("nsq"))
+    a = members.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cid").alias("a_cid"),
+        F.col("q").alias("aq"),
+        F.col("nsq").alias("a_nsq"),
+    )
+    b = members.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cid").alias("b_cid"),
+        F.col("q").alias("bq"),
+        F.col("nsq").alias("b_nsq"),
+    )
+    pairs = b.join(
+        F.broadcast(a),
+        (F.col("a_cid") == F.col("b_cid")) & (F.col("a_id") < F.col("b_id")),
+    ).select(
+        "b_id",
+        cosine_from_ints(
+            dot_ll(F.col("aq"), F.col("bq")), F.col("a_nsq"), F.col("b_nsq")
+        ).alias("cosine"),
+    )
+    dups = (
+        pairs.filter(F.col("cosine") >= F.lit(SEMDEDUP_TAU))
+        .groupBy("b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_prior_dups"),
+            F.max("cosine").alias("max_prior_cosine"),
+        )
+    )
+    return members.join(dups, members["vec_id"] == dups["b_id"], "left").select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.when(F.col("b_id").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("kept"),
+        F.coalesce(F.col("n_prior_dups"), F.lit(0)).alias("n_prior_dups"),
+        "max_prior_cosine",
+    )

@@ -2087,3 +2087,103 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation extraction: top bigrams by lift (the PMI ranking, stated
+# without transcendentals)
+# ---------------------------------------------------------------------------
+_COLL_MIN_SUPPORT = 5
+_COLL_TOPN = 50
+
+
+@query(
+    "bigram_collocations_lift",
+    oracle=f"""
+WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+bi AS (
+  SELECT ts[i] AS x, ts[i + 1] AS y
+  FROM toks, unnest(range(1, len(ts))) AS u(i)
+),
+cxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy FROM bi GROUP BY x, y),
+uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM bi)
+SELECT x, y, c_xy,
+       CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, x, y) AS BIGINT) AS rank,
+       lift
+FROM (
+  SELECT cxy.x, cxy.y, cxy.c_xy,
+         CAST(cxy.c_xy * n.n_bi AS DOUBLE) / CAST(ux.c * uy.c AS DOUBLE) AS lift
+  FROM cxy
+  JOIN uni ux ON ux.tok = cxy.x
+  JOIN uni uy ON uy.tok = cxy.y
+  CROSS JOIN n
+  WHERE cxy.c_xy >= {_COLL_MIN_SUPPORT}
+)
+QUALIFY rank <= {_COLL_TOPN}
+""",
+    tags=("corpus-analysis", "A1", "collocations"),
+)
+def bigram_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the top bigrams by LIFT — c(x,y)·N /
+    (c(x)·c(y)), the monotone transform of PMI (PMI = ln lift), ranked
+    without computing a logarithm so every comparison is on one
+    correctly-rounded IEEE divide of exact int64 cross-products and the
+    oracle hash-matches (libm ln/pow rounding differs across engines;
+    the ratio does not).
+
+    Plan shape: bigrams are extracted MAP-SIDE with two array slices
+    zipped (no window, no per-token shuffle): each doc row emits its
+    n−1 adjacent pairs in one projection. Then one groupBy for pair
+    counts, one for unigram counts, two equi-joins (vocab-sized right
+    sides), a 1-row total broadcast, and a top-N sort of the
+    support-filtered survivors (TakeOrderedAndProject — never a global
+    sort of the full pair space). At 100 TB every stage is a keyed
+    hash aggregation; the support filter keeps the ranked set tiny.
+
+    This is the statistical phrase-mining stage (collocation tables)
+    of a training-corpus pipeline, next to `bigram_kn_lm` (which
+    smooths these same counts into an LM) and `doc_lm_likelihood_gate`
+    (which filters with them)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("ts"))
+    sz = F.size("ts")
+    bi = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, sz - 1).alias("x"),
+                F.slice(F.col("ts"), 2, sz - 1).alias("y"),
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    cxy = bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    scored = (
+        cxy.filter(F.col("c_xy") >= _COLL_MIN_SUPPORT)
+        .join(uni.withColumnRenamed("tok", "x").withColumnRenamed("c", "cx"), "x")
+        .join(uni.withColumnRenamed("tok", "y").withColumnRenamed("c", "cy"), "y")
+        .join(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            (
+                (F.col("c_xy") * F.col("n_bi")).cast("double")
+                / (F.col("cx") * F.col("cy")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.col("lift").desc(), "x", "y").limit(_COLL_TOPN)
+    w = Window.orderBy(F.col("lift").desc(), "x", "y")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "x", "y", "c_xy", "rank", "lift"
+    )

@@ -347,6 +347,8 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
                                    # bigram_kn_lm's estimator algebra)
         "hybrid_retrieval_rrf",  # 1-row query vector + corpus totals broadcast
         "join_size_histogram_bound",  # two 1-row bound/actual scalars combined
+        "pps_systematic_sample",  # 1-row total-weight/step scalar broadcast
+        "bigram_collocations_lift",  # 1-row total-bigram-count scalar broadcast
     }
     skip = {  # builders with write side effects
         "ticket_fill_merge",
