@@ -1190,3 +1190,189 @@ def pareto_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "price_cents", "size")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: Mann-Whitney U with exact integer rank algebra
+# ---------------------------------------------------------------------------
+_MW_A = "click"
+_MW_B = "purchase"
+_MW_SEGMENTS = 10
+
+_MANN_WHITNEY_ORACLE = f"""
+WITH s AS (
+  SELECT user_id % {_MW_SEGMENTS} AS segment,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+),
+pv AS (
+  SELECT segment, v,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(is_a) AS BIGINT) AS ca
+  FROM s GROUP BY segment, v
+),
+cum AS (
+  SELECT segment, v, c, ca,
+         CAST(SUM(c) OVER (PARTITION BY segment ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS prior
+  FROM pv
+),
+agg AS (
+  SELECT segment,
+         CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(c - ca) AS BIGINT) AS nb,
+         CAST(SUM(ca * (2 * prior + c + 1)) AS BIGINT) AS r2a,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+  FROM cum GROUP BY segment
+)
+SELECT segment, na, nb,
+       r2a - na * (na + 1) AS u2,
+       ties,
+       (CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0
+        - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+       / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+              * ((CAST(na + nb AS DOUBLE) + 1.0)
+                 - CAST(ties AS DOUBLE)
+                   / (CAST(na + nb AS DOUBLE)
+                      * (CAST(na + nb AS DOUBLE) - 1.0))))
+         AS z_score
+FROM agg
+WHERE na > 0 AND nb > 0 AND na + nb > ties + 1
+"""
+
+
+@query("ab_test_mannwhitney", oracle=_MANN_WHITNEY_ORACLE, tags=("ab-test", "A2"))
+def ab_test_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test per user segment: does the '{_MW_A}' arm's
+    value distribution stochastically dominate the '{_MW_B}' arm's? The
+    nonparametric two-sample test every experimentation platform runs
+    when means are skew-fragile — here in EXACT integer rank algebra.
+
+    The trick that keeps it hashable: with ties, midranks are
+    half-integers, so the engine carries 2×(rank sum) instead — for a
+    tied value block of size c starting after `prior` rows, each member
+    holds midrank (2·prior + c + 1)/2, so the A-side block contributes
+    ca·(2·prior + c + 1) to 2R_A, an exact int64. U then satisfies
+    2U = 2R_A − na(na+1), and the tie-corrected normal approximation
+    z = (U − na·nb/2) / sqrt(na·nb/12·((n+1) − Σ(t³−t)/(n(n−1)))) is one
+    fixed IEEE expression over those exact integers — bit-identical in
+    both engines. Degenerate segments (one arm empty, or all values
+    tied) are excluded by integer predicates.
+
+    Shape: one (segment, value) pre-aggregation is the only event-sized
+    exchange (map-combined); the midrank window and the final per-segment
+    rollup run on the distinct-value table. Same two-tier shape as
+    feature_split_gini — the 100 TB plan is one shuffle of (segment,
+    cents) pairs. Reference anchor: the reference reports only per-pair
+    mean performance (`database/postgres/writer.py:409-468`); the U test
+    is the comparison its reporting layer would bolt on first."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin(_MW_A, _MW_B)).select(
+        (F.col("user_id") % _MW_SEGMENTS).alias("segment"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == _MW_A, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_a"),
+    )
+    pv = s.groupBy("segment", "v").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("is_a").alias("ca")
+    )
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy("segment")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pv.select(
+        "segment",
+        "c",
+        "ca",
+        (F.sum("c").over(wc) - F.col("c")).alias("prior"),
+    )
+    agg = cum.groupBy("segment").agg(
+        F.sum("ca").alias("na"),
+        F.sum(F.col("c") - F.col("ca")).alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("prior") + F.col("c") + 1)).alias("r2a"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("ties"),
+    )
+    na, nb, ties = F.col("na"), F.col("nb"), F.col("ties")
+    u2 = F.col("r2a") - na * (na + 1)
+    nd = (na + nb).cast("double")
+    z = (u2.cast("double") / F.lit(2.0) - na.cast("double") * nb.cast("double") / F.lit(2.0)) / F.sqrt(
+        na.cast("double") * nb.cast("double") / F.lit(12.0)
+        * ((nd + F.lit(1.0)) - ties.cast("double") / (nd * (nd - F.lit(1.0))))
+    )
+    return agg.filter((na > 0) & (nb > 0) & (na + nb > ties + 1)).select(
+        "segment", "na", "nb", u2.alias("u2"), "ties", z.alias("z_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event journeys
+# ---------------------------------------------------------------------------
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+r AS (
+  SELECT from_type, to_type, n,
+         CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total
+  FROM t
+)
+SELECT from_type, to_type, n, row_total,
+       CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS p
+FROM r
+""",
+    tags=("A2", "user-journey", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event journeys:
+    P(next event type | current event type), estimated from every
+    adjacent pair in each user's time-ordered stream — the user-journey
+    model behind next-action prediction, anomalous-flow alerting, and
+    absorbing-state (churn) analysis. Counts are exact integers; each
+    probability is one IEEE divide of two of them.
+
+    Plan: ONE sort-shuffle (the per-user LAG window); the transition
+    groupBy collapses to at most |types|^2 rows map-side, and row
+    totals come from an INTEGER window sum over that alphabet-sized
+    table (order-independent, so no join and no duplicated tape
+    subtree). At 100 TB the tape shuffles once and everything
+    downstream is alphabet-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts div 1000"), "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("from_type")
+    ).filter(F.col("from_type").isNotNull())
+    t = s.groupBy("from_type", F.col("event_type").alias("to_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(wt).alias("row_total"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        "row_total",
+        (F.col("n").cast("double") / F.col("row_total").cast("double")).alias("p"),
+    )

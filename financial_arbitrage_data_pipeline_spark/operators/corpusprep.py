@@ -857,3 +857,198 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_ticks") > 0)
         .select("doc_id", F.col("w").alias("n_chars"), "cum_w", "n_ticks")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier training: exact decision-stump split scoring (the
+# fastText-classifier stage of a corpus pipeline, reduced to its
+# integer-exact core)
+# ---------------------------------------------------------------------------
+_SPLIT_PPM = 1_000_000
+
+
+@query(
+    "feature_split_gini",
+    oracle=f"""
+WITH t AS (
+  SELECT n_chars, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+  FROM t WHERE len(toks) > 0
+),
+lab AS (
+  SELECT n_chars, n_tokens,
+         n_distinct * {_SPLIT_PPM} // n_tokens AS distinct_ppm,
+         CASE WHEN n_tokens >= {_GATE_MIN_TOKENS}
+               AND 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens
+                   <= {_GATE_MAX_REPETITION}
+               AND CAST(tok_chars AS DOUBLE) / n_tokens
+                   <= {_GATE_MAX_AVG_TOKLEN}
+              THEN 1 ELSE 0 END AS y
+  FROM m
+),
+f AS (
+  SELECT 'n_chars' AS feature, n_chars AS v, y FROM lab
+  UNION ALL SELECT 'n_tokens', n_tokens, y FROM lab
+  UNION ALL SELECT 'distinct_ppm', distinct_ppm, y FROM lab
+),
+pv AS (
+  SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM f GROUP BY feature, v
+),
+cum AS (
+  SELECT feature, v,
+         SUM(cnt) OVER (PARTITION BY feature ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS nl,
+         SUM(pos) OVER (PARTITION BY feature ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS posl,
+         SUM(cnt) OVER (PARTITION BY feature) AS n,
+         SUM(pos) OVER (PARTITION BY feature) AS p
+  FROM pv
+),
+sc AS (
+  SELECT feature, v, nl, posl, nl - posl AS negl,
+         n - nl AS nr, p - posl AS posr, (n - nl) - (p - posl) AS negr
+  FROM cum
+  WHERE nl < n
+),
+g AS (
+  SELECT feature, v, nl, posl, nr, posr,
+         CAST(nr * (nl * nl - posl * posl - negl * negl)
+              + nl * (nr * nr - posr * posr - negr * negr) AS DOUBLE)
+         / CAST(nl * nr AS DOUBLE) AS gini_x2
+  FROM sc
+)
+SELECT feature, v AS split_value,
+       CAST(nl AS BIGINT) AS n_left, CAST(posl AS BIGINT) AS pos_left,
+       CAST(nr AS BIGINT) AS n_right, CAST(posr AS BIGINT) AS pos_right,
+       gini_x2
+FROM g
+QUALIFY ROW_NUMBER() OVER (PARTITION BY feature ORDER BY gini_x2, v) = 1
+""",
+    tags=("corpus-prep", "quality-classifier", "ml"),
+)
+def feature_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training over the corpus: for each candidate
+    feature (n_chars, n_tokens, distinct-token ppm), the threshold that
+    best predicts the quality gate's keep/drop label by weighted Gini
+    impurity — the split-scoring kernel of the fastText/CART quality
+    classifier every production corpus pipeline trains once the
+    hand-written gate becomes the bottleneck (train a cheap model on the
+    expensive gate's labels, then run the model). The stump recovering
+    the gate's own dominant rule (n_tokens at ~{_GATE_MIN_TOKENS}) is
+    the expected answer and the test of the machinery.
+
+    Exactness: the weighted impurity of a split is
+    G = giniL·nL + giniR·nR = [nR·(nL²−posL²−negL²) + nL·(nR²−…)]
+    / (nL·nR) — an exact integer numerator and denominator, ranked via
+    ONE double divide per candidate (gini_x2 = 2·n·G, the monotone
+    scaling that keeps everything integral); argmin ties break on the
+    threshold. No logs (entropy) anywhere, so both engines hash-match.
+
+    Shape: candidate generation is a map-side 3× explode; the only
+    corpus-sized exchange is the (feature, value) pre-aggregation
+    (map-combined), after which the cumulative window, the per-feature
+    TOTALS (integer full-partition window sums on the same exchange —
+    no join-back, no duplicated corpus subtree), and the argmin all run
+    on the distinct-VALUE table — value-cardinality-sized, not
+    corpus-sized. At 100 TB: one shuffle of (feature, value, y) triples,
+    then megabyte-scale windows; int64 holds to ~2M docs per feature and
+    the numerator swaps to decimal(38,0) beyond (same plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    keep = (
+        (n_tokens >= _GATE_MIN_TOKENS)
+        & (F.lit(1.0) - n_distinct.cast("double") / n_tokens <= _GATE_MAX_REPETITION)
+        & (tok_chars.cast("double") / n_tokens <= _GATE_MAX_AVG_TOKLEN)
+    )
+    lab = docs.select(
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("y"),
+    ).filter(F.col("n_tokens") > 0)
+    feats = lab.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("n_chars").alias("feature"), F.col("n_chars").alias("v")
+                ),
+                F.struct(
+                    F.lit("n_tokens").alias("feature"), F.col("n_tokens").alias("v")
+                ),
+                F.struct(
+                    F.lit("distinct_ppm").alias("feature"),
+                    F.expr(f"n_distinct * {_SPLIT_PPM} div n_tokens").alias("v"),
+                ),
+            )
+        ).alias("f"),
+        "y",
+    ).select("f.feature", "f.v", "y")
+    pv = feats.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    wc = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("feature")
+    cum = pv.select(
+        "feature",
+        "v",
+        F.sum("cnt").over(wc).alias("nl"),
+        F.sum("pos").over(wc).alias("posl"),
+        F.sum("cnt").over(wt).alias("n"),
+        F.sum("pos").over(wt).alias("p"),
+    )
+    nl, posl = F.col("nl"), F.col("posl")
+    negl = nl - posl
+    nr = F.col("n") - nl
+    posr = F.col("p") - posl
+    negr = nr - posr
+    sc = (
+        cum.filter(nl < F.col("n"))
+        .select(
+            "feature",
+            "v",
+            "nl",
+            "posl",
+            nr.alias("nr"),
+            posr.alias("posr"),
+            (
+                (
+                    nr * (nl * nl - posl * posl - negl * negl)
+                    + nl * (nr * nr - posr * posr - negr * negr)
+                ).cast("double")
+                / (nl * nr).cast("double")
+            ).alias("gini_x2"),
+        )
+    )
+    wr = Window.partitionBy("feature").orderBy("gini_x2", "v")
+    return (
+        sc.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "feature",
+            F.col("v").alias("split_value"),
+            F.col("nl").alias("n_left"),
+            F.col("posl").alias("pos_left"),
+            F.col("nr").alias("n_right"),
+            F.col("posr").alias("pos_right"),
+            "gini_x2",
+        )
+    )

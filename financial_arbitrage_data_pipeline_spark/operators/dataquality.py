@@ -287,3 +287,107 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_at_risk"),
         F.sum("class_size").over(w).cast("long").alias("rows_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: the classic fabricated-numbers screen
+# ---------------------------------------------------------------------------
+_BENFORD_CHI2_95 = 15.507  # chi-square 95th percentile, 8 dof
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS priority,
+         CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders WHERE round(o_totalprice * 100) > 0
+),
+g AS (
+  SELECT priority,
+         CAST(SUM(CASE WHEN digit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS obs_1,
+         CAST(SUM(CASE WHEN digit = 2 THEN 1 ELSE 0 END) AS BIGINT) AS obs_2,
+         CAST(SUM(CASE WHEN digit = 3 THEN 1 ELSE 0 END) AS BIGINT) AS obs_3,
+         CAST(SUM(CASE WHEN digit = 4 THEN 1 ELSE 0 END) AS BIGINT) AS obs_4,
+         CAST(SUM(CASE WHEN digit = 5 THEN 1 ELSE 0 END) AS BIGINT) AS obs_5,
+         CAST(SUM(CASE WHEN digit = 6 THEN 1 ELSE 0 END) AS BIGINT) AS obs_6,
+         CAST(SUM(CASE WHEN digit = 7 THEN 1 ELSE 0 END) AS BIGINT) AS obs_7,
+         CAST(SUM(CASE WHEN digit = 8 THEN 1 ELSE 0 END) AS BIGINT) AS obs_8,
+         CAST(SUM(CASE WHEN digit = 9 THEN 1 ELSE 0 END) AS BIGINT) AS obs_9,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY priority
+)
+SELECT priority, n,
+       obs_1, obs_2, obs_3, obs_4, obs_5, obs_6, obs_7, obs_8, obs_9,
+       ((CAST(obs_1 AS DOUBLE) - CAST(n AS DOUBLE) * 0.3010299956639812) * (CAST(obs_1 AS DOUBLE) - CAST(n AS DOUBLE) * 0.3010299956639812)) / (CAST(n AS DOUBLE) * 0.3010299956639812)
+       + ((CAST(obs_2 AS DOUBLE) - CAST(n AS DOUBLE) * 0.17609125905568124) * (CAST(obs_2 AS DOUBLE) - CAST(n AS DOUBLE) * 0.17609125905568124)) / (CAST(n AS DOUBLE) * 0.17609125905568124)
+       + ((CAST(obs_3 AS DOUBLE) - CAST(n AS DOUBLE) * 0.12493873660829992) * (CAST(obs_3 AS DOUBLE) - CAST(n AS DOUBLE) * 0.12493873660829992)) / (CAST(n AS DOUBLE) * 0.12493873660829992)
+       + ((CAST(obs_4 AS DOUBLE) - CAST(n AS DOUBLE) * 0.09691001300805642) * (CAST(obs_4 AS DOUBLE) - CAST(n AS DOUBLE) * 0.09691001300805642)) / (CAST(n AS DOUBLE) * 0.09691001300805642)
+       + ((CAST(obs_5 AS DOUBLE) - CAST(n AS DOUBLE) * 0.07918124604762482) * (CAST(obs_5 AS DOUBLE) - CAST(n AS DOUBLE) * 0.07918124604762482)) / (CAST(n AS DOUBLE) * 0.07918124604762482)
+       + ((CAST(obs_6 AS DOUBLE) - CAST(n AS DOUBLE) * 0.06694678963061322) * (CAST(obs_6 AS DOUBLE) - CAST(n AS DOUBLE) * 0.06694678963061322)) / (CAST(n AS DOUBLE) * 0.06694678963061322)
+       + ((CAST(obs_7 AS DOUBLE) - CAST(n AS DOUBLE) * 0.05799194697768673) * (CAST(obs_7 AS DOUBLE) - CAST(n AS DOUBLE) * 0.05799194697768673)) / (CAST(n AS DOUBLE) * 0.05799194697768673)
+       + ((CAST(obs_8 AS DOUBLE) - CAST(n AS DOUBLE) * 0.05115252244738129) * (CAST(obs_8 AS DOUBLE) - CAST(n AS DOUBLE) * 0.05115252244738129)) / (CAST(n AS DOUBLE) * 0.05115252244738129)
+       + ((CAST(obs_9 AS DOUBLE) - CAST(n AS DOUBLE) * 0.04575749056067514) * (CAST(obs_9 AS DOUBLE) - CAST(n AS DOUBLE) * 0.04575749056067514)) / (CAST(n AS DOUBLE) * 0.04575749056067514) AS chi2,
+       (((CAST(obs_1 AS DOUBLE) - CAST(n AS DOUBLE) * 0.3010299956639812) * (CAST(obs_1 AS DOUBLE) - CAST(n AS DOUBLE) * 0.3010299956639812)) / (CAST(n AS DOUBLE) * 0.3010299956639812)
+       + ((CAST(obs_2 AS DOUBLE) - CAST(n AS DOUBLE) * 0.17609125905568124) * (CAST(obs_2 AS DOUBLE) - CAST(n AS DOUBLE) * 0.17609125905568124)) / (CAST(n AS DOUBLE) * 0.17609125905568124)
+       + ((CAST(obs_3 AS DOUBLE) - CAST(n AS DOUBLE) * 0.12493873660829992) * (CAST(obs_3 AS DOUBLE) - CAST(n AS DOUBLE) * 0.12493873660829992)) / (CAST(n AS DOUBLE) * 0.12493873660829992)
+       + ((CAST(obs_4 AS DOUBLE) - CAST(n AS DOUBLE) * 0.09691001300805642) * (CAST(obs_4 AS DOUBLE) - CAST(n AS DOUBLE) * 0.09691001300805642)) / (CAST(n AS DOUBLE) * 0.09691001300805642)
+       + ((CAST(obs_5 AS DOUBLE) - CAST(n AS DOUBLE) * 0.07918124604762482) * (CAST(obs_5 AS DOUBLE) - CAST(n AS DOUBLE) * 0.07918124604762482)) / (CAST(n AS DOUBLE) * 0.07918124604762482)
+       + ((CAST(obs_6 AS DOUBLE) - CAST(n AS DOUBLE) * 0.06694678963061322) * (CAST(obs_6 AS DOUBLE) - CAST(n AS DOUBLE) * 0.06694678963061322)) / (CAST(n AS DOUBLE) * 0.06694678963061322)
+       + ((CAST(obs_7 AS DOUBLE) - CAST(n AS DOUBLE) * 0.05799194697768673) * (CAST(obs_7 AS DOUBLE) - CAST(n AS DOUBLE) * 0.05799194697768673)) / (CAST(n AS DOUBLE) * 0.05799194697768673)
+       + ((CAST(obs_8 AS DOUBLE) - CAST(n AS DOUBLE) * 0.05115252244738129) * (CAST(obs_8 AS DOUBLE) - CAST(n AS DOUBLE) * 0.05115252244738129)) / (CAST(n AS DOUBLE) * 0.05115252244738129)
+       + ((CAST(obs_9 AS DOUBLE) - CAST(n AS DOUBLE) * 0.04575749056067514) * (CAST(obs_9 AS DOUBLE) - CAST(n AS DOUBLE) * 0.04575749056067514)) / (CAST(n AS DOUBLE) * 0.04575749056067514)) > {thr} AS benford_reject
+FROM g
+""".replace("{thr}", repr(_BENFORD_CHI2_95)),
+    tags=("data-quality", "A9", "audit"),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit per order priority class: observed
+    leading-digit counts of the order totals (integer cents) against the
+    log-distribution, with a chi-square goodness-of-fit statistic and a
+    95%-level reject flag — the standard screen for fabricated or
+    truncated monetary populations, run before trusting a partner feed.
+
+    Exactness: the first digit is taken from the DECIMAL STRING of the
+    exact integer cents (no log10/pow on data, so no libm rounding);
+    the nine expected probabilities are fixed double literals shared
+    verbatim with the oracle; the chi-square is an explicit nine-term
+    expression in digit order — a deterministic IEEE tree, never an
+    order-dependent window sum of doubles. Counts pivot to columns so
+    each group is ONE row and the statistic never crosses rows.
+
+    Plan: one map-combined groupBy(priority) over a two-column scan —
+    a single small shuffle at any scale (the pivot is 9 conditional
+    counters inside the same aggregate)."""
+    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .filter(cents > 0)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit"),
+        )
+    )
+    obs = [
+        F.sum(F.when(F.col("digit") == d, 1).otherwise(0))
+        .cast("long")
+        .alias(f"obs_{d}".format(d=d))
+        for d in range(1, 10)
+    ]
+    g = c.groupBy("priority").agg(*obs, F.count(F.lit(1)).alias("n"))
+    nd = F.col("n").cast("double")
+    probs = {1: '0.3010299956639812', 2: '0.17609125905568124', 3: '0.12493873660829992', 4: '0.09691001300805642', 5: '0.07918124604762482', 6: '0.06694678963061322', 7: '0.05799194697768673', 8: '0.05115252244738129', 9: '0.04575749056067514'}
+    chi2 = None
+    for d in range(1, 10):
+        p = float(probs[d])
+        dev = F.col(f"obs_{d}".format(d=d)).cast("double") - nd * p
+        term = (dev * dev) / (nd * p)
+        chi2 = term if chi2 is None else chi2 + term
+    return g.select(
+        "priority",
+        "n",
+        *[f"obs_{d}".format(d=d) for d in range(1, 10)],
+        chi2.alias("chi2"),
+        (chi2 > _BENFORD_CHI2_95).alias("benford_reject"),
+    )

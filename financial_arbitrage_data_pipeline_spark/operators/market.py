@@ -1009,3 +1009,149 @@ def backtest_equity_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("drawdown_bp").cast("long").alias("max_drawdown_bp"),
         F.min("equity_bp").cast("long").alias("trough_equity_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag discovery: WHICH venue moves first? The cross-correlogram of
+# price moves at signed bucket lags — the research question one step
+# beyond the scanner's instantaneous margin (if Kalshi systematically
+# leads by one bucket, the scan should trigger on Kalshi moves and quote
+# into Polymarket, not wait for both).
+# ---------------------------------------------------------------------------
+_LL_BUCKET_US = 300_000_000  # 5-minute buckets
+_LL_MAX_LAG = 3
+
+_LEAD_LAG_ORACLE = f"""
+WITH k AS (
+  SELECT user_id AS pair_key, epoch_us(ts) // {_LL_BUCKET_US} AS b,
+         CAST(round(value * 100) AS BIGINT) % 97 + 1 AS px
+  FROM events WHERE event_type IN ('click', 'view')
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id, epoch_us(ts) // {_LL_BUCKET_US}
+    ORDER BY ts DESC, event_id DESC) = 1
+),
+p AS (
+  SELECT user_id AS pair_key, epoch_us(ts) // {_LL_BUCKET_US} AS b,
+         CAST(round(value * 100) AS BIGINT) % 99 + 1 AS px
+  FROM events WHERE event_type IN ('purchase', 'signup', 'error')
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id, epoch_us(ts) // {_LL_BUCKET_US}
+    ORDER BY ts DESC, event_id DESC) = 1
+),
+km AS (
+  SELECT pair_key, b, px - LAG(px) OVER (PARTITION BY pair_key ORDER BY b) AS dk
+  FROM k QUALIFY dk IS NOT NULL
+),
+pm AS (
+  SELECT pair_key, b, px - LAG(px) OVER (PARTITION BY pair_key ORDER BY b) AS dp
+  FROM p QUALIFY dp IS NOT NULL
+),
+lags AS (SELECT CAST(l AS BIGINT) AS lag
+         FROM unnest(range(-{_LL_MAX_LAG}, {_LL_MAX_LAG} + 1)) AS t(l)),
+aligned AS (
+  SELECT lags.lag, km.dk, pm.dp
+  FROM pm CROSS JOIN lags
+  JOIN km ON km.pair_key = pm.pair_key AND km.b = pm.b - lags.lag
+),
+m AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dk) AS BIGINT) AS sdk, CAST(SUM(dp) AS BIGINT) AS sdp,
+         CAST(SUM(dk * dk) AS BIGINT) AS sdk2,
+         CAST(SUM(dp * dp) AS BIGINT) AS sdp2,
+         CAST(SUM(dk * dp) AS BIGINT) AS sdkdp
+  FROM aligned GROUP BY lag
+)
+SELECT lag, n, sdk, sdp, sdkdp,
+       (CAST(n AS DOUBLE) * CAST(sdkdp AS DOUBLE)
+        - CAST(sdk AS DOUBLE) * CAST(sdp AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sdk2 AS DOUBLE)
+               - CAST(sdk AS DOUBLE) * CAST(sdk AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(sdp2 AS DOUBLE)
+                 - CAST(sdp AS DOUBLE) * CAST(sdp AS DOUBLE))) AS xcorr
+FROM m
+WHERE n * sdk2 > sdk * sdk AND n * sdp2 > sdp * sdp
+"""
+
+
+@query("venue_lead_lag", oracle=_LEAD_LAG_ORACLE, tags=("J1", "lead-lag", "A2"))
+def venue_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-venue lead-lag correlogram: Pearson correlation between
+    Kalshi price moves at bucket t and Polymarket moves at bucket t+lag,
+    for signed lags −3..+3 (5-min buckets) — positive-lag peaks mean
+    Kalshi LEADS (its move shows up on Polymarket `lag` buckets later).
+    Moves are deltas between consecutive QUOTED buckets per pair (the
+    declared semantics for sparse books), assigned to the later bucket.
+
+    Exactness: prices stay integer cents; all five correlation moments
+    (n, Σdk, Σdp, Σdk², Σdp², Σdk·dp) are exact int64 sums, so
+    aggregation order cannot perturb them; the correlation itself is one
+    fixed IEEE expression over doubles of those exact integers —
+    bit-identical in both engines. Degenerate lags (zero variance) are
+    filtered with the integer predicate n·Σx² > (Σx)², never a float
+    epsilon.
+
+    Shape: each venue branch filters its event family at the scan
+    (pushed predicate), pre-aggregates (pair, bucket) last-quotes with
+    a MAP-SIDE partial max_by — so only bucket-granular rows ever cross
+    the wire, never raw ticks — then runs its per-pair LAG window on
+    the aggregated series. The move-alignment join keys on
+    (pair, bucket) over two pair-partitioned sides (the lag column
+    rides along as a 7x map-side explode on the poly side, never a
+    shuffle of its own), and the final 7-group rollup is map-combined.
+    At 100 TB: two column-pruned scans, zero raw-tick shuffles; skewed
+    pairs salt the same way arbitrage_scan's do. Reference anchor: the
+    scanner correlates venues at lag 0 only
+    (`virginia/scanner/market_scanner.py`); the correlogram is the
+    research extension that justifies its freshness window."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_kalshi = F.col("event_type").isin("click", "view")
+    order_key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
+    w = Window.partitionBy("pair_key").orderBy("b")
+
+    def moves(side: DataFrame, mod: int, out: str) -> DataFrame:
+        series = side.groupBy(
+            F.col("user_id").alias("pair_key"),
+            F.expr(f"(ts div 1000) div {_LL_BUCKET_US}").alias("b"),
+        ).agg(F.max_by(cents % mod + 1, order_key).alias("px"))
+        return series.select(
+            "pair_key", "b", (F.col("px") - F.lag("px").over(w)).alias(out)
+        ).filter(F.col(out).isNotNull())
+
+    km = moves(ev.filter(is_kalshi), 97, "dk")
+    pm = moves(ev.filter(~is_kalshi), 99, "dp")
+    probes = pm.select(
+        "pair_key",
+        "dp",
+        F.explode(
+            F.sequence(F.lit(-_LL_MAX_LAG), F.lit(_LL_MAX_LAG))
+        ).alias("lag"),
+        F.col("b").alias("pb"),
+    ).withColumn("b", F.col("pb") - F.col("lag"))
+    aligned = km.join(probes, ["pair_key", "b"])
+    m = aligned.groupBy(F.col("lag").cast("long").alias("lag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dk").alias("sdk"),
+        F.sum("dp").alias("sdp"),
+        F.sum(F.col("dk") * F.col("dk")).alias("sdk2"),
+        F.sum(F.col("dp") * F.col("dp")).alias("sdp2"),
+        F.sum(F.col("dk") * F.col("dp")).alias("sdkdp"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return m.filter(
+        (F.col("n") * F.col("sdk2") > F.col("sdk") * F.col("sdk"))
+        & (F.col("n") * F.col("sdp2") > F.col("sdp") * F.col("sdp"))
+    ).select(
+        "lag",
+        "n",
+        "sdk",
+        "sdp",
+        "sdkdp",
+        (
+            (d("n") * d("sdkdp") - d("sdk") * d("sdp"))
+            / (
+                F.sqrt(d("n") * d("sdk2") - d("sdk") * d("sdk"))
+                * F.sqrt(d("n") * d("sdp2") - d("sdp") * d("sdp"))
+            )
+        ).alias("xcorr"),
+    )

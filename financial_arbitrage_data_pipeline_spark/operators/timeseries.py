@@ -991,3 +991,116 @@ def tick_rule_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_flat",
         "flow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kyle's lambda: price impact per unit of signed order flow
+# ---------------------------------------------------------------------------
+_KYLE_SIZE_MOD = 50
+
+
+@query(
+    "kyle_lambda_per_pair",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         event_id % {_KYLE_SIZE_MOD} + 1 AS size
+  FROM events WHERE event_type = 'view'
+),
+d AS (
+  SELECT user_id, ts_us, event_id, size,
+         cents - LAG(cents) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS move
+  FROM c
+),
+sgn AS (
+  SELECT user_id, move,
+         size * LAST_VALUE(CASE WHEN move > 0 THEN 1
+                                WHEN move < 0 THEN -1 END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS q
+  FROM d WHERE move IS NOT NULL
+),
+m AS (
+  SELECT user_id AS pair_key, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(move) AS BIGINT) AS sd,
+         CAST(SUM(q * move) AS BIGINT) AS sqd,
+         CAST(SUM(q * q) AS BIGINT) AS sq2
+  FROM sgn WHERE q IS NOT NULL GROUP BY user_id
+)
+SELECT pair_key, n, sq, sd, sqd, sq2,
+       (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+        - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
+          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) AS kyle_lambda
+FROM m WHERE n * sq2 > sq * sq
+""",
+    tags=("A2", "finance", "microstructure"),
+)
+def kyle_lambda_per_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle's lambda per pair: the OLS slope of price move on SIGNED
+    order flow (dP = lambda*q + eps) — the canonical price-impact /
+    market-depth estimator, completing the microstructure family next
+    to tick_rule_flow and realized_variance. Flow sign follows the
+    Lee-Ready tick test with the standard zero-tick carry-forward
+    (last non-zero move's sign, via LAST_VALUE IGNORE NULLS over the
+    same tape window); synthetic trade size is the deterministic
+    event_id % {_KYLE_SIZE_MOD} + 1.
+
+    Exactness: all five regression moments are exact int64 sums; the
+    slope is one fixed IEEE expression over doubles of those integers;
+    zero-variance pairs are excluded by the integer predicate
+    n*Sq2 > Sq*Sq. Plan: ONE sort-shuffle — both window passes (LAG,
+    carry-forward) and the per-pair rollup share the pair-keyed
+    exchange."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+            (F.col("event_id") % _KYLE_SIZE_MOD + 1).alias("size"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = c.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "size",
+        (F.col("cents") - F.lag("cents").over(w)).alias("move"),
+    ).filter(F.col("move").isNotNull())
+    sgn = d.select(
+        "user_id",
+        "move",
+        (
+            F.col("size")
+            * F.last(
+                F.when(F.col("move") > 0, 1).when(F.col("move") < 0, -1), True
+            ).over(wc)
+        ).alias("q"),
+    ).filter(F.col("q").isNotNull())
+    m = sgn.groupBy(F.col("user_id").alias("pair_key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("move").alias("sd"),
+        F.sum(F.col("q") * F.col("move")).alias("sqd"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+    )
+    dd = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return m.filter(F.col("n") * F.col("sq2") > F.col("sq") * F.col("sq")).select(
+        "pair_key",
+        "n",
+        "sq",
+        "sd",
+        "sqd",
+        "sq2",
+        (
+            (dd("n") * dd("sqd") - dd("sq") * dd("sd"))
+            / (dd("n") * dd("sq2") - dd("sq") * dd("sq"))
+        ).alias("kyle_lambda"),
+    )

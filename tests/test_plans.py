@@ -581,3 +581,75 @@ def test_ohlc_and_tick_flow_are_single_shuffle(spark, sf_dir):
         p = plan_of(spark, name, sf_dir)
         # one Exchange node; formatted mode prints each node twice
         assert p.count("Exchange") == 2, f"{name}: expected 1 exchange\n{p}"
+
+
+def test_kyle_lambda_single_sort_shuffle(spark, sf_dir):
+    """Both window passes (LAG, sign carry-forward) and the per-pair
+    moment rollup share ONE pair-keyed exchange; no join anywhere."""
+    p = plan_of(spark, "kyle_lambda_per_pair", sf_dir)
+    assert p.count("Exchange") == 2  # formatted prints the node twice
+    assert "Join" not in p
+
+
+def test_benford_single_aggregate(spark, sf_dir):
+    """Nine conditional digit counters live inside one map-combined
+    aggregate: exactly one exchange, no join, no sort."""
+    p = plan_of(spark, "benford_first_digit_audit", sf_dir)
+    assert p.count("Exchange") == 2
+    assert "Join" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_mannwhitney_two_tier_shape(spark, sf_dir):
+    """One corpus-sized (segment, value) pre-aggregation, then the
+    midrank window + segment rollup on the distinct-value table:
+    exactly two exchanges, no join."""
+    p = plan_of(spark, "ab_test_mannwhitney", sf_dir)
+    assert p.count("Exchange") == 4
+    assert "Join" not in p
+
+
+def test_transition_matrix_one_tape_shuffle(spark, sf_dir):
+    """The tape shuffles once (per-user LAG window); transition counts
+    and row totals are alphabet-sized — no join, no duplicated tape
+    subtree, three exchanges total (tape window + alphabet groupBy +
+    alphabet window)."""
+    p = plan_of(spark, "event_transition_matrix", sf_dir)
+    assert "Join" not in p
+    assert p.count("Exchange") == 6
+    # the tape's user_id exchange appears once (formatted Arguments line)
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_venue_lead_lag_no_raw_tick_shuffle(spark, sf_dir):
+    """Each venue branch pre-aggregates (pair, bucket) last-quotes with a
+    map-side partial max_by BELOW its exchange — raw ticks never cross
+    the wire — and the alignment join is an equi-join on (pair, bucket),
+    never a nested loop over lags."""
+    p = plan_of(spark, "venue_lead_lag", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # both branch exchanges carry partial max_by aggregates, not raw rows
+    assert p.count("partial_max_by") >= 2
+
+
+def test_feature_split_gini_one_corpus_exchange(spark, sf_dir):
+    """Candidate generation is a map-side 3x explode; the only
+    corpus-sized exchange is the map-combined (feature, value)
+    pre-aggregation — everything after runs on the distinct-value
+    table. The explode must sit BELOW the first aggregate's partial."""
+    p = plan_of(spark, "feature_split_gini", sf_dir)
+    assert "Join" not in p  # totals are window sums, not a join-back
+    assert p.count("Generate") == 2  # ONE explode (tree+detail print)
+    assert p.count("Exchange") == 4  # corpus agg + feature window only
+    assert p.count("partial_count") >= 1  # map-combine below the exchange
+
+
+def test_session_window_range_join_is_binned_equi_join(spark, sf_dir):
+    """The interval-containment join must plan as a hash join on the
+    bin key (the binned decomposition), never the BNLJ SQL's BETWEEN
+    would produce."""
+    p = plan_of(spark, "session_window_range_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
