@@ -1376,3 +1376,226 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_total",
         (F.col("n").cast("double") / F.col("row_total").cast("double")).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association-rule mining over daily activity baskets (Apriori level 2)
+# ---------------------------------------------------------------------------
+_BASKET_DAY_US = 86_400_000_000
+
+
+@query(
+    "daily_basket_rules",
+    oracle=f"""
+WITH p AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_BASKET_DAY_US} AS day, event_type
+  FROM events
+),
+n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+  FROM (SELECT DISTINCT user_id, day FROM p)
+),
+pairs AS (
+  SELECT a.event_type AS x, b.event_type AS y, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM p a JOIN p b ON a.user_id = b.user_id AND a.day = b.day
+                    AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+singles AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY event_type
+),
+directed AS (
+  SELECT x AS antecedent, y AS consequent, c_xy FROM pairs
+  UNION ALL
+  SELECT y, x, c_xy FROM pairs
+)
+SELECT d.antecedent, d.consequent, d.c_xy AS n_both,
+       sa.c AS n_ant, sc.c AS n_cons, n.n_baskets,
+       CAST(d.c_xy AS DOUBLE) / CAST(n.n_baskets AS DOUBLE) AS support,
+       CAST(d.c_xy AS DOUBLE) / CAST(sa.c AS DOUBLE) AS confidence,
+       (CAST(d.c_xy AS DOUBLE) * CAST(n.n_baskets AS DOUBLE))
+       / (CAST(sa.c AS DOUBLE) * CAST(sc.c AS DOUBLE)) AS lift
+FROM directed d
+JOIN singles sa ON sa.event_type = d.antecedent
+JOIN singles sc ON sc.event_type = d.consequent
+CROSS JOIN n
+""",
+    tags=("A2", "market-basket", "association-rules"),
+)
+def daily_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over daily activity baskets (the level-2
+    Apriori pass): for every directed event-type pair A→B, its support,
+    confidence, and lift across (user, day) baskets — the market-basket
+    operator behind 'users who X also Y' recommendations and funnel
+    hypothesis mining. Counts are exact integers; the three ratios are
+    one IEEE divide each.
+
+    Shape: baskets form in ONE corpus shuffle (groupBy (user, day) with
+    a map-combined collect_set of the ≤|alphabet| types); candidate
+    pairs are generated IN-ROW from the sorted item array (index-aware
+    transform + slice — at most C(|alphabet|,2) structs per basket, no
+    self-join of the event table, which is the naive plan's quadratic
+    trap); everything downstream — pair counts, single counts, the
+    1-row basket total (allowlisted scalar broadcast) — is
+    alphabet-sized. At 100 TB the event table shuffles once."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = (
+        ev.groupBy("user_id", F.expr(f"(ts div 1000) div {_BASKET_DAY_US}").alias("day"))
+        .agg(F.array_sort(F.collect_set("event_type")).alias("items"))
+        # three aggregates (pairs, singles, basket total) consume the
+        # basket table: checkpoint it once so the corpus groupBy runs
+        # once instead of once per branch (basket-granular data, the
+        # same lineage-cut discipline as the iterative operators)
+        .localCheckpoint()
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    singles = (
+        baskets.select(F.explode("items").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("x").alias("antecedent"),
+                    F.col("y").alias("consequent"),
+                    F.col("c_xy"),
+                ),
+                F.struct(
+                    F.col("y").alias("antecedent"),
+                    F.col("x").alias("consequent"),
+                    F.col("c_xy"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.c_xy")
+    sa = singles.select(F.col("event_type").alias("antecedent"), F.col("c").alias("n_ant"))
+    sc_ = singles.select(
+        F.col("event_type").alias("consequent"), F.col("c").alias("n_cons")
+    )
+    out = (
+        directed.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc_), "consequent")
+        .join(F.broadcast(n))
+    )
+    dd = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return out.select(
+        "antecedent",
+        "consequent",
+        F.col("c_xy").alias("n_both"),
+        "n_ant",
+        "n_cons",
+        "n_baskets",
+        (dd("c_xy") / dd("n_baskets")).alias("support"),
+        (dd("c_xy") / dd("n_ant")).alias("confidence"),
+        ((dd("c_xy") * dd("n_baskets")) / (dd("n_ant") * dd("n_cons"))).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact trimmed mean: the robust location estimate between mean and median
+# ---------------------------------------------------------------------------
+_TRIM_PCT_NUM = 1  # trim floor(n/10) from each tail
+_TRIM_PCT_DEN = 10
+
+
+@query(
+    "trimmed_mean_by_type",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY cents, event_id) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT) AS s_all
+  FROM c
+),
+t AS (
+  SELECT event_type, n, s_all,
+         n * {_TRIM_PCT_NUM} // {_TRIM_PCT_DEN} AS k,
+         CAST(SUM(cents) FILTER (WHERE rk > n * {_TRIM_PCT_NUM} // {_TRIM_PCT_DEN}
+                                   AND rk <= n - n * {_TRIM_PCT_NUM} // {_TRIM_PCT_DEN})
+              AS BIGINT) AS s_kept
+  FROM r GROUP BY event_type, n, s_all
+)
+SELECT event_type, n, k AS n_trimmed_each_tail,
+       CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE) AS raw_mean,
+       CAST(s_kept AS DOUBLE) / CAST(n - 2 * k AS DOUBLE) AS trimmed_mean
+FROM t WHERE n > 2 * k
+""",
+    tags=("A2", "robust-stats"),
+)
+def trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed mean per event type: drop floor(n/10) values
+    from EACH tail (deterministic (value, event_id) rank order) and
+    average the interior — the robust location estimate between the
+    outlier-fragile mean and the information-discarding median, reported
+    next to the raw mean so the gap itself is the contamination signal
+    (sits beside value_anomaly_mad in the robust-stats family).
+
+    Exactness: ranks, trim counts, and both sums are exact integers; the
+    two means are one IEEE divide each. Plan: ONE sort-shuffle — the
+    rank window, the full-partition integer totals, and the per-type
+    rollup all share the event_type exchange. At 100 TB the swap is
+    approx_percentile cut points (documented on segment_median_acctbal)
+    if the per-type sort ever dominates."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wall = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wo).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("s_all"),
+    )
+    k = F.expr(f"n * {_TRIM_PCT_NUM} div {_TRIM_PCT_DEN}")
+    t = (
+        r.withColumn("k", k)
+        .groupBy("event_type", "n", "s_all", "k")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rk") > F.col("k"))
+                    & (F.col("rk") <= F.col("n") - F.col("k")),
+                    F.col("cents"),
+                )
+            ).alias("s_kept")
+        )
+    )
+    return t.filter(F.col("n") > 2 * F.col("k")).select(
+        "event_type",
+        "n",
+        F.col("k").alias("n_trimmed_each_tail"),
+        (F.col("s_all").cast("double") / F.col("n").cast("double")).alias("raw_mean"),
+        (
+            F.col("s_kept").cast("double")
+            / (F.col("n") - 2 * F.col("k")).cast("double")
+        ).alias("trimmed_mean"),
+    )

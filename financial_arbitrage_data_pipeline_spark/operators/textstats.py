@@ -2187,3 +2187,150 @@ def bigram_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "x", "y", "c_xy", "rank", "lift"
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction: stopword-delimited phrases scored by word
+# degree/frequency (Rose et al. 2010), in integer fixed-point
+# ---------------------------------------------------------------------------
+_RAKE_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "as")
+_RAKE_MAX_PHRASE = 4
+_RAKE_TOPN = 25
+_RAKE_PPM = 1_000_000
+
+
+@query(
+    "rake_keyword_extraction",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+e AS (
+  SELECT doc_id, z[1] AS tok, CAST(z[2] AS BIGINT) AS pos
+  FROM t, unnest(list_zip(toks,
+                 list_transform(range(1, len(toks) + 1),
+                                x -> CAST(x AS VARCHAR)))) AS u(z)
+),
+ns AS (
+  SELECT doc_id, tok, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM e WHERE tok NOT IN {_RAKE_STOPWORDS!r}
+),
+ph AS (
+  SELECT doc_id, run_id, array_agg(tok ORDER BY pos) AS words
+  FROM ns GROUP BY doc_id, run_id
+  HAVING COUNT(*) <= {_RAKE_MAX_PHRASE}
+),
+wstats AS (
+  SELECT w AS tok,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(len(words)) AS BIGINT) AS degree
+  FROM ph, unnest(words) AS uw(w)
+  GROUP BY w
+),
+wscore AS (
+  SELECT tok, degree * {_RAKE_PPM} // freq AS score_ppm FROM wstats
+),
+pocc AS (
+  SELECT array_to_string(words, ' ') AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM ph GROUP BY 1
+),
+pscore AS (
+  SELECT p.phrase, p.n_occurrences,
+         CAST(len(string_split(p.phrase, ' ')) AS BIGINT) AS n_words,
+         CAST(SUM(ws.score_ppm) AS BIGINT) AS score_ppm
+  FROM pocc p, unnest(string_split(p.phrase, ' ')) AS uw(w)
+  JOIN wscore ws ON ws.tok = uw.w
+  GROUP BY 1, 2, 3
+)
+SELECT phrase, n_words, n_occurrences, score_ppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, phrase) AS BIGINT) AS rank
+FROM pscore
+QUALIFY rank <= {_RAKE_TOPN}
+""",
+    tags=("corpus-analysis", "keywords", "A1"),
+)
+def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs (length ≤ {_RAKE_MAX_PHRASE});
+    each word scores degree/freq, where freq counts its phrase
+    occurrences and degree sums the lengths of the phrases containing
+    it; a phrase scores the sum of its words' scores. The corpus-level
+    top-{_RAKE_TOPN} is the keyword table an indexing/tagging stage
+    materializes next to TF-IDF (rank-equivalent but co-occurrence
+    aware — multi-word terms beat bare frequency).
+
+    Exactness: word scores are integer fixed-point (degree·1e6 div
+    freq), so the phrase score is an INTEGER sum — aggregation
+    order-independent where a sum of float ratios would not be; ties
+    rank by phrase text. Run construction uses the classic
+    pos − row_number gap trick, and phrase words are recovered by
+    splitting the phrase STRING (deterministic, no first()-of-array).
+
+    Shape: the only corpus-sized exchange is the per-doc position
+    window (one sort-shuffle of non-stopword tokens); phrase groups
+    reuse the doc partitioning; everything after — word stats, phrase
+    occurrence counts, the score join (vocab broadcast), the
+    top-{_RAKE_TOPN} TakeOrdered — is vocabulary/phrase-sized. At
+    100 TB this is the n-gram-family plan (cf. ngram_duplicate_spans):
+    one keyed shuffle of token metadata, never of documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias(
+            "pos0", "tok"
+        ),
+    ).select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+    ns = (
+        toks.filter(~F.col("tok").isin(*_RAKE_STOPWORDS))
+        .withColumn(
+            "run_id",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+    )
+    ph = (
+        ns.groupBy("doc_id", "run_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ).alias("words")
+        )
+        .filter(F.size("words") <= _RAKE_MAX_PHRASE)
+        # word stats and phrase counts both consume the phrase table:
+        # checkpoint it once so the corpus position window runs once,
+        # not once per branch (phrase-granular data)
+        .localCheckpoint()
+    )
+    wstats = (
+        ph.select(F.explode("words").alias("tok"), F.size("words").alias("plen"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree"))
+    )
+    wscore = wstats.select(
+        "tok", F.expr(f"degree * {_RAKE_PPM} div freq").alias("score_ppm")
+    )
+    pocc = ph.select(F.array_join("words", " ").alias("phrase")).groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    pw = pocc.select(
+        "phrase",
+        "n_occurrences",
+        F.size(F.split("phrase", " ")).cast("long").alias("n_words"),
+        F.explode(F.split("phrase", " ")).alias("tok"),
+    )
+    pscore = (
+        pw.join(F.broadcast(wscore), "tok")
+        .groupBy("phrase", "n_occurrences", "n_words")
+        .agg(F.sum("score_ppm").alias("score_ppm"))
+    )
+    top = pscore.orderBy(F.col("score_ppm").desc(), "phrase").limit(_RAKE_TOPN)
+    wr = Window.orderBy(F.col("score_ppm").desc(), "phrase")
+    return top.withColumn("rank", F.row_number().over(wr).cast("long")).select(
+        "phrase", "n_words", "n_occurrences", "score_ppm", "rank"
+    )

@@ -1104,3 +1104,362 @@ def kyle_lambda_per_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (dd("n") * dd("sq2") - dd("sq") * dd("sq"))
         ).alias("kyle_lambda"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection: the single most likely mean-shift per tape
+# ---------------------------------------------------------------------------
+@query(
+    "cusum_changepoint",
+    oracle="""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+w AS (
+  SELECT user_id, ts_us, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS BIGINT) AS k,
+         CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sk,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         CAST(SUM(cents) OVER (PARTITION BY user_id) AS BIGINT) AS t
+  FROM c
+),
+d AS (
+  SELECT user_id AS pair_key, ts_us, k, n, sk, t,
+         abs(n * sk - k * t) AS dk
+  FROM w WHERE k < n
+)
+SELECT pair_key, n,
+       k AS change_k, ts_us AS change_ts_us, dk AS d_max,
+       CAST(sk AS DOUBLE) / CAST(k AS DOUBLE)
+         - CAST(t - sk AS DOUBLE) / CAST(n - k AS DOUBLE) AS mean_shift
+FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY pair_key
+                           ORDER BY dk DESC, k) = 1
+""",
+    tags=("A2", "finance", "changepoint"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per tape: the split position k that
+    maximizes |n·S_k − k·T| — the scale-free form of the cumulative-sum
+    statistic (it equals n·k·(n−k)·|mean_left − mean_right| up to that
+    integer factor), i.e. the single most likely MEAN-SHIFT point in
+    each pair's quote history. This is the regime-change detector next
+    to the POINT-anomaly sweeps (value_anomaly_mad, price_anomaly_zscore):
+    those flag one bad tick, this finds where the level moved.
+
+    Exactness: prefix sums, totals, and the statistic are exact int64
+    (prices are cents; n·S_k at 1e5 ticks x 100 cents is ~1e12); the
+    argmax ties break on earliest k; only the reported mean-shift is a
+    final fixed pair of IEEE divides. Plan: ONE sort-shuffle — the
+    running prefix window, the full-partition integer totals, and the
+    argmax rank all share the pair-keyed exchange. At 100 TB this is
+    one shuffle of the tick table, same shape as ewma/tick-rule."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("user_id")
+    w = c.select(
+        "user_id",
+        "ts_us",
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.sum("cents").over(wr).alias("sk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("t"),
+    )
+    d = w.filter(F.col("k") < F.col("n")).withColumn(
+        "dk", F.abs(F.col("n") * F.col("sk") - F.col("k") * F.col("t"))
+    )
+    # rank on the SAME user_id partitioning (renaming before the window
+    # would insert a second exchange on the aliased key)
+    pick = Window.partitionBy("user_id").orderBy(F.col("dk").desc(), "k")
+    return (
+        d.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("pair_key"),
+            "n",
+            F.col("k").alias("change_k"),
+            F.col("ts_us").alias("change_ts_us"),
+            F.col("dk").alias("d_max"),
+            (
+                F.col("sk").cast("double") / F.col("k").cast("double")
+                - (F.col("t") - F.col("sk")).cast("double")
+                / (F.col("n") - F.col("k")).cast("double")
+            ).alias("mean_shift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation resample onto a fixed grid (Flux interpolate.linear)
+# ---------------------------------------------------------------------------
+_INTERP_GRID_US = 3_600_000_000  # hourly grid
+
+
+@query(
+    "linear_interp_resample",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+seg AS (
+  SELECT user_id, ts_us AS t0, cents AS v0,
+         LEAD(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS t1,
+         LEAD(cents) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS v1
+  FROM c
+),
+live AS (
+  SELECT * FROM seg
+  WHERE t1 IS NOT NULL
+    AND t1 // {_INTERP_GRID_US} >= t0 // {_INTERP_GRID_US} + 1
+),
+g AS (
+  SELECT user_id AS pair_key,
+         CAST(gi * {_INTERP_GRID_US} AS BIGINT) AS grid_ts_us,
+         CAST((v0 * (t1 - gi * {_INTERP_GRID_US})
+               + v1 * (gi * {_INTERP_GRID_US} - t0)) // (t1 - t0)
+              AS BIGINT) AS interp_cents
+  FROM live,
+       unnest(range(t0 // {_INTERP_GRID_US} + 1,
+                    t1 // {_INTERP_GRID_US} + 1)) AS u(gi)
+)
+SELECT pair_key, grid_ts_us, interp_cents FROM g
+""",
+    tags=("A6", "finance", "resample"),
+)
+def linear_interp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling onto the hourly grid: for every
+    grid instant g strictly inside a quote segment (t0, t1], the
+    time-weighted blend (v0·(t1−g) + v1·(g−t0)) div (t1−t0) — Flux's
+    `interpolate.linear` / pandas `resample().interpolate()`, the
+    smooth counterpart of downsample_gap_fill's step-wise forward fill.
+
+    Exactness: the blend numerator keeps both terms NON-NEGATIVE by
+    construction (prices ≥ 0, g ∈ (t0, t1]), so Spark's truncating
+    `div` and DuckDB's flooring `//` agree — the declared fixed-point
+    rule for every floor divide in this repo. All outputs are integer
+    cents on integer µs grid points; int64 headroom is ~5e3 cents ×
+    3e13 µs ≈ 1.5e17.
+
+    Plan: one sort-shuffle (the per-pair LEAD window), then a purely
+    map-side explode of each segment to the grid points it spans — the
+    explode factor is segment-length/grid-width, the only cost knob,
+    and empty segments are filtered BEFORE the explode (`sequence`
+    would otherwise descend for t1 quoted in the same grid cell). At
+    100 TB: identical shape to the other tape operators — the tick
+    table shuffles once."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = c.select(
+        F.col("user_id").alias("pair_key"),
+        F.col("ts_us").alias("t0"),
+        F.col("cents").alias("v0"),
+        F.lead("ts_us").over(w).alias("t1"),
+        F.lead("cents").over(w).alias("v1"),
+    )
+    W_ = _INTERP_GRID_US
+    live = seg.filter(
+        F.col("t1").isNotNull()
+        & (F.expr(f"t1 div {W_}") >= F.expr(f"t0 div {W_} + 1"))
+    )
+    g = live.select(
+        "pair_key",
+        "t0",
+        "v0",
+        "t1",
+        "v1",
+        F.explode(
+            F.sequence(F.expr(f"t0 div {W_} + 1"), F.expr(f"t1 div {W_}"))
+        ).alias("gi"),
+    )
+    gts = F.col("gi") * W_
+    return g.select(
+        "pair_key",
+        gts.cast("long").alias("grid_ts_us"),
+        F.expr(
+            f"cast((v0 * (t1 - gi * {W_}) + v1 * (gi * {W_} - t0))"
+            f" div (t1 - t0) as bigint)"
+        ).alias("interp_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# VPIN: volume-synchronized probability of informed trading
+# (Easley, Lopez de Prado, O'Hara 2012)
+# ---------------------------------------------------------------------------
+_VPIN_BUCKET_VOL = 2_000  # volume per bucket
+_VPIN_WINDOW = 10  # trailing buckets in the VPIN average
+
+
+@query(
+    "vpin_toxicity",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(event_id % 50 + 1 AS BIGINT) AS vol
+  FROM events WHERE event_type = 'view'
+),
+d AS (
+  SELECT user_id, ts_us, event_id, vol,
+         cents - LAG(cents) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS move
+  FROM c
+),
+sgn AS (
+  SELECT user_id, ts_us, event_id, vol, move,
+         LAST_VALUE(CASE WHEN move > 0 THEN 1
+                         WHEN move < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS s
+  FROM d WHERE move IS NOT NULL
+),
+bk AS (
+  SELECT user_id,
+         (SUM(vol) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS UNBOUNDED PRECEDING) - vol)
+           // {_VPIN_BUCKET_VOL} AS bucket,
+         vol, s
+  FROM sgn WHERE s IS NOT NULL
+),
+b AS (
+  SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+         CAST(SUM(CASE WHEN s = 1 THEN vol ELSE 0 END) AS BIGINT) AS buy_vol,
+         CAST(SUM(CASE WHEN s = -1 THEN vol ELSE 0 END) AS BIGINT) AS sell_vol,
+         CAST(SUM(vol) AS BIGINT) AS tot_vol
+  FROM bk GROUP BY user_id, bucket
+),
+v AS (
+  SELECT user_id AS pair_key, bucket, buy_vol, sell_vol,
+         CAST(SUM(abs(buy_vol - sell_vol))
+              OVER (PARTITION BY user_id ORDER BY bucket
+                    ROWS {_VPIN_WINDOW - 1} PRECEDING) AS BIGINT) AS imb_sum,
+         CAST(SUM(tot_vol)
+              OVER (PARTITION BY user_id ORDER BY bucket
+                    ROWS {_VPIN_WINDOW - 1} PRECEDING) AS BIGINT) AS vol_sum,
+         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY bucket
+                             ROWS {_VPIN_WINDOW - 1} PRECEDING) AS BIGINT)
+           AS n_buckets
+  FROM b
+)
+SELECT pair_key, bucket, buy_vol, sell_vol, n_buckets,
+       CAST(imb_sum AS DOUBLE) / CAST(vol_sum AS DOUBLE) AS vpin
+FROM v WHERE n_buckets = {_VPIN_WINDOW}
+""",
+    tags=("A2", "finance", "microstructure"),
+)
+def vpin_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN flow-toxicity (Easley, Lopez de Prado, O'Hara 2012): chop
+    each tape into equal-VOLUME buckets (the volume clock — bucket id is
+    the exclusive-prefix volume div {_VPIN_BUCKET_VOL}), classify volume
+    buy/sell by the tick rule with zero-tick carry, and report the
+    trailing-{_VPIN_WINDOW}-bucket ratio Σ|buy−sell| / Σvolume — the
+    metric that flagged the 2010 flash crash hours early and the reason
+    market-makers watch flow imbalance on a volume clock, not a wall
+    clock. Completes the toxicity stack: tick_rule_flow (signs),
+    kyle_lambda_per_pair (impact), vpin_toxicity (imbalance persistence).
+
+    Exactness: volumes, prefix sums, bucket ids, and both rolling sums
+    are exact int64 (the rolling frame is a fixed ROWS window, so the
+    sums are order-defined); the one divide per row is IEEE-fixed;
+    partial windows are excluded by an integer count predicate.
+
+    Plan: ONE sort-shuffle — the move LAG, the sign carry-forward, and
+    the volume-clock prefix sum are three passes over the SAME
+    pair-keyed window exchange; the bucket groupBy and the trailing
+    window reuse the same pair partitioning. At 100 TB the tape
+    shuffles once, identical to the rest of the tape family."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+            F.expr("cast(event_id % 50 + 1 as bigint)").alias("vol"),
+        )
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = c.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "vol",
+        (F.col("cents") - F.lag("cents").over(wo)).alias("move"),
+    ).filter(F.col("move").isNotNull())
+    sgn = d.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "vol",
+        F.last(
+            F.when(F.col("move") > 0, 1).when(F.col("move") < 0, -1), True
+        ).over(wr).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    bk = sgn.select(
+        "user_id",
+        "vol",
+        "s",
+        F.expr(
+            f"(sum(vol) over (partition by user_id order by ts_us, event_id"
+            f" rows between unbounded preceding and current row) - vol)"
+            f" div {_VPIN_BUCKET_VOL}"
+        ).alias("bucket"),
+    )
+    b = bk.groupBy("user_id", "bucket").agg(
+        F.sum(F.when(F.col("s") == 1, F.col("vol")).otherwise(0)).alias("buy_vol"),
+        F.sum(F.when(F.col("s") == -1, F.col("vol")).otherwise(0)).alias("sell_vol"),
+        F.sum("vol").alias("tot_vol"),
+    )
+    wv = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(-(_VPIN_WINDOW - 1), Window.currentRow)
+    )
+    v = b.select(
+        F.col("user_id").alias("pair_key"),
+        "bucket",
+        "buy_vol",
+        "sell_vol",
+        F.sum(F.abs(F.col("buy_vol") - F.col("sell_vol"))).over(wv).alias("imb_sum"),
+        F.sum("tot_vol").over(wv).alias("vol_sum"),
+        F.count(F.lit(1)).over(wv).alias("n_buckets"),
+    )
+    return v.filter(F.col("n_buckets") == _VPIN_WINDOW).select(
+        "pair_key",
+        "bucket",
+        "buy_vol",
+        "sell_vol",
+        "n_buckets",
+        (F.col("imb_sum").cast("double") / F.col("vol_sum").cast("double")).alias(
+            "vpin"
+        ),
+    )

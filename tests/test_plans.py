@@ -349,6 +349,7 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "join_size_histogram_bound",  # two 1-row bound/actual scalars combined
         "pps_systematic_sample",  # 1-row total-weight/step scalar broadcast
         "bigram_collocations_lift",  # 1-row total-bigram-count scalar broadcast
+        "daily_basket_rules",  # 1-row basket-total scalar broadcast
     }
     skip = {  # builders with write side effects
         "ticket_fill_merge",
@@ -653,3 +654,65 @@ def test_session_window_range_join_is_binned_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_cusum_single_sort_shuffle(spark, sf_dir):
+    """Prefix sums, full-partition totals, and the argmax rank all share
+    the pair-keyed exchange: one shuffle, no join."""
+    p = plan_of(spark, "cusum_changepoint", sf_dir)
+    assert p.count("Exchange") == 2  # formatted prints the node twice
+    assert "Join" not in p
+
+
+def test_linear_interp_one_shuffle_mapside_explode(spark, sf_dir):
+    """One sort-shuffle (LEAD window); the grid explode runs map-side
+    ABOVE the window, never through a join."""
+    p = plan_of(spark, "linear_interp_resample", sf_dir)
+    assert p.count("Exchange") == 2
+    assert "Join" not in p
+    assert p.count("Generate") == 2  # one explode (tree+detail print)
+
+
+def test_basket_rules_one_event_shuffle_inrow_pairs(spark, sf_dir):
+    """Baskets form in one corpus shuffle; candidate pairs come from the
+    in-row indexed transform, so the event table is never self-joined
+    (no SortMergeJoin anywhere — every join is an alphabet-sized
+    broadcast)."""
+    p = plan_of(spark, "daily_basket_rules", sf_dir)
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # the basket table is checkpointed once (the corpus groupBy runs a
+    # single time, not once per consuming branch): downstream plans read
+    # the materialized RDD and never re-shuffle the event table
+    assert "ExistingRDD" in p
+    assert p.count("hashpartitioning(user_id") == 0
+
+
+def test_trimmed_mean_single_sort_shuffle(spark, sf_dir):
+    """Rank window, full-partition totals, and the per-type rollup share
+    the event_type exchange: one shuffle, no join."""
+    p = plan_of(spark, "trimmed_mean_by_type", sf_dir)
+    assert p.count("Exchange") == 2  # formatted prints the node twice
+    assert "Join" not in p
+
+
+def test_vpin_single_tape_shuffle(spark, sf_dir):
+    """Move LAG, sign carry, volume-clock prefix sum, bucket rollup, and
+    the trailing window all reuse ONE pair-keyed exchange."""
+    p = plan_of(spark, "vpin_toxicity", sf_dir)
+    assert p.count("hashpartitioning(user_id") == 1
+    assert "Join" not in p
+
+
+def test_rake_one_corpus_window_then_small(spark, sf_dir):
+    """The per-doc position window is the only corpus-sized exchange;
+    the score join is a vocab broadcast and the top-N is TakeOrdered,
+    never a global sort."""
+    p = plan_of(spark, "rake_keyword_extraction", sf_dir)
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # the phrase table is checkpointed once: the per-doc position window
+    # (the only corpus-sized exchange) never re-runs per consuming branch
+    assert "ExistingRDD" in p
+    assert p.count("hashpartitioning(doc_id") == 0
+    assert "TakeOrderedAndProject" in p
