@@ -1697,3 +1697,149 @@ def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(sink_dir).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming tick-rule flow: the stateful cross-batch LAG (differencing)
+# primitive — batch tick_rule_flow's streaming twin
+# ---------------------------------------------------------------------------
+_SFLOW_BUCKET_US = 3_600_000_000  # hourly, matching batch tick_rule_flow
+
+_STREAM_FLOW_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+d AS (
+  SELECT user_id, ts_us,
+         cents - LAG(cents) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS move
+  FROM c
+)
+SELECT user_id,
+       CAST((ts_us // {_SFLOW_BUCKET_US}) * {_SFLOW_BUCKET_US} AS BIGINT)
+         AS bucket_start_us,
+       CAST(SUM(CASE WHEN move > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(SUM(CASE WHEN move < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       CAST(SUM(CASE WHEN move = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+       CAST(SUM(CASE WHEN move > 0 THEN 1 WHEN move < 0 THEN -1 ELSE 0 END)
+            AS BIGINT) AS flow
+FROM d WHERE move IS NOT NULL
+GROUP BY user_id, ts_us // {_SFLOW_BUCKET_US}
+"""
+
+
+@query(
+    "streaming_tick_rule_flow",
+    oracle=_STREAM_FLOW_ORACLE,
+    tags=("A2", "T3", "finance", "streaming"),
+)
+def streaming_tick_rule_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-rule order-flow imbalance ON the live feed — and the
+    stateful primitive windowed aggregation cannot express: a LAG that
+    crosses micro-batch boundaries. Each pair's state carries its last
+    tick (ts, event_id, cents); a batch's moves difference against that
+    carried tick, so the move at a chunk boundary is computed exactly —
+    the final table is BIT-IDENTICAL to batch `tick_rule_flow` (the
+    oracle is that batch semantics verbatim), independent of how the
+    replay is chunked. Emissions are per-batch PARTIAL hourly counters
+    (vectorized pandas groupby, no per-row Python); the landed partials
+    sum to the final hourly flow in one alphabet×hours-sized rollup.
+    The replay source guarantees time-ordered chunks
+    (`ingest.write_replay_chunks`); a newer-keyed state guard makes a
+    disordered batch fail safe (skipped, never mis-differenced). State
+    per pair is ONE row — bounded by the pair universe, the same 100 TB
+    state-size argument as the scan lane."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        sink_dir = os.path.join(root, "flow")
+        ticks = (
+            ingest.replay_stream(spark, replay_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                "user_id",
+                "ts_us",
+                "event_id",
+                F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+            )
+        )
+
+        def flow_fn(key, pdfs, state: GroupState):
+            frames = [p for p in pdfs if len(p)]
+            if not frames:
+                return
+            pdf = pd.concat(frames).sort_values(["ts_us", "event_id"])
+            prev = state.get if state.exists else None
+            first = pdf.iloc[0]
+            if prev is not None and (int(first.ts_us), int(first.event_id)) <= (
+                prev[0],
+                prev[1],
+            ):
+                return  # disordered batch: fail safe, never mis-difference
+            cents = pdf["cents"].to_numpy()
+            ts = pdf["ts_us"].to_numpy()
+            if prev is None:
+                moves, mts = cents[1:] - cents[:-1], ts[1:]
+            else:
+                import numpy as np
+
+                moves = cents - np.concatenate(([prev[2]], cents[:-1]))
+                mts = ts
+            last = pdf.iloc[-1]
+            state.update((int(last.ts_us), int(last.event_id), int(last.cents)))
+            if len(moves) == 0:
+                return
+            part = pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "bucket_start_us": (mts // _SFLOW_BUCKET_US)
+                    * _SFLOW_BUCKET_US,
+                    "n_up": (moves > 0).astype("int64"),
+                    "n_down": (moves < 0).astype("int64"),
+                    "n_flat": (moves == 0).astype("int64"),
+                }
+            )
+            agg = part.groupby(["user_id", "bucket_start_us"], as_index=False).sum()
+            agg["flow"] = agg["n_up"] - agg["n_down"]
+            yield agg
+
+        partials = ticks.groupBy("user_id").applyInPandasWithState(
+            flow_fn,
+            outputStructType=(
+                "user_id long, bucket_start_us long, n_up long, n_down long,"
+                " n_flat long, flow long"
+            ),
+            stateStructType="ts_us long, event_id long, cents long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(sink_dir)
+
+        q = (
+            partials.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(sink_dir)
+            .groupBy("user_id", "bucket_start_us")
+            .agg(
+                F.sum("n_up").alias("n_up"),
+                F.sum("n_down").alias("n_down"),
+                F.sum("n_flat").alias("n_flat"),
+                F.sum("flow").alias("flow"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
