@@ -1244,8 +1244,8 @@ WHERE na > 0 AND nb > 0 AND na + nb > ties + 1
 
 @query("ab_test_mannwhitney", oracle=_MANN_WHITNEY_ORACLE, tags=("ab-test", "A2"))
 def ab_test_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann-Whitney U test per user segment: does the '{_MW_A}' arm's
-    value distribution stochastically dominate the '{_MW_B}' arm's? The
+    """Mann-Whitney U test per user segment: does the 'click' arm's
+    value distribution stochastically dominate the 'purchase' arm's? The
     nonparametric two-sample test every experimentation platform runs
     when means are skew-fragile — here in EXACT integer rank algebra.
 

@@ -942,7 +942,7 @@ def feature_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier every production corpus pipeline trains once the
     hand-written gate becomes the bottleneck (train a cheap model on the
     expensive gate's labels, then run the model). The stump recovering
-    the gate's own dominant rule (n_tokens at ~{_GATE_MIN_TOKENS}) is
+    the gate's own dominant rule (n_tokens at ~30) is
     the expected answer and the test of the machinery.
 
     Exactness: the weighted impurity of a split is
@@ -1051,4 +1051,115 @@ def feature_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("posr").alias("pos_right"),
             "gini_x2",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span coalescing: merge overlapping duplicated n-gram positions
+# into the maximal cut intervals substring dedup would actually remove
+# ---------------------------------------------------------------------------
+@query(
+    "duplicate_span_coalesce",
+    oracle=f"""
+WITH corpus AS ({_CRAWL_UNION_SQL}),
+tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM corpus
+),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         md5(array_to_string(list_slice(t, i, i + {_SPAN_N - 1}), ' ')) AS h
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_SPAN_N - 1})) AS i
+        FROM tok WHERE len(t) >= {_SPAN_N})
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+p AS (SELECT g.doc_id, g.i FROM g JOIN dup ON dup.h = g.h),
+m AS (
+  SELECT doc_id, i,
+         CASE WHEN MAX(i + {_SPAN_N - 1}) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NOT DISTINCT FROM NULL
+           OR i > MAX(i + {_SPAN_N - 1}) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_run
+  FROM p
+),
+r AS (
+  SELECT doc_id, i,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM m
+),
+iv AS (
+  SELECT doc_id, run_id,
+         MIN(i) AS span_start,
+         MAX(i) + {_SPAN_N - 1} AS span_end
+  FROM r GROUP BY doc_id, run_id
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(span_end - span_start + 1) AS BIGINT) AS covered_tokens,
+       CAST(MAX(span_end - span_start + 1) AS BIGINT) AS longest_span,
+       CAST(MIN(span_start) AS BIGINT) AS first_span_start
+FROM iv GROUP BY doc_id
+""",
+    tags=("corpus-prep", "dedup-spans"),
+)
+def duplicate_span_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT LIST substring dedup executes: duplicated 8-gram
+    positions (grams occurring in >1 document) merged into MAXIMAL
+    non-overlapping intervals per document — the classic interval
+    coalesce stated as windows: an interval starts where a position
+    exceeds the running max end of every earlier span (exclusive-frame
+    MAX), interval ids are the running sum of those starts. Where
+    `ngram_duplicate_spans` reports the grams and
+    `doc_duplicate_span_load` the per-doc fraction, this operator emits
+    what a remove-duplicates pass actually needs: span count, covered
+    tokens, longest run, first cut. All integer.
+
+    Shape: gram hashes aggregate and join back on the hash (two
+    hash-keyed exchanges carrying 16-byte hashes + ints, never text),
+    then ONE doc-keyed sort window chain does the entire merge. At
+    100 TB this is the ngram-family plan plus one tape-style window —
+    no per-interval iteration, no UDFs."""
+    docs = crawl_union(spark, sf_dir)
+    g = docs.select(
+        "doc_id",
+        F.posexplode(ngram_span_column(_SPAN_N)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), F.md5("gram").alias("h"))
+    dup = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    p = g.join(dup, "h").select("doc_id", "i")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max(F.col("i") + (_SPAN_N - 1)).over(w_prev)
+    m = p.withColumn(
+        "new_run",
+        F.when(prev_end.isNull() | (F.col("i") > prev_end), 1).otherwise(0),
+    )
+    r = m.withColumn("run_id", F.sum("new_run").over(w_run))
+    iv = r.groupBy("doc_id", "run_id").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") + (_SPAN_N - 1)).alias("span_end"),
+    )
+    ln = F.col("span_end") - F.col("span_start") + 1
+    return iv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(ln).alias("covered_tokens"),
+        F.max(ln).alias("longest_span"),
+        F.min("span_start").alias("first_span_start"),
     )

@@ -1493,3 +1493,103 @@ def longest_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lrs_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the near-dup graph
+# ---------------------------------------------------------------------------
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    return f"""{cur}m AS (
+  SELECT e.dst AS doc_id, l.lab, COUNT(*) AS c
+  FROM edges e JOIN {prev} l ON l.doc_id = e.src
+  GROUP BY e.dst, l.lab
+),
+{cur} AS (
+  SELECT doc_id, lab FROM {cur}m
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, lab) = 1
+)"""
+
+
+@query(
+    "dup_graph_communities",
+    oracle=f"""
+WITH {{MINHASH}},
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sh_sizes za ON za.doc_id = i.doc_a
+  JOIN sh_sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+lp0 AS (SELECT DISTINCT src AS doc_id, src AS lab FROM edges),
+{_lpa_round_sql("lp0", "lp1")},
+{_lpa_round_sql("lp1", "lp2")},
+{_lpa_round_sql("lp2", "lp3")}
+SELECT doc_id, CAST(lab AS BIGINT) AS community,
+       CAST(COUNT(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size
+FROM lp3
+""".replace("{MINHASH}", _minhash_sql(_CRAWL_UNION_SQL)),
+    tags=("dedup-graph", "iterative", "communities"),
+)
+def dup_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup graph by synchronous LABEL
+    PROPAGATION (Raghavan et al. 2007): every node starts as its own
+    label; each round it adopts the MODE of its neighbors' labels (ties
+    to the smallest label, so each round is a deterministic function of
+    the previous — the property that lets the oracle unroll identical
+    rounds as chained CTEs). Three declared rounds. Where
+    `dedup_clusters` answers "which docs are transitively connected",
+    communities answer "which docs form DENSE duplication families" —
+    a long chain of pairwise-similar docs splits into locally-cohesive
+    groups instead of one giant component, which is what a
+    keep-one-per-group dedup policy actually wants.
+
+    Spark-first shape: per round ONE keyed join (edges ⋈ labels on src)
+    + one (dst, label) count + one max_by argmax — the same Pregel
+    message schedule as dup_graph_pagerank, `localCheckpoint` cutting
+    lineage per round; all arithmetic integer, ties integral. At
+    100 TB: edges pre-partitioned by src co-locate every round's join;
+    rounds are O(1) by declaration, not data-dependent."""
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("lab"))
+        .localCheckpoint()
+    )
+    for _ in range(_LPA_ROUNDS):
+        counted = (
+            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counted.groupBy("doc_id")
+            .agg(
+                F.expr("max_by(lab, named_struct('c', c, 'nl', -lab))").alias("lab")
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        "doc_id",
+        F.col("lab").alias("community"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lab"))
+        .cast("long")
+        .alias("community_size"),
+    )

@@ -2254,11 +2254,11 @@ QUALIFY rank <= {_RAKE_TOPN}
 )
 def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
-    maximal stopword-free token runs (length ≤ {_RAKE_MAX_PHRASE});
+    maximal stopword-free token runs (length <= 4);
     each word scores degree/freq, where freq counts its phrase
     occurrences and degree sums the lengths of the phrases containing
     it; a phrase scores the sum of its words' scores. The corpus-level
-    top-{_RAKE_TOPN} is the keyword table an indexing/tagging stage
+    top-25 is the keyword table an indexing/tagging stage
     materializes next to TF-IDF (rank-equivalent but co-occurrence
     aware — multi-word terms beat bare frequency).
 
@@ -2273,7 +2273,7 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (one sort-shuffle of non-stopword tokens); phrase groups
     reuse the doc partitioning; everything after — word stats, phrase
     occurrence counts, the score join (vocab broadcast), the
-    top-{_RAKE_TOPN} TakeOrdered — is vocabulary/phrase-sized. At
+    top-25 TakeOrdered — is vocabulary/phrase-sized. At
     100 TB this is the n-gram-family plan (cf. ngram_duplicate_spans):
     one keyed shuffle of token metadata, never of documents."""
     docs = load_table(spark, sf_dir, "documents")

@@ -1005,7 +1005,7 @@ _KYLE_SIZE_MOD = 50
 WITH c AS (
   SELECT user_id, epoch_us(ts) AS ts_us, event_id,
          CAST(round(value * 100) AS BIGINT) AS cents,
-         event_id % {_KYLE_SIZE_MOD} + 1 AS size
+         event_id % 50 + 1 AS size
   FROM events WHERE event_type = 'view'
 ),
 d AS (
@@ -1046,7 +1046,7 @@ def kyle_lambda_per_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lee-Ready tick test with the standard zero-tick carry-forward
     (last non-zero move's sign, via LAST_VALUE IGNORE NULLS over the
     same tape window); synthetic trade size is the deterministic
-    event_id % {_KYLE_SIZE_MOD} + 1.
+    event_id % 50 + 1.
 
     Exactness: all five regression moments are exact int64 sums; the
     slope is one fixed IEEE expression over doubles of those integers;
@@ -1377,9 +1377,9 @@ FROM v WHERE n_buckets = {_VPIN_WINDOW}
 def vpin_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VPIN flow-toxicity (Easley, Lopez de Prado, O'Hara 2012): chop
     each tape into equal-VOLUME buckets (the volume clock — bucket id is
-    the exclusive-prefix volume div {_VPIN_BUCKET_VOL}), classify volume
+    the exclusive-prefix volume div 2000), classify volume
     buy/sell by the tick rule with zero-tick carry, and report the
-    trailing-{_VPIN_WINDOW}-bucket ratio Σ|buy−sell| / Σvolume — the
+    trailing-10-bucket ratio Σ|buy−sell| / Σvolume — the
     metric that flagged the 2010 flash crash hours early and the reason
     market-makers watch flow imbalance on a volume clock, not a wall
     clock. Completes the toxicity stack: tick_rule_flow (signs),

@@ -716,3 +716,15 @@ def test_rake_one_corpus_window_then_small(spark, sf_dir):
     assert "ExistingRDD" in p
     assert p.count("hashpartitioning(doc_id") == 0
     assert "TakeOrderedAndProject" in p
+
+
+def test_span_coalesce_no_text_in_shuffles(spark, sf_dir):
+    """Gram hashes and integer positions shuffle; document text must
+    never cross an exchange, and the merge itself is windows — no
+    nested loop over intervals."""
+    p = plan_of(spark, "duplicate_span_coalesce", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    import re
+    for mm in re.finditer(r"Exchange hashpartitioning\([^)]*\)[^\n]*", p):
+        assert "text" not in mm.group(0)
