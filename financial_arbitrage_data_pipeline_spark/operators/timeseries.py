@@ -1463,3 +1463,240 @@ def vpin_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vpin"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation profile of absolute moves: the volatility-clustering
+# measurement (ACF of |returns| stays positive; ACF of returns does not)
+# ---------------------------------------------------------------------------
+_ACF_MAX_LAG = 5
+
+
+def _acf_lag_sql(k: int) -> str:
+    return f"""
+  SELECT {k} AS lag, a AS x,
+         LAG(a, {k}) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS y
+  FROM am"""
+
+
+@query(
+    "move_acf_profile",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+am AS (
+  SELECT user_id, ts_us, event_id,
+         abs(cents - LAG(cents) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id)) AS a
+  FROM c QUALIFY a IS NOT NULL
+),
+stacked AS ({" UNION ALL ".join(_acf_lag_sql(k) for k in range(1, _ACF_MAX_LAG + 1))}
+),
+m AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM stacked WHERE y IS NOT NULL GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n, sxy,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+FROM m
+WHERE n * sx2 > sx * sx AND n * sy2 > sy * sy
+""",
+    tags=("A2", "finance", "volatility"),
+)
+def move_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile of ABSOLUTE quote moves at tick lags
+    1..5, pooled across pairs — the volatility-clustering measurement
+    (Cont 2001 stylized facts: returns are uncorrelated but |returns|
+    correlate for many lags; this profile is that evidence, and the
+    justification for the EWMA/GARCH-style smoothers next to it).
+
+    Join-free: all five lagged series come from stacked LAG columns
+    over the SAME pair-keyed window (no self-join, no explode-align —
+    the within-series specialization of venue_lead_lag's alignment);
+    the per-lag Pearson moments are exact int64 sums with the usual
+    one-IEEE-expression correlation and integer zero-variance guards.
+    Plan: ONE sort-shuffle then a 5-group rollup. Magnitude: |move| ≤
+    ~100 cents, so Σxy fits int64 through ~1e14 ticks."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    am = c.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.abs(F.col("cents") - F.lag("cents").over(w)).alias("a"),
+    ).filter(F.col("a").isNotNull())
+    lagged = am.select(
+        "a", *[F.lag("a", k).over(w).alias(f"y{k}") for k in range(1, _ACF_MAX_LAG + 1)]
+    )
+    stacked = lagged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col("a").alias("x"),
+                        F.col(f"y{k}").alias("y"),
+                    )
+                    for k in range(1, _ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("s")
+    ).select("s.lag", "s.x", "s.y").filter(F.col("y").isNotNull())
+    m = stacked.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return m.filter(
+        (F.col("n") * F.col("sx2") > F.col("sx") * F.col("sx"))
+        & (F.col("n") * F.col("sy2") > F.col("sy") * F.col("sy"))
+    ).select(
+        "lag",
+        "n",
+        "sxy",
+        (
+            (d("n") * d("sxy") - d("sx") * d("sy"))
+            / (
+                F.sqrt(d("n") * d("sx2") - d("sx") * d("sx"))
+                * F.sqrt(d("n") * d("sy2") - d("sy") * d("sy"))
+            )
+        ).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Underwater (drawdown-duration) analysis: how LONG below the peak,
+# not just how far — all-integer
+# ---------------------------------------------------------------------------
+@query(
+    "underwater_duration",
+    oracle="""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+p0 AS (
+  SELECT user_id, ts_us, event_id, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS BIGINT) AS rn,
+         CAST(MAX(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+  FROM c
+),
+p AS (
+  SELECT user_id, rn, cents, peak,
+         CAST(SUM(CASE WHEN cents < peak THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_uw
+  FROM p0
+),
+marked AS (
+  SELECT user_id, peak - cents AS depth, cents < peak AS uw,
+         CASE WHEN cents < peak THEN rn - cum_uw END AS run_id
+  FROM p
+),
+runs AS (
+  SELECT user_id, run_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN uw THEN 1 ELSE 0 END) AS BIGINT) AS streak,
+         MAX(CASE WHEN uw THEN depth END) AS run_depth
+  FROM marked GROUP BY user_id, run_id
+)
+SELECT user_id AS pair_key,
+       CAST(SUM(n_rows) AS BIGINT) AS n_ticks,
+       CAST(SUM(streak) AS BIGINT) AS n_underwater,
+       CAST(MAX(streak) AS BIGINT) AS longest_streak,
+       CAST(COALESCE(MAX(run_depth), 0) AS BIGINT) AS max_depth_cents
+FROM runs GROUP BY user_id
+""",
+    tags=("A2", "finance", "risk"),
+)
+def underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underwater analysis per tape: the DURATION dimension of drawdown
+    that `max_drawdown_per_ticker` (depth only) cannot see — how many
+    consecutive ticks each pair spends below its running peak, the
+    longest such spell, and the deepest point reached inside any spell.
+    Depth tells you how bad; duration tells you how long capital (or a
+    price level) stayed impaired — risk desks track both.
+
+    All-integer end to end (no divide anywhere): running peak by
+    cumulative MAX, spells grouped by the gap trick restated for ONE
+    subtree — run_id = rn − cumulative-count-of-underwater-rows (the
+    conditional-cumsum equivalent of the filtered row_number, so dry
+    rows stay in the frame under a NULL run id and the tape is never
+    consumed twice; SCALE.md §19 lesson 1 applied at write time).
+    Plan: both windows and both rollups share ONE pair-keyed exchange;
+    no join at all. Zero-underwater pairs survive via the NULL-run
+    group."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    peak = F.max("cents").over(wr)
+    uw = F.col("cents") < F.col("peak")
+    p = c.select(
+        "user_id",
+        F.row_number().over(wo).cast("long").alias("rn"),
+        "cents",
+        peak.alias("peak"),
+        F.sum(F.when(F.col("cents") < peak, 1).otherwise(0)).over(wr).alias(
+            "cum_uw"
+        ),
+    )
+    marked = p.select(
+        "user_id",
+        (F.col("peak") - F.col("cents")).alias("depth"),
+        uw.alias("uw"),
+        F.when(uw, F.col("rn") - F.col("cum_uw")).alias("run_id"),
+    )
+    runs = marked.groupBy("user_id", "run_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("uw"), 1).otherwise(0)).alias("streak"),
+        F.max(F.when(F.col("uw"), F.col("depth"))).alias("run_depth"),
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("n_rows").alias("n_ticks"),
+        F.sum("streak").alias("n_underwater"),
+        F.max("streak").alias("longest_streak"),
+        F.coalesce(F.max("run_depth"), F.lit(0)).alias("max_depth_cents"),
+    ).select(
+        F.col("user_id").alias("pair_key"),
+        "n_ticks",
+        "n_underwater",
+        "longest_streak",
+        "max_depth_cents",
+    )

@@ -728,3 +728,22 @@ def test_span_coalesce_no_text_in_shuffles(spark, sf_dir):
     import re
     for mm in re.finditer(r"Exchange hashpartitioning\([^)]*\)[^\n]*", p):
         assert "text" not in mm.group(0)
+
+
+def test_acf_profile_single_sort_shuffle_no_join(spark, sf_dir):
+    """Five lagged series are stacked LAG columns over ONE pair window —
+    no self-join, no second corpus exchange; the per-lag rollup is a
+    5-group aggregate."""
+    p = plan_of(spark, "move_acf_profile", sf_dir)
+    assert "Join" not in p
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_underwater_duration_shares_pair_exchange(spark, sf_dir):
+    """Running peak, spell grouping, spell rollup, and the totals join
+    all run on the pair partitioning: exactly one corpus exchange, no
+    shuffle join."""
+    p = plan_of(spark, "underwater_duration", sf_dir)
+    assert "SortMergeJoin" not in p or p.count("hashpartitioning(user_id") == 1
+    assert p.count("hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in p
