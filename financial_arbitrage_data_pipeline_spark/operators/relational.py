@@ -1441,3 +1441,107 @@ def ship_lag_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: the forecasting-revenue-change scan — pure filter + one sum.
+# ---------------------------------------------------------------------------
+@query(
+    "forecast_revenue_change",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(3,2)) IN (0.05, 0.06, 0.07)
+  AND l_quantity < 24
+""",
+    tags=("F4", "A1", "tpch-q6"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-sum — what revenue would
+    disappear if discounts in a band were eliminated for a year. The
+    whole query is ONE pass with no join and no groupBy: the date range
+    and quantity predicates push to the parquet scan (row-group min/max
+    pruning does the year cut at the storage layer), the discount band
+    compares exact decimals (doubles cast to decimal(3,2) on both
+    sides, so 0.05/0.06/0.07 membership can't flap on float
+    representation), and the single global sum aggregates partial
+    map-side to one row. At 100 TB this is the shape that proves
+    pushdown: the scan should read three columns and skip every
+    row group outside 1996."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & rate("l_discount").isin(0.05, 0.06, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * rate("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promotion-effect ratio — conditional share of one month.
+# ---------------------------------------------------------------------------
+@query(
+    "promo_revenue_share",
+    oracle="""
+SELECT
+  CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+            THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue,
+  100.0 * (CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE))
+    AS promo_share_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+    tags=("J2", "A1", "conditional-agg", "tpch-q14"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: what share of one month's revenue came from
+    promo-class parts — the conditional-ratio aggregate. Scale plan:
+    the month filter prunes lineitem at the scan; part broadcasts into
+    it (no shuffle on the fact side); both sums run in one aggregate
+    pass as exact decimals; the ratio is computed double/double AFTER
+    each exact sum is cast once — the identical IEEE sequence the
+    oracle states, so the percentage is bit-stable. The CASE keeps its
+    ELSE branch decimal so the conditional sum never changes type
+    across partial-merge orders."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    revenue = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - rate("l_discount")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(revenue).cast("double").alias("total_revenue"),
+        (
+            F.lit(100.0)
+            * (F.sum(promo).cast("double") / F.sum(revenue).cast("double"))
+        ).alias("promo_share_pct"),
+    )

@@ -575,3 +575,273 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM _nsa_customer) AS n_customers,
          AS n_not_exists
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: product-type profit by nation and year (big-big join + star).
+# ---------------------------------------------------------------------------
+@query(
+    "part_profit_by_nation_year",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                - CAST(p.p_retailprice AS DECIMAL(12,2))
+                  * CAST(0.80 AS DECIMAL(3,2))
+                  * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_name LIKE 'red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+    tags=("J2", "A1", "star-join", "tpch-q9"),
+)
+def part_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape on this schema's columns (no partsupp table, so
+    supply cost is the 80%-of-retail convention): profit per supplier
+    nation per order year over a name-filtered part slice. Scale plan:
+    the ONLY big-big join is lineitem-orders on the order key (one
+    shuffle); part (name-filtered at the scan — LIKE 'red%' pushes as a
+    StartsWith), supplier, and nation all broadcast; profit sums through
+    exact decimals (scale-6 subtraction, no intermediate rounding) with
+    one terminal cast to double, so partial-aggregation order can't
+    move the hash. The grouping keys arrive from broadcast sides, so
+    the rollup re-partitions only (nation, year) — 175 groups, combined
+    map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    cost_rate = F.lit("0.80").cast("decimal(3,2)")
+    amount = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - rate("l_discount")
+    ) - money("p_retailprice") * cost_rate * money("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-item reporting — top customers by lost revenue.
+# ---------------------------------------------------------------------------
+@query(
+    "returned_item_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    tags=("J1", "A1", "W2", "tpch-q10"),
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: which customers returned the most revenue in a
+    half-year window — join + group + global top-20. Scale plan: the
+    date filter pushes to the orders scan and the return flag to the
+    lineitem scan BEFORE the one big-big orderkey shuffle; customer
+    joins on custkey (second shuffle, already reduced to the surviving
+    orders); nation broadcasts. The top-20 runs as
+    TakeOrderedAndProject — no global sort materializes — with the
+    custkey tiebreak making the cut deterministic when revenues tie.
+    Revenue is the exact-decimal sum cast once to double (identical
+    IEEE sequence to the oracle), so the ORDER BY can't flap."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - rate("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: important-stock identification — global scalar threshold.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_part_value_share",
+    oracle="""
+WITH v AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  WHERE s_nationkey < 13
+  GROUP BY l_suppkey, l_partkey
+),
+t AS (SELECT SUM(val) AS tot, COUNT(*) AS n FROM v)
+SELECT v.l_suppkey AS supp_key, v.l_partkey AS part_key,
+       CAST(v.val AS DOUBLE) AS line_value
+FROM v, t
+WHERE v.val * t.n > t.tot * 2
+""",
+    tags=("A1", "subquery-scalar", "tpch-q11"),
+)
+def supplier_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape on this schema's columns (no partsupp: the
+    (supplier, part) inventory value is re-derived from shipped
+    lineitems): keep the (suppkey, partkey) groups whose value exceeds
+    a SCALE-FREE threshold — more than 2x the mean group value over the
+    nation slice (TPC-H itself divides its fraction by SF for exactly
+    this reason: a fixed fraction of the total empties as group counts
+    grow; the mean-multiple form stays meaningful at any scale). Scale
+    plan: supplier (nation-filtered) broadcasts into the lineitem scan;
+    ONE shuffle builds the (supp, part) aggregate; the grand total
+    folds that aggregate to a single row broadcast back as a 1-row
+    cross join (the allowlisted scalar-bound BNLJ pattern). Exactness:
+    the cut is stated multiplication-only — val*n > tot*2 — entirely in
+    decimals and integers (no divide anywhere), so the comparison is
+    exact integer arithmetic in both engines; the one double cast
+    happens on output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(money("l_extendedprice")).alias("val"))
+        # two consumers (the grand-total scalar and the filtered output)
+        # read the aggregate: checkpoint it once so the lineitem scan +
+        # (supp, part) shuffle run once instead of once per branch
+        .localCheckpoint()
+    )
+    thresh = v.agg(
+        F.sum("val").alias("tot"),
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
+    )
+    return (
+        v.crossJoin(F.broadcast(thresh))
+        .filter(F.col("val") * F.col("n") > F.col("tot") * F.lit(2))
+        .select(
+            F.col("l_suppkey").alias("supp_key"),
+            F.col("l_partkey").alias("part_key"),
+            F.col("val").cast("double").alias("line_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: supplier variety per part class, with an exclusion anti-join.
+# ---------------------------------------------------------------------------
+@query(
+    "part_supplier_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    tags=("A4", "anti-join", "tpch-q16"),
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape on this schema's columns (no s_comment, so the
+    complaint exclusion becomes the negative-balance exclusion — the
+    anti-join survives): how many DISTINCT suppliers serve each
+    (brand, type, size) class, excluding a blacklist. Scale plan: the
+    three part predicates (<>, <>, IN-list) all push to the part scan,
+    which then broadcasts; the blacklist is a handful of rows —
+    broadcast LEFT ANTI (s_suppkey is non-null, so NOT IN and the anti
+    join agree); COUNT(DISTINCT) runs as the standard two-phase expand
+    (partial distinct on (class, suppkey) map-side, then the count) —
+    one logical shuffle keyed on the class."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: nested semi-join chain — suppliers with excess shipped stock.
+# ---------------------------------------------------------------------------
+@query(
+    "excess_stock_suppliers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, s.s_nationkey
+FROM supplier s
+WHERE s.s_nationkey < 8
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'red%'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > 40
+  )
+""",
+    tags=("subquery-exists", "J5", "tpch-q20"),
+)
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape on this schema's columns (no partsupp, so
+    "availqty" is the quantity actually shipped in the year): suppliers
+    in a nation slice who moved more than the threshold of any
+    name-filtered part — the nested IN → grouped HAVING → semi-join
+    chain. Scale plan: part filters at its scan (StartsWith pushdown)
+    and broadcasts; the ship-year filter prunes lineitem BEFORE its one
+    (suppkey, partkey) aggregation shuffle; the HAVING survivors
+    project to a distinct supplier-key set that joins LEFT SEMI (the IN
+    decorrelation) against the nation-filtered supplier dim. The
+    threshold compares exact decimals, so the HAVING cut is
+    deterministic."""
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 8)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    movers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(money("l_quantity")).alias("shipped"))
+        .filter(F.col("shipped") > F.lit("40").cast("decimal(12,2)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(movers, supp.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )

@@ -350,6 +350,8 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "pps_systematic_sample",  # 1-row total-weight/step scalar broadcast
         "bigram_collocations_lift",  # 1-row total-bigram-count scalar broadcast
         "daily_basket_rules",  # 1-row basket-total scalar broadcast
+        "supplier_part_value_share",  # 1-row (total, count) scalar threshold
+                                      # broadcast — the Q11 decorrelated HAVING
     }
     skip = {  # builders with write side effects
         "ticket_fill_merge",
@@ -746,4 +748,71 @@ def test_underwater_duration_shares_pair_exchange(spark, sf_dir):
     p = plan_of(spark, "underwater_duration", sf_dir)
     assert "SortMergeJoin" not in p or p.count("hashpartitioning(user_id") == 1
     assert p.count("hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_q6_forecast_revenue_is_scan_plus_one_agg(spark, sf_dir):
+    """Q6 shape: pure filter+sum — no join, date range pushed to the
+    scan, only the partial/final agg pair of exchanges."""
+    p = plan_of(spark, "forecast_revenue_change", sf_dir)
+    assert "Join" not in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+
+
+def test_q9_profit_single_big_join_rest_broadcast(spark, sf_dir):
+    """Q9 shape: lineitem-orders is the ONLY non-broadcast join; part is
+    name-filtered at its scan (StartsWith pushdown)."""
+    p = plan_of(spark, "part_profit_by_nation_year", sf_dir)
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1
+    assert "BroadcastHashJoin" in p
+    assert "StringStartsWith(p_name,red)" in p
+
+
+def test_q10_returned_items_topk_not_full_sort(spark, sf_dir):
+    """Q10 shape: global top-20 runs as TakeOrderedAndProject; the
+    return-flag and date filters push to their scans."""
+    p = plan_of(spark, "returned_item_customers", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_q11_value_share_aggregate_built_once(spark, sf_dir):
+    """Q11 shape: the (supp, part) aggregate feeds BOTH the scalar
+    threshold and the filtered output — it must be checkpointed so the
+    lineitem scan + aggregation shuffle run once, not once per branch
+    (the final plan reads the materialized aggregate, no lineitem scan
+    and no second (supp, part) exchange)."""
+    p = plan_of(spark, "supplier_part_value_share", sf_dir)
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "ExistingRDD" in p  # both branches read the checkpointed aggregate
+    assert "lineitem" not in p  # the corpus scan ran exactly once, upstream
+
+
+def test_q14_promo_share_broadcasts_part_no_shuffle_join(spark, sf_dir):
+    p = plan_of(spark, "promo_revenue_share", sf_dir)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+
+
+def test_q16_variety_anti_join_is_broadcast(spark, sf_dir):
+    """Q16 shape: the blacklist exclusion is a broadcast LEFT ANTI, the
+    part class filters push to the part scan, and no shuffle join
+    exists anywhere."""
+    p = plan_of(spark, "part_supplier_variety", sf_dir)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+    assert "In(p_size" in p
+
+
+def test_q20_excess_stock_semi_join_chain(spark, sf_dir):
+    """Q20 shape: HAVING survivors semi-join the nation-filtered dim;
+    part name prefix pushes to its scan; lineitem's only exchange is
+    the (supp, part) aggregation."""
+    p = plan_of(spark, "excess_stock_suppliers", sf_dir)
+    assert "LeftSemi" in p
+    assert "StringStartsWith(p_name,red)" in p
     assert "CartesianProduct" not in p
