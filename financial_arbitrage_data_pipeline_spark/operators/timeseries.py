@@ -1700,3 +1700,299 @@ def underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "longest_streak",
         "max_depth_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# Roll (1984) implied spread: 2*sqrt(-cov(move_t, move_{t-1})) per pair
+# ---------------------------------------------------------------------------
+@query(
+    "roll_spread_estimator",
+    oracle="""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+d AS (
+  SELECT user_id, ts_us, event_id,
+         cents - LAG(cents) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS x
+  FROM c QUALIFY x IS NOT NULL
+),
+e AS (
+  SELECT user_id, x,
+         LAG(x) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS y
+  FROM d QUALIFY y IS NOT NULL
+),
+m AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM e GROUP BY user_id
+)
+SELECT user_id, n, n * sxy - sx * sy AS cov_num,
+       CASE WHEN n * sxy - sx * sy < 0
+            THEN 2.0 * sqrt(CAST(-(n * sxy - sx * sy) AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+            ELSE 0.0 END AS roll_spread_cents
+FROM m WHERE n > 0
+""",
+    tags=("A2", "finance", "microstructure"),
+)
+def roll_spread_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll (1984) implied effective spread per pair: bid-ask bounce
+    makes consecutive trade-price moves negatively autocovariant, and
+    the spread is 2*sqrt(-cov(move_t, move_{t-1})) — the estimator that
+    recovers a spread from a TRADE tape with no quote data at all (the
+    Kalshi poll feed is exactly such a tape). Joins the toxicity stack
+    (tick_rule_flow, kyle_lambda_per_pair, vpin_toxicity) as the cost
+    leg. Exactness: the autocovariance numerator n*Sxy - Sx*Sy stays
+    int64 (moves <= ~1e4 cents, so Sxy fits through ~1e14 ticks); the
+    only IEEE math is the final sqrt of one exact integer over n^2 —
+    a fixed two-op sequence identical to the oracle. Convention: cov
+    >= 0 (no bounce detectable) reports spread 0, the standard Roll
+    treatment. Plan: ONE pair-keyed sort-shuffle serves both LAG
+    windows and the rollup."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = c.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        (F.col("cents") - F.lag("cents").over(w)).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    e = d.select(
+        "user_id", "x", F.lag("x").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    m = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    nd = F.col("n").cast("double")
+    return m.filter(F.col("n") > 0).select(
+        "user_id",
+        "n",
+        cov_num.alias("cov_num"),
+        F.when(
+            cov_num < 0,
+            F.lit(2.0) * F.sqrt((-cov_num).cast("double") / (nd * nd)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("roll_spread_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Amihud (2002) illiquidity: price impact per unit of traded value
+# ---------------------------------------------------------------------------
+_AMIHUD_DAY_US = 86_400_000_000
+
+
+@query(
+    "amihud_illiquidity",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+b AS (SELECT *, ts_us // {_AMIHUD_DAY_US} AS day FROM c),
+w AS (
+  SELECT user_id, day, cents,
+         FIRST_VALUE(cents) OVER win AS open_c,
+         LAST_VALUE(cents)  OVER win AS close_c
+  FROM b
+  WINDOW win AS (PARTITION BY user_id, day ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+daily AS (
+  SELECT user_id, CAST(day AS BIGINT) AS day,
+         abs(MIN(close_c) - MIN(open_c)) AS abs_move,
+         CAST(SUM(cents) AS BIGINT) AS vol_cents
+  FROM w
+  GROUP BY user_id, day
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(abs_move) AS BIGINT) AS sum_abs_move,
+       CAST(SUM(vol_cents) AS BIGINT) AS sum_vol_cents,
+       1000000.0 * (CAST(SUM(abs_move) AS DOUBLE)
+                    / CAST(SUM(vol_cents) AS DOUBLE)) AS illiq_ppm
+FROM daily
+WHERE vol_cents > 0
+GROUP BY user_id
+HAVING SUM(vol_cents) > 0
+""",
+    tags=("A2", "finance", "microstructure"),
+)
+def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002) illiquidity per pair: how many price-impact cents
+    per cent of traded value — |daily open-to-close move| over daily
+    traded value, aggregated as the RATIO OF SUMS across days (the
+    order-independent restatement: a mean of per-day IEEE ratios would
+    hash-flap with partial-aggregation order, and the ratio-of-sums
+    variant is the exact value-weighted Amihud). The open/close pair is
+    deterministic via (ts, event_id)-argmin/argmax, matching the OHLC
+    bars' convention. Everything is int64 until ONE terminal divide
+    (scaled to parts-per-million). Plan: one (pair, day) aggregation
+    shuffle, then the pair rollup — the day keys of one pair co-locate,
+    so AQE coalesces the second exchange to near-nothing; no window
+    needed at all."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    daily = (
+        c.groupBy(
+            "user_id",
+            F.expr(f"ts_us div {_AMIHUD_DAY_US}").cast("long").alias("day"),
+        )
+        .agg(
+            F.abs(
+                F.expr("max_by(cents, struct(ts_us, event_id))")
+                - F.expr("min_by(cents, struct(ts_us, event_id))")
+            ).alias("abs_move"),
+            F.sum("cents").alias("vol_cents"),
+        )
+        .filter(F.col("vol_cents") > 0)
+    )
+    return (
+        daily.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("abs_move").alias("sum_abs_move"),
+            F.sum("vol_cents").alias("sum_vol_cents"),
+        )
+        .filter(F.col("sum_vol_cents") > 0)
+        .select(
+            "user_id",
+            "n_days",
+            "sum_abs_move",
+            "sum_vol_cents",
+            (
+                F.lit(1000000.0)
+                * (
+                    F.col("sum_abs_move").cast("double")
+                    / F.col("sum_vol_cents").cast("double")
+                )
+            ).alias("illiq_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lo-MacKinlay variance ratio VR(4): random-walk test on the tape
+# ---------------------------------------------------------------------------
+@query(
+    "variance_ratio_q4",
+    oracle="""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+d AS (
+  SELECT user_id,
+         cents - LAG(cents) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS x,
+         cents - LAG(cents, 4) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS y
+  FROM c
+),
+m AS (
+  SELECT user_id,
+         CAST(COUNT(x) AS BIGINT) AS n1,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sx2,
+         CAST(COUNT(y) AS BIGINT) AS n4,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM d GROUP BY user_id
+)
+SELECT user_id, n1, n4,
+       n1 * sx2 - sx * sx AS var1_num,
+       n4 * sy2 - sy * sy AS var4_num,
+       (CAST(n4 * sy2 - sy * sy AS DOUBLE)
+        / (CAST(n4 AS DOUBLE) * CAST(n4 AS DOUBLE)))
+       / (4.0 * (CAST(n1 * sx2 - sx * sx AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)))) AS vr4
+FROM m
+WHERE n1 * sx2 > sx * sx AND n4 > 0
+""",
+    tags=("A2", "finance", "microstructure"),
+)
+def variance_ratio_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance ratio VR(4) per pair — the random-walk
+    test: under a random walk the variance of 4-tick returns is exactly
+    4x the variance of 1-tick returns, so VR(4) deviating below 1 is
+    mean reversion (bid-ask bounce) and above 1 is momentum — the
+    regime diagnostic next to move_acf_profile (which measures the
+    |move| clustering instead). Both horizons difference the SAME tape:
+    LAG(1) and LAG(4) over one pair-keyed window (overlapping 4-tick
+    windows, the standard overlap estimator), so the whole query is ONE
+    sort-shuffle. Exactness: both variance numerators n*S2 - S*S stay
+    int64; the ratio is a fixed three-divide IEEE sequence written
+    identically in both engines; degenerate tapes are excluded by
+    integer predicates (zero 1-tick variance or no 4-tick pairs)."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = c.select(
+        "user_id",
+        (F.col("cents") - F.lag("cents").over(w)).alias("x"),
+        (F.col("cents") - F.lag("cents", 4).over(w)).alias("y"),
+    )
+    m = d.groupBy("user_id").agg(
+        F.count("x").alias("n1"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.count("y").alias("n4"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    var1_num = F.col("n1") * F.col("sx2") - F.col("sx") * F.col("sx")
+    var4_num = F.col("n4") * F.col("sy2") - F.col("sy") * F.col("sy")
+    n1d, n4d = F.col("n1").cast("double"), F.col("n4").cast("double")
+    return (
+        m.filter(
+            (F.col("n1") * F.col("sx2") > F.col("sx") * F.col("sx"))
+            & (F.col("n4") > 0)
+        )
+        .select(
+            "user_id",
+            "n1",
+            "n4",
+            var1_num.alias("var1_num"),
+            var4_num.alias("var4_num"),
+            (
+                (var4_num.cast("double") / (n4d * n4d))
+                / (F.lit(4.0) * (var1_num.cast("double") / (n1d * n1d)))
+            ).alias("vr4"),
+        )
+    )

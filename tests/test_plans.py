@@ -816,3 +816,28 @@ def test_q20_excess_stock_semi_join_chain(spark, sf_dir):
     assert "LeftSemi" in p
     assert "StringStartsWith(p_name,red)" in p
     assert "CartesianProduct" not in p
+
+
+def test_roll_spread_single_pair_exchange(spark, sf_dir):
+    """Both LAG windows (move, lagged move) and the moment rollup run on
+    one pair-keyed sort-shuffle; no join anywhere."""
+    p = plan_of(spark, "roll_spread_estimator", sf_dir)
+    assert "Join" not in p
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_variance_ratio_single_pair_exchange(spark, sf_dir):
+    """LAG(1) and LAG(4) difference the same tape over one window; one
+    exchange, no join."""
+    p = plan_of(spark, "variance_ratio_q4", sf_dir)
+    assert "Join" not in p
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_amihud_no_window_two_level_agg(spark, sf_dir):
+    """Amihud is pure aggregation: (pair, day) then pair — no window
+    function and no join; the deterministic open/close come from
+    max_by/min_by inside the day aggregate."""
+    p = plan_of(spark, "amihud_illiquidity", sf_dir)
+    assert "Join" not in p
+    assert "RunningWindowFunction" not in p and "Window" not in p
