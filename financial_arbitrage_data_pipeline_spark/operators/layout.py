@@ -28,6 +28,9 @@ import shutil
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.registry import query
+from ..sources.tables import load_table
+
 
 def table_bytes(table_dir: str) -> int:
     """Total parquet payload bytes on disk (drives the target file count;
@@ -147,3 +150,175 @@ def with_quantile_buckets(
         w = Window.orderBy(src)
         out = out.withColumn(dst, (F.ntile(1 << bits).over(w) - 1).cast("long"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked layout evidence: z-order vs linear zone-map pruning
+# ---------------------------------------------------------------------------
+_ZL_BITS = 8  # 256x256 normalized grid
+_ZL_FILE_SHIFT = 6  # 1024 files either layout
+_ZL_P_LO, _ZL_P_HI = 70, 85  # 2-D range predicate, deliberately NOT grid-aligned
+_ZL_S_LO, _ZL_S_HI = 120, 135
+
+
+def _morton8(p: str, s: str, shift: str) -> str:
+    """Morton-interleave expression for two 8-bit ints, written with
+    engine-specific shift syntax: shift='fn' emits
+    shiftleft/shiftright (Spark SQL), shift='op' emits <</>> (DuckDB)."""
+    terms = []
+    for i in range(_ZL_BITS):
+        if shift == "fn":
+            terms.append(f"shiftleft(shiftright({p}, {i}) & 1, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright({s}, {i}) & 1, {2 * i})")
+        else:
+            terms.append(f"((({p} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({s} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+_ZL_ORACLE = f"""
+WITH bounds AS (
+  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+  FROM lineitem
+),
+norm AS (
+  SELECT ((l_partkey - pmin) * 255) // greatest(1, pmax - pmin) AS np,
+         ((l_suppkey - smin) * 255) // greatest(1, smax - smin) AS ns
+  FROM lineitem, bounds
+),
+keyed AS (
+  SELECT np, ns, ({_morton8('np', 'ns', 'op')}) AS z FROM norm
+),
+placed AS (
+  SELECT 'zorder' AS layout, z >> {_ZL_FILE_SHIFT} AS file_id, np, ns FROM keyed
+  UNION ALL
+  SELECT 'linear' AS layout, np * 4 + (ns >> {_ZL_FILE_SHIFT}) AS file_id,
+         np, ns FROM keyed
+),
+zonemap AS (
+  SELECT layout, file_id,
+         MIN(np) AS min_p, MAX(np) AS max_p,
+         MIN(ns) AS min_s, MAX(ns) AS max_s,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN np BETWEEN {_ZL_P_LO} AND {_ZL_P_HI}
+                        AND ns BETWEEN {_ZL_S_LO} AND {_ZL_S_HI}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS match_cnt
+  FROM placed GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN NOT (max_p < {_ZL_P_LO} OR min_p > {_ZL_P_HI}
+                               OR max_s < {_ZL_S_LO} OR min_s > {_ZL_S_HI})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+       CAST(SUM(CASE WHEN NOT (max_p < {_ZL_P_LO} OR min_p > {_ZL_P_HI}
+                               OR max_s < {_ZL_S_LO} OR min_s > {_ZL_S_HI})
+                     THEN cnt ELSE 0 END) AS BIGINT) AS n_rows_scanned,
+       CAST(SUM(match_cnt) AS BIGINT) AS n_rows_matching,
+       CASE WHEN SUM(match_cnt) > 0
+            THEN CAST(SUM(CASE WHEN NOT (max_p < {_ZL_P_LO} OR min_p > {_ZL_P_HI}
+                                         OR max_s < {_ZL_S_LO} OR min_s > {_ZL_S_HI})
+                               THEN cnt ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(match_cnt) AS DOUBLE)
+            ELSE 0.0 END AS scan_amplification,
+       CAST(SUM(max_p - min_p + 1) AS DOUBLE) / 256.0 AS avg_depth_p,
+       CAST(SUM(max_s - min_s + 1) AS DOUBLE) / 256.0 AS avg_depth_s
+FROM zonemap
+GROUP BY layout
+"""
+
+
+@query(
+    "zorder_layout_pruning",
+    oracle=_ZL_ORACLE,
+    tags=("storage-layout", "zone-map", "pruning"),
+)
+def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE layout decision, measured: lay the same table out z-ordered
+    vs single-key-sorted (1024 simulated files each), build each file's
+    zone map (per-column min/max — exactly what parquet footers carry),
+    and grade a 2-D range predicate: how many files can be SKIPPED, how
+    many rows must be read per matching row (scan amplification), and
+    the per-dimension clustering depth (sum of zone widths / domain —
+    Snowflake's clustering-depth metric). This is the oracle-checked
+    justification for `zorder_rewrite` above: the linear (p-major)
+    layout prunes perfectly on p but its files span ALL of s, so an
+    (p AND s) predicate reads every p-matching file; the z-curve bounds
+    BOTH widths per file, collapsing amplification. Keys normalize to
+    the 256-grid via a min/max scalar pass (two-column scan, 1-row
+    broadcast — at warehouse scale these bounds come from table stats
+    for free); all arithmetic is integer (floor divides on
+    non-negatives, Morton interleave as shift/and sums) until the two
+    final metric divides. Plan: one (layout, file) aggregation shuffle
+    over the x2 map-side explode, then a 2-group rollup.
+
+    Cites: Delta OPTIMIZE ZORDER semantics; reference has no analogue
+    (InfluxDB TSM handles layout internally)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    norm = li.crossJoin(F.broadcast(bounds)).select(
+        F.expr("((l_partkey - pmin) * 255) div greatest(1, pmax - pmin)").alias("np"),
+        F.expr("((l_suppkey - smin) * 255) div greatest(1, smax - smin)").alias("ns"),
+    )
+    keyed = norm.withColumn("z", F.expr(_morton8("np", "ns", "fn")))
+    placed = keyed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"shiftright(z, {_ZL_FILE_SHIFT})").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.expr(f"np * 4 + shiftright(ns, {_ZL_FILE_SHIFT})").alias(
+                        "file_id"
+                    ),
+                ),
+            )
+        ).alias("pf"),
+        "np",
+        "ns",
+    ).select("pf.layout", "pf.file_id", "np", "ns")
+    in_band = F.col("np").between(_ZL_P_LO, _ZL_P_HI) & F.col("ns").between(
+        _ZL_S_LO, _ZL_S_HI
+    )
+    zonemap = placed.groupBy("layout", "file_id").agg(
+        F.min("np").alias("min_p"),
+        F.max("np").alias("max_p"),
+        F.min("ns").alias("min_s"),
+        F.max("ns").alias("max_s"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(in_band, 1).otherwise(0)).alias("match_cnt"),
+    )
+    scanned = ~(
+        (F.col("max_p") < _ZL_P_LO)
+        | (F.col("min_p") > _ZL_P_HI)
+        | (F.col("max_s") < _ZL_S_LO)
+        | (F.col("min_s") > _ZL_S_HI)
+    )
+    rows_scanned = F.sum(F.when(scanned, F.col("cnt")).otherwise(0))
+    return zonemap.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(scanned, 1).otherwise(0)).alias("n_files_scanned"),
+        rows_scanned.alias("n_rows_scanned"),
+        F.sum("match_cnt").alias("n_rows_matching"),
+        F.when(
+            F.sum("match_cnt") > 0,
+            rows_scanned.cast("double") / F.sum("match_cnt").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("scan_amplification"),
+        (
+            F.sum(F.col("max_p") - F.col("min_p") + 1).cast("double") / F.lit(256.0)
+        ).alias("avg_depth_p"),
+        (
+            F.sum(F.col("max_s") - F.col("min_s") + 1).cast("double") / F.lit(256.0)
+        ).alias("avg_depth_s"),
+    )

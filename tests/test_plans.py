@@ -352,6 +352,8 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "daily_basket_rules",  # 1-row basket-total scalar broadcast
         "supplier_part_value_share",  # 1-row (total, count) scalar threshold
                                       # broadcast — the Q11 decorrelated HAVING
+        "zorder_layout_pruning",  # 1-row key-bounds scalar broadcast (table
+                                  # stats stand-in for the 256-grid normalize)
     }
     skip = {  # builders with write side effects
         "ticket_fill_merge",
@@ -841,3 +843,14 @@ def test_amihud_no_window_two_level_agg(spark, sf_dir):
     p = plan_of(spark, "amihud_illiquidity", sf_dir)
     assert "Join" not in p
     assert "RunningWindowFunction" not in p and "Window" not in p
+
+
+def test_zorder_pruning_one_file_exchange_and_integer_morton(spark, sf_dir):
+    """The layout comparison shuffles once on (layout, file_id) over the
+    x2 map-side explode; the Morton key is pure shift/and integer
+    codegen (no UDF), and the bounds pass is the only other aggregate."""
+    p = plan_of(spark, "zorder_layout_pruning", sf_dir)
+    assert p.count("hashpartitioning(layout") == 2  # partial+final pair
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "pythonUDF" not in p.lower()
