@@ -322,3 +322,92 @@ def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("max_s") - F.col("min_s") + 1).cast("double") / F.lit(256.0)
         ).alias("avg_depth_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked compaction planning: the OPTIMIZE bin-packing report
+# ---------------------------------------------------------------------------
+_CP_TARGET = 4096  # target compacted-file bytes (docs-as-files model)
+
+
+@query(
+    "compaction_plan_report",
+    oracle=f"""
+WITH f AS (
+  SELECT lang, source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang, source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS start_off
+  FROM documents
+),
+binned AS (
+  SELECT lang, source, doc_id, n_chars,
+         start_off // {_CP_TARGET} AS bin
+  FROM f
+),
+bins AS (
+  SELECT lang, source, bin,
+         CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(SUM(n_chars) AS BIGINT) AS bin_bytes
+  FROM binned GROUP BY lang, source, bin
+)
+SELECT lang, source,
+       CAST(SUM(n_files) AS BIGINT) AS n_input_files,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(bin_bytes) AS BIGINT) AS total_bytes,
+       CAST(MAX(n_files) AS BIGINT) AS max_files_per_bin,
+       CAST(SUM(bin_bytes) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * {_CP_TARGET}.0) AS fill_ratio,
+       CAST(SUM(n_files) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS reduction_ratio
+FROM bins
+GROUP BY lang, source
+""",
+    tags=("storage-layout", "compaction"),
+)
+def compaction_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPTIMIZE planning report, oracle-checked: model every
+    document as one small file (the one-file-per-doc crawl-dump
+    pathology `compact_small_files` exists to fix), pack each
+    (lang, source) partition's files into target-size compacted bins by
+    the concat-then-split rule — a file belongs to the bin its STARTING
+    byte offset falls in, i.e. bin = exclusive-prefix-sum div target —
+    and report per partition: input files, planned bins, the
+    file-count reduction factor, and the achieved fill ratio. The
+    packing is the same deterministic sequential rule Delta/Iceberg
+    OPTIMIZE applies after ordering, stated as pure window algebra:
+    exclusive cumsum (the running SUM minus own size), one integer
+    floor divide (offsets are non-negative, so Spark's truncating div
+    and DuckDB's flooring // agree). Scale plan: ONE sort-shuffle on
+    the partition key serves the cumsum window AND both rollups (the
+    (lang, source, bin) groupBy and the (lang, source) report share its
+    clustering); the plan the planner emits is itself partition-local,
+    which is why OPTIMIZE parallelizes per partition at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "doc_id", "n_chars"
+    )
+    binned = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.expr(
+            f"(sum(n_chars) over (partition by lang, source order by doc_id"
+            f" rows unbounded preceding) - n_chars) div {_CP_TARGET}"
+        ).alias("bin"),
+    )
+    bins = binned.groupBy("lang", "source", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_chars").alias("bin_bytes"),
+    )
+    return bins.groupBy("lang", "source").agg(
+        F.sum("n_files").alias("n_input_files"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("bin_bytes").alias("total_bytes"),
+        F.max("n_files").alias("max_files_per_bin"),
+        (
+            F.sum("bin_bytes").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(float(_CP_TARGET)))
+        ).alias("fill_ratio"),
+        (
+            F.sum("n_files").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("reduction_ratio"),
+    )

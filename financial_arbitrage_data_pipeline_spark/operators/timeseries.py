@@ -1996,3 +1996,130 @@ def variance_ratio_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vr4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CAPM-style market beta per pair: regression on the cross-sectional index
+# ---------------------------------------------------------------------------
+_BETA_BUCKET_US = 3_600_000_000  # hourly buckets
+
+
+@query(
+    "market_beta_per_pair",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+b AS (SELECT *, ts_us // {_BETA_BUCKET_US} AS bucket FROM c),
+w AS (
+  SELECT user_id, bucket, cents,
+         FIRST_VALUE(cents) OVER win AS open_c,
+         LAST_VALUE(cents)  OVER win AS close_c
+  FROM b
+  WINDOW win AS (PARTITION BY user_id, bucket ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+r AS (
+  SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+         (MIN(close_c) - MIN(open_c)) * 100 AS y_c100
+  FROM w GROUP BY user_id, bucket
+),
+mkt AS (
+  SELECT bucket,
+         CAST(SUM(y_c100) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS x_c100,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM r GROUP BY bucket
+),
+m AS (
+  SELECT r.user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(mkt.x_c100) AS BIGINT) AS sx,
+         CAST(SUM(r.y_c100) AS BIGINT) AS sy,
+         CAST(SUM(mkt.x_c100 * r.y_c100) AS BIGINT) AS sxy,
+         CAST(SUM(mkt.x_c100 * mkt.x_c100) AS BIGINT) AS sx2
+  FROM r JOIN mkt ON mkt.bucket = r.bucket
+  GROUP BY r.user_id
+)
+SELECT user_id, n, n * sxy - sx * sy AS cov_num, n * sx2 - sx * sx AS var_num,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sx2 - sx * sx AS DOUBLE)
+         AS beta
+FROM m
+WHERE n * sx2 > sx * sx
+""",
+    tags=("A2", "finance", "cross-sectional"),
+)
+def market_beta_per_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM-style market beta per pair: each pair's hourly open-to-close
+    move regressed on the EQUAL-WEIGHT CROSS-SECTIONAL INDEX of all
+    pairs' moves that hour — the systematic-vs-idiosyncratic
+    decomposition a risk engine runs nightly, and a shape none of the
+    per-tape operators have: a per-key series regressed on a GLOBAL
+    series derived from all keys. Exactness: bucket moves scale to
+    x100 fixed point; the index is a truncating integer divide of the
+    bucket sum by the bucket count (deterministic — never an IEEE mean;
+    bucket sums DO go negative, and both engines truncate toward zero
+    on BIGINT operands — DuckDB's // floors only for floating inputs,
+    verified against 65 negative non-divisible bucket sums at sf0.1);
+    all five regression moments are int64 (|move*100| <= 1e6,
+    so Sxy fits through ~1e6 buckets); the one IEEE divide is the final
+    beta, guarded by an integer zero-variance predicate. Scale plan:
+    the raw tape shuffles ONCE into the (pair, bucket) aggregation
+    (map-side partial); the bucket index is a tiny second aggregate
+    that BROADCASTS back onto the bucket table; the per-pair moment
+    rollup runs over pairs-x-buckets rows, already thousands of times
+    smaller than the tape."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    r = (
+        c.groupBy(
+            "user_id",
+            F.expr(f"ts_us div {_BETA_BUCKET_US}").cast("long").alias("bucket"),
+        )
+        .agg(
+            (
+                (
+                    F.expr("max_by(cents, struct(ts_us, event_id))")
+                    - F.expr("min_by(cents, struct(ts_us, event_id))")
+                )
+                * 100
+            ).alias("y_c100")
+        )
+        # two consumers (the bucket index and the regression join) read
+        # the bucket table: checkpoint it once so the tape scan + its
+        # (pair, bucket) shuffle run once instead of once per branch
+        .localCheckpoint()
+    )
+    mkt = r.groupBy("bucket").agg(
+        F.expr("sum(y_c100) div count(*)").alias("x_c100"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    joined = r.join(F.broadcast(mkt.select("bucket", "x_c100")), "bucket")
+    m = joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_c100").alias("sx"),
+        F.sum("y_c100").alias("sy"),
+        F.sum(F.col("x_c100") * F.col("y_c100")).alias("sxy"),
+        F.sum(F.col("x_c100") * F.col("x_c100")).alias("sx2"),
+    )
+    cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_num = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    return (
+        m.filter(F.col("n") * F.col("sx2") > F.col("sx") * F.col("sx"))
+        .select(
+            "user_id",
+            "n",
+            cov_num.alias("cov_num"),
+            var_num.alias("var_num"),
+            (cov_num.cast("double") / var_num.cast("double")).alias("beta"),
+        )
+    )

@@ -854,3 +854,24 @@ def test_zorder_pruning_one_file_exchange_and_integer_morton(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert "pythonUDF" not in p.lower()
+
+
+def test_compaction_plan_single_partition_key_exchange(spark, sf_dir):
+    """Cumsum window, bin groupBy, and the partition report all run on
+    the (lang, source) sort-shuffle — one corpus exchange, no join."""
+    p = plan_of(spark, "compaction_plan_report", sf_dir)
+    assert "Join" not in p
+    assert p.count("hashpartitioning(lang") == 1
+
+
+def test_market_beta_tape_shuffles_once_index_broadcasts(spark, sf_dir):
+    """The bucket table feeds BOTH the index aggregate and the
+    regression join — it must be checkpointed so the tape scan + its
+    (pair, bucket) shuffle run once (the final plan reads the
+    materialized bucket table: no parquet scan, no tape exchange); the
+    bucket index joins back as a broadcast, never a shuffle join."""
+    p = plan_of(spark, "market_beta_per_pair", sf_dir)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "ExistingRDD" in p
+    assert "Scan parquet" not in p  # the tape scan ran exactly once, upstream
