@@ -1311,6 +1311,129 @@ def ab_test_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A/B experiment readout #2: two-sample Kolmogorov-Smirnov, exact integers
+# ---------------------------------------------------------------------------
+_KS_ORACLE = f"""
+WITH s AS (
+  SELECT user_id % {_MW_SEGMENTS} AS segment,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+),
+pv AS (
+  SELECT segment, v,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(is_a) AS BIGINT) AS ca
+  FROM s GROUP BY segment, v
+),
+cum AS (
+  SELECT segment, v,
+         CAST(SUM(ca) OVER (PARTITION BY segment ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+         CAST(SUM(c - ca) OVER (PARTITION BY segment ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb,
+         CAST(SUM(ca) OVER (PARTITION BY segment) AS BIGINT) AS na,
+         CAST(SUM(c - ca) OVER (PARTITION BY segment) AS BIGINT) AS nb
+  FROM pv
+),
+d AS (
+  SELECT segment, v, na, nb,
+         abs(nb * cuma - na * cumb) AS d_num
+  FROM cum WHERE na > 0 AND nb > 0
+)
+SELECT segment, na, nb, d_num, v AS ks_at_v,
+       CAST(d_num AS DOUBLE)
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d_stat,
+       CAST(d_num AS DOUBLE)
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+         * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) AS ks_stat
+FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY segment
+                           ORDER BY d_num DESC, v) = 1
+"""
+
+
+@query("ab_test_ks", oracle=_KS_ORACLE, tags=("ab-test", "A2"))
+def ab_test_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per user segment over the same
+    click-vs-purchase arms as `ab_test_mannwhitney` — the DISTRIBUTION-
+    SHAPE complement to the U test's location shift: D is the largest
+    gap between the two empirical CDFs, so it catches variance and tail
+    differences a rank-sum test is blind to.
+
+    Exact-integer trick: with both arms scaled to the common denominator
+    na*nb, the ECDF gap at each distinct value is the INTEGER
+    |nb*cuma - na*cumb| (ECDFs evaluated after the tied block, the
+    correct ties convention), so the argmax over values — the statistic
+    AND the value where the distributions diverge most — is decided
+    entirely in int64; D and the asymptotic KS statistic
+    D*sqrt(na*nb/(na+nb)) are one fixed IEEE expression each over those
+    integers. Ties in the argmax break to the smallest value.
+
+    Shape: the only event-sized exchange is the map-combined
+    (segment, value) pre-aggregation; the two cumsums, the per-segment
+    totals, and the argmax row_number all ride ONE segment-keyed window
+    exchange over the distinct-value table — the same two-tier 100 TB
+    plan as the U test beside it. Reference anchor: the reference's
+    reporting layer stops at per-pair means
+    (`database/postgres/writer.py:409-468`)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin(_MW_A, _MW_B)).select(
+        (F.col("user_id") % _MW_SEGMENTS).alias("segment"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == _MW_A, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_a"),
+    )
+    pv = s.groupBy("segment", "v").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("is_a").alias("ca")
+    )
+    wc = (
+        Window.partitionBy("segment")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("segment")
+    cum = pv.select(
+        "segment",
+        "v",
+        F.sum("ca").over(wc).alias("cuma"),
+        F.sum(F.col("c") - F.col("ca")).over(wc).alias("cumb"),
+        F.sum("ca").over(wt).alias("na"),
+        F.sum(F.col("c") - F.col("ca")).over(wt).alias("nb"),
+    )
+    d = cum.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        "segment",
+        "v",
+        "na",
+        "nb",
+        F.abs(F.col("nb") * F.col("cuma") - F.col("na") * F.col("cumb")).alias(
+            "d_num"
+        ),
+    )
+    wr = Window.partitionBy("segment").orderBy(F.col("d_num").desc(), "v")
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    d_stat = F.col("d_num").cast("double") / (nad * nbd)
+    return (
+        d.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "segment",
+            "na",
+            "nb",
+            "d_num",
+            F.col("v").alias("ks_at_v"),
+            d_stat.alias("d_stat"),
+            (d_stat * F.sqrt(nad * nbd / (nad + nbd))).alias("ks_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Markov transition matrix over per-user event journeys
 # ---------------------------------------------------------------------------
 @query(

@@ -614,6 +614,17 @@ def test_mannwhitney_two_tier_shape(spark, sf_dir):
     assert "Join" not in p
 
 
+def test_ks_two_tier_shape(spark, sf_dir):
+    """Same two-tier plan as the U test beside it: one corpus-sized
+    (segment, value) pre-aggregation, then both cumsums, the totals,
+    and the argmax row_number all on ONE segment-keyed window exchange
+    over the distinct-value table — two exchange pairs total, no join."""
+    p = plan_of(spark, "ab_test_ks", sf_dir)
+    assert p.count("Exchange") == 4
+    assert "Join" not in p
+    assert p.count("hashpartitioning(segment") <= 2
+
+
 def test_transition_matrix_one_tape_shuffle(spark, sf_dir):
     """The tape shuffles once (per-user LAG window); transition counts
     and row totals are alphabet-sized — no join, no duplicated tape
