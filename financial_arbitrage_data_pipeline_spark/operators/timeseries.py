@@ -2123,3 +2123,178 @@ def market_beta_per_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cov_num.cast("double") / var_num.cast("double")).alias("beta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TAQ-style execution-cost decomposition: effective / realized spread, impact
+# ---------------------------------------------------------------------------
+_SPREAD_HORIZON_US = 300_000_000  # 5-minute post-trade mid horizon
+
+
+@query(
+    "effective_spread_metrics",
+    oracle=f"""
+WITH q AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS quote_c
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, epoch_us(ts)
+),
+t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS trade_c
+  FROM events WHERE event_type = 'purchase'
+),
+u AS (
+  SELECT user_id, ts_us, 0 AS side, quote_c,
+         CAST(NULL AS BIGINT) AS trade_c FROM q
+  UNION ALL
+  SELECT user_id, ts_us, 1 AS side, CAST(NULL AS BIGINT) AS quote_c,
+         trade_c FROM t
+),
+w AS (
+  SELECT user_id, ts_us, side, trade_c,
+         LAST_VALUE(quote_c IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, side
+                 ROWS UNBOUNDED PRECEDING) AS mid_c,
+         FIRST_VALUE(quote_c IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {_SPREAD_HORIZON_US} FOLLOWING
+                       AND UNBOUNDED FOLLOWING) AS fwd_c
+  FROM u
+),
+x AS (
+  SELECT user_id,
+         CASE WHEN trade_c > mid_c THEN 1
+              WHEN trade_c < mid_c THEN -1 ELSE 0 END AS sgn,
+         trade_c, mid_c, fwd_c
+  FROM w
+  WHERE side = 1 AND mid_c IS NOT NULL AND fwd_c IS NOT NULL
+)
+SELECT user_id AS pair_key,
+       CAST(COUNT(*) AS BIGINT) AS n_trades,
+       CAST(SUM(2 * abs(trade_c - mid_c)) AS BIGINT) AS s_eff,
+       CAST(SUM(2 * sgn * (trade_c - fwd_c)) AS BIGINT) AS s_real,
+       CAST(SUM(2 * sgn * (fwd_c - mid_c)) AS BIGINT) AS s_impact,
+       CAST(SUM(2 * abs(trade_c - mid_c)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_eff_spread_c,
+       CAST(SUM(2 * sgn * (trade_c - fwd_c)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_realized_spread_c,
+       CAST(SUM(2 * sgn * (fwd_c - mid_c)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_price_impact_c
+FROM x GROUP BY user_id
+""",
+    tags=("A2", "finance", "microstructure"),
+)
+def effective_spread_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TAQ execution-cost decomposition per pair — effective spread
+    2|P−m|, 5-minute price impact 2q(m₊−m), and realized spread
+    2q(P−m₊) — the liquidity-cost triple (Huang-Stoll) that SEC Rule 605
+    reports are built from, and the REALIZED companion the Roll/Amihud
+    estimators can only proxy: it needs the actual quote at the trade
+    AND the quote five minutes later. Identity s_eff ≡ s_real + s_impact
+    holds exactly in integers (q·(P−m) = |P−m|).
+
+    Both as-ofs ride one union: the at-trade mid is the backward
+    running LAST_VALUE(quote IGNORE NULLS) (quotes sort before trades at
+    the same µs — the inclusive as-of idiom of `asof_merge` above); the
+    post-trade mid is a forward RANGE frame (first quote at-or-after
+    t+Δ) on the same pair-keyed exchange — no self-join, no range
+    explosion. Quotes are first collapsed to one row per (pair, µs)
+    (arg_max by event_id) so both window reads are deterministic.
+    Trade sign is quote-test q = sign(P−m); midpoint trades carry q=0
+    (their costs cancel identically in both engines). End-of-tape
+    trades with no quote past t+Δ are excluded by the NULL guard —
+    truncation, not extrapolation.
+
+    Exactness: every spread component is an int64 cents sum; the three
+    averages are one IEEE divide each. Plan: the quote collapse is one
+    map-combined (pair, µs) aggregation; the union shuffles ONCE on the
+    pair key, both window passes (rows-frame backward, range-frame
+    forward) and the final per-pair rollup share that exchange. At
+    100 TB this is the one-sort-shuffle tape shape of the family
+    (SCALE.md §19). Reference anchor: the scanner prices opportunities
+    off the latest book mid (`virginia/logic/opportunity_scanner.py:
+    190-191`) but never measures its own execution cost against the
+    post-trade mid — this is that missing report."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    q = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.expr("ts div 1000").alias("ts_us"),
+                cents.alias("c"), "event_id")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("c", "event_id").alias("quote_c"))
+    )
+    t = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        cents.alias("trade_c"),
+    )
+    u = q.select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("side"),
+        "quote_c",
+        F.lit(None).cast("long").alias("trade_c"),
+    ).unionByName(
+        t.select(
+            "user_id",
+            "ts_us",
+            F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("quote_c"),
+            "trade_c",
+        )
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(_SPREAD_HORIZON_US, Window.unboundedFollowing)
+    )
+    w = u.select(
+        "user_id",
+        "side",
+        "trade_c",
+        F.last("quote_c", ignorenulls=True).over(w_back).alias("mid_c"),
+        F.first("quote_c", ignorenulls=True).over(w_fwd).alias("fwd_c"),
+    )
+    x = w.filter(
+        (F.col("side") == 1)
+        & F.col("mid_c").isNotNull()
+        & F.col("fwd_c").isNotNull()
+    ).select(
+        "user_id",
+        F.when(F.col("trade_c") > F.col("mid_c"), 1)
+        .when(F.col("trade_c") < F.col("mid_c"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        "trade_c",
+        "mid_c",
+        "fwd_c",
+    )
+    agg = x.groupBy(F.col("user_id").alias("pair_key")).agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum(2 * F.abs(F.col("trade_c") - F.col("mid_c"))).alias("s_eff"),
+        F.sum(2 * F.col("sgn") * (F.col("trade_c") - F.col("fwd_c"))).alias(
+            "s_real"
+        ),
+        F.sum(2 * F.col("sgn") * (F.col("fwd_c") - F.col("mid_c"))).alias(
+            "s_impact"
+        ),
+    )
+    nd = F.col("n_trades").cast("double")
+    return agg.select(
+        "pair_key",
+        "n_trades",
+        "s_eff",
+        "s_real",
+        "s_impact",
+        (F.col("s_eff").cast("double") / nd).alias("avg_eff_spread_c"),
+        (F.col("s_real").cast("double") / nd).alias("avg_realized_spread_c"),
+        (F.col("s_impact").cast("double") / nd).alias("avg_price_impact_c"),
+    )
