@@ -1163,3 +1163,116 @@ def duplicate_span_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(ln).alias("longest_span"),
         F.min("span_start").alias("first_span_start"),
     )
+# ---------------------------------------------------------------------------
+# DSIR-style data selection: importance weights from a target/raw ratio
+# ---------------------------------------------------------------------------
+_DSIR_TARGET_SOURCES = (
+    "src0", "src2", "src4", "src6", "src8",
+    "src10", "src12", "src14", "src16", "src18",
+)
+_DSIR_TOP_K = 50
+
+_DSIR_SRC_LIST = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         (source IN ({_DSIR_SRC_LIST}) AND lang = 'en') AS is_target,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT w,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tf_t,
+         CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS tf_r
+  FROM toks GROUP BY w
+),
+tot AS (SELECT SUM(tf_t) AS nt, SUM(tf_r) AS nr FROM vocab),
+wts AS (
+  SELECT w, ((tf_t + 1) * nr * 1000000) // ((tf_r + 1) * nt) AS w_ppm
+  FROM vocab, tot
+),
+doc AS (
+  SELECT t.doc_id, t.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w_ppm) AS BIGINT) AS sum_ppm
+  FROM toks t JOIN wts ON wts.w = t.w
+  WHERE NOT t.is_target
+  GROUP BY t.doc_id, t.lang
+)
+SELECT doc_id, lang, n_tokens, sum_ppm,
+       sum_ppm // n_tokens AS affinity_ppm
+FROM doc
+ORDER BY affinity_ppm DESC, doc_id
+LIMIT {_DSIR_TOP_K}
+"""
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=_DSIR_ORACLE,
+    tags=("llm", "sampling", "selection", "A1"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023)
+    restated exactly: score every RAW document by how much its token
+    distribution looks like a TARGET corpus (here: English docs from the
+    even-numbered sources — the 'wiki-quality' stand-in), then keep the
+    top-K. Each vocabulary token gets an add-one-smoothed importance
+    ratio w_ppm = ((tf_target+1) * N_raw * 10^6) // ((tf_raw+1) *
+    N_target) — the per-feature target/raw likelihood ratio in integer
+    parts-per-million (DSIR's log-sum restated as an exact integer SUM
+    of ratios, so no platform log enters the hash) — and a document's
+    affinity is the token-average of its ratios, floor-divided. Top-K
+    selection orders by (affinity_ppm DESC, doc_id): exact integers, so
+    the cut line is deterministic.
+
+    Plan: one explode of the corpus into tokens; vocabulary counts are
+    ONE map-combined aggregation with venue-conditional sums (target
+    and raw tallied in the same pass); corpus totals are a 1-row
+    broadcast scalar bound (the allowlisted crossJoin shape); the
+    weight table joins back to raw tokens on the token key — a shuffle
+    join bounded by corpus tokens, the DSIR minimum (at 100 TB this is
+    the hashed-feature join; hashing tokens into 10^4 buckets shrinks
+    the weight side to a broadcast, the documented scale knob) — then a
+    map-combined per-doc rollup and a TakeOrdered top-K (no global
+    sort). Reference: the reference pipeline has no selection layer;
+    this is the training-data north star (BASELINE.md), the decision
+    operator quality_percentile_cut ranks WITHIN a language and DSIR
+    ranks AGAINST a target."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES) & (F.col("lang") == "en")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        is_target.alias("is_target"),
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
+        # token table: checkpoint once so the corpus explode runs once
+        # for its two consumers (vocabulary counts + raw-doc scoring)
+    ).localCheckpoint()
+    vocab = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tf_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("tf_r"),
+    )
+    tot = vocab.agg(
+        F.sum("tf_t").alias("nt"), F.sum("tf_r").alias("nr")
+    )
+    wts = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.expr("((tf_t + 1) * nr * 1000000) div ((tf_r + 1) * nt)").alias("w_ppm"),
+    )
+    doc = (
+        toks.filter(~F.col("is_target"))
+        .join(wts, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_ppm").alias("sum_ppm"),
+        )
+    )
+    scored = doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "sum_ppm",
+        F.expr("sum_ppm div n_tokens").alias("affinity_ppm"),
+    )
+    return scored.orderBy(F.col("affinity_ppm").desc(), "doc_id").limit(_DSIR_TOP_K)

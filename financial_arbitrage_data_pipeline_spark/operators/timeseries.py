@@ -2298,3 +2298,382 @@ def effective_spread_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_real").cast("double") / nd).alias("avg_realized_spread_c"),
         (F.col("s_impact").cast("double") / nd).alias("avg_price_impact_c"),
     )
+# ---------------------------------------------------------------------------
+# Pairs-trading signal: AR(1) mean reversion of the cross-venue spread
+# ---------------------------------------------------------------------------
+_MR_BUCKET_US = 86_400_000_000  # daily buckets
+_MR_MIN_STEPS = 4
+
+_MR_ORACLE = f"""
+WITH k AS (
+  SELECT user_id AS pair_key, epoch_us(ts) // {_MR_BUCKET_US} AS b,
+         CAST(round(value * 100) AS BIGINT) % 97 + 1 AS px
+  FROM events WHERE event_type IN ('click', 'view')
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id, epoch_us(ts) // {_MR_BUCKET_US}
+    ORDER BY ts DESC, event_id DESC) = 1
+),
+p AS (
+  SELECT user_id AS pair_key, epoch_us(ts) // {_MR_BUCKET_US} AS b,
+         CAST(round(value * 100) AS BIGINT) % 99 + 1 AS px
+  FROM events WHERE event_type IN ('purchase', 'signup', 'error')
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id, epoch_us(ts) // {_MR_BUCKET_US}
+    ORDER BY ts DESC, event_id DESC) = 1
+),
+s AS (
+  SELECT k.pair_key, k.b, k.px - p.px AS sp
+  FROM k JOIN p ON p.pair_key = k.pair_key AND p.b = k.b
+),
+steps AS (
+  SELECT pair_key, b, sp, LAG(sp) OVER w AS s0, LAG(b) OVER w AS b0
+  FROM s WINDOW w AS (PARTITION BY pair_key ORDER BY b)
+),
+xy AS (
+  SELECT pair_key, s0 AS x, sp - s0 AS y FROM steps WHERE b0 = b - 1
+),
+m AS (
+  SELECT pair_key, CAST(COUNT(*) AS BIGINT) AS n_steps,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM xy GROUP BY pair_key
+)
+SELECT pair_key, n_steps, sx, sy, sxx, sxy,
+       (CAST(n_steps AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n_steps AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS ar_beta
+FROM m
+WHERE n_steps >= {_MR_MIN_STEPS} AND n_steps * sxx > sx * sx
+"""
+
+
+@query("spread_mean_reversion", oracle=_MR_ORACLE, tags=("J1", "A2", "finance"))
+def spread_mean_reversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reversion speed of the cross-venue spread — the pairs-trading
+    signal that decides whether an arbitrage position should be HELD
+    (Engle-Granger step 2 / discrete Ornstein-Uhlenbeck): regress the
+    daily spread change Δs_b on the lagged spread s_{b-1} per pair;
+    ar_beta < 0 means the spread pulls back toward its mean and
+    phi = 1 + ar_beta is the AR(1) root (half-life = -ln2/ln(phi)).
+    The scanner prices the INSTANT margin
+    (`virginia/logic/opportunity_scanner.py:431-500`); this measures
+    whether a margin that persists is a drifting regime or a reverting
+    spread — the difference between closing the position and holding it.
+
+    Semantics: each venue's daily close is the last quote of the bucket
+    ((ts, event_id)-deterministic max_by); the spread exists only on
+    days BOTH venues quoted; regression steps use CONTIGUOUS days only
+    (b = prev_b + 1) so gaps never fabricate a multi-day move; pairs
+    need >= 4 steps and integer-positive variance.
+    Exactness: all five regression moments are int64; ar_beta is the
+    one IEEE divide.
+
+    Plan (one scan + tiny exchanges): the per-(pair, day) venue closes
+    come from ONE pass with venue-conditional max_by — map-side partial
+    combine means raw ticks never shuffle, only (pair, day) partials do.
+    The LAG window and final per-pair rollup then re-exchange the
+    day-series, which is <= 30 rows/pair — at 100 TB the shuffled bytes
+    are the series, not the tape (same shape as venue_lead_lag)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_kalshi = F.col("event_type").isin("click", "view")
+    order_key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
+    closes = (
+        ev.groupBy(
+            F.col("user_id").alias("pair_key"),
+            F.expr(f"(ts div 1000) div {_MR_BUCKET_US}").alias("b"),
+        )
+        .agg(
+            F.max_by(cents % 97 + 1, F.when(is_kalshi, order_key)).alias("k_px"),
+            F.max_by(cents % 99 + 1, F.when(~is_kalshi, order_key)).alias("p_px"),
+        )
+        .filter(F.col("k_px").isNotNull() & F.col("p_px").isNotNull())
+        .select("pair_key", "b", (F.col("k_px") - F.col("p_px")).alias("sp"))
+    )
+    w = Window.partitionBy("pair_key").orderBy("b")
+    steps = closes.select(
+        "pair_key",
+        "b",
+        "sp",
+        F.lag("sp").over(w).alias("s0"),
+        F.lag("b").over(w).alias("b0"),
+    ).filter(F.col("b0") == F.col("b") - 1)
+    xy = steps.select(
+        "pair_key", F.col("s0").alias("x"), (F.col("sp") - F.col("s0")).alias("y")
+    )
+    m = xy.groupBy("pair_key").agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return m.filter(
+        (F.col("n_steps") >= _MR_MIN_STEPS)
+        & (F.col("n_steps") * F.col("sxx") > F.col("sx") * F.col("sx"))
+    ).select(
+        "pair_key",
+        "n_steps",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        (
+            (d("n_steps") * d("sxy") - d("sx") * d("sy"))
+            / (d("n_steps") * d("sxx") - d("sx") * d("sx"))
+        ).alias("ar_beta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quote-stuffing surveillance: trailing message bursts + Fano overdispersion
+# ---------------------------------------------------------------------------
+_QS_WINDOW_US = 14_400_000_000  # trailing 4h burst window
+_QS_BUCKET_US = 3_600_000_000  # hourly rate buckets for the Fano factor
+_QS_BURST_MIN = 4
+
+_QS_ORACLE = f"""
+WITH msg AS (
+  SELECT user_id AS pair_key, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('click', 'view')
+),
+wcnt AS (
+  SELECT pair_key, ts_us,
+         COUNT(*) OVER (PARTITION BY pair_key ORDER BY ts_us
+                        RANGE BETWEEN {_QS_WINDOW_US - 1} PRECEDING
+                              AND CURRENT ROW) AS cw
+  FROM msg
+),
+hour AS (
+  SELECT pair_key, ts_us // {_QS_BUCKET_US} AS hb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM msg GROUP BY pair_key, ts_us // {_QS_BUCKET_US}
+),
+fano AS (
+  SELECT pair_key, CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+         CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS sc2
+  FROM hour GROUP BY pair_key
+),
+burst AS (
+  SELECT pair_key, CAST(COUNT(*) AS BIGINT) AS n_msgs,
+         CAST(MAX(cw) AS BIGINT) AS max_burst,
+         CAST(SUM(CASE WHEN cw >= {_QS_BURST_MIN} THEN 1 ELSE 0 END)
+              AS BIGINT) AS burst_ticks
+  FROM wcnt GROUP BY pair_key
+)
+SELECT b.pair_key, b.n_msgs, b.max_burst, b.burst_ticks,
+       f.n_active_hours,
+       f.n_active_hours * f.sc2 - f.sc * f.sc AS fano_num,
+       f.n_active_hours * f.sc AS fano_den,
+       CAST(f.n_active_hours * f.sc2 - f.sc * f.sc AS DOUBLE)
+         / CAST(f.n_active_hours * f.sc AS DOUBLE) AS fano
+FROM burst b JOIN fano f ON f.pair_key = b.pair_key
+"""
+
+
+@query("quote_stuffing_bursts", oracle=_QS_ORACLE, tags=("F6", "A8", "surveillance"))
+def quote_stuffing_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote-stuffing surveillance per pair: trailing-4h message-count
+    bursts (max burst, ticks at/over the threshold) plus the FANO
+    FACTOR of hourly message counts — variance over mean of the arrival
+    rate, 1 for a Poisson feed, >1 for the clumped bursts stuffing
+    produces. This is the market-integrity readout next to the
+    liveness monitor (`streaming_subscriber_liveness` asks "is the feed
+    alive"; this asks "is it TOO alive"). Reference anchor: the
+    subscriber managers count messages per pair
+    (`virginia/api/data_feed.py`) but never test the arrival process.
+
+    Semantics: messages are Kalshi quote updates; the burst count is a
+    closed trailing RANGE frame (peers at the same µs count together,
+    so ties need no ordering tie-break); the Fano factor uses non-empty
+    hourly buckets (documented: an idle-hour-inclusive rate needs the
+    dense grid of downsample_gap_fill). fano_num/fano_den are exact
+    int64; fano is the one IEEE divide.
+
+    Plan — ONE exchange, NO join-back (the SCALE.md §19 lesson applied
+    at write time): the hourly-bucket moments come from the same
+    pair-keyed exchange as the burst window — per-row hour counts c via
+    a (pair, hour) window satisfy Σ_hours c² = Σ_rows c, and
+    n_active_hours = Σ_rows [row_number within hour = 1] — so the
+    oracle's burst-join-fano is computed join-free and the raw message
+    stream shuffles exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    msg = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("pair_key"),
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+    )
+    hb = F.expr(f"ts_us div {_QS_BUCKET_US}")
+    w_burst = (
+        Window.partitionBy("pair_key")
+        .orderBy("ts_us")
+        .rangeBetween(-(_QS_WINDOW_US - 1), 0)
+    )
+    w_hour = Window.partitionBy("pair_key", hb)
+    w_hour_rn = Window.partitionBy("pair_key", hb).orderBy("ts_us", "event_id")
+    tagged = msg.select(
+        "pair_key",
+        F.count(F.lit(1)).over(w_burst).alias("cw"),
+        F.count(F.lit(1)).over(w_hour).alias("c_hb"),
+        F.row_number().over(w_hour_rn).alias("rn_hb"),
+    )
+    agg = tagged.groupBy("pair_key").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.max("cw").alias("max_burst"),
+        F.sum(F.when(F.col("cw") >= _QS_BURST_MIN, 1).otherwise(0)).alias(
+            "burst_ticks"
+        ),
+        F.sum(F.when(F.col("rn_hb") == 1, 1).otherwise(0)).alias("n_active_hours"),
+        F.sum("c_hb").alias("sc2"),
+    )
+    num = F.col("n_active_hours") * F.col("sc2") - F.col("n_msgs") * F.col("n_msgs")
+    den = F.col("n_active_hours") * F.col("n_msgs")
+    return agg.select(
+        "pair_key",
+        "n_msgs",
+        "max_burst",
+        "burst_ticks",
+        "n_active_hours",
+        num.alias("fano_num"),
+        den.alias("fano_den"),
+        (num.cast("double") / den.cast("double")).alias("fano"),
+    )
+# ---------------------------------------------------------------------------
+# Robust trend: Theil-Sen median slope per pair (vs the OLS slope it guards)
+# ---------------------------------------------------------------------------
+_TS_BUCKET_US = 3_600_000_000  # hourly closes
+_TS_MIN_POINTS = 5
+
+_TS_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id AS pair_key, epoch_us(ts) // {_TS_BUCKET_US} AS h,
+         CAST(round(value * 100) AS BIGINT) % 97 + 1 AS px
+  FROM events WHERE event_type IN ('click', 'view')
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id, epoch_us(ts) // {_TS_BUCKET_US}
+    ORDER BY ts DESC, event_id DESC) = 1
+),
+base AS (
+  SELECT pair_key, CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(h) AS BIGINT) AS sh, CAST(SUM(px) AS BIGINT) AS sp,
+         CAST(SUM(h * px) AS BIGINT) AS shp,
+         CAST(SUM(h * h) AS BIGINT) AS shh
+  FROM pts GROUP BY pair_key
+  HAVING COUNT(*) >= {_TS_MIN_POINTS}
+     AND COUNT(*) * SUM(h * h) > SUM(h) * SUM(h)
+),
+slopes AS (
+  SELECT a.pair_key,
+         CAST(b.px - a.px AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS m
+  FROM pts a JOIN pts b ON b.pair_key = a.pair_key AND b.h > a.h
+),
+ranked AS (
+  SELECT pair_key, m,
+         ROW_NUMBER() OVER (PARTITION BY pair_key ORDER BY m) AS rn,
+         COUNT(*) OVER (PARTITION BY pair_key) AS n_slopes
+  FROM slopes
+)
+SELECT r.pair_key, b.n_points, CAST(r.n_slopes AS BIGINT) AS n_slopes,
+       r.m AS theil_slope,
+       (CAST(b.n_points AS DOUBLE) * CAST(b.shp AS DOUBLE)
+        - CAST(b.sh AS DOUBLE) * CAST(b.sp AS DOUBLE))
+       / (CAST(b.n_points AS DOUBLE) * CAST(b.shh AS DOUBLE)
+          - CAST(b.sh AS DOUBLE) * CAST(b.sh AS DOUBLE)) AS ols_slope
+FROM ranked r JOIN base b ON b.pair_key = r.pair_key
+WHERE r.rn = (r.n_slopes + 1) // 2
+"""
+
+
+@query("theil_sen_trend", oracle=_TS_ORACLE, tags=("A2", "robust", "finance"))
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per pair — the median of all pairwise
+    slopes (px_j - px_i)/(h_j - h_i) over the hourly close series, next
+    to the OLS slope it guards: OLS moves with a single fat-finger
+    quote, the median slope needs HALF the tape corrupted (29.3%
+    breakdown point). The gap between the two columns IS the
+    contamination alarm, the same reading trimmed_mean_by_type gives
+    for levels, now for TRENDS.
+
+    Exactness: slope doubles are one IEEE divide of small-integer
+    dy/dx — distinct rationals with |dy| <= 96, dx <= 720 differ by
+    >= 1/518400, far above double epsilon at this magnitude, so double
+    order IS exact rational order; the median is the value at fixed
+    rank (m+1)//2 (lower median — never the average of two), which is
+    tie-safe because equal doubles are equal values. The OLS side is
+    exact int64 moments and one IEEE divide.
+
+    Plan: hourly closes are one (pair, hour) max_by aggregation (raw
+    ticks never shuffle); the pairwise slopes are an EQUI-join on the
+    pair key (never a cartesian — the h_j > h_i refinement rides the
+    hash join), the rank window shares the join's pair partitioning,
+    and the closes table is checkpointed once for its two consumers
+    (moments + slopes). Per-pair work is quadratic in per-pair POINTS
+    (bounded: <= 720 hourly closes/month -> <= 259k slopes), the
+    documented cost of the exact estimator; the 100 TB scale path is
+    Siegel's repeated median on sampled offsets, same plan shape.
+    Reference anchor: trend estimates in the reference come from raw
+    OLS over polled quotes (`virginia/logic/opportunity_scanner.py`);
+    this is the version one bad snapshot cannot steer."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    order_key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
+    pts = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            F.col("user_id").alias("pair_key"),
+            F.expr(f"(ts div 1000) div {_TS_BUCKET_US}").alias("h"),
+        )
+        .agg(F.max_by(cents % 97 + 1, order_key).alias("px"))
+        # closes table: checkpoint once for its two consumers
+        # (the OLS moment rollup and the pairwise slope join)
+        .localCheckpoint()
+    )
+    base = (
+        pts.groupBy("pair_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("h").alias("sh"),
+            F.sum("px").alias("sp"),
+            F.sum(F.col("h") * F.col("px")).alias("shp"),
+            F.sum(F.col("h") * F.col("h")).alias("shh"),
+        )
+        .filter(
+            (F.col("n_points") >= _TS_MIN_POINTS)
+            & (F.col("n_points") * F.col("shh") > F.col("sh") * F.col("sh"))
+        )
+    )
+    a = pts.select("pair_key", F.col("h").alias("h1"), F.col("px").alias("px1"))
+    b = pts.select("pair_key", F.col("h").alias("h2"), F.col("px").alias("px2"))
+    slopes = (
+        a.join(b, "pair_key")
+        .filter(F.col("h2") > F.col("h1"))
+        .select(
+            "pair_key",
+            (
+                (F.col("px2") - F.col("px1")).cast("double")
+                / (F.col("h2") - F.col("h1")).cast("double")
+            ).alias("m"),
+        )
+    )
+    w_rank = Window.partitionBy("pair_key").orderBy("m")
+    w_all = Window.partitionBy("pair_key")
+    ranked = slopes.select(
+        "pair_key",
+        "m",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_slopes"),
+    ).filter(F.col("rn") == F.expr("(n_slopes + 1) div 2"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return ranked.join(base, "pair_key").select(
+        "pair_key",
+        "n_points",
+        F.col("n_slopes").cast("long").alias("n_slopes"),
+        F.col("m").alias("theil_slope"),
+        (
+            (d("n_points") * d("shp") - d("sh") * d("sp"))
+            / (d("n_points") * d("shh") - d("sh") * d("sh"))
+        ).alias("ols_slope"),
+    )

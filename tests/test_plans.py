@@ -354,6 +354,8 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
                                       # broadcast — the Q11 decorrelated HAVING
         "zorder_layout_pruning",  # 1-row key-bounds scalar broadcast (table
                                   # stats stand-in for the 256-grid normalize)
+        "dsir_importance_weights",  # 1-row corpus-totals (N_target, N_raw)
+                                    # scalar broadcast under the weight table
     }
     skip = {  # builders with write side effects
         "ticket_fill_merge",
@@ -886,3 +888,55 @@ def test_market_beta_tape_shuffles_once_index_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "ExistingRDD" in p
     assert "Scan parquet" not in p  # the tape scan ran exactly once, upstream
+
+
+def test_effective_spread_single_union_exchange(spark, sf_dir):
+    """Both as-of windows (backward at-trade mid, forward t+5m mid) and
+    the per-pair rollup ride ONE pair-keyed exchange over the
+    quote/trade union; the quote collapse keeps its own (pair, us)
+    partial pair upstream — no join anywhere."""
+    p = plan_of(spark, "effective_spread_metrics", sf_dir)
+    assert "Join" not in p
+    assert p.count("hashpartitioning(user_id#") == 2  # collapse + union window
+
+
+def test_spread_mean_reversion_series_not_tape_shuffles(spark, sf_dir):
+    """Venue-conditional max_by aggregates (pair, day) closes with
+    map-side partials — the raw tape never shuffles; the LAG window and
+    moment rollup then re-exchange only the day series. Two exchange
+    pairs, no join."""
+    p = plan_of(spark, "spread_mean_reversion", sf_dir)
+    assert "Join" not in p
+    assert p.count("Exchange") == 4  # formatted prints each node twice
+    assert "max_by" in p  # partial agg before the first exchange
+
+
+def test_quote_stuffing_single_pair_exchange(spark, sf_dir):
+    """Burst RANGE window, hour-count window, hour-first marker, and the
+    per-pair rollup all share ONE pair-keyed exchange — the oracle's
+    burst-join-fano restated join-free (Σ_hours c² = Σ_rows c)."""
+    p = plan_of(spark, "quote_stuffing_bursts", sf_dir)
+    assert "Join" not in p
+    assert p.count("Exchange") == 2
+    assert p.count("hashpartitioning(pair_key") == 1
+
+
+def test_dsir_weights_broadcast_totals_and_takeordered(spark, sf_dir):
+    """The corpus totals are a 1-row scalar broadcast (the allowlisted
+    BNLJ); the token table is checkpointed once for its two consumers
+    (no re-explode per branch); top-K is TakeOrdered, never a global
+    sort."""
+    p = plan_of(spark, "dsir_importance_weights", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "ExistingRDD" in p
+    assert "Scan parquet" not in p  # the explode ran exactly once, upstream
+    assert "TakeOrderedAndProject" in p
+
+
+def test_adpcm_lane_is_shuffle_free_arrow(spark, sf_dir):
+    """The predictive-codec lane is two chained Arrow mapInPandas passes
+    over a binary column: no exchange, no join, per-asset O(n) work."""
+    p = plan_of(spark, "audio_adpcm_stats", sf_dir)
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "MapInPandas" in p
