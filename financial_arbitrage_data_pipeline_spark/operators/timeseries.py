@@ -2677,3 +2677,176 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (d("n_points") * d("shh") - d("sh") * d("sh"))
         ).alias("ols_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event study: cumulative abnormal return around system 'error' events
+# ---------------------------------------------------------------------------
+_ES_DAY_US = 86_400_000_000
+_ES_EPOCH_DAY0 = 19723  # 2024-01-01 in epoch days: fixed relabeling constant
+_ES_EST_DAYS = 15  # estimation window: days [0, 15); events scored in [15, ..)
+_ES_WIN = 2  # event window: relative days 0..1
+_ES_MIN_EST = 6
+
+_ES_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id AS pair_key,
+         epoch_us(ts) // {_ES_DAY_US} - {_ES_EPOCH_DAY0} AS h,
+         CAST(round(value * 100) AS BIGINT) % 97 + 1 AS px
+  FROM events WHERE event_type IN ('click', 'view')
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id, epoch_us(ts) // {_ES_DAY_US}
+    ORDER BY ts DESC, event_id DESC) = 1
+),
+mv AS (
+  SELECT pair_key, h, px - LAG(px) OVER w AS dk, h - LAG(h) OVER w AS gap
+  FROM pts WINDOW w AS (PARTITION BY pair_key ORDER BY h)
+  QUALIFY gap = 1
+),
+idx AS (SELECT h, (SUM(dk) * 100) // COUNT(*) AS di FROM mv GROUP BY h),
+joined AS (
+  SELECT m.pair_key, m.h, m.dk, i.di FROM mv m JOIN idx i ON i.h = m.h
+),
+est AS (
+  SELECT pair_key, COUNT(*) AS n, SUM(di) AS sx, SUM(dk) AS sy,
+         SUM(di * di) AS sxx, SUM(di * dk) AS sxy
+  FROM joined WHERE h < {_ES_EST_DAYS} GROUP BY pair_key
+  HAVING COUNT(*) >= {_ES_MIN_EST}
+     AND COUNT(*) * SUM(di * di) - SUM(di) * SUM(di) >= COUNT(*)
+),
+beta AS (
+  SELECT pair_key,
+         (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS beta_ppm
+  FROM est
+),
+ev AS (
+  SELECT user_id AS pair_key,
+         epoch_us(ts) // {_ES_DAY_US} - {_ES_EPOCH_DAY0} AS h0, event_id
+  FROM events
+  WHERE event_type = 'error'
+    AND epoch_us(ts) // {_ES_DAY_US} - {_ES_EPOCH_DAY0} >= {_ES_EST_DAYS}
+),
+win AS (
+  SELECT e.pair_key, e.event_id, e.h0 + t.tau AS h
+  FROM ev e, unnest(range(0, {_ES_WIN})) t(tau)
+),
+ar AS (
+  SELECT w.pair_key, w.event_id,
+         j.dk * 1000000 - b.beta_ppm * j.di AS ar_x1e6
+  FROM win w
+  JOIN joined j ON j.pair_key = w.pair_key AND j.h = w.h
+  JOIN beta b ON b.pair_key = w.pair_key
+)
+SELECT pair_key,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(ar_x1e6) AS BIGINT) AS car_x1e6,
+       CAST(SUM(ar_x1e6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_ar_x1e6
+FROM ar GROUP BY pair_key
+"""
+
+
+@query("event_study_car", oracle=_ES_ORACLE, tags=("A2", "J2", "econometrics"))
+def event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event study (MacKinlay 1997) around the pipeline's own failures:
+    cumulative abnormal return of each pair in the two days after every
+    'error' event, under the market model dk = beta * di estimated on
+    the first 15 days — the econometric answer to "do our outages MOVE
+    the prices we trade?" that the reference's error counters
+    (`virginia/api/data_feed.py`) cannot give. Abnormal move is exact
+    integer fixed point: ar_x1e6 = dk*10^6 - beta_ppm*di with beta_ppm
+    the truncating integer divide of int64 regression moments (both
+    engines truncate BIGINT division identically) and di the x100
+    equal-weight cross-sectional index move — no float enters until the
+    one IEEE divide for the per-pair average.
+
+    Alignment semantics: daily last-quote closes ((ts, event_id)
+    max_by); moves on contiguous days only; event windows may overlap
+    (each event scores its own window rows); windows reaching days with
+    no move are truncated, not extrapolated; pairs need >= 6 estimation
+    moves and an integer-positive variance (>= n keeps beta_ppm
+    magnitudes int64-safe by construction).
+
+    Plan: closes aggregate map-side ((pair, day) partials — raw ticks
+    never shuffle); the move table is checkpointed ONCE for its three
+    consumers (index build, estimation moments, event scoring); the
+    30-row index and the per-pair beta table join back as broadcasts;
+    event windows are a 2x map-side explode equi-joined on (pair, day).
+    At 100 TB the only corpus-sized exchanges are the closes partials
+    and the one (pair, day) join of window probes to moves."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    order_key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
+    day = F.expr(f"(ts div 1000) div {_ES_DAY_US} - {_ES_EPOCH_DAY0}")
+    pts = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.col("user_id").alias("pair_key"), day.alias("h"))
+        .agg(F.max_by(cents % 97 + 1, order_key).alias("px"))
+    )
+    w = Window.partitionBy("pair_key").orderBy("h")
+    mv = (
+        pts.select(
+            "pair_key",
+            "h",
+            (F.col("px") - F.lag("px").over(w)).alias("dk"),
+            (F.col("h") - F.lag("h").over(w)).alias("gap"),
+        )
+        .filter(F.col("gap") == 1)
+        .select("pair_key", "h", "dk")
+        # move table: checkpoint once for its three consumers
+        # (index build, estimation moments, event-window scoring)
+        .localCheckpoint()
+    )
+    idx = mv.groupBy("h").agg(
+        F.expr("(sum(dk) * 100) div count(*)").alias("di")
+    )
+    joined = mv.join(F.broadcast(idx), "h").select("pair_key", "h", "dk", "di")
+    est = (
+        joined.filter(F.col("h") < _ES_EST_DAYS)
+        .groupBy("pair_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("di").alias("sx"),
+            F.sum("dk").alias("sy"),
+            F.sum(F.col("di") * F.col("di")).alias("sxx"),
+            F.sum(F.col("di") * F.col("dk")).alias("sxy"),
+        )
+        .filter(
+            (F.col("n") >= _ES_MIN_EST)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") >= F.col("n"))
+        )
+    )
+    beta = est.select(
+        "pair_key",
+        F.expr("(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)").alias(
+            "beta_ppm"
+        ),
+    )
+    events = ev.filter((F.col("event_type") == "error") & (day >= _ES_EST_DAYS)).select(
+        F.col("user_id").alias("pair_key"), day.alias("h0"), "event_id"
+    )
+    win_probe = events.select(
+        "pair_key",
+        "event_id",
+        "h0",
+        F.explode(F.sequence(F.lit(0), F.lit(_ES_WIN - 1))).alias("tau"),
+    ).select("pair_key", "event_id", (F.col("h0") + F.col("tau")).alias("h"))
+    ar = (
+        win_probe.join(joined, ["pair_key", "h"])
+        .join(F.broadcast(beta), "pair_key")
+        .select(
+            "pair_key",
+            "event_id",
+            (F.col("dk") * F.lit(1000000) - F.col("beta_ppm") * F.col("di")).alias(
+                "ar_x1e6"
+            ),
+        )
+    )
+    return ar.groupBy("pair_key").agg(
+        F.countDistinct("event_id").alias("n_events"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("ar_x1e6").alias("car_x1e6"),
+        (
+            F.sum("ar_x1e6").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_ar_x1e6"),
+    )

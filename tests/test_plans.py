@@ -940,3 +940,17 @@ def test_adpcm_lane_is_shuffle_free_arrow(spark, sf_dir):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "MapInPandas" in p
+
+
+def test_event_study_broadcast_index_and_beta(spark, sf_dir):
+    """The move table is checkpointed once for its three consumers; the
+    30-row index and per-pair beta join back as broadcasts; no shuffle
+    join, no cartesian, and at most the two event-side parquet scans
+    (closes were materialized at checkpoint time)."""
+    p = plan_of(spark, "event_study_car", sf_dir)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "ExistingRDD" in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("Scan parquet") <= 2
