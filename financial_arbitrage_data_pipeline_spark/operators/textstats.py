@@ -2334,3 +2334,53 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(wr).cast("long")).select(
         "phrase", "n_words", "n_occurrences", "score_ppm", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier audit: language-ID confusion matrix with per-language recall
+# ---------------------------------------------------------------------------
+_LANGID_CONFUSION_SQL = f"""
+WITH pred AS ({_LANGID_SQL}),
+cells AS (
+  SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY actual_lang, predicted_lang
+)
+SELECT actual_lang, predicted_lang, n_docs,
+       CAST(SUM(n_docs) OVER (PARTITION BY actual_lang) AS BIGINT)
+         AS actual_total,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER (PARTITION BY actual_lang) AS DOUBLE)
+         AS cell_share
+FROM cells
+"""
+
+
+@query("lang_id_confusion", oracle=_LANGID_CONFUSION_SQL, tags=("text-langid", "eval"))
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONFUSION MATRIX of the engine's own language identifier —
+    the eval readout a pipeline publishes before trusting lang-routed
+    processing (per-language gates, per-lang percentile cuts, fertility
+    audits all key on lang): each (actual, predicted) cell count, the
+    actual-language row total, and the cell share (diagonal = recall).
+    Composes the registered lang_id_ngram builder unchanged — the audit
+    measures the exact operator the pipeline runs, not a reimplementation
+    (same composition discipline as training_corpus_manifest).
+
+    Exactness: counts are integers; cell_share is one IEEE divide of a
+    cell count by a window-summed row total (no join-back — the
+    SCALE.md §19 rule). Plan: everything past lang_id_ngram's own plan
+    is alphabet-sized (|langs|² cells); the row totals are a window over
+    the cell table, adding one tiny exchange."""
+    pred = lang_id_ngram(spark, sf_dir)
+    cells = pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("actual_lang")
+    total = F.sum("n_docs").over(w)
+    return cells.select(
+        "actual_lang",
+        "predicted_lang",
+        "n_docs",
+        total.alias("actual_total"),
+        (F.col("n_docs").cast("double") / total.cast("double")).alias("cell_share"),
+    )

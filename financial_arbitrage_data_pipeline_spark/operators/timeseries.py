@@ -2850,3 +2850,100 @@ def event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ar_x1e6").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avg_ar_x1e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Realized-volatility signature plot: RV vs sampling interval
+# ---------------------------------------------------------------------------
+_RV_SCALES_S = (60, 300, 900, 3600)
+
+_RV_ORACLE = f"""
+WITH base AS (
+  SELECT user_id AS pair_key, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) % 97 + 1 AS px
+  FROM events WHERE event_type IN ('click', 'view')
+),
+sc AS (
+  SELECT * FROM (VALUES {", ".join(f"({s})" for s in _RV_SCALES_S)}) t(scale_s0)
+  -- widen before the µs multiply: INT32 * 1000000 overflows at 3600s
+), scw AS (SELECT CAST(scale_s0 AS BIGINT) AS scale_s FROM sc),
+closes AS (
+  SELECT b.pair_key, s.scale_s,
+         b.ts_us // (s.scale_s * 1000000) AS bkt, b.px
+  FROM base b CROSS JOIN scw s
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY b.pair_key, s.scale_s, b.ts_us // (s.scale_s * 1000000)
+    ORDER BY b.ts_us DESC, b.event_id DESC) = 1
+),
+mv AS (
+  SELECT pair_key, scale_s, px - LAG(px) OVER w AS dk
+  FROM closes WINDOW w AS (PARTITION BY pair_key, scale_s ORDER BY bkt)
+  QUALIFY dk IS NOT NULL
+)
+SELECT pair_key, CAST(scale_s AS BIGINT) AS scale_s,
+       CAST(COUNT(*) AS BIGINT) AS n_moves,
+       CAST(SUM(dk * dk) AS BIGINT) AS rv,
+       CAST(SUM(dk * dk) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rv_per_move
+FROM mv GROUP BY pair_key, scale_s
+"""
+
+
+@query("rv_signature_plot", oracle=_RV_ORACLE, tags=("A2", "A6", "finance"))
+def rv_signature_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The volatility SIGNATURE PLOT (Andersen-Bollerslev-Diebold-Labys):
+    realized variance of each pair re-measured at 1m/5m/15m/1h sampling —
+    the diagnostic that chooses the RV sampling frequency. Microstructure
+    noise inflates RV as the interval shrinks while true diffusion keeps
+    it flat; reading rv_per_move across scale_s locates the bias knee.
+    This is the missing calibration step in front of realized_variance
+    (which fixes one scale) — a 100 TB user runs the signature once per
+    regime, then commits the knee scale to the standing job.
+
+    Sampling semantics: previous-tick (last-quote-per-bucket) closes per
+    (pair, scale); close-to-close increments across empty buckets equal
+    the previous-tick path's increments, since interior grid points
+    contribute zero. All RV sums are exact int64 squares of cent moves;
+    rv_per_move is the one IEEE divide.
+
+    Plan: the four scales are a map-side explode (x4, never a join);
+    closes aggregate with venue-conditional-free max_by partials on
+    (pair, scale, bucket) — raw ticks shuffle once as partials — then
+    the LAG window and the (pair, scale) rollup share the second,
+    series-sized exchange. Same two-tier shape as spread_mean_reversion."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    order_key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
+    base = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("pair_key"),
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        "ts",
+        (cents % 97 + 1).alias("px"),
+    )
+    fanned = base.select(
+        "pair_key",
+        "ts_us",
+        "ts",
+        "event_id",
+        "px",
+        F.explode(F.array(*[F.lit(s).cast("long") for s in _RV_SCALES_S])).alias("scale_s"),
+    )
+    closes = fanned.groupBy(
+        "pair_key",
+        "scale_s",
+        F.expr("ts_us div (scale_s * 1000000)").alias("bkt"),
+    ).agg(F.max_by("px", order_key).alias("px"))
+    w = Window.partitionBy("pair_key", "scale_s").orderBy("bkt")
+    mv = closes.select(
+        "pair_key",
+        "scale_s",
+        (F.col("px") - F.lag("px").over(w)).alias("dk"),
+    ).filter(F.col("dk").isNotNull())
+    return mv.groupBy("pair_key", F.col("scale_s").cast("long").alias("scale_s")).agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.sum(F.col("dk") * F.col("dk")).alias("rv"),
+        (
+            F.sum(F.col("dk") * F.col("dk")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("rv_per_move"),
+    )

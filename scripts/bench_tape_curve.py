@@ -38,7 +38,17 @@ CURVE_QUERIES = [
     "cusum_changepoint",
     "vpin_toxicity",
     "linear_interp_resample",
+    # round-7 continuation additions (same one-exchange tape shape):
+    "effective_spread_metrics",
+    "spread_mean_reversion",
+    "quote_stuffing_bursts",
+    "event_study_car",
+    # deliberately QUADRATIC per pair (median of pairwise slopes): the
+    # curve exists to show the n² term saturating as hourly closes cap
+    # at 720/pair — capped repeats, it dominates the family wall at sf3
+    "theil_sen_trend",
 ]
+SLOW_QUERIES = {"theil_sen_trend"}  # max 2 repeats: quadratic by design
 
 
 def main() -> None:
@@ -72,14 +82,15 @@ def main() -> None:
         spreads: dict[str, dict] = {}
         for name in CURVE_QUERIES:
             spec = REGISTRY[name]
+            repeat = min(2, args.repeat) if name in SLOW_QUERIES else args.repeat
             walls: list[float] = []
-            for _ in range(max(1, args.repeat)):
+            for _ in range(max(1, repeat)):
                 t0 = time.perf_counter()
                 spec.builder(spark, sf_dir).toPandas()
                 walls.append(time.perf_counter() - t0)
             med = statistics.median(walls)
             mad = statistics.median(abs(w - med) for w in walls)
-            while len(walls) < args.repeat + 4 and mad > 0.2 * med:
+            while len(walls) < repeat + (0 if name in SLOW_QUERIES else 4) and mad > 0.2 * med:
                 t0 = time.perf_counter()
                 spec.builder(spark, sf_dir).toPandas()
                 walls.append(time.perf_counter() - t0)

@@ -356,6 +356,8 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
                                   # stats stand-in for the 256-grid normalize)
         "dsir_importance_weights",  # 1-row corpus-totals (N_target, N_raw)
                                     # scalar broadcast under the weight table
+        "lang_id_confusion",  # composes lang_id_ngram unchanged — inherits its
+                              # allowlisted tiny language-profile broadcast
     }
     skip = {  # builders with write side effects
         "ticket_fill_merge",
@@ -954,3 +956,23 @@ def test_event_study_broadcast_index_and_beta(spark, sf_dir):
     assert "ExistingRDD" in p
     assert "BroadcastHashJoin" in p
     assert p.count("Scan parquet") <= 2
+
+
+def test_rv_signature_two_tier_no_join(spark, sf_dir):
+    """The four scales fan out map-side (explode, never a join); closes
+    aggregate as (pair, scale, bucket) partials, then the LAG window and
+    the (pair, scale) rollup share the series-sized second exchange."""
+    p = plan_of(spark, "rv_signature_plot", sf_dir)
+    assert "Join" not in p
+    assert "Generate" in p  # the map-side explode
+    assert p.count("Exchange") == 4  # two exchange nodes, printed twice
+
+
+def test_lang_id_confusion_adds_only_alphabet_work(spark, sf_dir):
+    """Everything past lang_id_ngram's own pinned plan is
+    alphabet-sized: no corpus doc_id exchange beyond the composed
+    builder's argmax pair, and no new shuffle join."""
+    p = plan_of(spark, "lang_id_confusion", sf_dir)
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("hashpartitioning(doc_id") <= 2  # inherited argmax only
