@@ -1545,3 +1545,134 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.sum(promo).cast("double") / F.sum(revenue).cast("double"))
         ).alias("promo_share_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for a JOIN view: Δ(R⋈S) three-term algebra
+# ---------------------------------------------------------------------------
+_IVM_SPLIT_DATE = "1998-01-01"  # orders before = v1; at/after = the ΔR batch
+
+_IVM_JOIN_ORACLE = f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         (o_orderdate >= TIMESTAMP '{_IVM_SPLIT_DATE}') AS is_new
+  FROM orders
+),
+c AS (
+  SELECT c_custkey, c_nationkey, (c_custkey % 10 = 7) AS is_new
+  FROM customer
+),
+terms AS (
+  SELECT c.c_nationkey,
+         CASE WHEN NOT o.is_new AND NOT c.is_new THEN 'v1'
+              WHEN o.is_new AND NOT c.is_new THEN 'dr_s'
+              WHEN NOT o.is_new AND c.is_new THEN 'r_ds'
+              ELSE 'dr_ds' END AS term,
+         COUNT(*) AS n, SUM(o.cents) AS rev
+  FROM o JOIN c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+pivoted AS (
+  SELECT c_nationkey,
+         CAST(COALESCE(SUM(n) FILTER (term = 'v1'), 0) AS BIGINT) AS n_v1,
+         CAST(COALESCE(SUM(rev) FILTER (term = 'v1'), 0) AS BIGINT) AS rev_v1,
+         CAST(COALESCE(SUM(n) FILTER (term = 'dr_s'), 0) AS BIGINT) AS n_new_orders,
+         CAST(COALESCE(SUM(rev) FILTER (term = 'dr_s'), 0) AS BIGINT) AS rev_new_orders,
+         CAST(COALESCE(SUM(n) FILTER (term = 'r_ds'), 0) AS BIGINT) AS n_new_customers,
+         CAST(COALESCE(SUM(rev) FILTER (term = 'r_ds'), 0) AS BIGINT) AS rev_new_customers,
+         CAST(COALESCE(SUM(n) FILTER (term = 'dr_ds'), 0) AS BIGINT) AS n_both_new,
+         CAST(COALESCE(SUM(rev) FILTER (term = 'dr_ds'), 0) AS BIGINT) AS rev_both_new
+  FROM terms GROUP BY c_nationkey
+),
+-- the GATE: v2 from a FULL recompute over the v2 state, never from terms
+full_v2 AS (
+  SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_v2,
+         CAST(SUM(o.cents) AS BIGINT) AS rev_v2
+  FROM o JOIN c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT p.*, f.n_v2, f.rev_v2
+FROM pivoted p JOIN full_v2 f ON f.c_nationkey = p.c_nationkey
+"""
+
+
+@query(
+    "incremental_join_maintenance",
+    oracle=_IVM_JOIN_ORACLE,
+    tags=("A3", "J2", "ivm", "storage"),
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the three-term
+    delta rule Δ(R⋈S) = ΔR⋈S₁ ∪ R₁⋈ΔS ∪ ΔR⋈ΔS applied to the
+    per-nation revenue view over orders⋈customer: v1 is orders before
+    1998-01-01 joined to the standing customers; the delta batch adds the
+    later orders (ΔR) and the '% 10 = 7' customers (ΔS). The engine
+    REFRESHES THE VIEW FROM THE DELTAS — four branch plans, each a
+    filtered scan (the date and key predicates push to parquet, so the
+    ΔR⋈S₁ branch reads delta-sized data: the IVM cost argument) — and
+    returns v2 as the SUM of the four terms. The oracle computes v2 by
+    FULL RECOMPUTE over the merged state, so the value-hash match
+    proves the maintenance algebra reaches the exact converged state —
+    the join-view companion to incremental_lang_stats' aggregate-delta
+    rules. Counts and cents are exact int64 throughout; no floats.
+
+    Plan: customer is a broadcast dim on every branch (no fact-side
+    shuffle join); each branch pre-aggregates to nation partials before
+    the 4-way union, so the final rollup moves 4x|nations| rows. At
+    100 TB the v1 branch is the standing materialized view (read, not
+    recomputed — here rebuilt because the fixture is static), and each
+    delta branch's scan is bounded by its batch."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    split = F.lit(_IVM_SPLIT_DATE).cast("timestamp")
+    r1 = orders.filter(F.col("o_orderdate") < split)
+    dr = orders.filter(F.col("o_orderdate") >= split)
+    s1 = customer.filter(F.col("c_custkey") % 10 != 7)
+    ds = customer.filter(F.col("c_custkey") % 10 == 7)
+
+    def term(o: DataFrame, c: DataFrame, label: str) -> DataFrame:
+        return (
+            o.select("o_custkey", cents.alias("cents"))
+            .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("rev"))
+            .select("c_nationkey", "n", "rev", F.lit(label).alias("t"))
+        )
+
+    unioned = (
+        term(r1, s1, "v1")
+        .unionByName(term(dr, s1, "dr_s"))
+        .unionByName(term(r1, ds, "r_ds"))
+        .unionByName(term(dr, ds, "dr_ds"))
+    )
+
+    def pick(col: str, label: str):
+        return F.coalesce(
+            F.sum(F.when(F.col("t") == label, F.col(col))), F.lit(0)
+        ).cast("long")
+
+    out = unioned.groupBy("c_nationkey").agg(
+        pick("n", "v1").alias("n_v1"),
+        pick("rev", "v1").alias("rev_v1"),
+        pick("n", "dr_s").alias("n_new_orders"),
+        pick("rev", "dr_s").alias("rev_new_orders"),
+        pick("n", "r_ds").alias("n_new_customers"),
+        pick("rev", "r_ds").alias("rev_new_customers"),
+        pick("n", "dr_ds").alias("n_both_new"),
+        pick("rev", "dr_ds").alias("rev_both_new"),
+    )
+    # v2 BY THE DELTA ALGEBRA — the oracle gates this against full recompute
+    return out.select(
+        "*",
+        (
+            F.col("n_v1") + F.col("n_new_orders")
+            + F.col("n_new_customers") + F.col("n_both_new")
+        ).alias("n_v2"),
+        (
+            F.col("rev_v1") + F.col("rev_new_orders")
+            + F.col("rev_new_customers") + F.col("rev_both_new")
+        ).alias("rev_v2"),
+    )

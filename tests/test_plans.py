@@ -976,3 +976,15 @@ def test_lang_id_confusion_adds_only_alphabet_work(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert p.count("hashpartitioning(doc_id") <= 2  # inherited argmax only
+
+
+def test_join_ivm_branches_push_deltas_and_broadcast_dim(spark, sf_dir):
+    """Each maintenance branch is a filtered scan with the date split
+    pushed to parquet and the customer dim broadcast — no shuffle join
+    anywhere; the 4-way union rolls up nation partials only."""
+    p = plan_of(spark, "incremental_join_maintenance", sf_dir)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "GreaterThanOrEqual(o_orderdate" in p  # ΔR pushed
+    assert "LessThan(o_orderdate" in p  # R1 pushed
+    assert p.count("BroadcastHashJoin") >= 4 * 2  # one per branch, printed twice
