@@ -1689,3 +1689,124 @@ def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("src").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin: exact set-similarity join with PREFIX FILTERING (Xiao et al. 2011)
+# ---------------------------------------------------------------------------
+_PP_THR_NUM, _PP_THR_DEN = 17, 20  # Jaccard threshold t = 0.85, exact rational
+
+_PPJOIN_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_filter(string_split(text, ' '), x -> x <> ''))) AS toks
+  FROM documents WHERE doc_id % 5 = 0
+),
+dt AS (SELECT doc_id, unnest(toks) AS w FROM docs),
+sizes AS (SELECT doc_id, len(toks) AS m FROM docs),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM dt a JOIN dt b ON b.w = a.w AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(sa.m AS BIGINT) AS n_a, CAST(sb.m AS BIGINT) AS n_b,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(i.n_inter AS DOUBLE)
+         / CAST(sa.m + sb.m - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE {_PP_THR_DEN} * i.n_inter
+      >= {_PP_THR_NUM} * (sa.m + sb.m - i.n_inter)
+"""
+
+
+@query("ppjoin_prefix_filter", oracle=_PPJOIN_ORACLE, tags=("dedup-ngram-jaccard", "J5"))
+def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join with PREFIX FILTERING (PPJoin, Xiao et
+    al. 2011): a pair of documents with Jaccard >= t MUST share a token
+    within the first m - ceil(t*m) + 1 tokens of each document in any
+    GLOBAL token order — so candidate generation explodes only those
+    prefix tokens (rarest-first order shrinks posting lists hardest),
+    then every candidate is verified by the exact intersection. The
+    ORACLE generates candidates from ALL tokens (the plain inverted-
+    index join of ngram_jaccard_pairs beside it) — a value-hash match
+    therefore PROVES the prefix filter lost no qualifying pair, which
+    is the theorem the algorithm rests on, checked end to end on real
+    data. Threshold t = 17/20 is held as an exact rational (the gate is
+    20*|A∩B| >= 17*|A∪B|, integers), ceil(t*m) = (17m+19) div 20.
+
+    Plan: token df and the global rarity rank are vocabulary-sized (the
+    rank window is a single-partition sort over the VOCABULARY, not the
+    corpus — documented bound); per-doc prefix positions ride one
+    (doc) window over rank-joined tokens; candidates self-join ONLY
+    prefix entries on the token key (equi-join); verification joins the
+    distinct pairs back to the docs' sorted token arrays and counts
+    array_intersect per row in codegen. At 100 TB the win IS the prefix:
+    candidate volume per token falls from |posting|² to |prefix-posting|²
+    — on adversarially self-similar corpora like this fixture the filter
+    degrades gracefully toward the full join, never below it."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+            ).alias("toks"),
+        )
+        # token-array table: checkpoint once for its three consumers
+        # (prefix build, verify side A, verify side B)
+        .localCheckpoint()
+    )
+    sizes = docs.select("doc_id", F.size("toks").alias("m"))
+    dt = docs.select("doc_id", F.explode("toks").alias("w"))
+    df_rank = (
+        dt.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "w",
+            F.row_number()
+            .over(Window.orderBy(F.col("df").asc(), F.col("w").asc()))
+            .alias("rank"),
+        )
+    )
+    ranked = dt.join(F.broadcast(df_rank), "w").join(F.broadcast(sizes), "doc_id")
+    w_doc = Window.partitionBy("doc_id").orderBy("rank")
+    prefix = ranked.select(
+        "doc_id",
+        "w",
+        F.row_number().over(w_doc).alias("pos"),
+        (F.col("m") - F.expr(f"({_PP_THR_NUM} * m + {_PP_THR_DEN} - 1) div {_PP_THR_DEN}") + 1).alias("plen"),
+    ).filter(F.col("pos") <= F.col("plen")).select("doc_id", "w")
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), (F.col("pa.w") == F.col("pb.w"))
+              & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")), "doc_a")
+        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("ta").alias("n_a"),
+            F.size("tb").alias("n_b"),
+            F.size(F.array_intersect("ta", "tb")).alias("n_inter"),
+        )
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return verified.filter(
+        F.lit(_PP_THR_DEN) * F.col("n_inter") >= F.lit(_PP_THR_NUM) * union
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        (F.col("n_inter").cast("double") / union.cast("double")).alias("jaccard"),
+    )

@@ -988,3 +988,15 @@ def test_join_ivm_branches_push_deltas_and_broadcast_dim(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in p  # ΔR pushed
     assert "LessThan(o_orderdate" in p  # R1 pushed
     assert p.count("BroadcastHashJoin") >= 4 * 2  # one per branch, printed twice
+
+
+def test_ppjoin_prefix_is_equi_join_with_checkpointed_arrays(spark, sf_dir):
+    """Candidates come from an EQUI-join on prefix tokens (never a
+    cartesian/BNLJ); the token-array table is checkpointed once for its
+    three consumers; the rarity rank is a vocabulary-sized single
+    partition, not a corpus sort."""
+    p = plan_of(spark, "ppjoin_prefix_filter", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ExistingRDD" in p
+    assert "Scan parquet" not in p  # every consumer reads the checkpoint
