@@ -2947,3 +2947,191 @@ def rv_signature_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("rv_per_move"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger lead-lag: does yesterday's Kalshi move predict today's Poly move?
+# ---------------------------------------------------------------------------
+_GR_DAY_US = 86_400_000_000
+
+_GR_ORACLE = f"""
+WITH closes AS (
+  SELECT user_id AS pair_key, epoch_us(ts) // {_GR_DAY_US} AS b,
+         arg_max(CASE WHEN event_type IN ('click', 'view')
+                      THEN CAST(round(value * 100) AS BIGINT) % 97 + 1 END,
+                 epoch_us(ts) * 4096 + event_id % 4096)
+           FILTER (event_type IN ('click', 'view')) AS k,
+         arg_max(CASE WHEN event_type IN ('purchase', 'signup', 'error')
+                      THEN CAST(round(value * 100) AS BIGINT) % 99 + 1 END,
+                 epoch_us(ts) * 4096 + event_id % 4096)
+           FILTER (event_type IN ('purchase', 'signup', 'error')) AS p
+  FROM events GROUP BY 1, 2
+),
+both_sides AS (
+  SELECT pair_key, b, k, p FROM closes WHERE k IS NOT NULL AND p IS NOT NULL
+),
+lagged AS (
+  SELECT pair_key, b, k, p,
+         LAG(k, 1) OVER w AS k1, LAG(k, 2) OVER w AS k2,
+         LAG(p, 1) OVER w AS p1, LAG(p, 2) OVER w AS p2,
+         LAG(b, 1) OVER w AS b1, LAG(b, 2) OVER w AS b2
+  FROM both_sides WINDOW w AS (PARTITION BY pair_key ORDER BY b)
+),
+obs AS (
+  SELECT k - k1 AS dk, p - p1 AS dp, k1 - k2 AS dk1, p1 - p2 AS dp1
+  FROM lagged WHERE b1 = b - 1 AND b2 = b - 2
+),
+directed AS (
+  SELECT 'k_to_p' AS direction, dp AS y, dp1 AS x1, dk1 AS x2 FROM obs
+  UNION ALL
+  SELECT 'p_to_k' AS direction, dk AS y, dk1 AS x1, dp1 AS x2 FROM obs
+),
+m AS (
+  SELECT direction, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+         CAST(SUM(x1 * x1) AS BIGINT) AS sx11,
+         CAST(SUM(x2 * x2) AS BIGINT) AS sx22,
+         CAST(SUM(x1 * x2) AS BIGINT) AS sx12,
+         CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS sx2y
+  FROM directed GROUP BY direction
+),
+cen AS (
+  SELECT direction, n,
+         n * sx11 - sx1 * sx1 AS c11,
+         n * sx22 - sx2 * sx2 AS c22,
+         n * sx12 - sx1 * sx2 AS c12,
+         n * sx1y - sx1 * sy AS c1y,
+         n * sx2y - sx2 * sy AS c2y
+  FROM m
+)
+SELECT direction, n, c11, c22, c12, c1y, c2y,
+       (CAST(c1y AS DOUBLE) * CAST(c22 AS DOUBLE)
+        - CAST(c2y AS DOUBLE) * CAST(c12 AS DOUBLE))
+       / (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+          - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE)) AS beta_own_lag,
+       (CAST(c2y AS DOUBLE) * CAST(c11 AS DOUBLE)
+        - CAST(c1y AS DOUBLE) * CAST(c12 AS DOUBLE))
+       / (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+          - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE)) AS beta_cross_lag
+FROM cen
+WHERE CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+      > CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE)
+"""
+
+
+@query("granger_lead_lag", oracle=_GR_ORACLE, tags=("J1", "A2", "econometrics"))
+def granger_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger lead-lag — the CAUSAL capstone of the venue_lead_lag
+    correlogram: pooled two-regressor OLS of each venue's daily move on
+    its OWN lag and the OTHER venue's lag, both directions at once. A
+    cross-lag coefficient that survives the own-lag control is the
+    actionable version of lead-lag correlation (trade the follower on
+    the leader's move); correlation alone can't distinguish leading
+    from shared autocorrelation — that's precisely the own-lag term.
+
+    Exactness: observations need three consecutive both-venue days
+    (moves AND their lags exist); the nine pooled moments are exact
+    int64; the centered normal-equation terms c_ij = n*S_ij - S_i*S_j
+    stay int64 (n <= 10^4, |moves| < 100); each coefficient is the
+    SAME fixed five-operation IEEE tree in both engines (exact int64
+    operands < 2^53 convert losslessly). Degenerate design matrices
+    are excluded by the positive-definiteness gate evaluated on the
+    same lossless double tree in both engines (the int64 product
+    c11*c22 would overflow at sf >= 0.1).
+
+    Plan: venue-conditional max_by closes in ONE scan (raw ticks never
+    shuffle), one pair-keyed window for all six stacked LAGs
+    (move_acf_profile's idiom), a 2x map-side direction explode, and a
+    2-group rollup. Two tiny exchanges past the closes partials."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_kalshi = F.col("event_type").isin("click", "view")
+    okey = F.expr("(ts div 1000) * 4096 + event_id % 4096")
+    closes = (
+        ev.groupBy(
+            F.col("user_id").alias("pair_key"),
+            F.expr(f"(ts div 1000) div {_GR_DAY_US}").alias("b"),
+        )
+        .agg(
+            F.max_by(cents % 97 + 1, F.when(is_kalshi, okey)).alias("k"),
+            F.max_by(cents % 99 + 1, F.when(~is_kalshi, okey)).alias("p"),
+        )
+        .filter(F.col("k").isNotNull() & F.col("p").isNotNull())
+    )
+    w = Window.partitionBy("pair_key").orderBy("b")
+    lagged = closes.select(
+        "pair_key",
+        "b",
+        "k",
+        "p",
+        F.lag("k", 1).over(w).alias("k1"),
+        F.lag("k", 2).over(w).alias("k2"),
+        F.lag("p", 1).over(w).alias("p1"),
+        F.lag("p", 2).over(w).alias("p2"),
+        F.lag("b", 1).over(w).alias("b1"),
+        F.lag("b", 2).over(w).alias("b2"),
+    )
+    obs = lagged.filter(
+        (F.col("b1") == F.col("b") - 1) & (F.col("b2") == F.col("b") - 2)
+    ).select(
+        (F.col("k") - F.col("k1")).alias("dk"),
+        (F.col("p") - F.col("p1")).alias("dp"),
+        (F.col("k1") - F.col("k2")).alias("dk1"),
+        (F.col("p1") - F.col("p2")).alias("dp1"),
+        # observation table: checkpoint once so the 2x direction union
+        # reads the materialized triples instead of recomputing the
+        # whole scan+window subtree per branch (SCALE.md §19)
+    ).localCheckpoint()
+    directed = obs.select(
+        F.lit("k_to_p").alias("direction"),
+        F.col("dp").alias("y"),
+        F.col("dp1").alias("x1"),
+        F.col("dk1").alias("x2"),
+    ).unionByName(
+        obs.select(
+            F.lit("p_to_k").alias("direction"),
+            F.col("dk").alias("y"),
+            F.col("dk1").alias("x1"),
+            F.col("dp1").alias("x2"),
+        )
+    )
+    m = directed.groupBy("direction").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+    )
+    cen = m.select(
+        "direction",
+        "n",
+        (F.col("n") * F.col("sx11") - F.col("sx1") * F.col("sx1")).alias("c11"),
+        (F.col("n") * F.col("sx22") - F.col("sx2") * F.col("sx2")).alias("c22"),
+        (F.col("n") * F.col("sx12") - F.col("sx1") * F.col("sx2")).alias("c12"),
+        (F.col("n") * F.col("sx1y") - F.col("sx1") * F.col("sy")).alias("c1y"),
+        (F.col("n") * F.col("sx2y") - F.col("sx2") * F.col("sy")).alias("c2y"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    det = d("c11") * d("c22") - d("c12") * d("c12")
+    return cen.filter(
+        # positive-definiteness gate on the SAME double tree both engines
+        # evaluate (c terms are < 2^53 so int64 -> double is lossless;
+        # the int64 product would overflow at sf >= 0.1)
+        d("c11") * d("c22") > d("c12") * d("c12")
+    ).select(
+        "direction",
+        "n",
+        "c11",
+        "c22",
+        "c12",
+        "c1y",
+        "c2y",
+        ((d("c1y") * d("c22") - d("c2y") * d("c12")) / det).alias("beta_own_lag"),
+        ((d("c2y") * d("c11") - d("c1y") * d("c12")) / det).alias("beta_cross_lag"),
+    )

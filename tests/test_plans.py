@@ -1000,3 +1000,16 @@ def test_ppjoin_prefix_is_equi_join_with_checkpointed_arrays(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "ExistingRDD" in p
     assert "Scan parquet" not in p  # every consumer reads the checkpoint
+
+
+def test_granger_single_scan_one_window(spark, sf_dir):
+    """The observation table (closes -> stacked LAGs -> triples) is
+    checkpointed once, so the 2x direction union reads the materialized
+    triples: no parquet scan, no pair exchange, no join in the final
+    plan — the whole tape subtree ran exactly once upstream."""
+    p = plan_of(spark, "granger_lead_lag", sf_dir)
+    assert "Join" not in p
+    assert "ExistingRDD" in p
+    assert "Scan parquet" not in p
+    assert p.count("hashpartitioning(pair_key") == 0
+    assert "Union" in p
