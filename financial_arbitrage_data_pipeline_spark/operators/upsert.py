@@ -1256,3 +1256,201 @@ def ticket_fill_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_BT_CLOSE_DAY = 10  # valid-time day the batch-1 transition takes effect
+_BT_OPEN_END = 99  # open-ended validity sentinel
+_BT_PROBE_DAYS = (5, 15)  # valid-time probes: before and after the transition
+
+
+@query(
+    "bitemporal_ticket_state",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderkey AS tid,
+         CAST(o_orderkey % 50 + 1 AS BIGINT) AS qty
+  FROM orders
+),
+b1 AS (
+  SELECT l_orderkey AS tid, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS fq
+  FROM lineitem WHERE l_linenumber <= 3 GROUP BY l_orderkey
+),
+ball AS (
+  SELECT l_orderkey AS tid, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS fq
+  FROM lineitem GROUP BY l_orderkey
+),
+b2t AS (SELECT DISTINCT l_orderkey AS tid FROM lineitem WHERE l_linenumber > 3),
+state AS (
+  SELECT t.tid, t.qty, tx.v AS tx_version, d.day AS valid_day,
+         CASE
+           WHEN d.day < {_BT_CLOSE_DAY} THEN 'pending'
+           WHEN tx.v = 1 AND b1.tid IS NOT NULL THEN
+             CASE WHEN b1.fq >= t.qty THEN 'filled' ELSE 'partially_filled' END
+           WHEN tx.v = 2 AND b1.tid IS NOT NULL AND b2t.tid IS NOT NULL THEN
+             CASE WHEN ball.fq >= t.qty THEN 'filled' ELSE 'partially_filled' END
+           WHEN tx.v = 2 AND b1.tid IS NOT NULL THEN
+             CASE WHEN b1.fq >= t.qty THEN 'filled' ELSE 'partially_filled' END
+           ELSE 'pending'
+         END AS status
+  FROM t
+  CROSS JOIN (SELECT unnest([1, 2]) AS v) tx
+  CROSS JOIN (SELECT unnest([{", ".join(map(str, _BT_PROBE_DAYS))}]) AS day) d
+  LEFT JOIN b1 ON b1.tid = t.tid
+  LEFT JOIN ball ON ball.tid = t.tid
+  LEFT JOIN b2t ON b2t.tid = t.tid
+)
+SELECT CAST(tx_version AS INT) AS tx_version,
+       CAST(valid_day AS BIGINT) AS valid_day, status,
+       CAST(COUNT(*) AS BIGINT) AS n_tickets,
+       CAST(SUM(qty) AS BIGINT) AS total_qty
+FROM state GROUP BY 1, 2, 3
+""",
+    tags=("K4", "time-travel", "bitemporal", "lakehouse"),
+)
+def bitemporal_ticket_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of on the merge table: VALID TIME (when a ticket
+    status was true in the world — SCD2 rows with [valid_from,
+    valid_to) intervals) crossed with TRANSACTION TIME (when the system
+    recorded it — the undo-log versions of the keep_history commit
+    protocol). Merge 1 runs the batch-1 SCD2 transition (close the
+    pending row at day 10, insert the open successor) — transaction
+    version 1. Merge 2 is a RETROACTIVE CORRECTION: for tickets whose
+    later fills complete the order, the OPEN row's status is revised in
+    place — same valid interval, new transaction version. Reading the
+    four (tx_version, valid_day) probes shows exactly the bitemporal
+    contract: the past (day 5) is identical under both versions
+    (corrections never leak backward in valid time), while day 15
+    differs between tx 1 and tx 2 — 'as recorded then' vs 'as corrected
+    now'. SQL:2011 temporal tables / Delta time travel only give one
+    axis each; this is both, from the same undo log, priced by
+    touched-buckets (the time-travel cost argument of
+    ticket_fill_history_asof). All three SCD2 verbs (close, insert,
+    revise) ride ONE merge primitive via coalesce(u.c, t.c) set-exprs —
+    NULL update columns mean 'keep', so the close row and the insert
+    row travel in the same batch.
+
+    Exactness: statuses are integer-rule CASE expressions; rollups are
+    int64 counts and quantity sums. The oracle recomputes every
+    (tx, valid_day) state declaratively from orders/lineitem."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="sgbitemp_")
+    tickets_dir = os.path.join(root, "trade_tickets")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        create_bucketed_table(
+            spark,
+            tickets_dir,
+            orders.select(
+                (F.col("o_orderkey") * 4).alias("skey"),
+                F.col("o_orderkey").alias("ticket_id"),
+                (F.col("o_orderkey") % 50 + 1).cast("long").alias("qty"),
+                F.lit("pending").alias("status"),
+                F.lit(0).cast("long").alias("valid_from"),
+                F.lit(_BT_OPEN_END).cast("long").alias("valid_to"),
+            ),
+            key="skey",
+            keep_history=True,
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ticket_id"),
+            F.col("l_quantity").cast("long").alias("fill_qty"),
+            "l_linenumber",
+        )
+        tickets = orders.select(
+            F.col("o_orderkey").alias("ticket_id"),
+            (F.col("o_orderkey") % 50 + 1).cast("long").alias("qty"),
+        )
+        b1 = (
+            li.filter(F.col("l_linenumber") <= 3)
+            .groupBy("ticket_id")
+            .agg(F.sum("fill_qty").alias("fq"))
+            .join(tickets, "ticket_id")
+        )
+        status1 = F.when(F.col("fq") >= F.col("qty"), "filled").otherwise(
+            "partially_filled"
+        )
+        closes = b1.select(
+            (F.col("ticket_id") * 4).alias("skey"),
+            F.lit(None).cast("long").alias("ticket_id"),
+            F.lit(None).cast("long").alias("qty"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("long").alias("valid_from"),
+            F.lit(_BT_CLOSE_DAY).cast("long").alias("valid_to"),
+        )
+        inserts = b1.select(
+            (F.col("ticket_id") * 4 + 1).alias("skey"),
+            "ticket_id",
+            "qty",
+            status1.alias("status"),
+            F.lit(_BT_CLOSE_DAY).cast("long").alias("valid_from"),
+            F.lit(_BT_OPEN_END).cast("long").alias("valid_to"),
+        )
+        keep_or_set = {
+            c: F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}"))
+            for c in ("ticket_id", "qty", "status", "valid_from", "valid_to")
+        }
+        merge_into_parquet(  # tx version 1: the SCD2 transition
+            spark,
+            tickets_dir,
+            closes.unionByName(inserts),
+            key="skey",
+            set_exprs=keep_or_set,
+            insert_missing=True,
+        )
+        ball = (
+            li.groupBy("ticket_id")
+            .agg(F.sum("fill_qty").alias("fq"))
+            .join(tickets, "ticket_id")
+        )
+        b2_tickets = li.filter(F.col("l_linenumber") > 3).select("ticket_id").distinct()
+        corrections = (
+            ball.join(b2_tickets, "ticket_id")
+            .select(
+                (F.col("ticket_id") * 4 + 1).alias("skey"),
+                F.lit(None).cast("long").alias("ticket_id"),
+                F.lit(None).cast("long").alias("qty"),
+                F.when(F.col("fq") >= F.col("qty"), "filled")
+                .otherwise("partially_filled")
+                .alias("status"),
+                F.lit(None).cast("long").alias("valid_from"),
+                F.lit(None).cast("long").alias("valid_to"),
+            )
+        )
+        merge_into_parquet(  # tx version 2: the retroactive correction
+            spark,
+            tickets_dir,
+            corrections,
+            key="skey",
+            set_exprs=keep_or_set,
+            insert_missing=False,
+        )
+
+        def probe(version: int, day: int) -> DataFrame:
+            state = read_merge_table_asof(spark, tickets_dir, version)
+            return (
+                state.filter(
+                    (F.col("valid_from") <= day) & (F.lit(day) < F.col("valid_to"))
+                )
+                .groupBy("status")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_tickets"),
+                    F.sum("qty").cast("long").alias("total_qty"),
+                )
+                .select(
+                    F.lit(version).cast("int").alias("tx_version"),
+                    F.lit(day).cast("long").alias("valid_day"),
+                    "status",
+                    "n_tickets",
+                    "total_qty",
+                )
+            )
+
+        out = None
+        for v in (1, 2):
+            for d in _BT_PROBE_DAYS:
+                p = probe(v, d)
+                out = p if out is None else out.unionByName(p)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
