@@ -1756,15 +1756,13 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(img, filters=None) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a real 8-bit truecolor PNG.
-    `filters` optionally fixes the filter type per row (default y % 5 so
-    every predictor is exercised); the filtered scanline stream is
-    DEFLATEd into a single IDAT."""
-    import struct
-
-    h, w, _ = img.shape
-    raw = img.astype(_np.int64)
+def _filter_scanlines(raw, filters=None) -> bytearray:
+    """Apply the per-row PNG filters to an (h, w, 3) int64 array and
+    return the filtered scanline stream (filter byte + w*3 bytes per
+    row). Shared by the sequential and the Adam7 pass encoders — each
+    Adam7 pass filters its reduced image independently (prev row resets
+    per pass, per the spec)."""
+    h, w, _ = raw.shape
     out = bytearray()
     prev = _np.zeros((w, 3), dtype=_np.int64)
     for y in range(h):
@@ -1796,7 +1794,61 @@ def encode_png(img, filters=None) -> bytes:
         out.append(f)
         out.extend(filt.astype(_np.uint8).tobytes())
         prev = row
+    return out
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec clause 8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def encode_png(img, filters=None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a real 8-bit truecolor PNG.
+    `filters` optionally fixes the filter type per row (default y % 5 so
+    every predictor is exercised); the filtered scanline stream is
+    DEFLATEd into a single IDAT."""
+    import struct
+
+    h, w, _ = img.shape
+    out = _filter_scanlines(img.astype(_np.int64), filters)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_adam7(img, filters=None) -> bytes:
+    """Encode as an INTERLACED (Adam7) truecolor PNG: the image splits
+    into seven reduced images on the Adam7 grid, each filtered as an
+    independent scanline run (empty passes contribute no bytes, per
+    spec), all passes DEFLATEd into one IDAT. `filters` indexes by the
+    pass row's ORIGINAL y so the same rotation covers every pass."""
+    import struct
+
+    h, w, _ = img.shape
+    raw = img.astype(_np.int64)
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = raw[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        sub_filters = (
+            [int(filters[y0 + i * dy]) for i in range(sub.shape[0])]
+            if filters is not None
+            else None
+        )
+        out.extend(_filter_scanlines(sub, sub_filters))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace = 1 (Adam7)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -1845,9 +1897,9 @@ def _parse_png(payload: bytes):
     if not seen_end:
         raise ValueError("missing IEND")
     w, h, depth, color, comp, filt_method, interlace = ihdr
-    if (depth, color, comp, filt_method, interlace) != (8, 2, 0, 0, 0):
+    if (depth, color, comp, filt_method) != (8, 2, 0, 0) or interlace not in (0, 1):
         raise ValueError(
-            "only 8-bit truecolor non-interlaced PNG supported by this kernel"
+            "only 8-bit truecolor PNG (sequential or Adam7) supported by this kernel"
         )
     if w <= 0 or h <= 0:
         raise ValueError(f"bad dimensions {w}x{h}")
@@ -1855,12 +1907,40 @@ def _parse_png(payload: bytes):
         data = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt IDAT stream: {e}") from e
+    if interlace == 1:
+        # Adam7: unfilter each non-empty reduced image independently and
+        # scatter it back onto the pass grid
+        img = _np.zeros((h, w, 3), dtype=_np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = len(range(y0, h, dy))
+            pw = len(range(x0, w, dx))
+            if ph == 0 or pw == 0:
+                continue
+            nbytes = ph * (1 + 3 * pw)
+            if off + nbytes > len(data):
+                raise ValueError("truncated Adam7 pass stream")
+            img[y0::dy, x0::dx] = _unfilter_scanlines(
+                data[off : off + nbytes], pw, ph
+            )
+            off += nbytes
+        if off != len(data):
+            raise ValueError("trailing bytes after the last Adam7 pass")
+        return int(w), int(h), img
     stride = 3 * w
     if len(data) != h * (1 + stride):
         raise ValueError(
             f"inflated scanline stream is {len(data)} bytes, "
             f"expected {h * (1 + stride)}"
         )
+    return int(w), int(h), _unfilter_scanlines(data, w, h)
+
+
+def _unfilter_scanlines(data: bytes, w: int, h: int):
+    """Undo the per-row PNG filters on one scanline run (filter byte +
+    3w bytes per row) — all five predictors; prev row starts at zero,
+    exactly the reduced-image rule each Adam7 pass needs."""
+    stride = 3 * w
     img = _np.zeros((h, w, 3), dtype=_np.int64)
     prev = _np.zeros((w, 3), dtype=_np.int64)
     for y in range(h):
@@ -1895,7 +1975,7 @@ def _parse_png(payload: bytes):
             raise ValueError(f"unknown filter type {f} on row {y}")
         img[y] = recon
         prev = recon
-    return int(w), int(h), img.astype(_np.uint8)
+    return img.astype(_np.uint8)
 
 
 def _png_dims(asset_id: int) -> tuple[int, int]:
@@ -1921,6 +2001,19 @@ def synthesize_png(asset_id: int) -> bytes:
     img = _png_pixel(asset_id, x, y, c).astype(_np.uint8)
     filters = [(asset_id + yy) % 5 for yy in range(h)]
     return encode_png(img, filters=filters)
+
+
+def synthesize_png_adam7(asset_id: int) -> bytes:
+    """The png_pixel_stats generator image, encoded INTERLACED (Adam7):
+    same pixel formula, seven-pass layout, per-row filter rotation keyed
+    by the original y so every predictor appears across passes."""
+    w, h = _png_dims(asset_id)
+    y, x, c = _np.meshgrid(
+        _np.arange(h), _np.arange(w), _np.arange(3), indexing="ij"
+    )
+    img = _png_pixel(asset_id, x, y, c).astype(_np.uint8)
+    filters = [(asset_id + yy) % 5 for yy in range(h)]
+    return encode_png_adam7(img, filters=filters)
 
 
 def decode_png(payload: bytes) -> dict:
@@ -2102,3 +2195,71 @@ def compressed_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.select("doc_id", "text").mapInPandas(compress, blob_schema)
     return blobs.mapInPandas(stats, _TEXT_STATS_SCHEMA)
+
+
+@query(
+    "png_adam7_stats",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 6 + doc_id % 7 AS w, 3 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+ys AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 17 + x * 5 + y * 11) % 256 AS r,
+         (doc_id * 17 + x * 5 + y * 11 + 29) % 256 AS g,
+         (doc_id * 17 + x * 5 + y * 11 + 58) % 256 AS b
+  FROM ys
+)
+SELECT doc_id AS asset_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(MAX(w) * MAX(h) AS BIGINT) AS n_pixels,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(MAX(GREATEST(b, g, r)) AS BIGINT) AS peak
+FROM v GROUP BY doc_id
+""",
+    tags=("multimodal", "image", "codec", "compressed", "interlaced"),
+)
+def png_adam7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLACED (Adam7) PNG end to end: the same deterministic pixel
+    formula as png_pixel_stats, but encoded through the SEVEN-PASS
+    Adam7 grid (PNG spec clause 8.2) — each pass an independent reduced
+    image with its own filter runs, empty passes contributing no bytes —
+    and decoded back by the pass-aware parser that unfilters every
+    reduced image and scatters it onto the grid. The oracle is the SAME
+    pixel-formula SQL as the sequential lane: interlacing is pure
+    LAYOUT, so a value-hash match proves the seven-pass reconstruction
+    is pixel-exact (and that the progressive layout a web asset ships
+    in costs nothing in fidelity). Uses the doc_id % 3 = 0 stripe so
+    the corpus carries sequential and interlaced PNGs side by side.
+    Plan: identical to every multimodal lane — two chained Arrow
+    mapInPandas passes over a binary column, zero shuffles."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the PNG codec kernels")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+
+    png_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].values,
+                    "payload": [
+                        synthesize_png_adam7(int(a)) for a in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    assets = docs.select("doc_id").mapInPandas(synth, png_schema)
+    return decode_png_assets(assets)

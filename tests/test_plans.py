@@ -1015,3 +1015,12 @@ def test_granger_single_scan_one_window(spark, sf_dir):
     assert "Scan parquet" not in p
     assert p.count("hashpartitioning(pair_key") == 0
     assert "Union" in p
+
+
+def test_adam7_lane_is_shuffle_free_arrow(spark, sf_dir):
+    """The interlaced-PNG lane is the same two-pass Arrow shape as every
+    multimodal lane: no exchange, no join."""
+    p = plan_of(spark, "png_adam7_stats", sf_dir)
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "MapInPandas" in p
