@@ -1024,3 +1024,12 @@ def test_adam7_lane_is_shuffle_free_arrow(spark, sf_dir):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "MapInPandas" in p
+
+
+def test_haar_energy_single_exchange(spark, sf_dir):
+    """Rank window, level fan-out, coefficient aggregation, and energy
+    rollup all ride the pair partitioning: one exchange node total
+    (grouping keys are supersets of the window's partition key)."""
+    p = plan_of(spark, "haar_energy_decomposition", sf_dir)
+    assert "Join" not in p
+    assert p.count("Exchange") == 2  # one node, formatted prints twice
