@@ -1676,3 +1676,86 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("rev_new_customers") + F.col("rev_both_new")
         ).alias("rev_v2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval coverage: concurrently-open orders per day
+# ---------------------------------------------------------------------------
+_SWEEP_ORACLE = """
+WITH iv AS (
+  SELECT o_orderpriority AS priority,
+         epoch_us(o_orderdate) // 86400000000 AS d0,
+         epoch_us(o_orderdate) // 86400000000 + o_orderkey % 30 + 1 AS d1
+  FROM orders
+),
+deltas AS (
+  SELECT priority, d0 AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT priority, d1 AS day, -1 AS delta FROM iv
+),
+daily AS (
+  SELECT priority, day,
+         CAST(SUM(delta) AS BIGINT) AS net,
+         CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS opened
+  FROM deltas GROUP BY priority, day
+)
+SELECT priority, day, opened, net,
+       CAST(SUM(net) OVER (PARTITION BY priority ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
+FROM daily
+"""
+
+
+@query("interval_coverage_sweep", oracle=_SWEEP_ORACLE, tags=("A6", "W2", "sweep"))
+def interval_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SWEEP-LINE interval coverage — how many orders are OPEN at once,
+    per priority class per day (the exposure/concurrency readout a risk
+    desk watches): each order contributes a +1 boundary at its start
+    day and a -1 at its synthetic close day; the running prefix sum of
+    net deltas over boundary days IS the active-interval count. This is
+    the classic O(n log n) stabbing-count restated as pure relational
+    algebra — the alternative to materializing interval x probe pairs
+    (the binned range join of session_window_range_join) when the
+    question is COUNTS at boundaries rather than joined payloads.
+
+    Exactness: all counts int64; no float anywhere. Plan: boundaries
+    are a 2x map-side union of projections (no explode needed); the
+    (priority, day) net aggregation map-combines before its exchange;
+    the prefix-sum window then re-exchanges only the CALENDAR-SIZED
+    daily table (a deliberate second tiny exchange — clustering the raw
+    boundaries on the 5 priority keys first would be skew-bound);
+    output is bounded by boundary days x 5 priorities,
+    never by order count — at 100 TB the window input is
+    calendar-sized, which is the sweep-line's whole point."""
+    orders = load_table(spark, sf_dir, "orders")
+    day0 = F.expr(
+        # NTZ -> TIMESTAMP is a UTC reinterpretation under the session tz,
+        # matching the oracle's epoch_us on the naive value
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    )
+    iv = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        day0.alias("d0"),
+        (day0 + F.col("o_orderkey") % 30 + 1).alias("d1"),
+    )
+    deltas = iv.select(
+        "priority", F.col("d0").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select("priority", F.col("d1").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("priority", "day").agg(
+        F.sum("delta").alias("net"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("opened"),
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "priority",
+        "day",
+        "opened",
+        "net",
+        F.sum("net").over(w).alias("active"),
+    )

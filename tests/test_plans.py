@@ -1033,3 +1033,16 @@ def test_haar_energy_single_exchange(spark, sf_dir):
     p = plan_of(spark, "haar_energy_decomposition", sf_dir)
     assert "Join" not in p
     assert p.count("Exchange") == 2  # one node, formatted prints twice
+
+
+def test_interval_sweep_one_exchange_no_join(spark, sf_dir):
+    """Boundary deltas are a map-side 2x union of projections; the
+    (priority, day) aggregation map-combines before its exchange, and
+    the only other exchange re-clusters the CALENDAR-SIZED daily table
+    for the prefix-sum window (deliberately not a 5-key priority
+    shuffle of raw boundaries, which would be skew-bound). No join, no
+    interval x probe blowup."""
+    p = plan_of(spark, "interval_coverage_sweep", sf_dir)
+    assert "Join" not in p
+    assert p.count("Exchange") == 4  # two nodes, formatted prints twice
+    assert "Union" in p
