@@ -47,6 +47,16 @@ CURVE_QUERIES = [
     # curve exists to show the n² term saturating as hourly closes cap
     # at 720/pair — capped repeats, it dominates the family wall at sf3
     "theil_sen_trend",
+    # round-7 session-4 additions — the position/risk family shares the
+    # same one-exchange tape shape; fifo and wash add the bucketed
+    # equi-joins whose candidate volume the curve pins as ~linear
+    "fifo_realized_pnl",
+    "position_exposure_timeline",
+    "var_cvar_per_pair",
+    "spearman_rank_corr",
+    "wash_trade_detection",
+    "implied_overround_book",
+    "book_depth_rebuild",
 ]
 SLOW_QUERIES = {"theil_sen_trend"}  # max 2 repeats: quadratic by design
 

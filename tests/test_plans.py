@@ -359,6 +359,10 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
                                     # scalar broadcast under the weight table
         "lang_id_confusion",  # composes lang_id_ngram unchanged — inherits its
                               # allowlisted tiny language-profile broadcast
+        "distribution_drift_tvd",  # 1-row time-cut scalar broadcast
+        "heaps_vocab_growth",  # 1-row doc-id-bounds scalar broadcast (x2
+                               # consumers) + the 1-row x 1-row final combine
+        "qq_drift_deciles",  # the same 1-row time-cut scalar broadcast
     }
     skip = {  # builders with write side effects
         "ticket_fill_merge",
@@ -1046,3 +1050,147 @@ def test_interval_sweep_one_exchange_no_join(spark, sf_dir):
     assert "Join" not in p
     assert p.count("Exchange") == 4  # two nodes, formatted prints twice
     assert "Union" in p
+
+
+def test_winnowing_is_pure_map_stage(spark, sf_dir):
+    """Winnowing is per-doc HOF work: zero shuffles, zero joins — the
+    fingerprint build must scale with scan bandwidth alone."""
+    p = plan_of(spark, "winnowing_fingerprints", sf_dir)
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "ReadSchema" in p and "text" in p
+
+
+def test_overround_single_shuffle_no_window(spark, sf_dir):
+    """All five outcomes' latest asks come from outcome-conditional
+    max_by in ONE per-market aggregation: a single exchange pair
+    (partial+final), no per-outcome window sort, no join."""
+    p = plan_of(spark, "implied_overround_book", sf_dir)
+    assert "Join" not in p
+    assert p.count("Exchange") == 2  # one node, formatted prints twice
+    assert "Window" not in p
+
+
+def test_fifo_pnl_bucketed_equijoin_no_bnlj(spark, sf_dir):
+    """The lot-overlap match must run as a bucketed EQUI-join on
+    (account, cum-qty bin) — never a cartesian or nested-loop over
+    lot pairs."""
+    p = plan_of(spark, "fifo_realized_pnl", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_kmv_two_exchanges(spark, sf_dir):
+    """Distinct (lang, hash) is one exchange; the lang-keyed window that
+    picks h_(k) and the exact count together is the second. Nothing
+    else may shuffle."""
+    p = plan_of(spark, "kmv_distinct_sketch", sf_dir)
+    assert "Join" not in p
+    assert p.count("Exchange") == 4  # two nodes, formatted prints twice
+
+
+def test_tvd_scan_once_histogram_sized_downstream(spark, sf_dir):
+    """One pass over the tape into a (type, bin) hash aggregate; the
+    per-type totals window and final rollup share one type-keyed
+    exchange over histogram-sized data."""
+    p = plan_of(spark, "distribution_drift_tvd", sf_dir)
+    assert "CartesianProduct" not in p
+    assert p.count("Scan parquet") <= 4  # events + 1-row bounds, x2 print
+
+
+def test_book_depth_two_hash_aggregates_no_sort(spark, sf_dir):
+    """Deltas never sort: one tape-sized hash aggregate to level nets,
+    one book-sized market rollup — no window, no join."""
+    p = plan_of(spark, "book_depth_rebuild", sf_dir)
+    assert "Join" not in p and "Window" not in p
+    assert p.count("Exchange") == 4  # two nodes, formatted prints twice
+
+
+def test_var_cvar_single_pair_exchange(spark, sf_dir):
+    """LAG window, loss-rank window, per-pair count, and rollup all ride
+    ONE pair-keyed exchange (re-sorts are intra-partition)."""
+    p = plan_of(spark, "var_cvar_per_pair", sf_dir)
+    assert "Join" not in p
+    assert p.count("Exchange") == 2
+
+
+def test_spearman_single_pair_exchange(spark, sf_dir):
+    """The (pair, cents) tie-count window is satisfied by the pair hash
+    clustering (subset rule) — no second exchange appears."""
+    p = plan_of(spark, "spearman_rank_corr", sf_dir)
+    assert "Join" not in p
+    assert p.count("Exchange") == 2
+
+
+def test_wash_trade_is_hash_equijoin(spark, sf_dir):
+    """The ±1h proximity predicate must plan as the (account, level,
+    bin) equi-join — never a nested loop over fill pairs."""
+    p = plan_of(spark, "wash_trade_detection", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "bin" in p
+
+
+def test_hoeffding_gate_single_aggregate(spark, sf_dir):
+    """One map-combined hash aggregate over the tape — no window, no
+    join, one exchange node."""
+    p = plan_of(spark, "ab_test_hoeffding_gate", sf_dir)
+    assert "Join" not in p and "Window" not in p
+    assert p.count("Exchange") == 2  # one node, formatted prints twice
+
+
+def test_qq_deciles_join_moves_decile_rows_only(spark, sf_dir):
+    """The early x late combine must be an equi-join on (type, k) fed by
+    the rank filter — no nested loop; the tape-sized exchange is the
+    single (type, half) sort-shuffle."""
+    p = plan_of(spark, "qq_drift_deciles", sf_dir)
+    assert "CartesianProduct" not in p
+    assert p.count("hashpartitioning(event_type, half") <= 2  # one window exchange
+
+
+def test_bbit_adds_no_shuffles_over_full_audit(spark, sf_dir):
+    """The 1-bit audit must keep minhash_estimate_quality's plan shape:
+    band-bucket candidate join + signature joins, no cartesian."""
+    p = plan_of(spark, "bbit_minhash_estimate", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_position_timeline_single_exchange(spark, sf_dir):
+    """Running sum, LAG, and rollup all on the one account sort-shuffle."""
+    p = plan_of(spark, "position_exposure_timeline", sf_dir)
+    assert "Join" not in p
+    assert p.count("Exchange") == 2
+
+
+def test_winnow_match_bounded_posting_join(spark, sf_dir):
+    """Candidates must come from the hash-equality posting join (after
+    the df cap) — never a nested loop or cartesian over docs."""
+    p = plan_of(spark, "winnow_match_pairs", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_weighted_median_single_exchange(spark, sf_dir):
+    """Running-weight window, total window, and rollup share the one
+    event_type exchange."""
+    p = plan_of(spark, "weighted_median_per_type", sf_dir)
+    assert "Join" not in p
+    assert p.count("Exchange") == 2
+
+
+def test_lateness_profile_single_exchange(spark, sf_dir):
+    """Running-max window (arrival order), lateness-rank window, and the
+    rollup all ride one event_type exchange."""
+    p = plan_of(spark, "event_lateness_profile", sf_dir)
+    assert "Join" not in p
+    assert p.count("Exchange") == 2
+
+
+def test_decile_lift_reduces_before_global_sort(spark, sf_dir):
+    """The tape must reduce to one row per account BEFORE the global
+    rank window — the single-partition sort sees account-sized data."""
+    p = plan_of(spark, "score_decile_lift", sf_dir)
+    assert "Join" not in p
+    # account aggregate exchange + singlepartition window exchange + decile agg
+    assert p.count("SinglePartition") >= 1
