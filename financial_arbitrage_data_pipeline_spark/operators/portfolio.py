@@ -380,3 +380,107 @@ def book_depth_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_overcancelled_levels"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Implementation shortfall (Perold) per account-hour
+# ---------------------------------------------------------------------------
+_SHORTFALL_ORACLE = """
+WITH q AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS px,
+         event_id % 5 + 1 AS qty,
+         epoch_us(ts) // 3600000000 AS hr
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+a AS (
+  SELECT user_id, hr,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN qty ELSE 0 END)
+              AS BIGINT) AS fill_qty,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN px * qty ELSE 0 END)
+              AS BIGINT) AS fill_cost,
+         MIN(CASE WHEN event_type = 'view'
+                  THEN {'ts_us': ts_us, 'event_id': event_id, 'px': px}
+             END).px AS arrival_px
+  FROM q GROUP BY user_id, hr
+)
+SELECT user_id,
+       CAST(hr AS BIGINT) AS hr,
+       fill_qty, fill_cost,
+       CAST(arrival_px AS BIGINT) AS arrival_px,
+       CAST(fill_cost - arrival_px * fill_qty AS BIGINT) AS shortfall_cents,
+       (CAST(fill_cost AS DOUBLE) / fill_qty - arrival_px)
+         / arrival_px * 10000 AS shortfall_bp
+FROM a
+WHERE fill_qty > 0 AND arrival_px IS NOT NULL AND arrival_px > 0
+"""
+
+
+@query("execution_shortfall_hourly", oracle=_SHORTFALL_ORACLE, tags=("pnl", "A2"))
+def execution_shortfall_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPLEMENTATION SHORTFALL (Perold 1988) per account-hour: the
+    execution cost nobody sees on a PnL line — fill VWAP versus the
+    ARRIVAL price (the first quote of the hour, the decision-time
+    benchmark). shortfall_cents = fill cost − arrival×qty is exact
+    int64 (positive = paid up); shortfall_bp is the declared two-divide
+    IEEE sequence on top. This is the execution-quality twin of
+    twap_per_ticker/book_vwap_fill: TWAP benchmarks the MARKET, arrival
+    price benchmarks the DECISION.
+
+    Plan: ONE map-combined hash aggregate — fills and the arrival
+    argmin reduce in the same (account, hour) pass (the arrival quote
+    is a conditional MIN over a (ts, event_id, px) struct, so no window
+    and no second scan). Tape-sized exchange only; at 100 TB this is a
+    single combine-heavy aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("px"),
+        (F.col("event_id") % 5 + 1).alias("qty"),
+        F.expr("(ts div 1000) div 3600000000").alias("hr"),
+    )
+    is_fill = F.col("event_type") == "purchase"
+    is_quote = F.col("event_type") == "view"
+    a = q.groupBy("user_id", "hr").agg(
+        F.sum(F.when(is_fill, F.col("qty")).otherwise(0))
+        .cast("long")
+        .alias("fill_qty"),
+        F.sum(F.when(is_fill, F.col("px") * F.col("qty")).otherwise(0))
+        .cast("long")
+        .alias("fill_cost"),
+        F.min(
+            F.when(
+                is_quote,
+                F.struct(
+                    F.col("ts_us").alias("ts_us"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("px").alias("px"),
+                ),
+            )
+        )["px"].alias("arrival_px"),
+    )
+    return a.filter(
+        (F.col("fill_qty") > 0)
+        & F.col("arrival_px").isNotNull()
+        & (F.col("arrival_px") > 0)
+    ).select(
+        "user_id",
+        F.col("hr").cast("long").alias("hr"),
+        "fill_qty",
+        "fill_cost",
+        F.col("arrival_px").cast("long").alias("arrival_px"),
+        (F.col("fill_cost") - F.col("arrival_px") * F.col("fill_qty"))
+        .cast("long")
+        .alias("shortfall_cents"),
+        (
+            (
+                F.col("fill_cost").cast("double") / F.col("fill_qty")
+                - F.col("arrival_px")
+            )
+            / F.col("arrival_px")
+            * 10000
+        ).alias("shortfall_bp"),
+    )

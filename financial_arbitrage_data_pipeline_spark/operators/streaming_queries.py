@@ -1843,3 +1843,164 @@ def streaming_tick_rule_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming event-sourced book depth (continuous aggregate, merge lane)
+# ---------------------------------------------------------------------------
+def make_book_depth_upserter(spark: SparkSession, table: str):
+    """foreachBatch upserter maintaining per-(market, side, level) net
+    resting depth across micro-batches — the streaming form of
+    book_depth_rebuild's first aggregation stage, riding the same
+    exactly-once merge protocol as make_pair_perf_upserter (applied
+    batch id recorded atomically with the bucket swaps; redelivered
+    batches skipped)."""
+    from .upsert import create_bucketed_table, merge_into_parquet, recover_merge_table
+
+    if not os.path.exists(table):
+        create_bucketed_table(
+            spark,
+            table,
+            spark.createDataFrame(
+                [],
+                "book_key string, market_id long, side string,"
+                " level long, net long",
+            ),
+            key="book_key",
+        )
+
+    def upsert_batch(batch_df, batch_id: int) -> None:
+        recover_merge_table(table, break_lock=True)
+        marker = os.path.join(table, "_last_applied_batch")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # redelivered batch: already merged
+        qty = F.col("event_id") % 7 + 1
+        b = (
+            batch_df.select(
+                F.col("user_id").alias("market_id"),
+                F.when(F.col("event_id") % 2 == 0, F.lit("bid"))
+                .otherwise(F.lit("ask"))
+                .alias("side"),
+                F.expr("cast(round(value * 100) as bigint) div 1000").alias("level"),
+                F.when(
+                    F.col("event_type").isin("view", "click", "signup"), qty
+                )
+                .otherwise(-qty)
+                .alias("delta"),
+            )
+            .groupBy("market_id", "side", "level")
+            .agg(F.sum("delta").cast("long").alias("d"))
+            .withColumn(
+                "book_key",
+                F.concat_ws("|", "market_id", "side", F.col("level").cast("string")),
+            )
+        )
+        merge_into_parquet(
+            spark,
+            table,
+            b,
+            key="book_key",
+            set_exprs={
+                "market_id": F.coalesce(F.col("t.market_id"), F.col("u.market_id")),
+                "side": F.coalesce(F.col("t.side"), F.col("u.side")),
+                "level": F.coalesce(F.col("t.level"), F.col("u.level")),
+                "net": F.coalesce(F.col("t.net"), F.lit(0)) + F.col("u.d"),
+            },
+            insert_missing=True,
+            extra_files={"_last_applied_batch": str(batch_id)},
+        )
+
+    return upsert_batch
+
+
+@query(
+    "streaming_book_depth",
+    oracle="""
+WITH d AS (
+  SELECT user_id AS market_id,
+         CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+         CAST(round(value * 100) AS BIGINT) // 1000 AS level,
+         CASE WHEN event_type IN ('view', 'click', 'signup')
+              THEN event_id % 7 + 1 ELSE -(event_id % 7 + 1) END AS delta
+  FROM events
+),
+lvl AS (
+  SELECT market_id, side, level, CAST(SUM(delta) AS BIGINT) AS net
+  FROM d GROUP BY 1, 2, 3
+)
+SELECT market_id,
+       MAX(CASE WHEN side = 'bid' AND net > 0 THEN level END) AS best_bid_level,
+       MIN(CASE WHEN side = 'ask' AND net > 0 THEN level END) AS best_ask_level,
+       MIN(CASE WHEN side = 'ask' AND net > 0 THEN level END)
+         - MAX(CASE WHEN side = 'bid' AND net > 0 THEN level END)
+         AS spread_levels,
+       CAST(SUM(CASE WHEN side = 'bid' AND net > 0 THEN net ELSE 0 END)
+            AS BIGINT) AS bid_depth,
+       CAST(SUM(CASE WHEN side = 'ask' AND net > 0 THEN net ELSE 0 END)
+            AS BIGINT) AS ask_depth,
+       CAST(SUM(CASE WHEN net < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overcancelled_levels
+FROM lvl GROUP BY market_id
+""",
+    tags=("P3", "K4", "T4", "streaming", "event-sourcing"),
+)
+def streaming_book_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE order book: book_depth_rebuild's delta aggregation
+    maintained INCREMENTALLY across micro-batches — each batch
+    pre-aggregates its add/cancel deltas map-side ((market, side,
+    level) × batch, tiny) and additively MERGEs them into the running
+    book table through the exactly-once merge protocol (applied-batch
+    marker atomic with the bucket swaps; at-least-once redelivery never
+    double-counts a delta). Because net depth is a SUM, chunk boundaries
+    are invisible by algebra — the final book rollup (best bid/ask,
+    spread, per-side depth, over-cancelled levels) is computed off the
+    merged table and hash-matches the batch recompute from the raw tape:
+    the defining continuous-aggregate property, proven on the actual
+    book-state operator the reference's websocket consumers run
+    imperatively (`virginia/api/data_feed.py:352-398`).
+
+    Scale: state is book-sized (markets × sides × ~50 levels), deltas
+    reduce map-side before ever touching the merge, and each merge
+    rewrites only the buckets holding levels the batch touched."""
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        table = os.path.join(root, "book_depth")
+        upsert_batch = make_book_depth_upserter(spark, table)
+        q = (
+            ingest.replay_stream(spark, replay_dir)
+            .writeStream.foreachBatch(upsert_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from .upsert import read_merge_table
+
+        lvl = read_merge_table(spark, table)
+        bid_live = (F.col("side") == "bid") & (F.col("net") > 0)
+        ask_live = (F.col("side") == "ask") & (F.col("net") > 0)
+        best_bid = F.max(F.when(bid_live, F.col("level")))
+        best_ask = F.min(F.when(ask_live, F.col("level")))
+        return (
+            lvl.groupBy("market_id")
+            .agg(
+                best_bid.alias("best_bid_level"),
+                best_ask.alias("best_ask_level"),
+                (best_ask - best_bid).alias("spread_levels"),
+                F.sum(F.when(bid_live, F.col("net")).otherwise(0))
+                .cast("long")
+                .alias("bid_depth"),
+                F.sum(F.when(ask_live, F.col("net")).otherwise(0))
+                .cast("long")
+                .alias("ask_depth"),
+                F.sum(F.when(F.col("net") < 0, 1).otherwise(0))
+                .cast("long")
+                .alias("n_overcancelled_levels"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1194,3 +1194,11 @@ def test_decile_lift_reduces_before_global_sort(spark, sf_dir):
     assert "Join" not in p
     # account aggregate exchange + singlepartition window exchange + decile agg
     assert p.count("SinglePartition") >= 1
+
+
+def test_execution_shortfall_single_aggregate(spark, sf_dir):
+    """Fills and the arrival argmin reduce in ONE (account, hour) pass —
+    no window, no join, one map-combined exchange."""
+    p = plan_of(spark, "execution_shortfall_hourly", sf_dir)
+    assert "Join" not in p and "Window" not in p
+    assert p.count("Exchange") == 2

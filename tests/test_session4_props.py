@@ -945,3 +945,52 @@ def test_keep_best_quality_beats_min_doc_id(spark, tmp_path):
     assert r["best_doc"] == 5
     assert r["cluster_size"] == 2
     assert r["chars_saved"] == len(base)
+
+
+def test_execution_shortfall_arrival_benchmark(spark, tmp_path):
+    """Arrival = FIRST quote of the hour (not min price); hours without
+    fills or without quotes are excluded; sign convention pinned."""
+    from financial_arbitrage_data_pipeline_spark.operators.portfolio import (
+        execution_shortfall_hourly,
+    )
+
+    H = 3_600 * 1_000_000
+    rows = [
+        # user 1, hour 0: quotes 100 (first) then 50 (lower, later) —
+        # arrival must be 100; fills: 3@110 -> shortfall = 330 - 300 = 30
+        (0, 10, 1, "view", 100),
+        (5, 20, 1, "view", 50),
+        (2, 30, 1, "purchase", 110),         # qty 3
+        # user 1, hour 1: fill but NO quote -> excluded
+        (7, H + 10, 1, "purchase", 200),
+        # user 2, hour 0: quote but no fill -> excluded
+        (10, 10, 2, "view", 100),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    got = execution_shortfall_hourly(spark, sf_dir).toPandas().to_dict("records")
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 1 and r["hr"] == 0
+    assert r["arrival_px"] == 100 and r["fill_qty"] == 3
+    assert r["shortfall_cents"] == 3 * 110 - 3 * 100 == 30
+    assert r["shortfall_bp"] == pytest.approx((110 - 100) / 100 * 10000)
+
+
+def test_streaming_book_depth_equals_batch_rebuild(spark, sf_dir):
+    """The continuous aggregate must be BIT-IDENTICAL to the batch
+    event-sourced rebuild on the same tape — chunk boundaries invisible
+    by additive algebra."""
+    from financial_arbitrage_data_pipeline_spark.operators.portfolio import (
+        book_depth_rebuild,
+    )
+    from financial_arbitrage_data_pipeline_spark.operators.streaming_queries import (
+        streaming_book_depth,
+    )
+
+    batch = book_depth_rebuild(spark, sf_dir).toPandas()
+    stream = streaming_book_depth(spark, sf_dir).toPandas()
+    cols = sorted(batch.columns)
+    assert sorted(stream.columns) == cols
+    b = sorted(map(tuple, batch[cols].itertuples(index=False)), key=repr)
+    s = sorted(map(tuple, stream[cols].itertuples(index=False)), key=repr)
+    assert b == s
