@@ -270,3 +270,83 @@ def exact_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         proj.unpersist()
     return spark.createDataFrame([(int(n), int(lo))], "n bigint, median_cents bigint")
+
+
+# ---------------------------------------------------------------------------
+# Max adverse / favorable excursion after each fill
+# ---------------------------------------------------------------------------
+_MAE_HORIZON_US = 3_600_000_000  # 1 hour
+
+_MAE_ORACLE = f"""
+WITH tape AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS px
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+w AS (
+  SELECT user_id, event_type, ts_us, event_id, px,
+         MIN(CASE WHEN event_type = 'view' THEN px END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN CURRENT ROW AND {_MAE_HORIZON_US} FOLLOWING)
+           AS min_quote,
+         MAX(CASE WHEN event_type = 'view' THEN px END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN CURRENT ROW AND {_MAE_HORIZON_US} FOLLOWING)
+           AS max_quote
+  FROM tape
+)
+SELECT user_id, event_id, px AS fill_px,
+       CAST(px - min_quote AS BIGINT) AS mae_cents,
+       CAST(max_quote - px AS BIGINT) AS mfe_cents
+FROM w
+WHERE event_type = 'purchase' AND min_quote IS NOT NULL
+"""
+
+
+@query("fill_excursion_mae_mfe", oracle=_MAE_ORACLE, tags=("risk", "W2"))
+def fill_excursion_mae_mfe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX ADVERSE / FAVORABLE EXCURSION per fill (Sweeney's MAE/MFE —
+    the trade-management statistic stop-loss placement is tuned on):
+    for every buy fill, the lowest and highest quote on the same pair
+    within the following hour, as exact integer excursions from the
+    fill price (mae = fill − worst quote; mfe = best quote − fill).
+    A strategy whose winners show small MAE tolerates tight stops; one
+    whose MAE routinely exceeds its MFE is picking tops.
+
+    Plan: fills and quotes ride ONE union tape and ONE pair-keyed
+    sort-shuffle; both excursions are conditional MIN/MAX over a
+    forward RANGE frame (event-time µs bounds), so there is no
+    fill×quote join at all — the same forward-frame shape as
+    effective_spread_metrics' t+5m mid. Fills with no forward quote in
+    the horizon are excluded, not extrapolated."""
+    ev = load_table(spark, sf_dir, "events")
+    tape = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("px"),
+    )
+    quote_px = F.when(F.col("event_type") == "view", F.col("px"))
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(0, _MAE_HORIZON_US)
+    )
+    w = tape.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "px",
+        F.min(quote_px).over(wf).alias("min_quote"),
+        F.max(quote_px).over(wf).alias("max_quote"),
+    )
+    return w.filter(
+        (F.col("event_type") == "purchase") & F.col("min_quote").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("px").alias("fill_px"),
+        (F.col("px") - F.col("min_quote")).cast("long").alias("mae_cents"),
+        (F.col("max_quote") - F.col("px")).cast("long").alias("mfe_cents"),
+    )

@@ -99,3 +99,64 @@ def wash_trade_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("px").cast("long").alias("n_wash_levels"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-to-trade ratio (MiFID II RTS 9-style message-abuse metric)
+# ---------------------------------------------------------------------------
+_OTR_ORACLE = """
+WITH m AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_trade
+  FROM events
+)
+SELECT user_id,
+       CAST(day AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_messages,
+       CAST(SUM(is_trade) AS BIGINT) AS n_trades,
+       CASE WHEN SUM(is_trade) > 0
+            THEN CAST(COUNT(*) AS DOUBLE) / SUM(is_trade) END AS otr,
+       (SUM(is_trade) = 0 OR COUNT(*) > 50 * SUM(is_trade)) AS flagged
+FROM m GROUP BY user_id, day
+"""
+
+
+@query("order_to_trade_ratio", oracle=_OTR_ORACLE, tags=("surveillance", "A3"))
+def order_to_trade_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-TO-TRADE ratio per account-day — the MiFID II RTS 9
+    message-abuse metric venues enforce: total messages (every event is
+    an order action on this tape) over executed trades (purchases). An
+    account sending hundreds of messages per fill is quoting noise, not
+    liquidity — flagged when OTR > 50 or the account traded nothing at
+    all while messaging. Completes the surveillance triptych:
+    quote_stuffing_bursts (rate abuse), wash_trade_detection
+    (self-dealing), order_to_trade_ratio (message economics).
+
+    Exactness: counts int64; otr is one declared IEEE divide, NULL
+    (not ∞) for zero-trade days. Plan: ONE map-combined hash aggregate
+    over the tape — no window, no join, account-day-sized output."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "user_id",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_trade"),
+    )
+    g = m.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_messages"),
+        F.sum("is_trade").cast("long").alias("n_trades"),
+    )
+    return g.select(
+        "user_id",
+        F.col("day").cast("long").alias("day"),
+        "n_messages",
+        "n_trades",
+        F.when(
+            F.col("n_trades") > 0,
+            F.col("n_messages").cast("double") / F.col("n_trades"),
+        ).alias("otr"),
+        (
+            (F.col("n_trades") == 0)
+            | (F.col("n_messages") > 50 * F.col("n_trades"))
+        ).alias("flagged"),
+    )

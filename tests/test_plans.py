@@ -1202,3 +1202,17 @@ def test_execution_shortfall_single_aggregate(spark, sf_dir):
     p = plan_of(spark, "execution_shortfall_hourly", sf_dir)
     assert "Join" not in p and "Window" not in p
     assert p.count("Exchange") == 2
+
+
+def test_mae_mfe_no_join_single_exchange(spark, sf_dir):
+    """Fills and quotes ride one union tape: conditional MIN/MAX over a
+    forward RANGE frame — no fill x quote join anywhere."""
+    p = plan_of(spark, "fill_excursion_mae_mfe", sf_dir)
+    assert "Join" not in p
+    assert p.count("Exchange") == 2
+
+
+def test_otr_single_aggregate(spark, sf_dir):
+    p = plan_of(spark, "order_to_trade_ratio", sf_dir)
+    assert "Join" not in p and "Window" not in p
+    assert p.count("Exchange") == 2

@@ -994,3 +994,66 @@ def test_streaming_book_depth_equals_batch_rebuild(spark, sf_dir):
     b = sorted(map(tuple, batch[cols].itertuples(index=False)), key=repr)
     s = sorted(map(tuple, stream[cols].itertuples(index=False)), key=repr)
     assert b == s
+
+
+def test_mae_mfe_horizon_edges(spark, tmp_path):
+    """Quote exactly AT the 1h horizon counts (inclusive frame); a quote
+    1µs past it doesn't; quotes BEFORE the fill never count; fills with
+    no forward quote are excluded."""
+    from financial_arbitrage_data_pipeline_spark.operators.riskstats import (
+        _MAE_HORIZON_US,
+        fill_excursion_mae_mfe,
+    )
+
+    H = _MAE_HORIZON_US
+    rows = [
+        # user 1: fill at t=0 px=100; quotes at +1 (90), +H (120), +H+1 (999)
+        (0, 10, 1, "view", 500),            # BEFORE the fill: ignored
+        (2, 100, 1, "purchase", 100),
+        (5, 101, 1, "view", 90),
+        (10, 100 + H, 1, "view", 120),      # exactly at horizon: counts
+        (15, 100 + H + 1, 1, "view", 999),  # past horizon: ignored
+        # user 2: fill with no forward quote -> excluded
+        (20, 100, 2, "purchase", 100),
+        (25, 50, 2, "view", 70),            # only a backward quote
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    got = fill_excursion_mae_mfe(spark, sf_dir).toPandas().to_dict("records")
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 1 and r["fill_px"] == 100
+    assert r["mae_cents"] == 100 - 90
+    assert r["mfe_cents"] == 120 - 100  # 999 excluded, 120 included
+
+
+def test_otr_flags_zero_trade_and_high_ratio_days(spark, tmp_path):
+    from financial_arbitrage_data_pipeline_spark.operators.surveillance import (
+        order_to_trade_ratio,
+    )
+
+    D = 86_400 * 1_000_000
+    rows = []
+    eid = 0
+    # user 1 day 0: 60 messages, 1 trade -> otr 60 > 50 -> flagged
+    for i in range(59):
+        rows.append((eid, i, 1, "view", 100)); eid += 1
+    rows.append((eid, 60, 1, "purchase", 100)); eid += 1
+    # user 2 day 0: 5 messages, 0 trades -> flagged, otr NULL
+    for i in range(5):
+        rows.append((eid, i, 2, "click", 100)); eid += 1
+    # user 3 day 1: 10 messages, 5 trades -> otr 2, not flagged
+    for i in range(5):
+        rows.append((eid, D + i, 3, "view", 100)); eid += 1
+        rows.append((eid + 1000, D + 10 + i, 3, "purchase", 100)); eid += 1
+    sf_dir = _write_events(spark, tmp_path, rows)
+    got = {
+        (r["user_id"], r["day"]): r
+        for r in order_to_trade_ratio(spark, sf_dir).toPandas().to_dict("records")
+    }
+    r1 = got[(1, 0)]
+    assert r1["n_messages"] == 60 and r1["n_trades"] == 1
+    assert r1["otr"] == 60.0 and r1["flagged"]
+    r2 = got[(2, 0)]
+    assert r2["n_trades"] == 0 and pd.isna(r2["otr"]) and r2["flagged"]
+    r3 = got[(3, 1)]
+    assert r3["otr"] == 2.0 and not r3["flagged"]
