@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from financial_arbitrage_data_pipeline_spark.operators.transcode import (
@@ -256,6 +256,9 @@ def test_decoders_fail_closed_on_garbage(junk):
 
 @settings(max_examples=40, deadline=None)
 @given(flip=st.integers(2, 200), junk=st.binary(min_size=1, max_size=8))
+# pinned: this junk lands in the DHT and maps a Huffman code to a 64-bit
+# DC size; pre-guard it overflowed the int64 coefficient store
+@example(flip=126, junk=b"\x00@")
 def test_jpeg_decoder_survives_mid_stream_corruption(flip, junk):
     good = synthesize_jpeg(9)
     pos = flip % (len(good) - 4) + 2
