@@ -613,3 +613,46 @@ def test_observe_metrics_on_storage_lane(spark, sf_dir, tmp_path):
         spark.streams.removeListener(listener)
     assert sum(m["rows"] for m in seen) == n_rows
     assert all(m["max_ts"] is not None for m in seen)
+
+
+def test_book_depth_upserter_additive_and_redelivery_safe(spark, sf_dir, tmp_path):
+    """The live-book upserter: adds and cancels net additively across
+    batches (a later batch can flip a level's sign), redelivered batch
+    ids merge exactly once, and a new batch id still merges. Uses the
+    SHIPPED batch handler."""
+    from financial_arbitrage_data_pipeline_spark.operators.streaming_queries import (
+        make_book_depth_upserter,
+    )
+
+    table = str(tmp_path / "book_depth")
+    upsert = make_book_depth_upserter(spark, table)
+    # qty = event_id % 7 + 1; side = parity; level = cents div 1000
+    batch1 = spark.createDataFrame(
+        [
+            (2, 7, "view", 50.00),       # bid L5 +3
+            (4, 7, "signup", 50.00),     # bid L5 +5 -> net +8
+            (1, 7, "error", 70.00),      # ask L7 -2 (cancel with nothing)
+        ],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    upsert(batch1, 0)
+
+    def state():
+        return {
+            (r.market_id, r.side, r.level): r.net
+            for r in spark.read.parquet(table).collect()
+        }
+
+    once = state()
+    assert once == {(7, "bid", 5): 8, (7, "ask", 7): -2}
+
+    upsert(batch1, 0)   # redelivery
+    upsert(batch1, -3)  # older id
+    assert state() == once
+
+    batch2 = spark.createDataFrame(
+        [(6, 7, "error", 50.00)],  # bid L5 cancel 7 -> net +1
+        "event_id long, user_id long, event_type string, value double",
+    )
+    upsert(batch2, 1)
+    assert state() == {(7, "bid", 5): 1, (7, "ask", 7): -2}
