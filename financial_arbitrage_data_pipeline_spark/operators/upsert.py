@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -119,6 +120,7 @@ def _reclaim_stale_lock(path: str) -> bool:
 
 def _acquire_merge_lock(target_dir: str) -> None:
     path = _lock_path(target_dir)
+    recovery_waits = 0
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -131,6 +133,15 @@ def _acquire_merge_lock(target_dir: str) -> None:
                     holder = fh.read().strip()
             except OSError:  # pragma: no cover - lock vanished mid-read
                 continue  # released between the create and the read
+            if '"recovery"' in holder and recovery_waits < 500:
+                # A reader holds the lock only for the duration of
+                # crash recovery (pure filesystem metadata ops, ms
+                # scale). Writers wait it out instead of raising —
+                # bounded so a wedged reader can't hang a writer
+                # forever (after ~5 s it reads as a real conflict).
+                recovery_waits += 1
+                time.sleep(0.01)
+                continue
             raise ConcurrentMergeError(
                 f"merge already in progress on {target_dir} (lock held by"
                 f" {holder}). The lock self-clears once that pid exits; a"
@@ -439,8 +450,22 @@ def vacuum_merge_history(target_dir: str, keep_last: int) -> list[int]:
             if os.path.isdir(vdir):
                 shutil.rmtree(vdir, ignore_errors=True)
                 removed.append(e["seq"])
-    if cutoff > 0:
-        _install_root_files(target_dir, {_VACUUM_MARKER: str(cutoff)})
+    # The recorded floor is MONOTONE (ADVICE r7): a later vacuum with a
+    # larger keep_last computes a smaller cutoff, but the earlier vacuum
+    # already deleted the archives below the old floor — writing the
+    # smaller value would re-advertise unreadable versions. Never let
+    # the floor decrease.
+    prior = 0
+    vac_p = os.path.join(target_dir, _VACUUM_MARKER)
+    if os.path.exists(vac_p):
+        try:
+            with open(vac_p) as fh:
+                prior = int(fh.read().strip() or 0)
+        except (OSError, ValueError):  # pragma: no cover - corrupt marker
+            prior = 0
+    floor = max(cutoff, prior)
+    if floor > 0:
+        _install_root_files(target_dir, {_VACUUM_MARKER: str(floor)})
     return removed
 
 
@@ -502,32 +527,44 @@ def recover_merge_table(
     it before reading the applied-batch marker and before every merge."""
     lock_p = _lock_path(target_dir)
     we_hold = False
-    if os.path.exists(lock_p):
-        if break_lock:
-            try:
-                os.remove(lock_p)
-            except FileNotFoundError:  # pragma: no cover - raced release
-                pass
-        elif _lock_owner_dead(lock_p):
-            if not _reclaim_stale_lock(lock_p) and not ignore_lock:
-                return  # a racer claimed it; treat as live until it acts
-            if not ignore_lock:
-                # Reclaim + recover must be ATOMIC w.r.t. new writers
-                # (ADVICE r6): hold the writer lock through recovery,
-                # else a writer acquiring the just-freed lock could
-                # start a merge whose LIVE _merge_pending this reader
-                # would then roll back mid-flight.
+    if not ignore_lock:
+        # Recovery must hold the writer lock BEFORE touching pending
+        # state (ADVICE r6 for the stale-reclaim path; ADVICE r7 extends
+        # it to the no-lock path): even when no lock file exists at the
+        # check, a writer can acquire the lock and write _merge_pending
+        # in the window before _recover_unlocked runs — an unlocked
+        # reader would then roll back a LIVE merge mid-flight. So every
+        # non-owner caller wins the O_CREAT|O_EXCL create first and
+        # backs off if a writer (or a racing reader) gets in ahead.
+        while True:
+            if break_lock:
+                # Declared single owner at lane startup: claims even a
+                # live-looking lock (e.g. pid reuse on another host).
                 try:
-                    fd = os.open(lock_p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                except FileExistsError:
-                    return  # a new writer got in first; it owns recovery
-                with os.fdopen(fd, "w") as fh:
-                    json.dump(
-                        {"pid": os.getpid(), "host": os.uname().nodename}, fh
-                    )
-                we_hold = True
-        elif not ignore_lock:
-            return  # live writer owns the pending state; do not touch it
+                    os.remove(lock_p)
+                except FileNotFoundError:
+                    pass
+            try:
+                fd = os.open(lock_p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                if break_lock:
+                    continue  # re-claim whatever raced in
+                if _lock_owner_dead(lock_p):
+                    if _reclaim_stale_lock(lock_p):
+                        continue  # contend on O_EXCL like normal
+                    return  # a racer claimed it; it owns recovery
+                return  # live writer owns the pending state; no-op
+            with os.fdopen(fd, "w") as fh:
+                json.dump(
+                    {
+                        "pid": os.getpid(),
+                        "host": os.uname().nodename,
+                        "recovery": True,
+                    },
+                    fh,
+                )
+            we_hold = True
+            break
     try:
         _recover_unlocked(target_dir)
     finally:

@@ -73,8 +73,9 @@ HAVING COUNT(*) >= {_MIN_SHARED}
 
 @query("winnow_match_pairs", oracle=_WINMATCH_ORACLE, tags=("dedup", "text-fingerprint"))
 def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MOSS pair matching: documents sharing >= 2 winnowing-selected
-    8-gram fingerprint HASHES (>= _MIN_SHARED = 3), with the shared count — the ranking signal MOSS
+    """MOSS pair matching: documents sharing at least _MIN_SHARED
+    winnowing-selected 8-gram fingerprint HASHES (the single threshold
+    constant, currently 3), with the shared count — the ranking signal MOSS
     shows a grader, after dropping fingerprints present in more than 10
     documents (MOSS's boilerplate rule — the corpus here is templated,
     and without the document-frequency cap one shared template 12-gram

@@ -852,6 +852,112 @@ def test_reclaimed_lock_is_held_through_reader_recovery(spark, tmp_path):
     assert not os.path.exists(os.path.join(target, U._PENDING_FILE))
 
 
+def test_no_lock_reader_recovery_also_holds_the_lock(spark, tmp_path):
+    """ADVICE r7: the atomic reclaim+recover discipline must cover the
+    NO-LOCK branch too — when no lock file exists at the check, a writer
+    could acquire the lock and write _merge_pending before the reader's
+    _recover_unlocked runs, and the unlocked reader would roll back that
+    live merge. So a default-args reader must win the O_EXCL create and
+    hold the lock through recovery even when no lock existed."""
+    import json
+    import os
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=2)
+    assert not os.path.exists(U._lock_path(target))  # the no-lock branch
+
+    observed = {}
+    real_recover = U._recover_unlocked
+
+    def spying_recover(td):
+        observed["lock_exists"] = os.path.exists(U._lock_path(td))
+        if observed["lock_exists"]:
+            with open(U._lock_path(td)) as fh:
+                observed["owner"] = json.load(fh)["pid"]
+        return real_recover(td)
+
+    U._recover_unlocked = spying_recover
+    try:
+        U.recover_merge_table(target)
+    finally:
+        U._recover_unlocked = real_recover
+
+    assert observed["lock_exists"], "no-lock recovery ran without the lock"
+    assert observed["owner"] == os.getpid()
+    assert not os.path.exists(U._lock_path(target))  # released afterwards
+
+    # a writer arriving while a reader's transient recovery-hold is live
+    # WAITS it out rather than raising ConcurrentMergeError: simulate the
+    # hold with this process's pid + the recovery tag, release it from a
+    # timer thread, and assert the merge succeeds.
+    import threading
+
+    from pyspark.sql import functions as F
+
+    with open(U._lock_path(target), "w") as fh:
+        json.dump(
+            {"pid": os.getpid(), "host": "test", "recovery": True}, fh
+        )
+    releaser = threading.Timer(
+        0.3, lambda: os.remove(U._lock_path(target))
+    )
+    releaser.start()
+    try:
+        U.merge_into_parquet(
+            spark, target,
+            spark.createDataFrame([(1, 99)], "k long, v long"),
+            "k", {"v": F.col("u.v")},
+        )
+    finally:
+        releaser.cancel()
+    got = {r.k: r.v for r in U.read_merge_table(spark, target).collect()}
+    assert got == {1: 99, 2: 20}
+
+
+def test_vacuum_floor_is_monotone(spark, tmp_path):
+    """ADVICE r7: a later vacuum with a LARGER keep_last computes a
+    smaller cutoff; writing that smaller floor would re-advertise
+    versions whose archives the earlier vacuum already deleted, turning
+    read_merge_table_asof into an internal 'was vacuumed' error instead
+    of the version-not-readable error. The recorded floor never moves
+    backward."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i) for i in range(10)], "k long, v long"
+    )
+    U.create_bucketed_table(
+        spark, target, base, "k", n_buckets=2, keep_history=True
+    )
+    for n in range(4):
+        U.merge_into_parquet(
+            spark, target,
+            spark.createDataFrame([(1, 100 + n)], "k long, v long"),
+            "k", {"v": F.col("u.v")},
+        )
+    assert U.history_versions(target) == [0, 1, 2, 3, 4]
+    # aggressive vacuum first: floor rises to 3
+    assert U.vacuum_merge_history(target, keep_last=1) == [1, 2, 3]
+    assert U.history_versions(target) == [3, 4]
+    # then a LAXER vacuum (keep_last=3 → cutoff 1 < floor 3): must not
+    # lower the floor — versions 1..2 are physically gone
+    assert U.vacuum_merge_history(target, keep_last=3) == []
+    assert U.history_versions(target) == [3, 4]
+    # and the gone versions fail with the version-not-readable error,
+    # not the internal vacuumed-archive error
+    with _pytest.raises(ValueError, match="not readable"):
+        U.read_merge_table_asof(spark, target, 2)
+    got = {r.k: r.v for r in U.read_merge_table_asof(spark, target, 3).collect()}
+    assert got[1] == 102
+
+
 def _snap(spark, U, target):
     return {r.k: r.v for r in U.read_merge_table(spark, target).collect()}
 
