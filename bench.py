@@ -92,6 +92,26 @@ def _calibrate(spark) -> dict:
     return out
 
 
+def _contention_snapshot() -> dict:
+    """Host contention at a point in time (VERDICT r7 task 1): the 1/5/15
+    minute load averages plus the number of OTHER live processes on the
+    box. machine_factor calibrates sustained slowdown but cannot separate
+    'this machine is slower' from 'co-tenants burst mid-run'; recording
+    load alongside the walls lets a regression be pinned to measured
+    contention instead of argued."""
+    la = os.getloadavg()
+    try:
+        n_procs = sum(1 for p in os.listdir("/proc") if p.isdigit())
+    except OSError:  # pragma: no cover - non-procfs host
+        n_procs = -1
+    return {
+        "load_1m": round(la[0], 2),
+        "load_5m": round(la[1], 2),
+        "load_15m": round(la[2], 2),
+        "n_procs": n_procs,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="bench every query")
@@ -115,6 +135,7 @@ def main() -> None:
     # to the first query
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    load_start = _contention_snapshot()
     calib = _calibrate(spark)
 
     import statistics
@@ -127,26 +148,51 @@ def main() -> None:
     # best so a reader can tell signal from scheduler noise.
     SPREAD_TARGET = 0.20
     MAX_RUNS = 7
+    # Contention-control (VERDICT r7 task 1): per-query spread control is
+    # not enough — BENCH_r07's regression was a UNIFORM drift that left
+    # every per-query MAD small while the total moved 22%. After the
+    # per-query loops, keep re-running the widest-spread queries until
+    # the TOTAL spread (sum of per-query MADs over sum of medians) is
+    # within TOTAL_SPREAD_TARGET, bounded by EXTRA_RUN_BUDGET.
+    TOTAL_SPREAD_TARGET = 0.10
+    EXTRA_RUN_BUDGET = 20
+
+    all_runs: dict[str, list[float]] = {}
+
+    def one_run(name: str) -> None:
+        t0 = time.perf_counter()
+        REGISTRY[name].builder(spark, sf_dir).toPandas()
+        all_runs[name].append(time.perf_counter() - t0)
+
+    def med_mad(runs: list[float]) -> tuple[float, float]:
+        med = statistics.median(runs)
+        return med, statistics.median(abs(r - med) for r in runs)
+
+    for name in names:
+        all_runs[name] = []
+        for _ in range(max(1, args.repeat)):
+            one_run(name)
+        med, mad = med_mad(all_runs[name])
+        while len(all_runs[name]) < MAX_RUNS and mad > SPREAD_TARGET * med:
+            one_run(name)
+            med, mad = med_mad(all_runs[name])
+
+    extra = 0
+    while extra < EXTRA_RUN_BUDGET:
+        stats = {n: med_mad(r) for n, r in all_runs.items()}
+        total_med = sum(m for m, _ in stats.values())
+        total_mad = sum(d for _, d in stats.values())
+        if total_mad <= TOTAL_SPREAD_TARGET * total_med:
+            break
+        widest = max(stats, key=lambda n: stats[n][1])
+        one_run(widest)
+        extra += 1
 
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
     for name in names:
-        spec = REGISTRY[name]
-        runs: list[float] = []
-
-        def one_run() -> None:
-            t0 = time.perf_counter()
-            spec.builder(spark, sf_dir).toPandas()
-            runs.append(time.perf_counter() - t0)
-
-        for _ in range(max(1, args.repeat)):
-            one_run()
-        med = statistics.median(runs)
-        mad = statistics.median(abs(r - med) for r in runs)
-        while len(runs) < MAX_RUNS and mad > SPREAD_TARGET * med:
-            one_run()
-            med = statistics.median(runs)
-            mad = statistics.median(abs(r - med) for r in runs)
+        runs = all_runs[name]
+        med, mad = med_mad(runs)
         timings[name] = round(min(runs), 4)
         mean = sum(runs) / len(runs)
         sd = (sum((r - mean) ** 2 for r in runs) / len(runs)) ** 0.5
@@ -157,6 +203,7 @@ def main() -> None:
             "stddev": round(sd, 4),
             "n": len(runs),
         }
+    load_after_queries = _contention_snapshot()
 
     # Ingest throughput, apples-to-apples with the reference's headline
     # number (~93 msg/s sustained, BASELINE.md): run the real storage
@@ -243,6 +290,10 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 4)
+    total_medians = round(
+        sum(s["median"] for s in spreads.values()), 4
+    )
+    total_mad = round(sum(s["mad"] for s in spreads.values()), 4)
     print(
         json.dumps(
             {
@@ -252,6 +303,20 @@ def main() -> None:
                 "value_normalized": round(
                     total / max(calib["machine_factor"], 1e-9), 4
                 ),
+                # Robust headline (VERDICT r7 task 1): sum of per-query
+                # MEDIANS next to best-of, with its aggregate MAD — the
+                # statistic that stayed monotone-improving through the
+                # r7 environmental drift while best-of moved 22%.
+                "value_medians": total_medians,
+                "value_medians_normalized": round(
+                    total_medians / max(calib["machine_factor"], 1e-9), 4
+                ),
+                "total_mad": total_mad,
+                "total_mad_frac": round(
+                    total_mad / max(total_medians, 1e-9), 4
+                ),
+                "load_start": load_start,
+                "load_after_queries": load_after_queries,
                 **calib,
                 "queries": timings,
                 "query_spreads": spreads,
