@@ -39,7 +39,14 @@ from pyspark.sql import types as T
 
 from ..plans.registry import query
 from ..sources.tables import load_table
-from .multimodal import _HAS_NUMPY, _encode_bmp, _parse_bmp, resize_image
+from .multimodal import (
+    _HAS_NUMPY,
+    _encode_bmp,
+    _parse_bmp,
+    _parse_wav,
+    resample_audio,
+)
+from .multimodal import resize_image
 
 if _HAS_NUMPY:
     import numpy as _np
@@ -299,4 +306,239 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = assets.mapInPandas(hash_kernel, _SIG_SCHEMA).persist()
     return _hamming_band_pairs(
         sig, "dhash", DHASH_BANDS, _DHASH_BAND_BITS, DHASH_MAX_HAMMING
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio energy-contour fingerprint: 34 time frames over the decoded PCM,
+# 32 SECOND-DIFFERENCE bits (E[f+2]-E[f+1] > E[f+1]-E[f]) — first
+# differences are biased by any energy drift; second differences are the
+# drift-free contour-shape signal (the Haitsma–Kalker trick). Gain
+# changes scale every frame energy together, so strict comparisons are
+# preserved; a linear-interpolation resample roughly doubles every frame
+# energy (midpoints of a piecewise-smooth signal carry the same local
+# power), so the contour survives that too.
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_FRAMES = 34
+AUDIO_FP_BITS = AUDIO_FP_FRAMES - 2  # 32
+AUDIO_FP_MAX_HAMMING = 3
+AUDIO_FP_BANDS = 4  # 4 bands x 8 bits; pigeonhole-exact at distance <= 3
+_AUDIO_FP_BAND_BITS = AUDIO_FP_BITS // AUDIO_FP_BANDS
+_AUDIO_SEG = 32  # envelope segment length (samples) in the synthetic corpus
+_AUDIO_RATE = 16_000
+
+
+def audio_fingerprint32(payload: bytes) -> int:
+    """Energy-contour fingerprint of a decoded WAV payload — all-integer
+    (frame energies are int64 sums of squares; frame of sample i is
+    (i * 34) div n), so the DuckDB oracle can restate it exactly."""
+    _, x = _parse_wav(payload)
+    n = int(x.size)
+    f = (_np.arange(n) * AUDIO_FP_FRAMES) // n
+    e = _np.zeros(AUDIO_FP_FRAMES, dtype=_np.int64)
+    _np.add.at(e, f, x * x)
+    bits = (e[2:] - e[1:-1]) > (e[1:-1] - e[:-2])
+    return int(((1 << _np.arange(AUDIO_FP_BITS)) * bits).sum())
+
+
+def _audio_fp_n(doc_id: int) -> int:
+    return 2048 + doc_id % 256
+
+
+def _audio_fp_samples(doc_id: int):
+    """Two-scale clip: an md5-hashed amplitude per 32-sample segment,
+    held constant within the segment. The piecewise-constant envelope is
+    what makes the construction honest BOTH ways: segment amplitudes are
+    hash-random (cross-doc fingerprints decorrelate — a congruential
+    generator makes every doc a time-shift of one universal walk and
+    everything near-dups everything, measured), while within a segment
+    linear interpolation is exact (resampled copies keep the contour)."""
+    import hashlib
+
+    n = _audio_fp_n(doc_id)
+    segs = [
+        (int(hashlib.md5(f"{doc_id}_{g}".encode()).hexdigest()[:8], 16) % 1024)
+        - 512
+        for g in range((n + _AUDIO_SEG - 1) // _AUDIO_SEG)
+    ]
+    return _np.repeat(_np.array(segs, dtype=_np.int64), _AUDIO_SEG)[:n]
+
+
+def _encode_wav(samples, rate: int) -> bytes:
+    """16-bit mono PCM RIFF/WAVE container around an int array (the
+    encoder half of the `multimodal._parse_wav` codec lane)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def synthesize_fp_wav(doc_id: int) -> bytes:
+    return _encode_wav(_audio_fp_samples(doc_id), _AUDIO_RATE)
+
+
+def gain_variant(payload: bytes) -> bytes:
+    """Truncating half-gain re-encode (sign * (|x| div 2) — the SQL
+    `//`-on-each-sign-branch form, so the oracle restates it exactly):
+    the 'same clip, quieter' copy a perceptual audio hash must keep in
+    the same bucket."""
+    rate, x = _parse_wav(payload)
+    y = _np.sign(x) * (_np.abs(x) // 2)
+    return _encode_wav(y, rate)
+
+
+_AUDIO_KINDS = 3  # 0 = original, 1 = 2x-rate linear resample, 2 = half gain
+
+
+_AUDIO_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("afp", T.LongType(), False),
+    ]
+)
+
+
+_AUDIO_FP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, 2048 + doc_id % 256 AS n
+  FROM documents WHERE doc_id % 4 = 1
+),
+seg AS (
+  SELECT doc_id, n, unnest(generate_series(0, (n - 1) // {_AUDIO_SEG})) AS g
+  FROM d
+),
+amp AS (
+  SELECT doc_id, n, g,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_'
+                                    || CAST(g AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1024) - 512 AS a
+  FROM seg
+),
+x AS (
+  SELECT doc_id, n, g * {_AUDIO_SEG} + o AS i, a AS v
+  FROM (SELECT *, unnest(generate_series(0, {_AUDIO_SEG - 1})) AS o FROM amp)
+  WHERE g * {_AUDIO_SEG} + o < n
+),
+s0 AS (SELECT doc_id, 0 AS kind, n AS sn, i, v FROM x),
+s2 AS (
+  SELECT doc_id, 2 AS kind, n AS sn, i,
+         CASE WHEN v >= 0 THEN v // 2 ELSE -((-v) // 2) END AS v
+  FROM x
+),
+uj AS (
+  SELECT doc_id, n, 2 * n - 1 AS sn,
+         unnest(generate_series(0, 2 * n - 2)) AS j
+  FROM d
+),
+s1 AS (
+  SELECT uj.doc_id, 1 AS kind, uj.sn, uj.j AS i,
+         CASE WHEN uj.j % 2 = 0 THEN xa.v
+              ELSE xa.v + CAST(FLOOR((xb.v - xa.v) / 2.0) AS BIGINT) END AS v
+  FROM uj
+  JOIN x xa ON xa.doc_id = uj.doc_id AND xa.i = uj.j // 2
+  JOIN x xb ON xb.doc_id = uj.doc_id
+           AND xb.i = LEAST(uj.j // 2 + 1, uj.n - 1)
+),
+alls AS (
+  SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+),
+fe AS (
+  SELECT doc_id, kind, (i * {AUDIO_FP_FRAMES}) // sn AS f, SUM(v * v) AS e
+  FROM alls GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT a.doc_id, a.kind, a.f AS j
+  FROM fe a
+  JOIN fe b ON b.doc_id = a.doc_id AND b.kind = a.kind AND b.f = a.f + 1
+  JOIN fe c ON c.doc_id = a.doc_id AND c.kind = a.kind AND c.f = a.f + 2
+  WHERE (c.e - b.e) > (b.e - a.e)
+),
+k AS (SELECT doc_id, unnest([0, 1, 2]) AS kind FROM d),
+sig AS (
+  SELECT k.doc_id * {_AUDIO_KINDS} + k.kind AS asset_id,
+         COALESCE(SUM(CAST(1 AS BIGINT) << j), 0) AS afp
+  FROM k LEFT JOIN bits ON bits.doc_id = k.doc_id AND bits.kind = k.kind
+  GROUP BY 1
+)
+SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.afp, b.afp)) <= {AUDIO_FP_MAX_HAMMING}
+"""
+
+
+@query(
+    "audio_fingerprint_neardup",
+    oracle=_AUDIO_FP_ORACLE,
+    tags=("multimodal", "audio", "dedup", "perceptual"),
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual near-dup dedup over the REAL PCM codec lane
+    (VERDICT r7 task 7 — completing the modality dedup story: text has
+    four tiers, images have `image_phash_neardup`, this adds audio): per
+    selected document synthesize THREE WAV assets — the original clip, a
+    2x-rate re-encode through the real linear-interpolation resampler
+    (`multimodal.resample_audio`), and a truncating half-gain re-encode —
+    decode each through the real RIFF/WAVE parser, fingerprint the
+    decoded samples with the 32-bit second-difference energy contour,
+    and find all pairs within Hamming <= 3 via the banded Hamming
+    equi-join (4 x 8-bit bands, pigeonhole-exact).
+
+    The oracle restates the WHOLE chain in SQL — the md5 segment
+    envelope, the resampler's exact integer interpolation
+    (y = s1 + floor((s2-s1)*frac/dst), stated with FLOOR over an exact
+    float-by-2 division because SQL `//` truncates while the kernel
+    floors), the sign-split truncating gain, frame energies, and the
+    quadratic pair definition — so a hash match proves the engine's
+    synth -> encode -> resample/gain -> re-encode -> decode ->
+    fingerprint chain end-to-end AND that the banding loses no
+    qualifying pair.
+
+    Scale shape: samples never shuffle — payloads exist only inside the
+    chained mapInPandas kernels; the exchanges carry (asset_id, 32-bit
+    fingerprint) and band buckets. Reference anchor: none exists (the
+    reference never inspects media bytes); north-star family per
+    BASELINE.json."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the WAV codec kernels")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 1
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for a in pdf["doc_id"]:
+                doc = int(a)
+                orig = synthesize_fp_wav(doc)
+                for kind, p in (
+                    (0, orig),
+                    (1, resample_audio(orig, 2 * _AUDIO_RATE)),
+                    (2, gain_variant(orig)),
+                ):
+                    ids.append(doc * _AUDIO_KINDS + kind)
+                    payloads.append(p)
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    assets = docs.select("doc_id").mapInPandas(synth, _ASSET_SCHEMA)
+
+    def hash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "afp": [audio_fingerprint32(p) for p in pdf["payload"]],
+                }
+            )
+
+    sig = assets.mapInPandas(hash_kernel, _AUDIO_SIG_SCHEMA).persist()
+    return _hamming_band_pairs(
+        sig, "afp", AUDIO_FP_BANDS, _AUDIO_FP_BAND_BITS, AUDIO_FP_MAX_HAMMING
     )
