@@ -68,13 +68,76 @@ def check() -> list[str]:
     return problems
 
 
+# Paths whose commits invalidate a recorded suite run. tests/ is the
+# point of the r7 amendment (VERDICT r7 'What's wrong' #2: test-only
+# commits landed after the last suite run); engine code and the driver
+# surface were always in scope.
+_SUITE_SCOPE = (
+    "tests",
+    "financial_arbitrage_data_pipeline_spark",
+    "scripts",
+    "__spark_entry__.py",
+    "bench.py",
+    "conftest.py",
+)
+
+
+def check_suite_freshness() -> list[str]:
+    """The recorded full-suite run (SUITE_RUN.json, written by
+    scripts/run_suite.py) must be green and must POSTDATE the last
+    commit touching ANY suite-scoped path — including tests/ — and
+    those paths must be clean in the working tree. Standalone-only
+    (not wired into pytest): the suite run being recorded is by
+    definition in flight while pytest executes this module's sibling
+    checks."""
+    import subprocess
+
+    problems: list[str] = []
+    path = os.path.join(REPO, "SUITE_RUN.json")
+    if not os.path.exists(path):
+        return ["SUITE_RUN.json missing — run scripts/run_suite.py"]
+    with open(path, encoding="utf-8") as f:
+        run = json.load(f)
+    if run.get("exit_code") != 0:
+        problems.append(
+            f"recorded suite run is RED (exit {run.get('exit_code')}: "
+            f"{run.get('summary')})"
+        )
+    last_commit_ts = subprocess.run(
+        ["git", "log", "-1", "--format=%ct", "--", *_SUITE_SCOPE],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    if last_commit_ts and float(last_commit_ts) > float(run.get("ts", 0)):
+        problems.append(
+            "a commit touching suite-scoped paths (tests/engine/scripts) "
+            "postdates the recorded suite run — re-run scripts/run_suite.py"
+        )
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--", *_SUITE_SCOPE],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    if dirty:
+        problems.append(
+            "suite-scoped paths have uncommitted changes not covered by "
+            f"the recorded run:\n{dirty}"
+        )
+    return problems
+
+
 def main() -> int:
-    problems = check()
+    problems = check() + check_suite_freshness()
     if problems:
         for p in problems:
             print(f"FAIL  {p}")
         return 1
-    print("round-close check: OK (registry, COVERAGE.md, artifacts all agree)")
+    print(
+        "round-close check: OK (registry, COVERAGE.md, artifacts, and "
+        "recorded suite run all agree)"
+    )
     return 0
 
 
