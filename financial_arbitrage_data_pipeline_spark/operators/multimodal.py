@@ -1124,13 +1124,12 @@ def synthesize_y4m(asset_id: int) -> bytes:
     return header + body
 
 
-def decode_y4m(payload: bytes) -> dict:
-    """REAL video decode: parse the YUV4MPEG2 header tags, then walk the
-    FRAME-delimited raw C444 planes into (frames, h, w) arrays — the
-    NumPy equivalent of ffmpeg's y4m demuxer, dependency-free. Emits
-    integer-exact per-plane stats so the oracle hash-matches without
-    float tolerance games. Diagnoses truncated frames and unsupported
-    chroma layouts with its own errors."""
+def _parse_y4m(payload: bytes):
+    """Demux a YUV4MPEG2 stream: validate header tags and walk the
+    FRAME-delimited raw C444 planes. Returns (w, h, [y, u, v]) with each
+    plane an int64 (frames, h, w) array — the NumPy equivalent of
+    ffmpeg's y4m demuxer, dependency-free. Diagnoses truncated frames
+    and unsupported chroma layouts with its own errors."""
     nl = payload.find(b"\n")
     if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 payload")
@@ -1171,11 +1170,18 @@ def decode_y4m(payload: bytes) -> dict:
     n_frames = len(planes[0])
     if n_frames == 0:
         raise ValueError("no frames in stream")
-    yuv = [_np.stack(p).astype(_np.int64) for p in planes]
+    return int(w), int(h), [_np.stack(p).astype(_np.int64) for p in planes]
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """REAL video decode (see `_parse_y4m`). Emits integer-exact
+    per-plane stats so the oracle hash-matches without float tolerance
+    games."""
+    w, h, yuv = _parse_y4m(payload)
     return {
-        "width": int(w),
-        "height": int(h),
-        "n_frames": int(n_frames),
+        "width": w,
+        "height": h,
+        "n_frames": int(yuv[0].shape[0]),
         "sum_y": int(yuv[0].sum()),
         "sum_u": int(yuv[1].sum()),
         "sum_v": int(yuv[2].sum()),

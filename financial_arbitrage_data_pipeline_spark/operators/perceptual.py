@@ -44,6 +44,7 @@ from .multimodal import (
     _encode_bmp,
     _parse_bmp,
     _parse_wav,
+    _parse_y4m,
     resample_audio,
 )
 from .multimodal import resize_image
@@ -541,4 +542,226 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = assets.mapInPandas(hash_kernel, _AUDIO_SIG_SCHEMA).persist()
     return _hamming_band_pairs(
         sig, "afp", AUDIO_FP_BANDS, _AUDIO_FP_BAND_BITS, AUDIO_FP_MAX_HAMMING
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video temporal-majority dHash: per-frame 56-bit luma dHash, combined by
+# MAJORITY VOTE per bit across frames — the scene fingerprint survives
+# frame dropping (a stride-2 copy votes over a subset of near-identical
+# per-frame hashes) and global luma shifts (dHash compares, not values).
+# ---------------------------------------------------------------------------
+
+VDHASH_BITS = DHASH_BITS  # 56, same per-frame geometry as the image tier
+VDHASH_MAX_HAMMING = 6
+VDHASH_BANDS = 7  # 7 bands x 8 bits: pigeonhole-exact at distance <= 6
+_VDHASH_BAND_BITS = VDHASH_BITS // VDHASH_BANDS
+
+
+def _frame_dhash_bits(gray, w: int, h: int):
+    sx = (_np.arange(DHASH_GRID) * w) // DHASH_GRID
+    sy = (_np.arange(DHASH_GRID) * h) // DHASH_GRID
+    sub = gray[_np.ix_(sy, sx)]
+    return (sub[:, 1:] > sub[:, :-1]).reshape(-1)  # 56 bits row-major
+
+
+def video_dhash56(payload: bytes) -> int:
+    """Temporal-majority dHash of a decoded y4m payload: per-frame luma
+    dHash bits, majority-voted per bit position (strict — a 50/50 tie
+    votes 0). All-integer, oracle-restatable."""
+    w, h, yuv = _parse_y4m(payload)
+    luma = yuv[0]
+    nf = int(luma.shape[0])
+    votes = _np.zeros(VDHASH_BITS, dtype=_np.int64)
+    for t in range(nf):
+        votes += _frame_dhash_bits(luma[t], w, h)
+    bits = votes * 2 > nf
+    return int(((1 << _np.arange(VDHASH_BITS)) * bits).sum())
+
+
+def _vhash_dims(doc_id: int) -> tuple[int, int, int]:
+    return 16 + doc_id % 5, 12 + doc_id % 5, 8 + doc_id % 5
+
+
+def _vhash_luma(doc_id: int, t, x, y):
+    """Luma at (x, y) of frame t. Spatial coefficients are doc-MODULATED
+    ((3 + doc%11)x² etc.), not just doc-shifted: a constant-shift family
+    is exactly what dHash is invariant to, and with the plain `_y4m_pixel`
+    formula every doc near-dups every doc (measured). The +3t term is a
+    slow global brightness drift, so frames genuinely differ while
+    per-frame hashes stay majority-stable. Elementwise on arrays."""
+    return (
+        doc_id * 13
+        + (3 + doc_id % 11) * x * x
+        + (7 + doc_id % 17) * y * y
+        + (doc_id % 31) * x * y
+        + 3 * t
+    ) % 256
+
+
+def _encode_y4m(y, u, v) -> bytes:
+    """YUV4MPEG2 C444 container around (frames, h, w) uint8 planes (the
+    encoder half of the `multimodal._parse_y4m` codec lane)."""
+    nf, h, w = y.shape
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode("ascii"))
+    for t in range(nf):
+        out += b"FRAME\n"
+        for plane in (y, u, v):
+            out += plane[t].astype(_np.uint8).tobytes()
+    return bytes(out)
+
+
+def synthesize_vhash_y4m(doc_id: int) -> bytes:
+    w, h, nf = _vhash_dims(doc_id)
+    t, yy, xx = _np.meshgrid(
+        _np.arange(nf), _np.arange(h), _np.arange(w), indexing="ij"
+    )
+    base = _vhash_luma(doc_id, t, xx, yy)
+    return _encode_y4m(
+        base.astype(_np.uint8),
+        ((base + 101) % 256).astype(_np.uint8),
+        ((base + 202) % 256).astype(_np.uint8),
+    )
+
+
+def luma_brightness_variant(payload: bytes, delta: int = 4) -> bytes:
+    """Saturating luma-shift re-encode (U/V untouched) — the 'same clip,
+    brighter' copy a video fingerprint must keep in the same bucket."""
+    _, _, yuv = _parse_y4m(payload)
+    y = _np.minimum(yuv[0] + delta, 255)
+    return _encode_y4m(y, yuv[1], yuv[2])
+
+
+_VDHASH_KINDS = 3  # 0 = original, 1 = stride-2 frame sample, 2 = +4 luma
+
+
+_VSIG_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("vh", T.LongType(), False),
+    ]
+)
+
+
+_VDHASH_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 5 AS h,
+         8 + doc_id % 5 AS nf
+  FROM documents WHERE doc_id % 4 = 2
+),
+k AS (SELECT doc_id, w, h, nf, unnest([0, 1, 2]) AS kind FROM d),
+fr AS (
+  SELECT doc_id, w, h, nf, kind, unnest(generate_series(0, nf - 1)) AS t
+  FROM k
+),
+fr2 AS (SELECT * FROM fr WHERE kind <> 1 OR t % 2 = 0),
+gx AS (SELECT *, unnest(generate_series(0, {DHASH_GRID - 1})) AS x FROM fr2),
+grid AS (SELECT *, unnest(generate_series(0, {DHASH_GRID - 1})) AS y FROM gx),
+pv AS (
+  SELECT doc_id, kind, t, x, y,
+         (doc_id * 13
+            + (3 + doc_id % 11) * ((x * w) // {DHASH_GRID}) * ((x * w) // {DHASH_GRID})
+            + (7 + doc_id % 17) * ((y * h) // {DHASH_GRID}) * ((y * h) // {DHASH_GRID})
+            + (doc_id % 31) * ((x * w) // {DHASH_GRID}) * ((y * h) // {DHASH_GRID})
+            + 3 * t) % 256 AS v
+  FROM grid
+),
+lum AS (
+  SELECT doc_id, kind, t, x, y,
+         CASE WHEN kind = 2 THEN LEAST(v + 4, 255) ELSE v END AS g
+  FROM pv
+),
+fbits AS (
+  SELECT l.doc_id, l.kind, l.t, l.y * {DHASH_GRID - 1} + l.x AS j,
+         CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+  FROM lum l JOIN lum r
+    ON r.doc_id = l.doc_id AND r.kind = l.kind AND r.t = l.t
+   AND r.y = l.y AND r.x = l.x + 1
+  WHERE l.x <= {DHASH_GRID - 2}
+),
+maj AS (
+  SELECT doc_id, kind, j,
+         CASE WHEN SUM(bit) * 2 > COUNT(*) THEN 1 ELSE 0 END AS mbit
+  FROM fbits GROUP BY 1, 2, 3
+),
+sig AS (
+  SELECT doc_id * {_VDHASH_KINDS} + kind AS asset_id,
+         SUM(CASE WHEN mbit = 1 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS vh
+  FROM maj GROUP BY 1
+)
+SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       CAST(bit_count(xor(a.vh, b.vh)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.vh, b.vh)) <= {VDHASH_MAX_HAMMING}
+"""
+
+
+@query(
+    "video_vhash_neardup",
+    oracle=_VDHASH_ORACLE,
+    tags=("multimodal", "video", "dedup", "perceptual"),
+)
+def video_vhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video perceptual near-dup dedup over the REAL y4m codec lane —
+    completing the modality dedup matrix (text: 4 tiers; image:
+    `image_phash_neardup`; audio: `audio_fingerprint_neardup`; video:
+    this): per selected document synthesize THREE y4m assets — the
+    original clip, a stride-2 frame-sampled re-encode through the real
+    frame-sampling lane (`multimodal.sample_frames_y4m` — the
+    'different frame rate' copy), and a saturating +4 luma re-encode —
+    decode each through the real y4m demuxer, fingerprint with the
+    56-bit temporal-majority dHash, and find all pairs within
+    Hamming <= 6 via the banded Hamming equi-join (7 x 8-bit bands,
+    pigeonhole-exact at distance <= 6).
+
+    The oracle recomputes per-frame dHash bits and the majority vote
+    from the luma generator formula in pure SQL (for the frame-sampled
+    copy it votes over exactly the even frames), so a hash match proves
+    the synth -> demux -> sample/shift -> re-encode -> demux ->
+    majority-hash chain end-to-end and that the banding loses no
+    qualifying pair. Measured over the full sf0.1 doc range: luma-shift
+    copies hash identically, frame-dropped copies stay within Hamming 5,
+    cross-doc pairs never fall inside the threshold.
+
+    Scale shape: frames never shuffle — payloads exist only inside the
+    chained mapInPandas kernels; exchanges carry (asset_id, 56-bit
+    fingerprint) and band buckets. Reference anchor: none (the reference
+    never inspects media bytes); north-star family per BASELINE.json."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the y4m codec kernels")
+    from .multimodal import sample_frames_y4m
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 2
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for a in pdf["doc_id"]:
+                doc = int(a)
+                orig = synthesize_vhash_y4m(doc)
+                for kind, p in (
+                    (0, orig),
+                    (1, sample_frames_y4m(orig, stride=2)),
+                    (2, luma_brightness_variant(orig)),
+                ):
+                    ids.append(doc * _VDHASH_KINDS + kind)
+                    payloads.append(p)
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    assets = docs.select("doc_id").mapInPandas(synth, _ASSET_SCHEMA)
+
+    def hash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "vh": [video_dhash56(p) for p in pdf["payload"]],
+                }
+            )
+
+    sig = assets.mapInPandas(hash_kernel, _VSIG_SCHEMA).persist()
+    return _hamming_band_pairs(
+        sig, "vh", VDHASH_BANDS, _VDHASH_BAND_BITS, VDHASH_MAX_HAMMING
     )

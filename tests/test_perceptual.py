@@ -145,6 +145,48 @@ def test_audio_fp_plan_samples_never_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_frame_sampled_video_copy_lands_in_same_bucket():
+    """Video pin: a stride-2 frame-sampled copy (through the REAL y4m
+    frame-sampling lane) stays within the Hamming threshold, so the
+    7-band pigeonhole guarantees shared buckets; a luma-shifted copy
+    hashes identically (dHash compares, not values)."""
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        sample_frames_y4m,
+    )
+    from financial_arbitrage_data_pipeline_spark.operators.perceptual import (
+        _VDHASH_BAND_BITS,
+        VDHASH_BANDS,
+        VDHASH_MAX_HAMMING,
+        luma_brightness_variant,
+        synthesize_vhash_y4m,
+        video_dhash56,
+    )
+
+    def bands(h):
+        return [
+            (h >> (b * _VDHASH_BAND_BITS)) & ((1 << _VDHASH_BAND_BITS) - 1)
+            for b in range(VDHASH_BANDS)
+        ]
+
+    for doc in range(2, 200, 4):
+        orig = synthesize_vhash_y4m(doc)
+        h0 = video_dhash56(orig)
+        hs = video_dhash56(sample_frames_y4m(orig, stride=2))
+        hb = video_dhash56(luma_brightness_variant(orig))
+        assert hb == h0, doc
+        d = bin(h0 ^ hs).count("1")
+        assert d <= VDHASH_MAX_HAMMING, (doc, d)
+        assert any(a == b for a, b in zip(bands(h0), bands(hs)))
+
+
+def test_video_plan_frames_never_shuffle(spark, sf_dir):
+    p = plan_of(spark, "video_vhash_neardup", sf_dir)
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line, line
+    assert "CartesianProduct" not in p
+
+
 def test_phash_plan_pixels_never_shuffle(spark, sf_dir):
     """Scale pin: the only exchanges carry (asset_id, dhash / band)
     integers — the binary payload column exists solely inside the
