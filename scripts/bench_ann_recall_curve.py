@@ -15,8 +15,14 @@ Timing discipline (VERDICT r6 task 3): REPEATS runs per config, report
 median + MAD alongside best — the n=2 best-of harness had stddevs larger
 than the walls it measured.
 
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), REPEATS (5).
-Output: BENCH_ann_recall_curve.json
+Round 8 (VERDICT r7 task 4): the sweep runs at MULTIPLE scale points —
+sf0.1 (driver testdata) plus the key-shifted sf1/sf3 replicas — so the
+artifact shows whether the trained tier's recall-per-candidate
+advantage HOLDS as the corpus grows 30x, and records the training-cost
+axis (k-means wall) next to recall for each scale point.
+
+Env: SPARK_GRAFT_SFS (comma labels among sf0.1,sf1,sf3; default all
+present), REPEATS (5). Output: BENCH_ann_recall_curve.json
 """
 
 from __future__ import annotations
@@ -69,12 +75,7 @@ def probe_set_expr(p: int, breadth: int):
     return F.array(*cols)
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeats = int(os.environ.get("REPEATS", "5"))
-    spark = get_spark(app_name="ann-recall-curve")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def sweep(spark, sf_dir: str, repeats: int) -> dict:
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", quantized("embedding").alias("q"))
@@ -152,6 +153,16 @@ def main() -> int:
         print(json.dumps(rows[-1]))
 
     # --- IVF nprobe sweep (the trained-quantizer recall dial) ---------
+    # Training cost is part of the trade (VERDICT r7 task 4): time the
+    # k-means train+assign to materialization, best-of-2 so a cold
+    # first run doesn't overstate it.
+    train_walls = []
+    for _ in range(2):
+        t0 = time.time()
+        a0, _c0 = trained_model(spark, sf_dir)
+        a0.agg(F.count(F.lit(1))).collect()
+        train_walls.append(time.time() - t0)
+    kmeans_train_sec = round(min(train_walls), 3)
     assigned, centroids = trained_model(spark, sf_dir)
     assigned = assigned.localCheckpoint()
     emb_ivf = assigned.withColumn("nsq", sq_norm(F.col("q")))
@@ -192,19 +203,56 @@ def main() -> int:
         )
         print(json.dumps(rows[-1]))
 
-    out = {
-        "metric": "ann_recall_curve",
+    # free the per-SF persisted state so multi-SF sweeps don't stack
+    # corpus-sized cached rounds (the SCALE.md §18 lesson)
+    spark.catalog.clearCache()
+    return {
         "sf_dir": sf_dir,
         "n_vectors": int(n_vectors),
+        "kmeans_train_sec": kmeans_train_sec,
+        "rows": rows,
+    }
+
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIRS = {
+    "sf0.1": "/root/testdata/sf0.1",
+    "sf1": os.path.join(ROOT, "scaledata", "sf1"),
+    "sf3": os.path.join(ROOT, "scaledata", "sf3"),
+}
+
+
+def main() -> int:
+    repeats = int(os.environ.get("REPEATS", "5"))
+    labels = [
+        s
+        for s in os.environ.get("SPARK_GRAFT_SFS", "sf0.1,sf1,sf3").split(",")
+        if s and os.path.isdir(SF_DIRS.get(s, ""))
+    ]
+    spark = get_spark(app_name="ann-recall-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    runs = {}
+    for label in labels:
+        print(f"=== {label} ===")
+        runs[label] = sweep(spark, SF_DIRS[label], repeats)
+    out = {
+        "metric": "ann_recall_curve",
         "n_queries": N_QUERIES,
         "k": TOPK,
         "repeats": repeats,
-        "rows": rows,
+        "runs": runs,
     }
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_ann_recall_curve.json"), "w") as fh:
+    with open(os.path.join(ROOT, "BENCH_ann_recall_curve.json"), "w") as fh:
         json.dump(out, fh, indent=1)
-    print(json.dumps({"written": "BENCH_ann_recall_curve.json", "configs": len(rows)}))
+    print(
+        json.dumps(
+            {
+                "written": "BENCH_ann_recall_curve.json",
+                "sfs": labels,
+                "configs": sum(len(r["rows"]) for r in runs.values()),
+            }
+        )
+    )
     return 0
 
 
