@@ -22,6 +22,9 @@ SF_DIRS = {
     "sf0.3": os.path.join(ROOT, "scaledata", "sf0.3"),
     "sf1.0": os.path.join(ROOT, "scaledata", "sf1"),
     "sf3.0": os.path.join(ROOT, "scaledata", "sf3"),
+    # round 8 (VERDICT r7 task 2): the literal 100x point — 100
+    # key-shifted copies of the bench SF, ~2 GB parquet / 60M lineitem
+    "sf10": os.path.join(ROOT, "scaledata", "sf10"),
 }
 
 
@@ -52,8 +55,10 @@ def main() -> None:
 
     lo, hi = runs.get("sf0.1"), runs.get("sf1.0")
     hi3 = runs.get("sf3.0")
+    hi10 = runs.get("sf10")
     ratios = {}
     ratios3 = {}
+    ratios10 = {}
     if lo and hi:
         ratios = {
             q: round(hi["queries"][q] / max(lo["queries"][q], 1e-9), 2)
@@ -64,10 +69,15 @@ def main() -> None:
             q: round(hi3["queries"][q] / max(lo["queries"][q], 1e-9), 2)
             for q in lo["queries"]
         }
+    if lo and hi10:
+        ratios10 = {
+            q: round(hi10["queries"][q] / max(lo["queries"][q], 1e-9), 2)
+            for q in lo["queries"]
+        }
     doc = {
         "generated_by": (
-            "scripts/bench_scale_curve.py (sf0.3/sf1/sf3 = 3/10/30 "
-            "key-shifted copies of the driver's sf0.1, via "
+            "scripts/bench_scale_curve.py (sf0.3/sf1/sf3/sf10 = "
+            "3/10/30/100 key-shifted copies of the driver's sf0.1, via "
             "scripts/gen_scale_data.py)"
         ),
         "harness": (
@@ -80,11 +90,15 @@ def main() -> None:
         "runs": runs,
         "ratios_sf1_over_sf0.1": ratios,
         "ratios_sf3_over_sf0.1": ratios3,
+        "ratios_sf10_over_sf0.1": ratios10,
         "total_wall_ratio_sf1_over_sf0.1": (
             round(hi["value"] / lo["value"], 2) if lo and hi else None
         ),
         "total_wall_ratio_sf3_over_sf0.1": (
             round(hi3["value"] / lo["value"], 2) if lo and hi3 else None
+        ),
+        "total_wall_ratio_sf10_over_sf0.1": (
+            round(hi10["value"] / lo["value"], 2) if lo and hi10 else None
         ),
         "ingest_rows_per_sec": {
             k: v.get("ingest_rows_per_sec") for k, v in runs.items()
