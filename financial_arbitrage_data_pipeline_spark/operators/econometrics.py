@@ -1,0 +1,233 @@
+"""Cross-venue econometrics beyond the lead-lag family: pair
+cointegration (Engle-Granger) — the statistical foundation of pairs
+trading on the two-venue tape.
+
+The reference's scanner acts on INSTANTANEOUS cross-venue price gaps
+(`/root/reference/virginia/logic/opportunity_scanner.py:269-344`); the
+question its users ask next is whether the two venue prices share a
+long-run equilibrium at all — i.e. whether the spread is
+mean-reverting (tradeable) or a random walk (a trend, not an edge).
+Engle-Granger answers it in two OLS steps, both of which reduce to
+exact integer cross-moments here, so the whole test is one window pass
+plus one aggregation per pair.
+
+Exactness discipline: every data-dependent sum is an exact int64
+cross-moment (prices are small bounded ints, <= 30 daily observations
+per pair, sums < 10^6 — no overflow at any SF since scale adds PAIRS,
+not days). The two OLS solves and the ADF t-statistic are a fixed IEEE
+double tree over those integers; the tree's SQL text is generated from
+the SAME Python fragments for both Spark (`selectExpr`) and the DuckDB
+oracle, so the engines evaluate a structurally identical expression —
+bit-equal results by construction (int64 -> double conversions are
+lossless at these magnitudes; sqrt is IEEE correctly-rounded in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load_table
+
+_DAY_US = 86_400_000_000
+
+# ---------------------------------------------------------------------------
+# The fixed IEEE float tree, shared TEXTUALLY between Spark and DuckDB.
+#
+# Stage 1 (hedge OLS  p = alpha + beta*k + e):
+#   dd = m*Skk - Sk^2,  na = Sp*Skk - Sk*Spk,  nb = m*Spk - Sk*Sp  (int64)
+#   a = na/dd, b = nb/dd
+# Stage 2 (Dickey-Fuller on residuals e_t = p_t - a - b*k_t, no
+# constant — residuals are OLS-centered):  de_t = rho*e_{t-1} + u_t
+#   rho  = (S[e'e] - S[e'^2]) / S[e'^2]
+#   SSR  = S[de^2] - S[e'de]^2 / S[e'^2]
+#   t    = rho * sqrt(S[e'^2]*(m-1)/SSR)
+# where each S[.] expands into the int64 lagged cross-moments below
+# (e is affine in (p, k), so its second moments are polynomial in the
+# raw moments with coefficients 1, a, b).
+# ---------------------------------------------------------------------------
+_E_A = "CAST(na AS DOUBLE) / CAST(dd AS DOUBLE) AS a"
+_E_B = "CAST(nb AS DOUBLE) / CAST(dd AS DOUBLE) AS b"
+_E_SPREV2 = (
+    "CAST(sp2p AS DOUBLE) - 2*a*CAST(spp AS DOUBLE)"
+    " - 2*b*CAST(spkp AS DOUBLE) + CAST(m AS DOUBLE)*a*a"
+    " + 2*a*b*CAST(skp AS DOUBLE) + b*b*CAST(sk2p AS DOUBLE) AS sprev2"
+)
+_E_SCUR2 = (
+    "CAST(sp2c AS DOUBLE) - 2*a*CAST(spc AS DOUBLE)"
+    " - 2*b*CAST(spkc AS DOUBLE) + CAST(m AS DOUBLE)*a*a"
+    " + 2*a*b*CAST(skc AS DOUBLE) + b*b*CAST(sk2c AS DOUBLE) AS scur2"
+)
+_E_SCROSS = (
+    "CAST(xpp AS DOUBLE) - a*CAST(spp AS DOUBLE) - b*CAST(xpk AS DOUBLE)"
+    " - a*CAST(spc AS DOUBLE) + CAST(m AS DOUBLE)*a*a"
+    " + a*b*CAST(skc AS DOUBLE) - b*CAST(xkp AS DOUBLE)"
+    " + a*b*CAST(skp AS DOUBLE) + b*b*CAST(xkk AS DOUBLE) AS scross"
+)
+_E_SNUM = "scross - sprev2 AS snum"
+_E_SDD2 = "scur2 - 2*scross + sprev2 AS sdd2"
+_E_RHO = "snum / sprev2 AS adf_rho"
+_E_SSR = "sdd2 - (snum*snum)/sprev2 AS ssr"
+_E_T = "adf_rho * sqrt((sprev2 * CAST(m - 1 AS DOUBLE)) / ssr) AS adf_t"
+# Dickey-Fuller 5% critical value, no-constant specification
+_E_FLAG = "adf_t < CAST('-1.95' AS DOUBLE) AS cointegrated"
+
+_FINAL_COLS = (
+    "pair_key, m, dd, na, nb, a AS alpha, b AS beta, adf_rho, adf_t, "
+    "cointegrated"
+)
+
+_COINT_ORACLE = f"""
+WITH closes AS (
+  SELECT user_id AS pair_key, epoch_us(ts) // {_DAY_US} AS bkt,
+         arg_max(CASE WHEN event_type IN ('click', 'view')
+                      THEN CAST(round(value * 100) AS BIGINT) % 97 + 1 END,
+                 epoch_us(ts) * 4096 + event_id % 4096)
+           FILTER (event_type IN ('click', 'view')) AS k,
+         arg_max(CASE WHEN event_type IN ('purchase', 'signup', 'error')
+                      THEN CAST(round(value * 100) AS BIGINT) % 99 + 1 END,
+                 epoch_us(ts) * 4096 + event_id % 4096)
+           FILTER (event_type IN ('purchase', 'signup', 'error')) AS p
+  FROM events GROUP BY 1, 2
+),
+both_sides AS (
+  SELECT pair_key, bkt, k, p FROM closes
+  WHERE k IS NOT NULL AND p IS NOT NULL
+),
+lagged AS (
+  SELECT pair_key, bkt, k AS kc, p AS pc,
+         LAG(k) OVER w AS kp, LAG(p) OVER w AS pp,
+         LAG(bkt) OVER w AS bkt1
+  FROM both_sides WINDOW w AS (PARTITION BY pair_key ORDER BY bkt)
+),
+obs AS (
+  SELECT pair_key, pc, kc, pp, kp
+  FROM lagged WHERE bkt1 = bkt - 1
+),
+mom AS (
+  SELECT pair_key,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(pc) AS BIGINT) AS spc,
+         CAST(SUM(kc) AS BIGINT) AS skc,
+         CAST(SUM(pp) AS BIGINT) AS spp,
+         CAST(SUM(kp) AS BIGINT) AS skp,
+         CAST(SUM(pc * pc) AS BIGINT) AS sp2c,
+         CAST(SUM(kc * kc) AS BIGINT) AS sk2c,
+         CAST(SUM(pp * pp) AS BIGINT) AS sp2p,
+         CAST(SUM(kp * kp) AS BIGINT) AS sk2p,
+         CAST(SUM(pc * kc) AS BIGINT) AS spkc,
+         CAST(SUM(pp * kp) AS BIGINT) AS spkp,
+         CAST(SUM(pp * pc) AS BIGINT) AS xpp,
+         CAST(SUM(kp * kc) AS BIGINT) AS xkk,
+         CAST(SUM(pp * kc) AS BIGINT) AS xpk,
+         CAST(SUM(kp * pc) AS BIGINT) AS xkp
+  FROM obs GROUP BY pair_key
+),
+ints AS (
+  SELECT *, m * sk2c - skc * skc AS dd,
+         spc * sk2c - skc * spkc AS na,
+         m * spkc - skc * spc AS nb
+  FROM mom WHERE m >= 8 AND m * sk2c - skc * skc > 0
+),
+f1 AS (SELECT *, {_E_A}, {_E_B} FROM ints),
+f2 AS (SELECT *, {_E_SPREV2}, {_E_SCUR2}, {_E_SCROSS} FROM f1),
+f3 AS (SELECT *, {_E_SNUM}, {_E_SDD2} FROM f2
+       WHERE sprev2 > CAST('0' AS DOUBLE)),
+f4 AS (SELECT *, {_E_RHO}, {_E_SSR} FROM f3),
+f5 AS (SELECT *, {_E_T} FROM f4 WHERE ssr > CAST('0' AS DOUBLE)),
+f6 AS (SELECT *, {_E_FLAG} FROM f5)
+SELECT {_FINAL_COLS} FROM f6
+"""
+
+
+@query(
+    "pair_cointegration_test",
+    oracle=_COINT_ORACLE,
+    tags=("J1", "A2", "econometrics", "finance"),
+)
+def pair_cointegration_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration test per pair: are the Kalshi and
+    Polymarket daily closes of the same pair tied to a long-run
+    equilibrium? Step 1 fits the hedge ratio (OLS p on k); step 2 runs
+    a Dickey-Fuller unit-root test on the residual spread (no
+    constant — residuals are OLS-centered by construction). adf_t
+    below the 5% critical value (-1.95) = the spread mean-reverts =
+    the pair is statistically arbitrageable; a unit root = the venues
+    drift apart and the instantaneous-gap scanner is picking up trend,
+    not edge. The capstone over venue_lead_lag (correlation) and
+    granger_lead_lag (causation): equilibrium.
+
+    Exactness: residual moments are never summed as floats — S[e'^2],
+    S[e'e], S[e^2] expand algebraically into 15 exact int64 lagged
+    cross-moments (e is affine in (p, k)), and both OLS solves + the
+    t-statistic are ONE fixed IEEE tree whose SQL text is shared
+    verbatim with the oracle (module fragments _E_*). Degenerate pairs
+    are excluded by integer gates (m >= 8, dd > 0) and same-tree float
+    gates (sprev2 > 0, ssr > 0).
+
+    Plan: venue-conditional max_by closes per (pair, day) in ONE scan
+    of the tape (raw ticks never shuffle — granger_lead_lag's idiom at
+    timeseries.py:3050); one pair-keyed window for the LAG pass; the
+    per-pair moment rollup rides the window's exchange (subset rule).
+    Two exchanges total, both over the tiny daily-close table."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_kalshi = F.col("event_type").isin("click", "view")
+    okey = F.expr("(ts div 1000) * 4096 + event_id % 4096")
+    closes = (
+        ev.groupBy(
+            F.col("user_id").alias("pair_key"),
+            F.expr(f"(ts div 1000) div {_DAY_US}").alias("bkt"),
+        )
+        .agg(
+            F.max_by(cents % 97 + 1, F.when(is_kalshi, okey)).alias("k"),
+            F.max_by(cents % 99 + 1, F.when(~is_kalshi, okey)).alias("p"),
+        )
+        .filter(F.col("k").isNotNull() & F.col("p").isNotNull())
+    )
+    w = Window.partitionBy("pair_key").orderBy("bkt")
+    obs = (
+        closes.select(
+            "pair_key",
+            "bkt",
+            F.col("p").alias("pc"),
+            F.col("k").alias("kc"),
+            F.lag("p").over(w).alias("pp"),
+            F.lag("k").over(w).alias("kp"),
+            F.lag("bkt").over(w).alias("bkt1"),
+        )
+        .filter(F.col("bkt1") == F.col("bkt") - 1)
+    )
+    mom = obs.groupBy("pair_key").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("pc").alias("spc"),
+        F.sum("kc").alias("skc"),
+        F.sum("pp").alias("spp"),
+        F.sum("kp").alias("skp"),
+        F.sum(F.col("pc") * F.col("pc")).alias("sp2c"),
+        F.sum(F.col("kc") * F.col("kc")).alias("sk2c"),
+        F.sum(F.col("pp") * F.col("pp")).alias("sp2p"),
+        F.sum(F.col("kp") * F.col("kp")).alias("sk2p"),
+        F.sum(F.col("pc") * F.col("kc")).alias("spkc"),
+        F.sum(F.col("pp") * F.col("kp")).alias("spkp"),
+        F.sum(F.col("pp") * F.col("pc")).alias("xpp"),
+        F.sum(F.col("kp") * F.col("kc")).alias("xkk"),
+        F.sum(F.col("pp") * F.col("kc")).alias("xpk"),
+        F.sum(F.col("kp") * F.col("pc")).alias("xkp"),
+    )
+    ints = mom.selectExpr(
+        "*",
+        "m * sk2c - skc * skc AS dd",
+        "spc * sk2c - skc * spkc AS na",
+        "m * spkc - skc * spc AS nb",
+    ).filter("m >= 8 AND dd > 0")
+    f1 = ints.selectExpr("*", _E_A, _E_B)
+    f2 = f1.selectExpr("*", _E_SPREV2, _E_SCUR2, _E_SCROSS)
+    f3 = f2.filter("sprev2 > CAST('0' AS DOUBLE)").selectExpr(
+        "*", _E_SNUM, _E_SDD2
+    )
+    f4 = f3.selectExpr("*", _E_RHO, _E_SSR)
+    f5 = f4.filter("ssr > CAST('0' AS DOUBLE)").selectExpr("*", _E_T)
+    f6 = f5.selectExpr("*", _E_FLAG)
+    return f6.selectExpr(*[c.strip() for c in _FINAL_COLS.split(",")])
