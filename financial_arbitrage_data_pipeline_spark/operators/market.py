@@ -1155,3 +1155,128 @@ def venue_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("xcorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Call-auction uncross: the opening/closing clearing-price algorithm
+# ---------------------------------------------------------------------------
+@query(
+    "auction_clearing_price",
+    oracle="""
+WITH o AS (
+  SELECT user_id AS market,
+         CASE WHEN event_type IN ('click', 'view') THEN 'B' ELSE 'S' END
+           AS side,
+         CAST(round(value * 100) AS BIGINT) % 97 + 1 AS px,
+         event_id % 50 + 1 AS qty
+  FROM events
+),
+lvl AS (
+  SELECT market, px,
+         CAST(SUM(CASE WHEN side = 'B' THEN qty ELSE 0 END) AS BIGINT)
+           AS bid_qty,
+         CAST(SUM(CASE WHEN side = 'S' THEN qty ELSE 0 END) AS BIGINT)
+           AS ask_qty
+  FROM o GROUP BY market, px
+),
+cum AS (
+  SELECT market, px, bid_qty, ask_qty,
+         CAST(SUM(bid_qty) OVER (PARTITION BY market ORDER BY px DESC)
+              AS BIGINT) AS cum_buy,
+         CAST(SUM(ask_qty) OVER (PARTITION BY market ORDER BY px ASC)
+              AS BIGINT) AS cum_sell
+  FROM lvl
+),
+ex AS (
+  SELECT market, px, cum_buy, cum_sell,
+         CASE WHEN cum_buy < cum_sell THEN cum_buy ELSE cum_sell END
+           AS executable,
+         abs(cum_buy - cum_sell) AS abs_imb
+  FROM cum
+)
+SELECT market, px AS clearing_px, executable AS matched_qty,
+       cum_buy - cum_sell AS imbalance, executable > 0 AS crossed
+FROM ex
+QUALIFY ROW_NUMBER() OVER (PARTITION BY market
+                           ORDER BY executable DESC, abs_imb ASC, px ASC) = 1
+""",
+    tags=("A7", "finance", "auction"),
+)
+def auction_clearing_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Call-auction UNCROSS per market — the opening/closing-auction
+    clearing algorithm every venue (and Kalshi's batched settlements)
+    runs: the clearing price maximizes executable volume
+    min(cumBuy(p), cumSell(p)), ties broken by minimum absolute
+    order imbalance, then lowest price. cumBuy is the descending-price
+    cumulative bid depth (a bid at price b participates at any clear
+    <= b), cumSell the ascending cumulative ask depth. The reference
+    scans for CONTINUOUS crossed quotes
+    (`virginia/logic/opportunity_scanner.py:269-344`); the auction
+    uncross is the batch form of the same crossing condition over the
+    whole book at once.
+
+    Exactness: all quantities are exact int64 (deterministic synthetic
+    side/price/qty from the event fields); the winner per market is
+    unique because price is unique within a market — max_by on the
+    struct (executable, -abs_imb, -px) equals the oracle's
+    ORDER BY executable DESC, abs_imb, px.
+
+    Plan: one (market, px) level aggregation, then BOTH cumulative
+    windows (price-descending for bids, ascending for asks) and the
+    final per-market argmax ride a single market-keyed exchange — two
+    exchanges end to end, no join between the sides (the two-sided
+    book is one conditional aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        F.col("user_id").alias("market"),
+        F.when(
+            F.col("event_type").isin("click", "view"), F.lit("B")
+        ).otherwise(F.lit("S")).alias("side"),
+        (F.round(F.col("value") * 100).cast("long") % 97 + 1).alias("px"),
+        (F.col("event_id") % 50 + 1).alias("qty"),
+    )
+    lvl = o.groupBy("market", "px").agg(
+        F.sum(F.when(F.col("side") == "B", F.col("qty")).otherwise(0))
+        .alias("bid_qty"),
+        F.sum(F.when(F.col("side") == "S", F.col("qty")).otherwise(0))
+        .alias("ask_qty"),
+    )
+    w_buy = (
+        Window.partitionBy("market")
+        .orderBy(F.col("px").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_sell = (
+        Window.partitionBy("market")
+        .orderBy(F.col("px").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ex = lvl.select(
+        "market",
+        "px",
+        F.sum("bid_qty").over(w_buy).alias("cum_buy"),
+        F.sum("ask_qty").over(w_sell).alias("cum_sell"),
+    ).select(
+        "market",
+        "px",
+        "cum_buy",
+        "cum_sell",
+        F.least("cum_buy", "cum_sell").alias("executable"),
+        F.abs(F.col("cum_buy") - F.col("cum_sell")).alias("abs_imb"),
+    )
+    return ex.groupBy("market").agg(
+        F.max_by(
+            F.struct("px", "executable", "cum_buy", "cum_sell"),
+            F.struct(
+                F.col("executable"),
+                (-F.col("abs_imb")).alias("neg_imb"),
+                (-F.col("px")).alias("neg_px"),
+            ),
+        ).alias("w")
+    ).select(
+        "market",
+        F.col("w.px").alias("clearing_px"),
+        F.col("w.executable").alias("matched_qty"),
+        (F.col("w.cum_buy") - F.col("w.cum_sell")).alias("imbalance"),
+        (F.col("w.executable") > 0).alias("crossed"),
+    )
