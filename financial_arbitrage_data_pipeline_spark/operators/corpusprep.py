@@ -1276,3 +1276,103 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum_ppm div n_tokens").alias("affinity_ppm"),
     )
     return scored.orderBy(F.col("affinity_ppm").desc(), "doc_id").limit(_DSIR_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty decay: how much NEW content each marginal corpus slice adds
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_novelty_decay",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(t, i, i + {_SPAN_N - 1}), ' '))
+           AS gram_hash
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - {_SPAN_N - 1})) AS i
+        FROM tok WHERE len(t) >= {_SPAN_N})
+),
+bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM g),
+per_gram AS (SELECT gram_hash, MIN(doc_id) AS first_doc FROM g
+             GROUP BY gram_hash),
+novel AS (SELECT first_doc AS doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_novel FROM per_gram
+          GROUP BY first_doc),
+total AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total FROM g
+          GROUP BY doc_id),
+per_doc AS (
+  SELECT t.doc_id, t.n_total, COALESCE(v.n_novel, 0) AS n_novel,
+         CASE WHEN b.hi > b.lo
+              THEN CAST((t.doc_id - b.lo) * 10 // (b.hi - b.lo + 1)
+                        AS BIGINT)
+              ELSE 0 END AS decile
+  FROM total t LEFT JOIN novel v ON t.doc_id = v.doc_id
+  CROSS JOIN bounds b
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_total) AS BIGINT) AS grams_total,
+       CAST(SUM(n_novel) AS BIGINT) AS grams_novel,
+       CAST(SUM(n_novel) AS BIGINT) * 1000000
+         // CAST(SUM(n_total) AS BIGINT) AS novelty_ppm
+FROM per_doc GROUP BY decile
+""",
+    tags=("corpus-prep", "dedup-spans", "curation"),
+)
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The marginal-novelty curve of the corpus: for each doc, how many
+    of its distinct {_SPAN_N}-gram spans appear for the FIRST time in
+    the corpus (by doc_id order)? Aggregated into 10 doc_id-range
+    slices, this is the diminishing-returns measurement behind data-
+    curation decisions ("does shard 9 still add content, or is it
+    restating shards 0-8?") — the corpus-level complement of the
+    per-pair dedup family (Lee et al. 2021 measure exactly this decay
+    to justify dedup before training).
+
+    Exactness: all counts are exact int64; novelty_ppm is an integer
+    floor divide (both engines truncate non-negative BIGINT divides
+    identically). Plan: novel-per-doc is computed WITHOUT a join-back —
+    a gram's min(doc_id) IS its novelty event, so
+    per_gram.groupBy(first_doc).count() replaces the gram-table
+    self-join; the doc-slice bucketing uses broadcast min/max bounds
+    (one 1-row scalar), never a global sort/ntile. Only gram HASHES
+    shuffle (one md5 per token position — the exact-span floor); the
+    doc-level tables that join at the end are corpus-doc-count sized,
+    broadcast-joinable at any SF."""
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = ngram_span_column(_SPAN_N)
+    g = (
+        corpus.select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", F.md5("gram").alias("gram_hash"))
+        .distinct()
+    )
+    bounds = g.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    per_gram = g.groupBy("gram_hash").agg(F.min("doc_id").alias("first_doc"))
+    novel = per_gram.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    total = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    per_doc = (
+        total.join(novel, "doc_id", "left")
+        .join(F.broadcast(bounds))
+        .select(
+            "n_total",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.expr("((doc_id - lo) * 10) div (hi - lo + 1)"),
+            ).otherwise(F.lit(0)).cast("long").alias("decile"),
+        )
+    )
+    return per_doc.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_total").alias("grams_total"),
+        F.sum("n_novel").alias("grams_novel"),
+    ).withColumn(
+        "novelty_ppm",
+        F.expr("(grams_novel * 1000000) div grams_total"),
+    )
