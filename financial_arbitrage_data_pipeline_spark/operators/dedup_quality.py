@@ -115,3 +115,169 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("long").alias("cluster_size"),
         (F.col("total_chars") - F.col("n_chars")).cast("long").alias("chars_saved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: split by CLUSTER, audit the naive split
+# ---------------------------------------------------------------------------
+def _split_hex8(ident: str) -> str:
+    """DuckDB SQL for the first-8-hex-digits-of-md5 bucket of `ident` —
+    textstats._SPLIT_HEX8 parametrized over the id expression, so the
+    split hash can key on the CLUSTER id."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST({ident} AS VARCHAR)),"
+        f" {1 + i}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+_LEAK_ORACLE = f"""
+WITH RECURSIVE {_minhash_sql(_CRAWL_UNION_SQL)},
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sh_sizes za ON za.doc_id = i.doc_a
+  JOIN sh_sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM nodes
+  UNION
+  SELECT e.dst AS doc_id, r.r
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+labeled AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+assign AS (
+  SELECT c.doc_id,
+         COALESCE(l.cluster_id, c.doc_id) AS cluster_id,
+         ({_split_hex8('COALESCE(l.cluster_id, c.doc_id)')}) % 100
+           AS cbucket,
+         ({_split_hex8('c.doc_id')}) % 100 AS nbucket
+  FROM corpus c LEFT JOIN labeled l ON l.doc_id = c.doc_id
+),
+splits AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN cbucket < 80 THEN 'train'
+              WHEN cbucket < 90 THEN 'val' ELSE 'test' END AS split,
+         CASE WHEN nbucket < 80 THEN 'train'
+              WHEN nbucket < 90 THEN 'val' ELSE 'test' END AS naive_split
+  FROM assign
+),
+pair_audit AS (
+  SELECT sa.split AS split,
+         CAST(COUNT(*) FILTER (sa.split <> sb.split) AS BIGINT)
+           AS safe_leaked_pairs,
+         CAST(COUNT(*) FILTER (sa.naive_split <> sb.naive_split) AS BIGINT)
+           AS naive_leaked_pairs
+  FROM pairs p
+  JOIN splits sa ON sa.doc_id = p.doc_a
+  JOIN splits sb ON sb.doc_id = p.doc_b
+  GROUP BY sa.split
+),
+members AS (
+  SELECT split,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+  FROM splits GROUP BY split
+)
+SELECT m.split, m.n_docs, m.n_clusters,
+       COALESCE(a.safe_leaked_pairs, 0) AS safe_leaked_pairs,
+       COALESCE(a.naive_leaked_pairs, 0) AS naive_leaked_pairs
+FROM members m LEFT JOIN pair_audit a ON a.split = m.split
+"""
+
+
+@query(
+    "leakage_safe_split",
+    oracle=_LEAK_ORACLE,
+    tags=("sampling-split", "dedup-clusters", "corpus"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup-aware train/val/test split: hash the CLUSTER id
+    (connected component of the LSH-verified near-dup graph), not the
+    doc id, so a whole duplicate family always lands in one split —
+    the standard defense against train/test contamination via
+    near-duplicates (evaluation on a near-copy of a training doc
+    silently inflates scores). Unclustered docs are their own
+    singleton cluster, so the split stays deterministic and
+    append-stable (the split_label property).
+
+    The result is simultaneously the split manifest and its audit:
+    safe_leaked_pairs counts verified near-dup pairs straddling the
+    CLUSTER split (provably 0 — both endpoints share a cluster id, so
+    they share a hash), next to naive_leaked_pairs — the SAME pairs
+    under the doc_id-hashed split — quantifying exactly how much
+    contamination the naive split would have shipped.
+
+    Plan: the pair/cluster machinery is the dedup_clusters lane
+    (banded equi-joins, bounded-round CC); the split itself is a pure
+    hash projection; the audit joins are doc-level (broadcast-sized
+    keys at any SF since only CLUSTERED docs appear in pairs)."""
+    pairs = _lsh_verified_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint()
+    labels = connected_components(pairs).select(
+        "doc_id", F.col("label").alias("cluster_id")
+    )
+    corpus = crawl_union(spark, sf_dir).select("doc_id")
+    assign = (
+        corpus.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    bucket = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    label = lambda b: (  # noqa: E731
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    splits = assign.select(
+        "doc_id",
+        "cluster_id",
+        label(bucket("cluster_id")).alias("split"),
+        label(bucket("doc_id")).alias("naive_split"),
+    ).localCheckpoint()
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split").alias("split_a"),
+        F.col("naive_split").alias("naive_a"),
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split").alias("split_b"),
+        F.col("naive_split").alias("naive_b"),
+    )
+    audit = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(
+            F.sum(
+                F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+            ).cast("long").alias("safe_leaked_pairs"),
+            F.sum(
+                F.when(F.col("naive_a") != F.col("naive_b"), 1).otherwise(0)
+            ).cast("long").alias("naive_leaked_pairs"),
+        )
+    )
+    members = splits.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    return members.join(audit, "split", "left").select(
+        "split",
+        "n_docs",
+        "n_clusters",
+        F.coalesce("safe_leaked_pairs", F.lit(0)).alias("safe_leaked_pairs"),
+        F.coalesce("naive_leaked_pairs", F.lit(0)).alias("naive_leaked_pairs"),
+    )
