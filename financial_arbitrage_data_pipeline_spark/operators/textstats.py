@@ -2384,3 +2384,76 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("actual_total"),
         (F.col("n_docs").cast("double") / total.cast("double")).alias("cell_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf doubling profile: rank-frequency law fit without a single logarithm
+# ---------------------------------------------------------------------------
+_ZIPF_TOP = 1024
+
+
+@query(
+    "zipf_doubling_profile",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+  FROM tok WHERE token <> '' GROUP BY token
+),
+ranked AS (
+  SELECT token, f,
+         ROW_NUMBER() OVER (ORDER BY f DESC, token) AS r
+  FROM freq
+  QUALIFY ROW_NUMBER() OVER (ORDER BY f DESC, token) <= {_ZIPF_TOP}
+)
+SELECT a.r AS rank, a.f AS freq_r, b.f AS freq_2r,
+       a.f * 1000000 // b.f AS doubling_ratio_ppm
+FROM ranked a JOIN ranked b ON b.r = 2 * a.r
+WHERE a.r IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+""",
+    tags=("text-vocab", "curation"),
+)
+def zipf_doubling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit by FREQUENCY DOUBLING RATIOS — f(r)/f(2r) at
+    dyadic ranks r = 1..512. Under Zipf with exponent s the ratio is
+    2^s at every doubling, so a flat column of ratios ≈ 2,000,000 ppm
+    IS the law (s = 1) and drift across ranks exposes where the fit
+    breaks (the head/tail deviations every real corpus has) — the
+    rank-frequency diagnostic next to heaps_vocab_growth's type-token
+    curve, computed without a single logarithm so both engines agree
+    bit-for-bit (exact int64 counts, one integer ppm floor-divide).
+
+    Plan: one token explode + one map-combined count (the
+    token_vocabulary shuffle); the top-{_ZIPF_TOP} cut is
+    TakeOrderedAndProject (distributed partial top-K — NO global vocab
+    sort, the 100 TB-safe form); ranking and the r→2r self-join happen
+    on the {_ZIPF_TOP}-row result (broadcast-trivial at any SF)."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    top = freq.orderBy(F.col("f").desc(), F.col("token")).limit(_ZIPF_TOP)
+    ranked = top.select(
+        "f",
+        F.row_number()
+        .over(
+            Window.partitionBy().orderBy(F.col("f").desc(), F.col("token"))
+        )
+        .alias("r"),
+    )
+    a = ranked.select(F.col("r").alias("rank"), F.col("f").alias("freq_r"))
+    b = ranked.select((F.col("r")).alias("r2"), F.col("f").alias("freq_2r"))
+    return (
+        a.filter(F.col("rank").isin(1, 2, 4, 8, 16, 32, 64, 128, 256, 512))
+        .join(F.broadcast(b), F.col("r2") == 2 * F.col("rank"))
+        .select(
+            "rank",
+            "freq_r",
+            "freq_2r",
+            F.expr("freq_r * 1000000 div freq_2r").alias("doubling_ratio_ppm"),
+        )
+    )
