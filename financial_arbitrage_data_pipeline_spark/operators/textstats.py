@@ -2457,3 +2457,65 @@ def zipf_doubling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("freq_r * 1000000 div freq_2r").alias("doubling_ratio_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE round-trip audit: encoding must be lossless, corpus-wide, by algebra
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_roundtrip_audit",
+    oracle=_bpe_oracle(_BPE_ROUNDS).split("\nSELECT 0 AS merge_round")[0]
+    + """
+SELECT (replace(d.s, chr(1), chr(2)||chr(2)) = d0.s) AS roundtrip_ok,
+       (contains(d.s, chr(1))) AS has_merges,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(trim(d.s, chr(2)), chr(2)||chr(2))))
+            AS BIGINT) AS total_tokens_after
+FROM d3 d JOIN d0 ON d0.doc_id = d.doc_id
+GROUP BY 1, 2
+""",
+    tags=("text-bpe", "audit"),
+)
+def bpe_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer LOSSLESSNESS audit: decode(encode(doc)) must equal
+    doc for every document — the property a training pipeline asserts
+    before committing a tokenizer, because a lossy merge table silently
+    corrupts every downstream token count and decoded sample. Decoding
+    is pure algebra here: merges glue symbols with \\x01, so replacing
+    \\x01 with the \\x02\\x02 symbol boundary un-applies every merge in
+    one pass; equality with the PRE-merge stream proves no merge
+    crossed a token boundary and none collided with document text
+    (the sentinel-wrapping guarantee, stated as data instead of
+    argument). Grouped by (roundtrip_ok, has_merges) so the result also
+    shows how many docs the 3-round merge table actually touches.
+
+    Shares `_bpe_rounds` with the trainer/encoder (same merges by
+    construction); the oracle reuses the trainer's unrolled CTE chain.
+    Per-doc string compare + one map-combined aggregate on top of the
+    training loop — no new shuffle."""
+    merged, _ = _bpe_rounds(spark, sf_dir, _BPE_ROUNDS)
+    docs = load_table(spark, sf_dir, "documents")
+    wrap = F.concat(
+        F.lit("\x02"),
+        F.array_join(
+            F.expr("filter(split(text, ' '), x -> x <> '')"), "\x02\x02"
+        ),
+        F.lit("\x02"),
+    )
+    d0 = docs.select("doc_id", wrap.alias("s0"))
+    toks = F.expr(_BPE_TOKS_EXPR)
+    return (
+        merged.join(d0, "doc_id")
+        .select(
+            (
+                F.regexp_replace(F.col("s"), "\x01", "\x02\x02") == F.col("s0")
+            ).alias("roundtrip_ok"),
+            F.col("s").contains("\x01").alias("has_merges"),
+            F.size(toks).cast("long").alias("nt"),
+        )
+        .groupBy("roundtrip_ok", "has_merges")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens_after"),
+        )
+    )
