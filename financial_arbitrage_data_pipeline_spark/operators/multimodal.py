@@ -2269,3 +2269,149 @@ def png_adam7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = docs.select("doc_id").mapInPandas(synth, png_schema)
     return decode_png_assets(assets)
+
+
+# ---------------------------------------------------------------------------
+# MDCT subband analysis over the PCM lane — the TRANSFORM stage of every
+# perceptual audio codec (mp3/AAC/Vorbis): a 50%-overlapped modified DCT
+# in exact fixed-point, so the engine now holds all of mp3's building
+# blocks except the patented bitstream (MDCT here, scalar quantization
+# in the JPEG lane, Huffman in the JPEG/DEFLATE lanes).
+# ---------------------------------------------------------------------------
+_MDCT_N = 8  # subbands; window = 2N with 50% overlap, hop = N
+
+# Integer fixed-point analysis table: T[j][k] = round(w[j] * c[j][k] *
+# 128) with the sine window w[j] = sin(pi*(j+1/2)/2N) and the MDCT basis
+# c[j][k] = cos(pi/N * (j + 1/2 + N/2) * (k + 1/2)). Computed ONCE here
+# and inlined verbatim into the oracle SQL, so both engines use the
+# IDENTICAL integer table — no cross-engine trig at query time.
+import math as _math  # noqa: E402
+
+_MDCT_TABLE = [
+    [
+        round(
+            _math.sin(_math.pi * (j + 0.5) / (2 * _MDCT_N))
+            * _math.cos(
+                _math.pi / _MDCT_N * (j + 0.5 + _MDCT_N / 2) * (k + 0.5)
+            )
+            * 128
+        )
+        for k in range(_MDCT_N)
+    ]
+    for j in range(2 * _MDCT_N)
+]
+
+_MDCT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("band", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("l1_mag", T.LongType(), True),
+        T.StructField("peak_mag", T.LongType(), True),
+    ]
+)
+
+_MDCT_TBL_SQL = ", ".join(
+    f"({j}, {k}, {_MDCT_TABLE[j][k]})"
+    for j in range(2 * _MDCT_N)
+    for k in range(_MDCT_N)
+)
+
+
+@query(
+    "audio_mdct_subband_stats",
+    oracle=f"""
+WITH tbl(j, k, t) AS (VALUES {_MDCT_TBL_SQL}),
+d AS (
+  SELECT doc_id, 256 + doc_id % 64 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+fr AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, (n - {2 * _MDCT_N}) // {_MDCT_N})) AS f
+  FROM d
+),
+x AS (
+  SELECT fr.doc_id, fr.f, tbl.k,
+         CAST(SUM(tbl.t * ((fr.doc_id * 31 + (fr.f * {_MDCT_N} + tbl.j) * 7)
+                           % 65536 - 32768)) AS BIGINT) AS coeff
+  FROM fr JOIN tbl ON TRUE
+  GROUP BY fr.doc_id, fr.f, tbl.k
+)
+SELECT doc_id AS asset_id, k AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(ABS(coeff)) AS BIGINT) AS l1_mag,
+       CAST(MAX(ABS(coeff)) AS BIGINT) AS peak_mag
+FROM x GROUP BY doc_id, k
+""",
+    tags=("multimodal", "audio", "codec", "transform"),
+)
+def audio_mdct_subband_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDCT SUBBAND DECOMPOSITION of the PCM lane: {_MDCT_N}-band
+    modified DCT with the sine window and 50% overlap (hop {_MDCT_N},
+    window {2 * _MDCT_N}) — the analysis filterbank at the front of
+    mp3/AAC/Vorbis, in exact fixed-point: the window×basis product is a
+    precomputed integer table (×128, inlined into the oracle SQL
+    verbatim), every coefficient is an int64 dot product of int16
+    samples with that table, and the per-band statistics (L1 magnitude,
+    peak) are exact integer sums — no float leaves the kernel, so the
+    value hash is trig-free on both engines.
+
+    The decode path is the REAL wav parser (`_parse_wav`): synthesize a
+    valid PCM WAV per asset, ride the binary column, reconstruct the
+    samples, frame, and transform — the oracle recomputes every
+    coefficient from the generator formula and the same table, proving
+    the whole chain sample-exact. Plan: per-asset CPU inside the Arrow
+    kernel (samples never shuffle); output is assets × {_MDCT_N} tiny
+    rows."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the MDCT kernels")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+
+    wav_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].values,
+                    "payload": [synthesize_wav(int(a)) for a in pdf["doc_id"]],
+                }
+            )
+
+    tbl = _np.array(_MDCT_TABLE, dtype=_np.int64)  # (2N, N)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win, hop = 2 * _MDCT_N, _MDCT_N
+        for pdf in batches:
+            rows = []
+            for a, p in zip(pdf["asset_id"], pdf["payload"]):
+                _rate, s = _parse_wav(p)
+                s = s.astype(_np.int64)
+                nf = (s.size - win) // hop + 1
+                # (nf, 2N) strided frame matrix @ (2N, N) table
+                frames = _np.stack([s[f * hop : f * hop + win] for f in range(nf)])
+                coeffs = frames @ tbl  # (nf, N) exact int64
+                mags = _np.abs(coeffs)
+                for k in range(_MDCT_N):
+                    rows.append(
+                        (
+                            int(a),
+                            k,
+                            nf,
+                            int(mags[:, k].sum()),
+                            int(mags[:, k].max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "band", "n_frames", "l1_mag", "peak_mag"],
+            )
+
+    assets = docs.select("doc_id").mapInPandas(synth, wav_schema)
+    return assets.mapInPandas(kernel, _MDCT_SCHEMA)
