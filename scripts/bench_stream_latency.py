@@ -106,9 +106,13 @@ def run_one(spark, trigger_sec: float) -> dict:
     proc_ms: list[float] = []
     batches = {"n": 0}
 
+    collect_ms: list[float] = []
+    write_ms: list[float] = []
+
     def sink(df, batch_id: int) -> None:
         t0 = time.time()
         pdf = df.toPandas()
+        t1 = time.time()
         if len(pdf) == 0:
             return
         pdf.to_parquet(os.path.join(out_dir, f"b{batch_id}.parquet"))
@@ -116,6 +120,8 @@ def run_one(spark, trigger_sec: float) -> dict:
         batch_lat.append(
             [commit_ms - pub_ms[e] for e in pdf["event_id"] if e in pub_ms]
         )
+        collect_ms.append((t1 - t0) * 1000)
+        write_ms.append((time.time() - t1) * 1000)
         proc_ms.append((time.time() - t0) * 1000)
         batches["n"] += 1
 
@@ -139,6 +145,18 @@ def run_one(spark, trigger_sec: float) -> dict:
     stop_flag.set()
     pub.join()
     time.sleep(2 * trigger_sec + 1)  # drain the tail
+    # Spark's own per-stage accounting for each micro-batch (r7 task 6:
+    # "where does the 200 ms go") — captured BEFORE stop() drops the
+    # progress buffer. durationMs stages: latestOffset (source offset
+    # discovery), queryPlanning (incremental plan), addBatch (execute +
+    # sink, the foreachBatch body included), walCommit/commitOffsets
+    # (checkpoint bookkeeping), triggerExecution (whole trigger).
+    stage_ms: dict[str, list[float]] = {}
+    for p in q.recentProgress:
+        if p.get("numInputRows", 0) == 0:
+            continue
+        for stage, ms in (p.get("durationMs") or {}).items():
+            stage_ms.setdefault(stage, []).append(float(ms))
     q.stop()
     q.awaitTermination()
 
@@ -165,6 +183,12 @@ def run_one(spark, trigger_sec: float) -> dict:
         "proc_p50_ms": round(percentile(pm, 0.50), 1),
         "proc_p95_ms": round(percentile(pm, 0.95), 1),
         "steady_proc_p50_ms": round(percentile(pm_steady, 0.50), 1),
+        "stage_p50_ms": {
+            stage: round(percentile(sorted(v), 0.50), 1)
+            for stage, v in sorted(stage_ms.items())
+        },
+        "sink_collect_p50_ms": round(percentile(sorted(collect_ms), 0.50), 1),
+        "sink_write_p50_ms": round(percentile(sorted(write_ms), 0.50), 1),
     }
     print(json.dumps(result))
     return result
