@@ -2415,3 +2415,161 @@ def audio_mdct_subband_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = docs.select("doc_id").mapInPandas(synth, wav_schema)
     return assets.mapInPandas(kernel, _MDCT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# 2D Haar wavelet decomposition over the BMP lane — the JPEG2000 DWT
+# building block, completing the engine's transform matrix: 1D DCT
+# (JPEG), MDCT (audio), 1D Haar (tape), and now the 2D separable DWT.
+# Unnormalized (no /2 anywhere) so every coefficient is an exact int64
+# signed pixel sum.
+# ---------------------------------------------------------------------------
+_HAAR2D_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("level", T.LongType(), False),
+        T.StructField("band", T.StringType(), False),
+        T.StructField("n_blocks", T.LongType(), True),
+        T.StructField("l1_mag", T.LongType(), True),
+        T.StructField("peak_mag", T.LongType(), True),
+    ]
+)
+
+# (band, x-filter-is-high, y-filter-is-high); LL emitted only at the
+# coarsest level, per the standard DWT pyramid
+_HAAR2D_BANDS = [("LH", 0, 1), ("HL", 1, 0), ("HH", 1, 1)]
+_HAAR2D_LEVELS = 2
+
+
+@query(
+    "image_haar2d_energy",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+lv(lvl) AS (VALUES (1), (2)),
+bands(band, hx, hy, blvl) AS (
+  VALUES ('LH', 0, 1, 1), ('HL', 1, 0, 1), ('HH', 1, 1, 1),
+         ('LH', 0, 1, 2), ('HL', 1, 0, 2), ('HH', 1, 1, 2),
+         ('LL', 0, 0, 2)
+),
+xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+ys AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+       FROM xs),
+px AS (
+  SELECT doc_id, w, h, x, y,
+         (doc_id * 13 + x * 3 + y * 7) % 256 AS p
+  FROM ys
+),
+terms AS (
+  SELECT px.doc_id, b.blvl AS lvl, b.band,
+         px.x // (1 << b.blvl) AS bx, px.y // (1 << b.blvl) AS by,
+         (CASE WHEN b.hx = 1
+               AND (px.x // (1 << (b.blvl - 1))) % 2 = 1
+               THEN -1 ELSE 1 END
+          * CASE WHEN b.hy = 1
+                 AND (px.y // (1 << (b.blvl - 1))) % 2 = 1
+                 THEN -1 ELSE 1 END) * px.p AS s
+  FROM px JOIN bands b ON TRUE
+  WHERE px.x < (px.w // (1 << b.blvl)) * (1 << b.blvl)
+    AND px.y < (px.h // (1 << b.blvl)) * (1 << b.blvl)
+),
+coeff AS (
+  SELECT doc_id, lvl, band, bx, by, CAST(SUM(s) AS BIGINT) AS c
+  FROM terms GROUP BY doc_id, lvl, band, bx, by
+)
+SELECT doc_id AS asset_id, CAST(lvl AS BIGINT) AS level, band,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(ABS(c)) AS BIGINT) AS l1_mag,
+       CAST(MAX(ABS(c)) AS BIGINT) AS peak_mag
+FROM coeff GROUP BY doc_id, lvl, band
+""",
+    tags=("multimodal", "image", "codec", "transform"),
+)
+def image_haar2d_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level 2D HAAR WAVELET decomposition of the decoded image
+    (blue plane): detail subbands LH/HL/HH per level plus the final LL
+    approximation — the separable DWT pyramid at the heart of JPEG2000,
+    in the unnormalized integer form (every coefficient is a ±1-signed
+    pixel sum over its dyadic block, no division), so the whole
+    transform is exact int64 and the value hash needs no tolerance.
+    Per-(level, band) L1 magnitude and peak quantify where the image's
+    variation lives by SCALE and ORIENTATION — the texture/edge
+    statistics an image-curation pipeline filters on (flat renders,
+    noise-dominated scans), the 2D sibling of the tape family's
+    haar_energy_decomposition.
+
+    The decode path is the REAL BMP parser; partial edge blocks are
+    truncated (only complete 2^l x 2^l blocks transform, both engines
+    by the same floor arithmetic). Plan: per-asset CPU inside the
+    Arrow codec kernel — pixels never shuffle; output is 7 small rows
+    per asset. Oracle recomputes every coefficient from the pixel
+    generator formula with the identical sign algebra."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the Haar kernels")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+
+    bmp_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].values,
+                    "payload": [synthesize_bmp(int(a)) for a in pdf["doc_id"]],
+                }
+            )
+
+    def _subband_rows(a: int, plane) -> list[tuple]:
+        h, w = plane.shape
+        out = []
+        for lvl in range(1, _HAAR2D_LEVELS + 1):
+            blk = 1 << lvl
+            half = 1 << (lvl - 1)
+            wb, hb = w // blk, h // blk
+            if wb == 0 or hb == 0:
+                continue
+            crop = plane[: hb * blk, : wb * blk]
+            xs = _np.arange(wb * blk)
+            ys = _np.arange(hb * blk)
+            sx_hi = 1 - 2 * ((xs // half) % 2)
+            sy_hi = 1 - 2 * ((ys // half) % 2)
+            bands = list(_HAAR2D_BANDS) + (
+                [("LL", 0, 0)] if lvl == _HAAR2D_LEVELS else []
+            )
+            for band, hx, hy in bands:
+                sx = sx_hi if hx else _np.ones_like(xs)
+                sy = sy_hi if hy else _np.ones_like(ys)
+                signed = crop * sx[None, :] * sy[:, None]
+                c = signed.reshape(hb, blk, wb, blk).sum(axis=(1, 3))
+                mags = _np.abs(c)
+                out.append(
+                    (a, lvl, band, int(c.size), int(mags.sum()),
+                     int(mags.max()))
+                )
+        return out
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for a, p in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, raw = _parse_bmp(p)
+                rows.extend(
+                    _subband_rows(int(a), raw[:, :, 0].astype(_np.int64))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "level", "band",
+                    "n_blocks", "l1_mag", "peak_mag",
+                ],
+            )
+
+    assets = docs.select("doc_id").mapInPandas(synth, bmp_schema)
+    return assets.mapInPandas(kernel, _HAAR2D_SCHEMA)
