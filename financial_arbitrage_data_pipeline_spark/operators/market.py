@@ -1280,3 +1280,101 @@ def auction_clearing_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("w.cum_buy") - F.col("w.cum_sell")).alias("imbalance"),
         (F.col("w.executable") > 0).alias("crossed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prediction-market calibration: implied probability vs resolution rate
+# ---------------------------------------------------------------------------
+@query(
+    "market_calibration_brier",
+    oracle="""
+WITH lastq AS (
+  SELECT user_id AS market,
+         arg_max(CAST(round(value * 100) AS BIGINT) % 97 + 1,
+                 epoch_us(ts) * 4096 + event_id % 4096)
+           FILTER (event_type IN ('click', 'view')) AS pct
+  FROM events GROUP BY user_id
+),
+res AS (
+  SELECT market, pct,
+         (strpos('0123456789abcdef',
+                 substr(md5(CAST(market AS VARCHAR)), 1, 1)) - 1) % 2
+           AS outcome
+  FROM lastq WHERE pct IS NOT NULL
+)
+SELECT (pct - 1) // 10 AS prob_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_markets,
+       CAST(SUM(pct) AS BIGINT) AS sum_implied_pct,
+       CAST(SUM(outcome) AS BIGINT) AS n_resolved_yes,
+       CAST(SUM((pct - 100 * outcome) * (pct - 100 * outcome)) AS BIGINT)
+         AS sq_err_sum,
+       CAST(SUM(outcome) * 1000000 // COUNT(*) AS BIGINT)
+         AS resolve_rate_ppm,
+       CAST(SUM((pct - 100 * outcome) * (pct - 100 * outcome)) AS BIGINT)
+         * 100 // COUNT(*) AS brier_x1e6
+FROM res GROUP BY (pct - 1) // 10
+""",
+    tags=("A9", "finance", "calibration"),
+)
+def market_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CALIBRATION CURVE of the prediction market — for each
+    implied-probability decile, how often do markets actually resolve
+    YES, and what is the Brier score? This is the standard evaluation
+    of a prediction market's prices (a calibrated venue's 70%-priced
+    markets resolve YES ~70% of the time); the reference trades ON the
+    prices but never audits them — this is that audit. The resolution
+    signal is a deterministic md5-parity of the market id (independent
+    of the price path, so on the synthetic tape the curve measures the
+    prices against a fair coin — the computation, bucketing, and
+    decomposition are what the operator delivers).
+
+    Exactness: implied pct is the final Kalshi quote (arg_max by the
+    tape order key); squared error is exact in percent-squared ints
+    ((pct - 100*outcome)^2); brier_x1e6 and resolve_rate_ppm are
+    integer floor divides (non-negative — both engines truncate
+    identically). Plan: ONE tape scan with a venue-conditional
+    map-combined max_by per market, then a 10-group decile rollup —
+    two small exchanges, no joins."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_kalshi = F.col("event_type").isin("click", "view")
+    okey = F.expr("(ts div 1000) * 4096 + event_id % 4096")
+    lastq = (
+        ev.groupBy(F.col("user_id").alias("market"))
+        .agg(F.max_by(cents % 97 + 1, F.when(is_kalshi, okey)).alias("pct"))
+        .filter(F.col("pct").isNotNull())
+    )
+    res = lastq.select(
+        "pct",
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("market").cast("string")), 1, 1),
+                    16,
+                    10,
+                ).cast("long")
+            )
+            % 2
+        ).alias("outcome"),
+    )
+    err = (F.col("pct") - 100 * F.col("outcome"))
+    return (
+        res.groupBy(F.expr("(pct - 1) div 10").alias("prob_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_markets"),
+            F.sum("pct").alias("sum_implied_pct"),
+            F.sum("outcome").alias("n_resolved_yes"),
+            F.sum(err * err).alias("sq_err_sum"),
+        )
+        .select(
+            "prob_decile",
+            "n_markets",
+            "sum_implied_pct",
+            "n_resolved_yes",
+            "sq_err_sum",
+            F.expr("n_resolved_yes * 1000000 div n_markets").alias(
+                "resolve_rate_ppm"
+            ),
+            F.expr("sq_err_sum * 100 div n_markets").alias("brier_x1e6"),
+        )
+    )
