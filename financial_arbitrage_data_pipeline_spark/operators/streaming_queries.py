@@ -18,7 +18,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -1999,6 +1999,204 @@ def streaming_book_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("net") < 0, 1).otherwise(0))
                 .cast("long")
                 .alias("n_overcancelled_levels"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming call-auction: the uncross maintained as a continuous aggregate
+# ---------------------------------------------------------------------------
+def make_auction_upserter(spark: SparkSession, table: str):
+    """foreachBatch upserter maintaining per-(market, px) two-sided
+    resting volume across micro-batches — auction_clearing_price's
+    level aggregation as an additive continuous aggregate on the
+    exactly-once merge protocol (redelivered batches skipped via the
+    applied-batch marker, atomic with the bucket swaps)."""
+    from .upsert import create_bucketed_table, merge_into_parquet, recover_merge_table
+
+    if not os.path.exists(table):
+        create_bucketed_table(
+            spark,
+            table,
+            spark.createDataFrame(
+                [],
+                "lvl_key string, market long, px long,"
+                " bid_qty long, ask_qty long",
+            ),
+            key="lvl_key",
+        )
+
+    def upsert_batch(batch_df, batch_id: int) -> None:
+        recover_merge_table(table, break_lock=True)
+        marker = os.path.join(table, "_last_applied_batch")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # redelivered batch: already merged
+        is_bid = F.col("event_type").isin("click", "view")
+        b = (
+            batch_df.select(
+                F.col("user_id").alias("market"),
+                (F.expr("cast(round(value * 100) as bigint)") % 97 + 1)
+                .alias("px"),
+                F.when(is_bid, F.col("event_id") % 50 + 1)
+                .otherwise(0)
+                .alias("bq"),
+                F.when(~is_bid, F.col("event_id") % 50 + 1)
+                .otherwise(0)
+                .alias("aq"),
+            )
+            .groupBy("market", "px")
+            .agg(
+                F.sum("bq").cast("long").alias("bq"),
+                F.sum("aq").cast("long").alias("aq"),
+            )
+            .withColumn(
+                "lvl_key",
+                F.concat_ws("|", "market", F.col("px").cast("string")),
+            )
+        )
+        merge_into_parquet(
+            spark,
+            table,
+            b,
+            key="lvl_key",
+            set_exprs={
+                "market": F.coalesce(F.col("t.market"), F.col("u.market")),
+                "px": F.coalesce(F.col("t.px"), F.col("u.px")),
+                "bid_qty": F.coalesce(F.col("t.bid_qty"), F.lit(0))
+                + F.col("u.bq"),
+                "ask_qty": F.coalesce(F.col("t.ask_qty"), F.lit(0))
+                + F.col("u.aq"),
+            },
+            insert_missing=True,
+            extra_files={"_last_applied_batch": str(batch_id)},
+        )
+
+    return upsert_batch
+
+
+@query(
+    "streaming_auction_clearing",
+    oracle="""
+WITH o AS (
+  SELECT user_id AS market,
+         CASE WHEN event_type IN ('click', 'view') THEN 'B' ELSE 'S' END
+           AS side,
+         CAST(round(value * 100) AS BIGINT) % 97 + 1 AS px,
+         event_id % 50 + 1 AS qty
+  FROM events
+),
+lvl AS (
+  SELECT market, px,
+         CAST(SUM(CASE WHEN side = 'B' THEN qty ELSE 0 END) AS BIGINT)
+           AS bid_qty,
+         CAST(SUM(CASE WHEN side = 'S' THEN qty ELSE 0 END) AS BIGINT)
+           AS ask_qty
+  FROM o GROUP BY market, px
+),
+cum AS (
+  SELECT market, px, bid_qty, ask_qty,
+         CAST(SUM(bid_qty) OVER (PARTITION BY market ORDER BY px DESC)
+              AS BIGINT) AS cum_buy,
+         CAST(SUM(ask_qty) OVER (PARTITION BY market ORDER BY px ASC)
+              AS BIGINT) AS cum_sell
+  FROM lvl
+),
+ex AS (
+  SELECT market, px, cum_buy, cum_sell,
+         CASE WHEN cum_buy < cum_sell THEN cum_buy ELSE cum_sell END
+           AS executable,
+         abs(cum_buy - cum_sell) AS abs_imb
+  FROM cum
+)
+SELECT market, px AS clearing_px, executable AS matched_qty,
+       cum_buy - cum_sell AS imbalance, executable > 0 AS crossed
+FROM ex
+QUALIFY ROW_NUMBER() OVER (PARTITION BY market
+                           ORDER BY executable DESC, abs_imb ASC, px ASC) = 1
+""",
+    tags=("A7", "K4", "T4", "streaming", "auction", "finance"),
+)
+def streaming_auction_clearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE call auction: the two-sided level book accumulates
+    ACROSS micro-batches as an additive continuous aggregate (per-batch
+    map-side (market, px) pre-aggregation, exactly-once additive merge
+    keyed by level — the streaming_book_depth machinery), and the
+    UNCROSS runs over the merged level table: clearing price maximizing
+    min(cumBuy, cumSell) with the identical tie rules as the batch
+    operator. Because both per-level volumes are SUMS, chunk boundaries
+    and at-least-once redelivery are invisible by algebra — the landed
+    clearing table hash-matches auction_clearing_price's batch
+    recompute from the raw tape (the oracle is the batch semantics
+    verbatim). This is how an exchange actually runs its open: orders
+    stream in, the indicative uncross is recomputed from book STATE,
+    not from a replay of every order.
+
+    Scale: merge state is level-book-sized (markets × ≤97 prices);
+    each merge rewrites only buckets holding levels the batch touched;
+    the uncross is two cumulative windows + an argmax on one
+    market-keyed exchange over that small state."""
+    root = _workdir()
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        table = os.path.join(root, "auction_book")
+        upsert_batch = make_auction_upserter(spark, table)
+        q = (
+            ingest.replay_stream(spark, replay_dir)
+            .writeStream.foreachBatch(upsert_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from .upsert import read_merge_table
+
+        lvl = read_merge_table(spark, table)
+        w_buy = (
+            Window.partitionBy("market")
+            .orderBy(F.col("px").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_sell = (
+            Window.partitionBy("market")
+            .orderBy(F.col("px").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ex = lvl.select(
+            "market",
+            "px",
+            F.sum("bid_qty").over(w_buy).alias("cum_buy"),
+            F.sum("ask_qty").over(w_sell).alias("cum_sell"),
+        ).select(
+            "market",
+            "px",
+            "cum_buy",
+            "cum_sell",
+            F.least("cum_buy", "cum_sell").alias("executable"),
+            F.abs(F.col("cum_buy") - F.col("cum_sell")).alias("abs_imb"),
+        )
+        return (
+            ex.groupBy("market")
+            .agg(
+                F.max_by(
+                    F.struct("px", "executable", "cum_buy", "cum_sell"),
+                    F.struct(
+                        F.col("executable"),
+                        (-F.col("abs_imb")).alias("neg_imb"),
+                        (-F.col("px")).alias("neg_px"),
+                    ),
+                ).alias("w")
+            )
+            .select(
+                "market",
+                F.col("w.px").alias("clearing_px"),
+                F.col("w.executable").alias("matched_qty"),
+                (F.col("w.cum_buy") - F.col("w.cum_sell")).alias("imbalance"),
+                (F.col("w.executable") > 0).alias("crossed"),
             )
             .localCheckpoint()
         )
