@@ -368,3 +368,112 @@ def purchase_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("matched_raw"), F.lit(False)).alias("matched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-gap survival analysis: the life table BEHIND the 30-min timeout
+# ---------------------------------------------------------------------------
+_LT_BIN_MIN = 5  # 5-minute hazard bins
+_LT_CENSOR_BIN = 48  # gaps >= 240 min are right-censored
+
+
+@query(
+    "session_gap_life_table",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+),
+g AS (
+  SELECT (ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id))
+           // 60000000 AS gap_min
+  FROM c
+),
+b AS (
+  SELECT CASE WHEN gap_min // {_LT_BIN_MIN} >= {_LT_CENSOR_BIN}
+              THEN {_LT_CENSOR_BIN}
+              ELSE gap_min // {_LT_BIN_MIN} END AS bin,
+         (gap_min // {_LT_BIN_MIN} >= {_LT_CENSOR_BIN}) AS censored
+  FROM g WHERE gap_min IS NOT NULL
+),
+lt AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM b GROUP BY bin
+),
+risk AS (
+  SELECT bin, d, c,
+         CAST(SUM(d + c) OVER (ORDER BY bin DESC) AS BIGINT) AS n_at_risk
+  FROM lt
+)
+SELECT bin * {_LT_BIN_MIN} AS t_minutes, n_at_risk, d AS n_resumed,
+       c AS n_censored,
+       CAST(d * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
+FROM risk
+""",
+    tags=("A2", "sessions", "survival"),
+)
+def session_gap_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVAL ANALYSIS of user inactivity: the life table of
+    inter-event gaps in {_LT_BIN_MIN}-minute hazard bins — n_at_risk
+    (gaps that reached t), n_resumed (activity resumed in [t, t+bin)),
+    and the discrete hazard d/n. Gaps past {_LT_BIN_MIN * _LT_CENSOR_BIN}
+    minutes are right-censored (they count in every earlier risk set
+    but are never events — the Kaplan-Meier censoring rule). This is
+    the measurement that JUSTIFIES `user_sessions`' 30-minute timeout:
+    the right timeout is where the hazard has decayed — below it you
+    split live sessions, above it you merge distinct ones. The
+    reference hardcodes its liveness TTL
+    (`virginia/broker/publisher.py:224-320`); this derives it from
+    data.
+
+    Exactness: gaps, bins, and counts are exact int64; hazard_ppm is a
+    non-negative integer floor divide. Plan: ONE user-keyed
+    sort-shuffle for the LAG pass, a map-combined bin rollup, and the
+    suffix-sum risk window on the ≤{_LT_CENSOR_BIN + 1}-row life table
+    (bounded — a single-partition window over 49 rows, not data)."""
+    c = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = c.select(
+        (
+            (F.col("ts_us") - F.lag("ts_us").over(w)) / F.lit(1)
+        ).cast("long").alias("gap_us"),
+    ).select(F.expr("gap_us div 60000000").alias("gap_min")).filter(
+        F.col("gap_min").isNotNull()
+    )
+    raw_bin = F.expr(f"gap_min div {_LT_BIN_MIN}")
+    b = g.select(
+        F.when(raw_bin >= _LT_CENSOR_BIN, F.lit(_LT_CENSOR_BIN))
+        .otherwise(raw_bin)
+        .alias("bin"),
+        (raw_bin >= _LT_CENSOR_BIN).alias("censored"),
+    )
+    lt = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("long")
+        .alias("d"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    w_risk = (
+        Window.partitionBy()
+        .orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = lt.select(
+        "bin",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(w_risk).alias("n_at_risk"),
+    )
+    return risk.select(
+        (F.col("bin") * _LT_BIN_MIN).alias("t_minutes"),
+        "n_at_risk",
+        F.col("d").alias("n_resumed"),
+        F.col("c").alias("n_censored"),
+        F.expr("d * 1000000 div n_at_risk").alias("hazard_ppm"),
+    )
