@@ -1378,3 +1378,98 @@ def market_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sq_err_sum * 100 div n_markets").alias("brier_x1e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Queue position at insertion: how much resting volume sits ahead of you
+# ---------------------------------------------------------------------------
+@query(
+    "order_queue_position",
+    oracle="""
+WITH d AS (
+  SELECT user_id AS market, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+         CAST(round(value * 100) AS BIGINT) // 1000 AS level,
+         CASE WHEN event_type IN ('view', 'click', 'signup')
+              THEN event_id % 7 + 1 ELSE -(event_id % 7 + 1) END AS delta
+  FROM events
+),
+q AS (
+  SELECT market, side, delta,
+         COALESCE(SUM(delta) OVER (PARTITION BY market, side, level
+                                   ORDER BY ts_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS ahead
+  FROM d
+)
+SELECT market, side,
+       CAST(COUNT(*) AS BIGINT) AS n_adds,
+       CAST(SUM(CASE WHEN ahead > 0 THEN ahead ELSE 0 END) AS BIGINT)
+         AS sum_queue_ahead,
+       CAST(MAX(ahead) AS BIGINT) AS peak_queue_ahead,
+       CAST(SUM(CASE WHEN ahead <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_front_of_queue
+FROM q WHERE delta > 0
+GROUP BY market, side
+""",
+    tags=("P3", "finance", "microstructure", "event-sourcing"),
+)
+def order_queue_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUEUE POSITION at insertion for every new resting order: the net
+    volume already standing at the same (market, side, price level)
+    when the order arrives — the statistic that decides fill
+    probability under price-time priority (front-of-queue at a level
+    fills first; deep-queue orders mostly get adversely selected). The
+    reference's book consumers know the aggregate depth
+    (`virginia/api/data_feed.py:352-398`) but never each order's place
+    IN it; this derives it from the same add/cancel delta feed as
+    book_depth_rebuild, as an EXCLUSIVE running sum — the event-sourced
+    restatement of 'walk the queue at insert time'.
+
+    Exactness: all int64 (negative `ahead` — over-cancelled levels —
+    reported via n_front_of_queue and excluded from the volume sum by
+    the same predicate on both engines). Plan: ONE
+    (market, side, level)-keyed sort-shuffle for the exclusive-prefix
+    window, then a small (market, side) rollup — no joins, no state
+    beyond the window."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("user_id").alias("market"),
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit("bid"))
+        .otherwise(F.lit("ask"))
+        .alias("side"),
+        F.expr("cast(round(value * 100) as bigint) div 1000").alias("level"),
+        F.when(
+            F.col("event_type").isin("view", "click", "signup"),
+            F.col("event_id") % 7 + 1,
+        )
+        .otherwise(-(F.col("event_id") % 7 + 1))
+        .alias("delta"),
+    )
+    w = (
+        Window.partitionBy("market", "side", "level")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    q = d.select(
+        "market",
+        "side",
+        "delta",
+        F.coalesce(F.sum("delta").over(w), F.lit(0)).alias("ahead"),
+    )
+    return (
+        q.filter(F.col("delta") > 0)
+        .groupBy("market", "side")
+        .agg(
+            F.count(F.lit(1)).alias("n_adds"),
+            F.sum(F.when(F.col("ahead") > 0, F.col("ahead")).otherwise(0))
+            .cast("long")
+            .alias("sum_queue_ahead"),
+            F.max("ahead").alias("peak_queue_ahead"),
+            F.sum(F.when(F.col("ahead") <= 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_front_of_queue"),
+        )
+    )
