@@ -3410,3 +3410,150 @@ def signal_ic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rank_ic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kelly position sizing from empirical trade outcomes
+# ---------------------------------------------------------------------------
+@query(
+    "kelly_position_sizing",
+    oracle=f"""
+WITH q AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS quote_c
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, epoch_us(ts)
+),
+t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS trade_c
+  FROM events WHERE event_type = 'purchase'
+),
+u AS (
+  SELECT user_id, ts_us, 0 AS side, quote_c,
+         CAST(NULL AS BIGINT) AS trade_c FROM q
+  UNION ALL
+  SELECT user_id, ts_us, 1 AS side, CAST(NULL AS BIGINT) AS quote_c,
+         trade_c FROM t
+),
+w AS (
+  SELECT user_id, side, trade_c,
+         FIRST_VALUE(quote_c IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {_SPREAD_HORIZON_US} FOLLOWING
+                       AND UNBOUNDED FOLLOWING) AS fwd_c
+  FROM u
+),
+pnl AS (
+  SELECT user_id, fwd_c - trade_c AS p
+  FROM w WHERE side = 1 AND fwd_c IS NOT NULL AND fwd_c <> trade_c
+),
+m AS (
+  SELECT user_id AS pair_key,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nw,
+         CAST(SUM(CASE WHEN p > 0 THEN p ELSE 0 END) AS BIGINT) AS sw,
+         CAST(SUM(CASE WHEN p < 0 THEN -p ELSE 0 END) AS BIGINT) AS sl
+  FROM pnl GROUP BY user_id
+)
+SELECT pair_key, n, nw, sw, sl,
+       nw * (sw - sl) AS kelly_num,
+       n * sw AS kelly_den,
+       CAST(nw * (sw - sl) AS DOUBLE) / CAST(n * sw AS DOUBLE)
+         AS kelly_fraction
+FROM m WHERE nw > 0 AND sl > 0
+""",
+    tags=("A2", "finance", "position-sizing"),
+)
+def kelly_position_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KELLY POSITION SIZING per pair from empirical trade outcomes:
+    f* = p − q/b with win probability p = nw/n and win/loss ratio
+    b = (sw/nw)/(sl/nl) reduces algebraically to the single rational
+    nw·(sw − sl) / (n·sw) — so the optimal fraction is an exact
+    integer numerator/denominator pair plus ONE IEEE divide. Trade
+    outcome = the pair quote 5 minutes after each fill minus the fill
+    price (the effective_spread_metrics forward-frame as-of, so
+    'outcome' here is the same post-trade mark that prices execution
+    quality); flat outcomes are excluded on both engines, pairs with
+    no wins or no losses are gated out (Kelly is undefined without
+    both tails). This is the sizing step between the scanner's signal
+    and the order — the reference sizes trades by fixed config
+    (`virginia/logic/opportunity_scanner.py:69-77`); this derives the
+    growth-optimal size from the pair's own history.
+
+    Plan: quotes collapse map-combined per (pair, µs); ONE pair-keyed
+    union exchange carries the forward RANGE window and the per-pair
+    outcome rollup — the effective-spread one-sort-shuffle shape with
+    a divide at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    q = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            cents.alias("c"),
+            "event_id",
+        )
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("c", "event_id").alias("quote_c"))
+    )
+    t = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        cents.alias("trade_c"),
+    )
+    u = q.select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("side"),
+        "quote_c",
+        F.lit(None).cast("long").alias("trade_c"),
+    ).unionByName(
+        t.select(
+            "user_id",
+            "ts_us",
+            F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("quote_c"),
+            "trade_c",
+        )
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(_SPREAD_HORIZON_US, Window.unboundedFollowing)
+    )
+    w = u.select(
+        "user_id",
+        "side",
+        "trade_c",
+        F.first("quote_c", ignorenulls=True).over(w_fwd).alias("fwd_c"),
+    )
+    pnl = w.filter(
+        (F.col("side") == 1)
+        & F.col("fwd_c").isNotNull()
+        & (F.col("fwd_c") != F.col("trade_c"))
+    ).select("user_id", (F.col("fwd_c") - F.col("trade_c")).alias("p"))
+    m = pnl.groupBy(F.col("user_id").alias("pair_key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("p") > 0, 1).otherwise(0)).cast("long").alias("nw"),
+        F.sum(F.when(F.col("p") > 0, F.col("p")).otherwise(0))
+        .cast("long")
+        .alias("sw"),
+        F.sum(F.when(F.col("p") < 0, -F.col("p")).otherwise(0))
+        .cast("long")
+        .alias("sl"),
+    )
+    return m.filter((F.col("nw") > 0) & (F.col("sl") > 0)).select(
+        "pair_key",
+        "n",
+        "nw",
+        "sw",
+        "sl",
+        (F.col("nw") * (F.col("sw") - F.col("sl"))).alias("kelly_num"),
+        (F.col("n") * F.col("sw")).alias("kelly_den"),
+        (
+            (F.col("nw") * (F.col("sw") - F.col("sl"))).cast("double")
+            / (F.col("n") * F.col("sw")).cast("double")
+        ).alias("kelly_fraction"),
+    )
