@@ -329,6 +329,7 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "ann_cosine_topk",      # 10 broadcast queries x collection, by role
         "arbitrage_scan",       # 1-row freshness bound
         "downsample_gap_fill",  # 1-row grid min/max bound
+        "ngram_novelty_decay",  # 1-row doc_id min/max bound for decile slicing
         "idle_rich_customers",  # 1-row scalar AVG threshold
         "ivf_multiprobe_topk",  # array_contains over 10 broadcast probe rows
         "lang_id_ngram",        # tiny language-profile dimension
