@@ -281,3 +281,104 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("safe_leaked_pairs", F.lit(0)).alias("safe_leaked_pairs"),
         F.coalesce("naive_leaked_pairs", F.lit(0)).alias("naive_leaked_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-language near-dup audit: translation / lang-id contamination signal
+# ---------------------------------------------------------------------------
+_XLANG_ORACLE = f"""
+WITH {_minhash_sql(_CRAWL_UNION_SQL)},
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sh_sizes za ON za.doc_id = i.doc_a
+  JOIN sh_sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+),
+labeled AS (
+  SELECT p.doc_a, p.doc_b,
+         least(ca.lang, cb.lang) AS lang_lo,
+         greatest(ca.lang, cb.lang) AS lang_hi
+  FROM pairs p
+  JOIN corpus ca ON ca.doc_id = p.doc_a
+  JOIN corpus cb ON cb.doc_id = p.doc_b
+)
+SELECT lang_lo, lang_hi,
+       (lang_lo <> lang_hi) AS cross_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(doc_a) AS example_doc_a,
+       CAST(MIN(CASE WHEN doc_a = (SELECT MIN(doc_a) FROM labeled l2
+                                   WHERE l2.lang_lo = labeled.lang_lo
+                                     AND l2.lang_hi = labeled.lang_hi)
+                     THEN doc_b END) AS BIGINT) AS example_doc_b
+FROM labeled
+GROUP BY lang_lo, lang_hi
+"""
+
+
+@query(
+    "crosslang_neardup_pairs",
+    oracle=_XLANG_ORACLE,
+    tags=("dedup-clusters", "lang-id", "audit", "corpus"),
+)
+def crosslang_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CROSS-LANGUAGE near-dup audit: break the verified near-dup
+    pair set down by the (unordered) language-label pair of its
+    endpoints. Same-language pairs are ordinary duplication;
+    cross-language pairs are the interesting residue — either a
+    translated/copied document (the multilingual-dedup problem MinHash
+    on raw tokens partially sees) or a LANG-ID ERROR on one endpoint
+    (near-identical text cannot honestly carry two languages), so this
+    one table is simultaneously a contamination signal and a labeler
+    audit. Each (lang, lang) cell carries a reproducible example pair
+    (min doc_a, then min doc_b for that doc_a) for manual triage.
+
+    Plan: the pair machinery is the dedup lane's banded equi-join
+    (pair space never materialized); the two label joins are doc-level
+    lookups on the clustered-doc subset; one small rollup keyed by the
+    unordered lang pair. Exact counts; no floats anywhere past the
+    Jaccard gate both engines share."""
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    langs = crawl_union(spark, sf_dir).select("doc_id", "lang")
+    la = langs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
+    )
+    lb = langs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
+    )
+    labeled = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("lang_a", "lang_b").alias("lang_lo"),
+            F.greatest("lang_a", "lang_b").alias("lang_hi"),
+        )
+        .localCheckpoint()
+    )
+    first_a = labeled.groupBy("lang_lo", "lang_hi").agg(
+        F.min("doc_a").alias("example_doc_a"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    ex_b = (
+        labeled.join(
+            first_a.select(
+                "lang_lo", "lang_hi", F.col("example_doc_a").alias("doc_a")
+            ),
+            ["lang_lo", "lang_hi", "doc_a"],
+        )
+        .groupBy("lang_lo", "lang_hi")
+        .agg(F.min("doc_b").alias("example_doc_b"))
+    )
+    return (
+        first_a.join(ex_b, ["lang_lo", "lang_hi"])
+        .select(
+            "lang_lo",
+            "lang_hi",
+            (F.col("lang_lo") != F.col("lang_hi")).alias("cross_lang"),
+            "n_pairs",
+            "example_doc_a",
+            "example_doc_b",
+        )
+    )

@@ -231,3 +231,158 @@ def pair_cointegration_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     f5 = f4.filter("ssr > CAST('0' AS DOUBLE)").selectExpr("*", _E_T)
     f6 = f5.selectExpr("*", _E_FLAG)
     return f6.selectExpr(*[c.strip() for c in _FINAL_COLS.split(",")])
+
+
+# ---------------------------------------------------------------------------
+# Pairwise covariance/correlation matrix over the top-K active pairs
+# ---------------------------------------------------------------------------
+_COV_TOP_K = 20
+
+
+@query(
+    "pair_covariance_matrix",
+    oracle=f"""
+WITH q AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+act AS (
+  SELECT user_id, COUNT(*) AS n_quotes FROM q GROUP BY user_id
+  QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id)
+          <= {_COV_TOP_K}
+),
+closes AS (
+  SELECT q.user_id AS pair_key, q.ts_us // {_DAY_US} AS day,
+         arg_max(q.cents, q.ts_us * 4096 + q.event_id % 4096) AS close_c
+  FROM q JOIN act ON act.user_id = q.user_id
+  GROUP BY q.user_id, q.ts_us // {_DAY_US}
+),
+mv AS (
+  SELECT pair_key, day,
+         close_c - LAG(close_c) OVER w AS m,
+         day - LAG(day) OVER w AS dgap
+  FROM closes WINDOW w AS (PARTITION BY pair_key ORDER BY day)
+),
+obs AS (SELECT pair_key, day, m FROM mv WHERE dgap = 1),
+cells AS (
+  SELECT a.pair_key AS pair_a, b.pair_key AS pair_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a.m) AS BIGINT) AS sx,
+         CAST(SUM(b.m) AS BIGINT) AS sy,
+         CAST(SUM(a.m * b.m) AS BIGINT) AS sxy,
+         CAST(SUM(a.m * a.m) AS BIGINT) AS sx2,
+         CAST(SUM(b.m * b.m) AS BIGINT) AS sy2
+  FROM obs a JOIN obs b ON a.day = b.day AND a.pair_key <= b.pair_key
+  GROUP BY a.pair_key, b.pair_key
+)
+SELECT pair_a, pair_b, n,
+       n * sxy - sx * sy AS cov_num,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+FROM cells
+WHERE n >= 5 AND n * sx2 > sx * sx AND n * sy2 > sy * sy
+""",
+    tags=("J1", "econometrics", "finance", "risk"),
+)
+def pair_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COVARIANCE/CORRELATION MATRIX of daily moves over the
+    top-{_COV_TOP_K} most-quoted pairs — the input every portfolio-risk
+    computation (VaR aggregation, hedge construction, concentration
+    limits) starts from. Restricting to a top-K slice is the 100 TB
+    shape: the full pairwise matrix is quadratic in pairs, so
+    production risk systems estimate it over the liquid universe (and
+    factor-model the tail) — here the K×K cell space is bounded by
+    construction (day-aligned equi-join over K pairs' daily moves,
+    never a corpus self-join).
+
+    Exactness: per-cell moments are exact int64; cov_num = n·Σxy−ΣxΣy
+    stays int64; the correlation is the fixed two-sqrt IEEE tree (the
+    venue_lead_lag/signal_ic tree); degenerate cells gated by integer
+    variance tests, thin cells by n >= 5. Diagonal cells (pair_a =
+    pair_b) carry the variances, so the result IS the full symmetric
+    matrix in upper-triangular form.
+
+    Plan: activity top-K via a map-combined count + TakeOrdered (no
+    global sort); closes aggregate map-combined per (pair, day); one
+    pair window for LAG; the day-keyed matrix join shuffles only the
+    K-pair move table (K·days rows)."""
+    q = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    act = (
+        q.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_quotes"))
+        .orderBy(F.col("n_quotes").desc(), F.col("user_id"))
+        .limit(_COV_TOP_K)
+        .select("user_id")
+    )
+    closes = (
+        q.join(F.broadcast(act), "user_id")
+        .groupBy(
+            F.col("user_id").alias("pair_key"),
+            F.expr(f"ts_us div {_DAY_US}").alias("day"),
+        )
+        .agg(
+            F.max_by(
+                "cents", F.expr("ts_us * 4096 + event_id % 4096")
+            ).alias("close_c")
+        )
+    )
+    w = Window.partitionBy("pair_key").orderBy("day")
+    mv = closes.select(
+        "pair_key",
+        "day",
+        (F.col("close_c") - F.lag("close_c").over(w)).alias("m"),
+        (F.col("day") - F.lag("day").over(w)).alias("dgap"),
+    )
+    obs = mv.filter(F.col("dgap") == 1).select("pair_key", "day", "m")
+    a = obs.select(
+        F.col("pair_key").alias("pair_a"), "day", F.col("m").alias("ma")
+    )
+    b = obs.select(
+        F.col("pair_key").alias("pair_b"), "day", F.col("m").alias("mb")
+    )
+    cells = (
+        a.join(b, (a.day == b.day) & (F.col("pair_a") <= F.col("pair_b")))
+        .groupBy("pair_a", "pair_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ma").alias("sx"),
+            F.sum("mb").alias("sy"),
+            F.sum(F.col("ma") * F.col("mb")).alias("sxy"),
+            F.sum(F.col("ma") * F.col("ma")).alias("sx2"),
+            F.sum(F.col("mb") * F.col("mb")).alias("sy2"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return cells.filter(
+        (F.col("n") >= 5)
+        & (F.col("n") * F.col("sx2") > F.col("sx") * F.col("sx"))
+        & (F.col("n") * F.col("sy2") > F.col("sy") * F.col("sy"))
+    ).select(
+        "pair_a",
+        "pair_b",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "cov_num"
+        ),
+        (
+            (d("n") * d("sxy") - d("sx") * d("sy"))
+            / (
+                F.sqrt(d("n") * d("sx2") - d("sx") * d("sx"))
+                * F.sqrt(d("n") * d("sy2") - d("sy") * d("sy"))
+            )
+        ).alias("corr"),
+    )

@@ -1473,3 +1473,100 @@ def order_queue_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_front_of_queue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quote-presence uptime: the market-maker obligation metric
+# ---------------------------------------------------------------------------
+_UPTIME_TTL_US = 3_600_000_000  # a quote is "fresh" for 1h
+_UPTIME_DAY_US = 86_400_000_000
+
+
+@query(
+    "quote_uptime_obligation",
+    oracle=f"""
+WITH q AS (
+  SELECT user_id AS pair_key, epoch_us(ts) AS ts_us,
+         epoch_us(ts) // {_UPTIME_DAY_US} AS day
+  FROM events WHERE event_type = 'view'
+),
+w AS (
+  SELECT pair_key, day, ts_us,
+         LEAD(ts_us) OVER (PARTITION BY pair_key, day
+                           ORDER BY ts_us) AS next_ts
+  FROM q
+),
+cov AS (
+  SELECT pair_key, day,
+         CASE WHEN next_ts IS NULL
+              THEN least({_UPTIME_TTL_US},
+                         (day + 1) * {_UPTIME_DAY_US} - ts_us)
+              ELSE least({_UPTIME_TTL_US}, next_ts - ts_us) END AS covered
+  FROM w
+)
+SELECT pair_key,
+       CAST(COUNT(*) AS BIGINT) AS n_quotes,
+       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+       CAST(SUM(covered) AS BIGINT) AS covered_us,
+       CAST(SUM(covered) * 1000000
+            // (COUNT(DISTINCT day) * {_UPTIME_DAY_US}) AS BIGINT)
+         AS uptime_ppm
+FROM cov GROUP BY pair_key
+""",
+    tags=("A2", "finance", "surveillance", "market-making"),
+)
+def quote_uptime_obligation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUOTE-PRESENCE UPTIME per pair — the market-maker obligation
+    metric every venue's MM program audits (quote two-sided X% of the
+    session or lose rebates): a quote keeps its pair 'covered' for
+    {_UPTIME_TTL_US // 60_000_000} minutes or until superseded, and
+    uptime is covered time over the quoted days' span. Duplicate-quote
+    overlap never double-counts because each quote's coverage is capped
+    at the gap to its successor — the interval-union computed with one
+    LEAD, no sweep-line needed for constant-length intervals.
+    Cross-midnight coverage is truncated at the quote's own day end
+    (deterministic on both engines). The liveness complement of
+    stale_ticker_alerts: that flags WHO is stale now; this scores HOW
+    MUCH of the session each pair was quoted at all.
+
+    Exactness: µs coverage, counts, and the ppm uptime are exact int64
+    (non-negative floor divide). Plan: ONE (pair, day)-keyed
+    sort-shuffle for the LEAD pass; the per-pair rollup rides the pair
+    prefix of that exchange's ordering (map-combined)."""
+    q = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("pair_key"),
+            F.expr("ts div 1000").alias("ts_us"),
+            F.expr(f"(ts div 1000) div {_UPTIME_DAY_US}").alias("day"),
+        )
+    )
+    w = Window.partitionBy("pair_key", "day").orderBy("ts_us")
+    cov = q.select(
+        "pair_key",
+        "day",
+        F.when(
+            F.lead("ts_us").over(w).isNull(),
+            F.least(
+                F.lit(_UPTIME_TTL_US),
+                (F.col("day") + 1) * _UPTIME_DAY_US - F.col("ts_us"),
+            ),
+        )
+        .otherwise(
+            F.least(
+                F.lit(_UPTIME_TTL_US),
+                F.lead("ts_us").over(w) - F.col("ts_us"),
+            )
+        )
+        .alias("covered"),
+    )
+    return cov.groupBy("pair_key").agg(
+        F.count(F.lit(1)).alias("n_quotes"),
+        F.countDistinct("day").alias("n_days"),
+        F.sum("covered").alias("covered_us"),
+        F.expr(
+            f"sum(covered) * 1000000 div "
+            f"(count(distinct day) * {_UPTIME_DAY_US})"
+        ).alias("uptime_ppm"),
+    )
