@@ -411,6 +411,11 @@ def sample_frames_y4m(payload: bytes, stride: int = 2) -> bytes:
             raise ValueError("only C444 supported by this kernel")
     if not w or not h:
         raise ValueError("missing W/H header tags")
+    if w <= 0 or h <= 0:
+        # "W-1" parses to a truthy negative; a negative frame_size would
+        # pass the truncation check below and emit incoherent empty
+        # frames (r9 header-coherence audit)
+        raise ValueError(f"bad dimensions {w}x{h}")
     frame_size = 3 * w * h
     out = bytearray(payload[: nl + 1])
     pos = nl + 1
@@ -1144,6 +1149,11 @@ def _parse_y4m(payload: bytes):
             chroma = tag[1:]
     if not w or not h:
         raise ValueError("missing W/H header tags")
+    if w <= 0 or h <= 0:
+        # "W-1" parses to a truthy negative; left unchecked, a negative
+        # width reaches numpy reshape(h, -1) which silently INFERS the
+        # dim instead of failing (r9 header-coherence audit)
+        raise ValueError(f"bad dimensions {w}x{h}")
     if chroma != "444":
         raise ValueError(f"only C444 supported by this kernel (got C{chroma})")
     plane_bytes = w * h

@@ -259,6 +259,10 @@ def test_decoders_fail_closed_on_garbage(junk):
 # pinned: this junk lands in the DHT and maps a Huffman code to a 64-bit
 # DC size; pre-guard it overflowed the int64 coefficient store
 @example(flip=126, junk=b"\x00@")
+# pinned (r9): this junk lands in the SOF0 width field (0x0010 -> 0x0001);
+# pre-guard the decoder returned an incoherent width-1 "frame" (0 blocks)
+# instead of rejecting a header that violates the encoder's own %8 rule
+@example(flip=95, junk=b"\x01")
 def test_jpeg_decoder_survives_mid_stream_corruption(flip, junk):
     good = synthesize_jpeg(9)
     pos = flip % (len(good) - 4) + 2
@@ -321,3 +325,96 @@ def test_gif_lzw_roundtrip_and_generic_dispatch():
 
     g = M.decode_features(b"GIF87a but actually just prose")
     assert g["format"] == "unknown" and g["sum_values"] is None
+
+
+# ---------------------------------------------------------------------------
+# r9 header-coherence audit: every decoder must reject a corrupted header
+# that would otherwise yield an incoherent frame (zero/negative dims, a
+# sample count overrunning the data chunk) — the JPEG SOF0 class, audited
+# across the sibling codecs.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(flip=st.integers(0, 4000), junk=st.binary(min_size=1, max_size=8))
+def test_sibling_decoders_reject_incoherent_headers(flip, junk):
+    from financial_arbitrage_data_pipeline_spark.operators.transcode import (
+        decode_adpcm_wav,
+        decode_gif,
+        synthesize_adpcm_wav,
+        synthesize_gif,
+    )
+
+    cases = [
+        (encode_ydelta(_ydelta_frames(7)), decode_ydelta,
+         lambda d: d["width"] > 0 and d["height"] > 0 and d["n_frames"] > 0),
+        (synthesize_gif(7), decode_gif,
+         lambda d: d["width"] > 0 and d["height"] > 0),
+        (synthesize_adpcm_wav(7), decode_adpcm_wav,
+         lambda d: d["n_samples"] > 0),
+    ]
+    for good, dec, coherent in cases:
+        pos = flip % (len(good) - 4) + 2
+        bad = good[:pos] + junk + good[pos + len(junk):]
+        try:
+            d = dec(bad)
+            assert coherent(d)  # if it decodes, the frame is coherent
+        except (ValueError, IndexError, KeyError, __import__("zlib").error):
+            pass  # a diagnostic rejection is the contract
+
+
+def test_header_coherence_guards_fire_directly():
+    """Pin each r9 guard with a handcrafted incoherent header."""
+    import zlib as _z
+
+    from financial_arbitrage_data_pipeline_spark.operators.multimodal import (
+        _parse_y4m,
+        sample_frames_y4m,
+    )
+    from financial_arbitrage_data_pipeline_spark.operators.transcode import (
+        decode_adpcm_wav,
+        decode_gif,
+        synthesize_adpcm_wav,
+        synthesize_gif,
+    )
+
+    # JPEG: zero a SOF0 dim in a real stream
+    good = synthesize_jpeg(3)
+    sof = good.find(b"\xff\xc0")
+    assert sof > 0
+    bad = bytearray(good)
+    bad[sof + 7 : sof + 9] = b"\x00\x01"  # width 16 -> 1
+    with pytest.raises(ValueError, match="SOF0 dimensions"):
+        decode_jpeg(bytes(bad))
+
+    # YDLT: zero-width header over an empty (consistent!) stream
+    with pytest.raises(ValueError, match="incoherent dimensions"):
+        decode_ydelta(b"YDLT" + (0).to_bytes(2, "big") + (4).to_bytes(2, "big")
+                      + (2).to_bytes(2, "big") + _z.compress(b""))
+
+    # GIF: zero-dim image descriptor (handcrafted minimal container —
+    # scanning a synthesized payload for 0x2C can hit a palette byte)
+    g = (
+        b"GIF87a" + (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + bytes([0x80, 0, 0])        # global palette, 2 entries
+        + bytes(6)                   # the palette
+        + b"\x2c" + bytes(4)         # image descriptor at (0, 0)
+        + (0).to_bytes(2, "little") + (0).to_bytes(2, "little")  # w=h=0
+        + bytes([0])                 # local flags
+    )
+    with pytest.raises(ValueError, match="incoherent image descriptor"):
+        decode_gif(g)
+
+    # ADPCM: fact chunk declaring more samples than the data chunk holds
+    a = bytearray(synthesize_adpcm_wav(3))
+    fact = a.find(b"fact")
+    a[fact + 8 : fact + 12] = (10**6).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="nibble bytes"):
+        decode_adpcm_wav(bytes(a))
+
+    # y4m: negative W tag is truthy — must still be rejected (both parsers)
+    hdr = b"YUV4MPEG2 W-4 H4 C444\n"
+    with pytest.raises(ValueError, match="bad dimensions"):
+        _parse_y4m(hdr + b"FRAME\n")
+    with pytest.raises(ValueError, match="bad dimensions"):
+        sample_frames_y4m(hdr + b"FRAME\n")
