@@ -777,6 +777,7 @@ def make_pair_perf_upserter(spark: SparkSession, table: str):
             },
             insert_missing=True,
             extra_files={"_last_applied_batch": str(batch_id)},
+            applied_batch_id=batch_id,
         )
 
     return upsert_batch
@@ -1910,6 +1911,7 @@ def make_book_depth_upserter(spark: SparkSession, table: str):
             },
             insert_missing=True,
             extra_files={"_last_applied_batch": str(batch_id)},
+            applied_batch_id=batch_id,
         )
 
     return upsert_batch
@@ -2074,6 +2076,7 @@ def make_auction_upserter(spark: SparkSession, table: str):
             },
             insert_missing=True,
             extra_files={"_last_applied_batch": str(batch_id)},
+            applied_batch_id=batch_id,
         )
 
     return upsert_batch

@@ -133,7 +133,15 @@ def _acquire_merge_lock(target_dir: str) -> None:
                     holder = fh.read().strip()
             except OSError:  # pragma: no cover - lock vanished mid-read
                 continue  # released between the create and the read
-            if '"recovery"' in holder and recovery_waits < 500:
+            try:
+                is_recovery = bool(json.loads(holder).get("recovery"))
+            except (ValueError, AttributeError):
+                # a partially-flushed lock file (or any non-dict JSON) is
+                # NOT a recovery holder — keep the conservative default
+                # of treating it as a real conflict (ADVICE r8: substring
+                # matching misclassified hosts containing the token)
+                is_recovery = False
+            if is_recovery and recovery_waits < 500:
                 # A reader holds the lock only for the duration of
                 # crash recovery (pure filesystem metadata ops, ms
                 # scale). Writers wait it out instead of raising —
@@ -536,6 +544,7 @@ def recover_merge_table(
         # reader would then roll back a LIVE merge mid-flight. So every
         # non-owner caller wins the O_CREAT|O_EXCL create first and
         # backs off if a writer (or a racing reader) gets in ahead.
+        break_attempts = 0
         while True:
             if break_lock:
                 # Declared single owner at lane startup: claims even a
@@ -548,6 +557,19 @@ def recover_merge_table(
                 fd = os.open(lock_p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 if break_lock:
+                    # Bounded with a backoff (ADVICE r8): two concurrent
+                    # break_lock callers (or one racing a tight writer
+                    # loop) would otherwise busy-spin stealing the lock
+                    # from each other indefinitely. Mirrors the 500-step
+                    # bound in _acquire_merge_lock's recovery wait.
+                    break_attempts += 1
+                    if break_attempts >= 500:
+                        raise ConcurrentMergeError(
+                            f"break_lock on {target_dir} lost the re-claim"
+                            " race 500 times — another declared single"
+                            " owner is contending; refusing to spin"
+                        ) from None
+                    time.sleep(0.01)
                     continue  # re-claim whatever raced in
                 if _lock_owner_dead(lock_p):
                     if _reclaim_stale_lock(lock_p):
@@ -654,9 +676,16 @@ def merge_into_parquet(
     set_exprs: dict[str, Column],
     insert_missing: bool = False,
     extra_files: dict[str, str] | None = None,
+    applied_batch_id: int | None = None,
 ) -> None:
     """K4: MERGE INTO target USING updates ON target.key = updates.key
     WHEN MATCHED THEN UPDATE SET <set_exprs> [WHEN NOT MATCHED INSERT].
+
+    `applied_batch_id` makes an additive foreachBatch upsert exactly-once
+    under MULTI-process redelivery: the marker is re-read AFTER the merge
+    lock is held, and the merge no-ops if another driver already applied
+    a batch >= this id (ADVICE r8: an unlocked check-then-merge let a
+    zombie driver double-count a batch a failover driver had merged).
 
     `set_exprs` sees the joined row with target columns as `t.<c>` and
     update columns as `u.<c>`. Unmatched target rows pass through; with
@@ -694,6 +723,13 @@ def merge_into_parquet(
     # second concurrent writer fails loudly instead of racing recovery
     _acquire_merge_lock(target_dir)
     try:
+        if applied_batch_id is not None:
+            marker = os.path.join(target_dir, "_last_applied_batch")
+            if os.path.exists(marker):
+                with open(marker) as fh:
+                    content = fh.read().strip()
+                if content and applied_batch_id <= int(content):
+                    return  # another driver merged this batch first
         n_buckets = _bucketed_n(target_dir)
         if n_buckets is not None:
             _merge_bucketed(

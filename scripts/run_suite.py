@@ -23,7 +23,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     args = sys.argv[1:] or ["-q"]
+    # Record ts = the run's START and capture HEAD BEFORE launching
+    # pytest (ADVICE r8): a commit landing while the ~20-min suite runs
+    # must read as NEWER than this run — the committed code was never in
+    # the tested tree — and the snapshot must name the tree that was
+    # actually tested.
     t0 = time.time()
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", *args],
         cwd=REPO,
@@ -32,14 +40,11 @@ def main() -> int:
     )
     sys.stdout.write(proc.stdout[-4000:])
     sys.stderr.write(proc.stderr[-2000:])
-    head = subprocess.run(
-        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
-    ).stdout.strip()
     summary = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
     with open(os.path.join(REPO, "SUITE_RUN.json"), "w", encoding="utf-8") as f:
         json.dump(
             {
-                "ts": time.time(),
+                "ts": t0,
                 "wall_s": round(time.time() - t0, 1),
                 "git_head": head,
                 "exit_code": proc.returncode,

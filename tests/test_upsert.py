@@ -1231,3 +1231,74 @@ def test_streaming_upserter_with_history_gives_per_batch_time_travel(
     feed = U.merge_table_changes(spark, table, versions[1], versions[-1], "pair_id")
     later = recompute(chunks[1:])
     assert {r.pair_id for r in feed.collect()} == set(later)
+
+
+def test_applied_batch_id_rechecked_under_the_merge_lock(spark, tmp_path):
+    """ADVICE r8: the redelivered-batch check must be atomic with the
+    merge. merge_into_parquet(applied_batch_id=N) re-reads the marker
+    AFTER the lock is held and no-ops if another driver already applied
+    batch >= N — so a zombie driver can't double-count an additive batch
+    a failover driver merged between the caller's pre-check and the
+    merge."""
+    import os
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 10)], "k long, v long")
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=4)
+    updates = spark.createDataFrame([(1, 5)], "k long, dv long")
+
+    # simulate the failover driver having merged batch 7 already
+    with open(os.path.join(target, "_last_applied_batch"), "w") as fh:
+        fh.write("7")
+
+    add = {"v": F.col("t.v") + F.col("u.dv")}
+    # zombie replaying batch 7 (or anything older): must be a no-op
+    U.merge_into_parquet(
+        spark, target, updates, "k", add,
+        extra_files={"_last_applied_batch": "7"}, applied_batch_id=7,
+    )
+    assert {r.k: r.v for r in U.read_merge_table(spark, target).collect()} == {1: 10}
+    # and the lock must have been released by the no-op path
+    assert not os.path.exists(U._lock_path(target))
+
+    # a genuinely new batch applies and advances the marker
+    U.merge_into_parquet(
+        spark, target, updates, "k", add,
+        extra_files={"_last_applied_batch": "8"}, applied_batch_id=8,
+    )
+    assert {r.k: r.v for r in U.read_merge_table(spark, target).collect()} == {1: 15}
+    with open(os.path.join(target, "_last_applied_batch")) as fh:
+        assert fh.read().strip() == "8"
+
+
+def test_recovery_holder_detection_parses_lock_json(spark, tmp_path):
+    """ADVICE r8: a holder whose host string merely CONTAINS the token
+    '"recovery"' is not a recovery holder — the writer must raise
+    immediately (real conflict), not wait out the 5 s recovery grace.
+    Unparseable lock content keeps the conservative immediate-raise."""
+    import json
+    import os
+    import time as _time
+
+    import pytest as _pytest
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 10)], "k long, v long")
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=2)
+    updates = spark.createDataFrame([(1, 11)], "k long, v long")
+
+    for content in (
+        json.dumps({"pid": os.getppid(), "host": 'x "recovery" y'}),
+        '{"pid": 1, "host": "partial-flu',  # truncated mid-write
+    ):
+        with open(U._lock_path(target), "w") as fh:
+            fh.write(content)
+        t0 = _time.monotonic()
+        with _pytest.raises(U.ConcurrentMergeError):
+            U.merge_into_parquet(spark, target, updates, "k", {"v": F.col("u.v")})
+        assert _time.monotonic() - t0 < 2.0  # no recovery-grace spin
+        os.remove(U._lock_path(target))
