@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import query
 from ..sources.tables import load_table
-from .dedup import _CRAWL_UNION_SQL, _lsh_verified_pairs, _minhash_sql, crawl_union
+from .dedup import _CRAWL_UNION_SQL, _lsh_verified_pairs, _lsh_verified_pairs_shared, _minhash_sql, crawl_union
 
 # ---------------------------------------------------------------------------
 # Multi-source BFS over the near-dup graph
@@ -41,7 +41,7 @@ pairs AS (
   JOIN sh_sizes zb ON zb.doc_id = i.doc_b
   WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -77,9 +77,7 @@ def dup_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Unreached docs are absent (their distance is > 4), so output
     is reachable-set-sized. The oracle unrolls the same search as a
     recursive CTE with MIN(dist)."""
-    pairs = (
-        _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
-    )
+    pairs = _lsh_verified_pairs_shared(spark, sf_dir)
     edges = pairs.selectExpr("doc_a as src", "doc_b as dst").unionByName(
         pairs.selectExpr("doc_b as src", "doc_a as dst")
     )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import query
 from ..sources.tables import load_table
-from .dedup import _CRAWL_UNION_SQL, _lsh_verified_pairs, _minhash_sql, connected_components, crawl_union
+from .dedup import _CRAWL_UNION_SQL, _lsh_verified_pairs, _lsh_verified_pairs_shared, _minhash_sql, connected_components, crawl_union
 
 _BESTQ_ORACLE = f"""
 WITH RECURSIVE {_minhash_sql(_CRAWL_UNION_SQL)},
@@ -26,7 +26,7 @@ pairs AS (
   JOIN sh_sizes zb ON zb.doc_id = i.doc_b
   WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -81,7 +81,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     not corpus-sized); the survivor pick and the size/chars rollup share
     one cluster-keyed window exchange. Oracle: same fixpoint as a
     recursive CTE + the identical integer quality rule."""
-    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_verified_pairs_shared(spark, sf_dir)
     labels = connected_components(pairs)
     docs = crawl_union(spark, sf_dir).select(
         "doc_id",
@@ -140,7 +140,7 @@ pairs AS (
   JOIN sh_sizes zb ON zb.doc_id = i.doc_b
   WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -219,9 +219,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (banded equi-joins, bounded-round CC); the split itself is a pure
     hash projection; the audit joins are doc-level (broadcast-sized
     keys at any SF since only CLUSTERED docs appear in pairs)."""
-    pairs = _lsh_verified_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b"
-    ).localCheckpoint()
+    pairs = _lsh_verified_pairs_shared(spark, sf_dir)
     labels = connected_components(pairs).select(
         "doc_id", F.col("label").alias("cluster_id")
     )
@@ -338,7 +336,7 @@ def crosslang_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups on the clustered-doc subset; one small rollup keyed by the
     unordered lang pair. Exact counts; no floats anywhere past the
     Jaccard gate both engines share."""
-    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_verified_pairs_shared(spark, sf_dir)
     langs = crawl_union(spark, sf_dir).select("doc_id", "lang")
     la = langs.select(
         F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
