@@ -28,6 +28,64 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def current_round() -> int:
+    """The in-progress round = highest driver-recorded CORRECTNESS_r{N}
+    artifact + 1 (the driver writes r{N} AFTER round N closes)."""
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(REPO)
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def rotation_sample(names, round_no: int, k: int = 50) -> list[str]:
+    """Seeded 50-query sample for this round — the driver only ever
+    re-verifies the alphabetical head (a-d), so the close re-runs a
+    DIFFERENT seeded sample each round under the exact driver harness,
+    periodically covering every query (VERDICT r9 task 8)."""
+    import random
+
+    return sorted(random.Random(round_no).sample(sorted(names), min(k, len(names))))
+
+
+def check_rotation() -> list[str]:
+    """CORRECTNESS_local_rot.json must exist, cover EXACTLY this round's
+    seeded sample, and be all-green. Produce it with
+    `python scripts/drive_rotation.py`."""
+    import financial_arbitrage_data_pipeline_spark.operators  # noqa: F401
+    from financial_arbitrage_data_pipeline_spark.plans import REGISTRY
+
+    problems: list[str] = []
+    path = os.path.join(REPO, "CORRECTNESS_local_rot.json")
+    if not os.path.exists(path):
+        return ["CORRECTNESS_local_rot.json missing — run scripts/drive_rotation.py"]
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    rnd = data.get("round")
+    expected = set(rotation_sample(set(REGISTRY), current_round()))
+    if rnd != current_round():
+        problems.append(
+            f"rotation artifact is for round {rnd}, current round is "
+            f"{current_round()} — re-run scripts/drive_rotation.py"
+        )
+    results = data.get("results", {})
+    got = set(results)
+    if got != expected:
+        missing = sorted(expected - got)
+        extra = sorted(got - expected)
+        problems.append(
+            f"rotation artifact sample mismatch (missing {missing[:5]}..., "
+            f"extra {extra[:5]}...)"
+            if missing or extra
+            else ""
+        )
+    bad = sorted(n for n, r in results.items() if not r.get("ok"))
+    if bad:
+        problems.append(f"CORRECTNESS_local_rot.json: failing entries: {bad}")
+    return [p for p in problems if p]
+
+
 def check() -> list[str]:
     import financial_arbitrage_data_pipeline_spark.operators  # noqa: F401  (populates REGISTRY)
     from financial_arbitrage_data_pipeline_spark.plans import REGISTRY
@@ -129,7 +187,7 @@ def check_suite_freshness() -> list[str]:
 
 
 def main() -> int:
-    problems = check() + check_suite_freshness()
+    problems = check() + check_rotation() + check_suite_freshness()
     if problems:
         for p in problems:
             print(f"FAIL  {p}")
