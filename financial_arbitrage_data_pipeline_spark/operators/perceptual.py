@@ -765,3 +765,232 @@ def video_vhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hamming_band_pairs(
         sig, "vh", VDHASH_BANDS, _VDHASH_BAND_BITS, VDHASH_MAX_HAMMING
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental perceptual dedup gate (VERDICT r9 task 5): an incoming
+# media batch probes the EXISTING corpus's banded dHash table
+# asymmetrically — delta-vs-base, the corpus never self-paired — so
+# re-encoded copies of already-held assets drop and genuinely-new assets
+# keep. The perceptual twin of `incremental_neardup_gate` (dedup.py).
+# ---------------------------------------------------------------------------
+
+
+def _hamming_band_probe(
+    delta_sig: DataFrame,
+    base_sig: DataFrame,
+    col: str,
+    n_bands: int,
+    band_bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Asymmetric banded Hamming probe: explode BOTH fingerprint tables
+    into (band_id, band_val), equi-join delta bands against base bands
+    only (never base-base, never delta-delta), keep (delta, base) pairs
+    within `max_hamming`. Exact by the same pigeonhole argument as
+    `_hamming_band_pairs` when max_hamming < n_bands. The delta side is
+    batch-sized, the base side corpus-sized — the probe cost scales with
+    the BATCH, exactly what an ingest gate at 100 TB needs."""
+
+    def bands(sig: DataFrame, name: str) -> DataFrame:
+        return sig.select(
+            F.col("asset_id").alias(f"{name}_id"),
+            F.col(col).alias(f"{name}_h"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.shiftright(F.col(col), b * band_bits)
+                            .bitwiseAND((1 << band_bits) - 1)
+                            .alias("band_val"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select(f"{name}_id", f"{name}_h", "band.band_id", "band.band_val")
+
+    d, b = bands(delta_sig, "delta"), bands(base_sig, "base")
+    return (
+        d.join(b, ["band_id", "band_val"])
+        .select(
+            "delta_id",
+            "base_id",
+            F.bit_count(F.col("delta_h").bitwiseXOR(F.col("base_h")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+_PHASH_GATE_ORACLE = f"""
+WITH srcs AS (
+  SELECT DISTINCT CASE WHEN doc_id % 8 = 2 THEN doc_id - 2 ELSE doc_id END
+           AS doc_id
+  FROM documents WHERE doc_id % 4 IN (0, 2)
+),
+d AS (SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 5 AS h FROM srcs),
+gx AS (SELECT doc_id, w, h, unnest(generate_series(0, {DHASH_GRID - 1})) AS x FROM d),
+grid AS (
+  SELECT doc_id, w, h, x,
+         unnest(generate_series(0, {DHASH_GRID - 1})) AS y
+  FROM gx
+),
+pv AS (
+  SELECT doc_id, x, y,
+         (doc_id * 13 + 3 * ((x * w) // {DHASH_GRID}) * ((x * w) // {DHASH_GRID})
+            + 7 * ((y * h) // {DHASH_GRID}) * ((y * h) // {DHASH_GRID})
+            + (doc_id % 31) * ((x * w) // {DHASH_GRID}) * ((y * h) // {DHASH_GRID})
+         ) % 256 AS v
+  FROM grid
+),
+gray AS (
+  SELECT doc_id, x, y, (v + (v + 101) % 256 + (v + 202) % 256) // 3 AS g
+  FROM pv
+),
+bits AS (
+  SELECT l.doc_id, l.y * {DHASH_GRID - 1} + l.x AS j
+  FROM gray l JOIN gray r
+    ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+  WHERE l.x <= {DHASH_GRID - 2} AND r.g > l.g
+),
+sig AS (
+  SELECT s.doc_id, COALESCE(SUM(CAST(1 AS BIGINT) << j), 0) AS dhash
+  FROM srcs s LEFT JOIN bits ON bits.doc_id = s.doc_id
+  GROUP BY 1
+),
+base AS (
+  SELECT dd.doc_id AS asset_id, s.dhash
+  FROM documents dd JOIN sig s ON s.doc_id = dd.doc_id
+  WHERE dd.doc_id % 4 = 0
+),
+incoming AS (
+  SELECT dd.doc_id AS asset_id, s.dhash
+  FROM documents dd
+  JOIN sig s ON s.doc_id
+       = CASE WHEN dd.doc_id % 8 = 2 THEN dd.doc_id - 2 ELSE dd.doc_id END
+  WHERE dd.doc_id % 4 = 2
+),
+matches AS (
+  SELECT i.asset_id,
+         CAST(COUNT(*) AS BIGINT) AS n_base_matches,
+         CAST(MIN(bit_count(xor(i.dhash, b.dhash))) AS BIGINT) AS min_hamming
+  FROM incoming i
+  JOIN base b ON bit_count(xor(i.dhash, b.dhash)) <= {DHASH_MAX_HAMMING}
+  GROUP BY 1
+)
+SELECT i.asset_id,
+       CASE WHEN m.asset_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict,
+       CAST(COALESCE(m.n_base_matches, 0) AS BIGINT) AS n_base_matches,
+       m.min_hamming
+FROM incoming i LEFT JOIN matches m ON m.asset_id = i.asset_id
+"""
+
+
+@query(
+    "incremental_phash_gate",
+    oracle=_PHASH_GATE_ORACLE,
+    tags=("multimodal", "image", "dedup", "perceptual", "incremental"),
+)
+def incremental_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual dedup GATE over the real codec lane: the
+    corpus already holds one BMP per doc_id % 4 == 0 (the base); an
+    incoming batch (doc_id % 4 == 2) carries a MIX of re-encoded copies
+    (doc_id % 8 == 2: a 2x nearest-neighbor resize of base doc
+    doc_id - 2 — hash-identical by the dHash grid-composition property)
+    and genuinely new images (doc_id % 8 == 6: their own pixel field).
+    Every incoming asset probes the base's banded dHash table
+    ASYMMETRICALLY (delta-vs-base; the corpus is never self-paired) and
+    gets a verdict: 'drop' if any base asset is within Hamming <=
+    {DHASH_MAX_HAMMING}, else 'keep'.
+
+    What the oracle proves: it recomputes both sides' 56-bit hashes from
+    the pixel generator formula in pure SQL (the resized copy's hash IS
+    the source doc's hash — (a div m) div n == a div (m*n)) and states
+    the probe QUADRATICALLY, so a value-hash match proves (a) the
+    decode -> resize -> re-encode -> decode -> hash chain preserved the
+    fingerprint exactly, and (b) the banded probe loses no qualifying
+    (delta, base) pair vs the quadratic definition.
+
+    Scale shape: pixels never shuffle (payloads live only inside the
+    mapInPandas synth+hash kernels); the probe's exchanges carry 64-bit
+    integers; the base side is corpus-sized but the join output is
+    batch-bounded — at 100 TB the base band table is a materialized
+    index and each ingest batch pays only its own probe. Reference
+    anchor: none (media bytes are transport-only in the reference,
+    `database/broker/receiver.py`); §2.11 extension family."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the BMP codec kernels")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth_base(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].values,
+                    "payload": [
+                        synthesize_phash_bmp(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def synth_incoming(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a in pdf["doc_id"]:
+                doc = int(a)
+                if doc % 8 == 2:  # re-encoded copy of a held asset
+                    src = synthesize_phash_bmp(doc - 2)
+                    w, h = _phash_dims(doc - 2)
+                    payloads.append(resize_image(src, 2 * w, 2 * h))
+                else:  # genuinely new image
+                    payloads.append(synthesize_phash_bmp(doc))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    def hash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "dhash": [dhash56(p) for p in pdf["payload"]],
+                }
+            )
+
+    base_sig = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id")
+        .mapInPandas(synth_base, _ASSET_SCHEMA)
+        .mapInPandas(hash_kernel, _SIG_SCHEMA)
+    )
+    inc_sig = (
+        docs.filter(F.col("doc_id") % 4 == 2)
+        .select("doc_id")
+        .mapInPandas(synth_incoming, _ASSET_SCHEMA)
+        .mapInPandas(hash_kernel, _SIG_SCHEMA)
+        .persist()
+    )
+    hits = _hamming_band_probe(
+        inc_sig, base_sig, "dhash", DHASH_BANDS, _DHASH_BAND_BITS,
+        DHASH_MAX_HAMMING,
+    )
+    agg = hits.groupBy(F.col("delta_id").alias("asset_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_base_matches"),
+        F.min("hamming").cast("long").alias("min_hamming"),
+    )
+    return inc_sig.select("asset_id").join(agg, "asset_id", "left_outer").select(
+        "asset_id",
+        F.when(F.col("n_base_matches").isNotNull(), F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+        F.coalesce(F.col("n_base_matches"), F.lit(0))
+        .cast("long")
+        .alias("n_base_matches"),
+        F.col("min_hamming"),
+    )

@@ -21,7 +21,8 @@ artifact shows whether the trained tier's recall-per-candidate
 advantage HOLDS as the corpus grows 30x, and records the training-cost
 axis (k-means wall) next to recall for each scale point.
 
-Env: SPARK_GRAFT_SFS (comma labels among sf0.1,sf1,sf3; default all
+Env: SPARK_GRAFT_SFS (comma labels among sf0.1,sf1,sf3,sf1org,sf3org;
+     default all
 present), REPEATS (5). Output: BENCH_ann_recall_curve.json
 """
 
@@ -219,6 +220,12 @@ SF_DIRS = {
     "sf0.1": "/root/testdata/sf0.1",
     "sf1": os.path.join(ROOT, "scaledata", "sf1"),
     "sf3": os.path.join(ROOT, "scaledata", "sf3"),
+    # ORGANIC scale points (VERDICT r9 task 2, gen_organic_embeddings.py):
+    # the replica corpora saturate recall >= 0.9 for every index family
+    # (jittered copies are each query's true top-k), so the IVF-vs-LSH
+    # frontier above sf0.1 is only measurable on these.
+    "sf1org": os.path.join(ROOT, "scaledata", "sf1_organic"),
+    "sf3org": os.path.join(ROOT, "scaledata", "sf3_organic"),
 }
 
 
@@ -226,7 +233,7 @@ def main() -> int:
     repeats = int(os.environ.get("REPEATS", "5"))
     labels = [
         s
-        for s in os.environ.get("SPARK_GRAFT_SFS", "sf0.1,sf1,sf3").split(",")
+        for s in os.environ.get("SPARK_GRAFT_SFS", "sf0.1,sf1,sf3,sf1org,sf3org").split(",")
         if s and os.path.isdir(SF_DIRS.get(s, ""))
     ]
     spark = get_spark(app_name="ann-recall-curve")

@@ -197,3 +197,39 @@ def test_phash_plan_pixels_never_shuffle(spark, sf_dir):
             assert "payload" not in line, line
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p  # band equi-join
+
+
+def test_incremental_phash_gate_verdicts_fixture_proven(spark, sf_dir):
+    """Both gate verdicts proven on fixtures (VERDICT r9 task 5): every
+    incoming re-encoded copy (doc%8==2, a resized re-encode of held doc
+    doc-2) must DROP with min_hamming == 0 (resize preserves the hash
+    exactly), and the novel assets (doc%8==6) must overwhelmingly KEEP —
+    a novel image may legitimately collide within Hamming <= 3, but not
+    many."""
+    from financial_arbitrage_data_pipeline_spark.operators.perceptual import (
+        incremental_phash_gate,
+    )
+
+    out = incremental_phash_gate(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    copies = out[out.asset_id % 8 == 2]
+    novel = out[out.asset_id % 8 == 6]
+    assert len(copies) > 0 and len(novel) > 0
+    assert (copies.verdict == "drop").all()
+    assert (copies.min_hamming == 0).all()
+    assert (novel.verdict == "keep").mean() >= 0.9
+    kept = out[out.verdict == "keep"]
+    assert (kept.n_base_matches == 0).all()
+    assert kept.min_hamming.isna().all()
+
+
+def test_incremental_phash_gate_pixels_never_shuffle(spark, sf_dir):
+    """Scale pin: the gate's exchanges carry only (asset_id, dhash /
+    band) integers — payload bytes exist solely inside the mapInPandas
+    kernels; the probe is an equi-join, never a cartesian."""
+    p = plan_of(spark, "incremental_phash_gate", sf_dir)
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line, line
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p  # band equi-join
