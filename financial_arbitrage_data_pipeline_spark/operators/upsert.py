@@ -59,6 +59,13 @@ _VACUUM_MARKER = "_history_vacuumed"
 _DEFAULT_BUCKETS = 16
 _PENDING_FILE = "_merge_pending"
 _COMMIT_FILE = "_commit_manifest"
+# Present once any merge widened the table schema (VERDICT r9 task 6):
+# untouched buckets keep their pre-evolution parquet schema on disk, so
+# evolved tables read with mergeSchema (absent columns surface as null).
+# Installed through the commit manifest's extra_files, so the marker
+# lands atomically with the evolving merge and crash roll-forward
+# reinstalls it.
+_EVOLVED_MARKER = "_schema_evolved"
 _LOCK_SUFFIX = ".__merge_lock__"
 
 
@@ -224,6 +231,28 @@ def _history_enabled(target_dir: str) -> bool:
     return os.path.exists(os.path.join(target_dir, _HISTORY_MARKER))
 
 
+def _evolved(target_dir: str) -> bool:
+    return os.path.exists(os.path.join(target_dir, _EVOLVED_MARKER))
+
+
+def _evolved_cols(target_dir: str) -> list[str]:
+    p = os.path.join(target_dir, _EVOLVED_MARKER)
+    if not os.path.exists(p):
+        return []
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _read_parquet(spark: SparkSession, *paths: str, evolved: bool):
+    """Parquet read that surfaces post-evolution columns as nulls for
+    files written before the widening merge. mergeSchema is paid only on
+    evolved tables — unevolved reads keep the single-footer fast path."""
+    reader = spark.read
+    if evolved:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
+
+
 def _read_commit_log(target_dir: str) -> list[dict]:
     path = os.path.join(target_dir, _COMMIT_LOG)
     if not os.path.exists(path):
@@ -319,7 +348,12 @@ def read_merge_table_asof(
     paths = _asof_bucket_paths(target_dir, version, log)
     if not paths:  # as-of an empty table
         return read_merge_table(spark, target_dir).limit(0)
-    df = spark.read.parquet(*paths.values())
+    # Evolution-correct by construction: a pre-evolution version's path
+    # set contains only pre-evolution files (archives hold pre-merge
+    # content; untouched live buckets were never rewritten), so the
+    # merged schema IS the old schema; a post-evolution version's mixed
+    # file set widens with nulls.
+    df = _read_parquet(spark, *paths.values(), evolved=_evolved(target_dir))
     return df.drop("__bucket__") if "__bucket__" in df.columns else df
 
 
@@ -484,7 +518,7 @@ def read_merge_table(spark: SparkSession, target_dir: str) -> DataFrame:
     back, committed-but-unfinished merges rolled forward, a crashed
     whole-table swap's parked layout restored)."""
     recover_merge_table(target_dir)
-    df = spark.read.parquet(target_dir)
+    df = _read_parquet(spark, target_dir, evolved=_evolved(target_dir))
     return df.drop("__bucket__") if "__bucket__" in df.columns else df
 
 
@@ -677,9 +711,24 @@ def merge_into_parquet(
     insert_missing: bool = False,
     extra_files: dict[str, str] | None = None,
     applied_batch_id: int | None = None,
+    evolve_schema: bool = False,
 ) -> None:
     """K4: MERGE INTO target USING updates ON target.key = updates.key
     WHEN MATCHED THEN UPDATE SET <set_exprs> [WHEN NOT MATCHED INSERT].
+
+    `evolve_schema=True` (VERDICT r9 task 6) WIDENS the table: every
+    updates column absent from the target schema becomes a new table
+    column (matched/inserted rows take the update's value — or the
+    set_exprs entry if one is given — and pre-existing unmatched rows
+    read as null). Only touched buckets are rewritten with the new
+    schema; untouched buckets keep their old files and the table flips
+    to mergeSchema reads via the `_schema_evolved` marker, installed
+    atomically with the commit manifest (crash roll-forward reinstalls
+    it). Time travel is unaffected: a pre-evolution version's as-of
+    file set contains only pre-evolution files, so it reads with the
+    OLD schema. With the default evolve_schema=False, extra updates
+    columns stay what they always were — join-side helpers for
+    set_exprs, never table columns.
 
     `applied_batch_id` makes an additive foreachBatch upsert exactly-once
     under MULTI-process redelivery: the marker is re-read AFTER the merge
@@ -741,10 +790,18 @@ def merge_into_parquet(
                 insert_missing,
                 extra_files,
                 n_buckets,
+                evolve_schema,
             )
             return
         _merge_full_rewrite(
-            spark, target_dir, updates, key, set_exprs, insert_missing, extra_files
+            spark,
+            target_dir,
+            updates,
+            key,
+            set_exprs,
+            insert_missing,
+            extra_files,
+            evolve_schema,
         )
     finally:
         _release_merge_lock(target_dir)
@@ -757,9 +814,13 @@ def _merged_output(
     set_exprs: dict[str, Column],
     insert_missing: bool,
     data_cols: list[str],
+    new_cols: frozenset[str] = frozenset(),
 ) -> DataFrame:
     """The MERGE join + per-column WHEN MATCHED/NOT MATCHED projection,
-    shared by the bucketed and full-rewrite paths."""
+    shared by the bucketed and full-rewrite paths. Columns in `new_cols`
+    (schema evolution) have no target side: matched/inserted rows take
+    the update's value (or the set_exprs entry), unmatched target rows
+    read null."""
     t = target.alias("t")
     u = updates.alias("u")
     join_type = "full_outer" if insert_missing else "left_outer"
@@ -769,6 +830,12 @@ def _merged_output(
     for c in data_cols:
         if c == key:
             out_cols.append(F.coalesce(F.col(f"t.{key}"), F.col(f"u.{key}")).alias(c))
+        elif c in new_cols:
+            out_cols.append(
+                F.when(matched, set_exprs.get(c, F.col(f"u.{c}")))
+                .otherwise(F.lit(None))
+                .alias(c)
+            )
         elif c in set_exprs:
             out_cols.append(
                 F.when(matched, set_exprs[c]).otherwise(F.col(f"t.{c}")).alias(c)
@@ -797,6 +864,7 @@ def _merge_bucketed(
     insert_missing: bool,
     extra_files: dict[str, str] | None,
     n_buckets: int,
+    evolve_schema: bool = False,
 ) -> None:
     """Bucket-scoped MERGE: rewrite only `__bucket__=<i>` directories
     whose bucket id appears among the update keys. The touched-bucket
@@ -829,13 +897,24 @@ def _merge_bucketed(
         # os.replace per file, no manifest needed
         _install_root_files(target_dir, extra_files)
         return
-    full = spark.read.parquet(target_dir)
+    full = _read_parquet(spark, target_dir, evolved=_evolved(target_dir))
     data_cols = [c for c in full.columns if c != "__bucket__"]
+    new_cols = (
+        [c for c in updates.columns if c not in data_cols and c != "__bucket__"]
+        if evolve_schema
+        else []
+    )
     # partition filter → Spark prunes untouched bucket directories at
     # the scan; only touched buckets are ever opened
     target = full.filter(F.col("__bucket__").isin(touched)).drop("__bucket__")
     merged = _merged_output(
-        target, updates, key, set_exprs, insert_missing, data_cols
+        target,
+        updates,
+        key,
+        set_exprs,
+        insert_missing,
+        data_cols + new_cols,
+        frozenset(new_cols),
     ).withColumn("__bucket__", _bucket_of(F.col(key), n_buckets))
     (
         merged.repartition("__bucket__")
