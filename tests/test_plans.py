@@ -65,6 +65,7 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
             "ticket_fill_merge",
             "ticket_fill_history_asof",
             "ticket_fill_changes_feed",
+            "ticket_fill_schema_evolution",
             "bitemporal_ticket_state",
         ):
             continue  # these execute work in the builder; covered elsewhere
@@ -369,6 +370,7 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "ticket_fill_merge",
         "ticket_fill_history_asof",
         "ticket_fill_changes_feed",
+        "ticket_fill_schema_evolution",
         "bitemporal_ticket_state",
         "jdbc_pair_scan",
     }
