@@ -994,3 +994,176 @@ def incremental_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_base_matches"),
         F.col("min_hamming"),
     )
+
+
+_AUDIO_GATE_ORACLE = f"""
+WITH srcs AS (
+  SELECT DISTINCT CASE WHEN doc_id % 8 = 3 THEN doc_id - 2 ELSE doc_id END
+           AS doc_id,
+         CASE WHEN doc_id % 8 = 3 THEN 2 ELSE 0 END AS kind
+  FROM documents WHERE doc_id % 4 IN (1, 3)
+),
+d AS (SELECT DISTINCT doc_id, 2048 + doc_id % 256 AS n FROM srcs),
+seg AS (
+  SELECT doc_id, n, unnest(generate_series(0, (n - 1) // {_AUDIO_SEG})) AS g
+  FROM d
+),
+amp AS (
+  SELECT doc_id, n, g,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_'
+                                    || CAST(g AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1024) - 512 AS a
+  FROM seg
+),
+x AS (
+  SELECT doc_id, n, g * {_AUDIO_SEG} + o AS i, a AS v
+  FROM (SELECT *, unnest(generate_series(0, {_AUDIO_SEG - 1})) AS o FROM amp)
+  WHERE g * {_AUDIO_SEG} + o < n
+),
+s0 AS (SELECT doc_id, 0 AS kind, n AS sn, i, v FROM x),
+s2 AS (
+  SELECT doc_id, 2 AS kind, n AS sn, i,
+         CASE WHEN v >= 0 THEN v // 2 ELSE -((-v) // 2) END AS v
+  FROM x
+),
+alls AS (SELECT * FROM s0 UNION ALL SELECT * FROM s2),
+fe AS (
+  SELECT doc_id, kind, (i * {AUDIO_FP_FRAMES}) // sn AS f, SUM(v * v) AS e
+  FROM alls GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT a.doc_id, a.kind, a.f AS j
+  FROM fe a
+  JOIN fe b ON b.doc_id = a.doc_id AND b.kind = a.kind AND b.f = a.f + 1
+  JOIN fe c ON c.doc_id = a.doc_id AND c.kind = a.kind AND c.f = a.f + 2
+  WHERE (c.e - b.e) > (b.e - a.e)
+),
+sig AS (
+  SELECT s.doc_id, s.kind, COALESCE(SUM(CAST(1 AS BIGINT) << j), 0) AS afp
+  FROM (SELECT DISTINCT doc_id, kind FROM srcs) s
+  LEFT JOIN bits ON bits.doc_id = s.doc_id AND bits.kind = s.kind
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT dd.doc_id AS asset_id, s.afp
+  FROM documents dd
+  JOIN sig s ON s.doc_id = dd.doc_id AND s.kind = 0
+  WHERE dd.doc_id % 4 = 1
+),
+incoming AS (
+  SELECT dd.doc_id AS asset_id, s.afp
+  FROM documents dd
+  JOIN sig s
+    ON s.doc_id = CASE WHEN dd.doc_id % 8 = 3 THEN dd.doc_id - 2
+                       ELSE dd.doc_id END
+   AND s.kind = CASE WHEN dd.doc_id % 8 = 3 THEN 2 ELSE 0 END
+  WHERE dd.doc_id % 4 = 3
+),
+matches AS (
+  SELECT i.asset_id,
+         CAST(COUNT(*) AS BIGINT) AS n_base_matches,
+         CAST(MIN(bit_count(xor(i.afp, b.afp))) AS BIGINT) AS min_hamming
+  FROM incoming i
+  JOIN base b ON bit_count(xor(i.afp, b.afp)) <= {AUDIO_FP_MAX_HAMMING}
+  GROUP BY 1
+)
+SELECT i.asset_id,
+       CASE WHEN m.asset_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict,
+       CAST(COALESCE(m.n_base_matches, 0) AS BIGINT) AS n_base_matches,
+       m.min_hamming
+FROM incoming i LEFT JOIN matches m ON m.asset_id = i.asset_id
+"""
+
+
+@query(
+    "incremental_audio_gate",
+    oracle=_AUDIO_GATE_ORACLE,
+    tags=("multimodal", "audio", "dedup", "perceptual", "incremental"),
+)
+def incremental_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO twin of `incremental_phash_gate`: the corpus holds one
+    WAV clip per doc_id % 4 == 1; an incoming batch (doc_id % 4 == 3)
+    mixes half-gain re-encodes of held clips (doc_id % 8 == 3: the
+    truncating sign-split gain of base doc doc_id - 2 — the
+    energy-contour fingerprint is gain-invariant up to saturation ties)
+    with genuinely new clips (doc_id % 8 == 7). Each incoming clip
+    probes the base's banded fingerprint table asymmetrically
+    (delta-vs-base, corpus never self-paired); re-encoded copies drop,
+    new clips keep.
+
+    The oracle restates the md5 segment envelope, the exact sign-split
+    gain, the frame energies, and the QUADRATIC probe in pure SQL — the
+    hash match proves the decode -> gain -> re-encode -> decode ->
+    fingerprint chain and the lossless-ness of the banded probe at
+    once. Samples never shuffle (plan-pinned); probe cost scales with
+    the batch. §2.11 extension family; no reference equivalent."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the WAV codec kernels")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth_base(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].values,
+                    "payload": [
+                        synthesize_fp_wav(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def synth_incoming(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a in pdf["doc_id"]:
+                doc = int(a)
+                if doc % 8 == 3:  # quieter re-encode of a held clip
+                    payloads.append(gain_variant(synthesize_fp_wav(doc - 2)))
+                else:  # genuinely new clip
+                    payloads.append(synthesize_fp_wav(doc))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    def fp_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "afp": [audio_fingerprint32(p) for p in pdf["payload"]],
+                }
+            )
+
+    base_sig = (
+        docs.filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id")
+        .mapInPandas(synth_base, _ASSET_SCHEMA)
+        .mapInPandas(fp_kernel, _AUDIO_SIG_SCHEMA)
+    )
+    inc_sig = (
+        docs.filter(F.col("doc_id") % 4 == 3)
+        .select("doc_id")
+        .mapInPandas(synth_incoming, _ASSET_SCHEMA)
+        .mapInPandas(fp_kernel, _AUDIO_SIG_SCHEMA)
+        .persist()
+    )
+    hits = _hamming_band_probe(
+        inc_sig, base_sig, "afp", AUDIO_FP_BANDS, _AUDIO_FP_BAND_BITS,
+        AUDIO_FP_MAX_HAMMING,
+    )
+    agg = hits.groupBy(F.col("delta_id").alias("asset_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_base_matches"),
+        F.min("hamming").cast("long").alias("min_hamming"),
+    )
+    return inc_sig.select("asset_id").join(agg, "asset_id", "left_outer").select(
+        "asset_id",
+        F.when(F.col("n_base_matches").isNotNull(), F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+        F.coalesce(F.col("n_base_matches"), F.lit(0))
+        .cast("long")
+        .alias("n_base_matches"),
+        F.col("min_hamming"),
+    )

@@ -233,3 +233,30 @@ def test_incremental_phash_gate_pixels_never_shuffle(spark, sf_dir):
             assert "payload" not in line, line
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p  # band equi-join
+
+
+def test_incremental_audio_gate_verdicts_fixture_proven(spark, sf_dir):
+    """Audio-gate twin: half-gain re-encodes of held clips drop (the
+    contour fingerprint is gain-invariant up to <= 2 saturation-tie
+    flips, inside the Hamming-3 threshold); new clips overwhelmingly
+    keep."""
+    from financial_arbitrage_data_pipeline_spark.operators.perceptual import (
+        incremental_audio_gate,
+    )
+
+    out = incremental_audio_gate(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    copies = out[out.asset_id % 8 == 3]
+    novel = out[out.asset_id % 8 == 7]
+    assert len(copies) > 0 and len(novel) > 0
+    assert (copies.verdict == "drop").all()
+    assert (copies.min_hamming <= 2).all()
+    assert (novel.verdict == "keep").mean() >= 0.9
+
+
+def test_incremental_audio_gate_samples_never_shuffle(spark, sf_dir):
+    p = plan_of(spark, "incremental_audio_gate", sf_dir)
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line, line
+    assert "CartesianProduct" not in p

@@ -1489,3 +1489,113 @@ def test_schema_evolution_crash_rolls_forward_with_marker(spark, tmp_path):
     got = {r.k: (r.v, r.tag) for r in U.read_merge_table(spark, target).collect()}
     assert got[1] == (11, "a") and got[2] == (22, "b")
     assert got[5] == (5, None)
+
+
+def _evo_expected(spark, target, version):
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    return {
+        r.k: r.v for r in U.read_merge_table_asof(spark, target, version).collect()
+    }
+
+
+def test_asof_vacuum_merge_triangle_fuzz(spark, tmp_path):
+    """VERDICT r9 task 7: property-fuzz the reader/vacuum/merge
+    interleavings. A reader holding an as-of plan while a vacuum deletes
+    that version's archives and a merge advances head must FAIL LOUDLY
+    or return exactly the version's content — never a mix of versions.
+    The test seam injects the race at the exact point between the
+    reader's commit-log read and its path resolution; post-construction
+    races are exercised by mutating after the plan exists."""
+    import random
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    def build(tag):
+        target = str(tmp_path / f"t_{tag}")
+        base = spark.createDataFrame(
+            [(i, 0) for i in range(24)], "k long, v long"
+        )
+        U.create_bucketed_table(
+            spark, target, base, "k", n_buckets=4, keep_history=True
+        )
+        for ver in (1, 2, 3):
+            U.merge_into_parquet(
+                spark,
+                target,
+                spark.createDataFrame(
+                    [(i, ver * 100 + i) for i in range(0, 24, ver)],
+                    "k long, dv long",
+                ),
+                key="k",
+                set_exprs={"v": F.col("u.dv")},
+            )
+        return target
+
+    def advance(target, ver):
+        U.merge_into_parquet(
+            spark,
+            target,
+            spark.createDataFrame(
+                [(i, ver * 100 + i) for i in range(0, 24, 2)], "k long, dv long"
+            ),
+            key="k",
+            set_exprs={"v": F.col("u.dv")},
+        )
+
+    rnd = random.Random(9)
+    loud = consistent = 0
+    for trial in range(6):
+        target = build(trial)
+        expected = _evo_expected(spark, target, 2)
+        next_ver = [4]
+
+        actions = []
+
+        def racy_action():
+            a = rnd.choice(["merge", "vacuum", "none"])
+            actions.append(a)
+            if a == "merge":
+                advance(target, next_ver[0])
+                next_ver[0] += 1
+            elif a == "vacuum":
+                U.vacuum_merge_history(target, keep_last=1)
+
+        # race 1: inject between the reader's log read and resolution
+        U._asof_resolve_hook = racy_action
+        try:
+            try:
+                df = U.read_merge_table_asof(spark, target, 2)
+            except (ValueError, U.ConcurrentMergeError):
+                loud += 1  # vacuumed archive / unstable log: loud is legal
+                continue
+            finally:
+                U._asof_resolve_hook = None
+            # race 2: mutate AFTER the plan exists, before the action
+            racy_action()
+            racy_action()
+            try:
+                got = {r.k: r.v for r in df.collect()}
+            except (Py4JJavaError, Exception) as exc:  # noqa: BLE001
+                msg = str(exc)
+                assert (
+                    "FileNotFound" in msg
+                    or "does not exist" in msg
+                    or "PATH_NOT_FOUND" in msg
+                    or "FILE_NOT_EXIST" in msg.upper()
+                ), msg[:500]
+                loud += 1
+                continue
+            assert got == expected, (
+                f"trial {trial} actions {actions}: MIXED VERSIONS "
+                f"(diff keys: { {k for k in got if got[k] != expected.get(k)} })"
+            )
+            consistent += 1
+        finally:
+            U._asof_resolve_hook = None
+    # the fuzz must have exercised both legal outcomes across trials
+    assert loud + consistent == 6
+    assert consistent >= 1
