@@ -1167,3 +1167,179 @@ def incremental_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_base_matches"),
         F.col("min_hamming"),
     )
+
+
+_VIDEO_GATE_ORACLE = f"""
+WITH srcs AS (
+  SELECT DISTINCT CASE WHEN doc_id % 8 = 0 THEN doc_id + 2 ELSE doc_id END
+           AS doc_id,
+         CASE WHEN doc_id % 8 = 0 THEN 2 ELSE 0 END AS kind
+  FROM documents WHERE doc_id % 4 = 0
+  UNION
+  SELECT doc_id, 0 AS kind FROM documents WHERE doc_id % 4 = 2
+),
+d AS (
+  SELECT doc_id, kind, 16 + doc_id % 5 AS w, 12 + doc_id % 5 AS h,
+         8 + doc_id % 5 AS nf
+  FROM srcs
+),
+fr AS (
+  SELECT doc_id, kind, w, h, nf, unnest(generate_series(0, nf - 1)) AS t
+  FROM d
+),
+gx AS (SELECT *, unnest(generate_series(0, {DHASH_GRID - 1})) AS x FROM fr),
+grid AS (SELECT *, unnest(generate_series(0, {DHASH_GRID - 1})) AS y FROM gx),
+pv AS (
+  SELECT doc_id, kind, t, x, y,
+         (doc_id * 13
+            + (3 + doc_id % 11) * ((x * w) // {DHASH_GRID}) * ((x * w) // {DHASH_GRID})
+            + (7 + doc_id % 17) * ((y * h) // {DHASH_GRID}) * ((y * h) // {DHASH_GRID})
+            + (doc_id % 31) * ((x * w) // {DHASH_GRID}) * ((y * h) // {DHASH_GRID})
+            + 3 * t) % 256 AS v
+  FROM grid
+),
+lum AS (
+  SELECT doc_id, kind, t, x, y,
+         CASE WHEN kind = 2 THEN LEAST(v + 4, 255) ELSE v END AS g
+  FROM pv
+),
+fbits AS (
+  SELECT l.doc_id, l.kind, l.t, l.y * {DHASH_GRID - 1} + l.x AS j,
+         CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+  FROM lum l JOIN lum r
+    ON r.doc_id = l.doc_id AND r.kind = l.kind AND r.t = l.t
+   AND r.y = l.y AND r.x = l.x + 1
+  WHERE l.x <= {DHASH_GRID - 2}
+),
+maj AS (
+  SELECT doc_id, kind, j,
+         CASE WHEN SUM(bit) * 2 > COUNT(*) THEN 1 ELSE 0 END AS mbit
+  FROM fbits GROUP BY 1, 2, 3
+),
+sig AS (
+  SELECT doc_id, kind,
+         SUM(CASE WHEN mbit = 1 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS vh
+  FROM maj GROUP BY 1, 2
+),
+base AS (
+  SELECT dd.doc_id AS asset_id, s.vh
+  FROM documents dd
+  JOIN sig s ON s.doc_id = dd.doc_id AND s.kind = 0
+  WHERE dd.doc_id % 4 = 2
+),
+incoming AS (
+  SELECT dd.doc_id AS asset_id, s.vh
+  FROM documents dd
+  JOIN sig s
+    ON s.doc_id = CASE WHEN dd.doc_id % 8 = 0 THEN dd.doc_id + 2
+                       ELSE dd.doc_id END
+   AND s.kind = CASE WHEN dd.doc_id % 8 = 0 THEN 2 ELSE 0 END
+  WHERE dd.doc_id % 4 = 0
+),
+matches AS (
+  SELECT i.asset_id,
+         CAST(COUNT(*) AS BIGINT) AS n_base_matches,
+         CAST(MIN(bit_count(xor(i.vh, b.vh))) AS BIGINT) AS min_hamming
+  FROM incoming i
+  JOIN base b ON bit_count(xor(i.vh, b.vh)) <= {VDHASH_MAX_HAMMING}
+  GROUP BY 1
+)
+SELECT i.asset_id,
+       CASE WHEN m.asset_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict,
+       CAST(COALESCE(m.n_base_matches, 0) AS BIGINT) AS n_base_matches,
+       m.min_hamming
+FROM incoming i LEFT JOIN matches m ON m.asset_id = i.asset_id
+"""
+
+
+@query(
+    "incremental_video_gate",
+    oracle=_VIDEO_GATE_ORACLE,
+    tags=("multimodal", "video", "dedup", "perceptual", "incremental"),
+)
+def incremental_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO twin completing the incremental-gate modality matrix
+    (image/audio/video): the corpus holds one y4m clip per
+    doc_id % 4 == 2 (the video_vhash_neardup corpus); an incoming batch
+    (doc_id % 4 == 0) mixes luma-shifted re-encodes of held clips
+    (doc_id % 8 == 0: the saturating +4 luma variant of base doc
+    doc_id + 2 — temporal-majority dHash is brightness-invariant, so
+    copies land at Hamming ~0) with genuinely new clips
+    (doc_id % 8 == 4). Asymmetric banded probe, verdicts, same contract
+    as the image/audio gates; a copy whose source clip is not in the
+    corpus (doc_id + 2 past the last doc) correctly keeps. Frames never
+    shuffle (plan-pinned); the oracle restates the luma generator, the
+    saturating shift, per-frame bits, the majority vote, and the
+    quadratic probe in pure SQL."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the y4m codec kernels")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth_base(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].values,
+                    "payload": [
+                        synthesize_vhash_y4m(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def synth_incoming(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a in pdf["doc_id"]:
+                doc = int(a)
+                if doc % 8 == 0:  # brighter re-encode of a held clip
+                    payloads.append(
+                        luma_brightness_variant(synthesize_vhash_y4m(doc + 2))
+                    )
+                else:  # genuinely new clip
+                    payloads.append(synthesize_vhash_y4m(doc))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    def vh_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "vh": [video_dhash56(p) for p in pdf["payload"]],
+                }
+            )
+
+    base_sig = (
+        docs.filter(F.col("doc_id") % 4 == 2)
+        .select("doc_id")
+        .mapInPandas(synth_base, _ASSET_SCHEMA)
+        .mapInPandas(vh_kernel, _VSIG_SCHEMA)
+    )
+    inc_sig = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id")
+        .mapInPandas(synth_incoming, _ASSET_SCHEMA)
+        .mapInPandas(vh_kernel, _VSIG_SCHEMA)
+        .persist()
+    )
+    hits = _hamming_band_probe(
+        inc_sig, base_sig, "vh", VDHASH_BANDS, _VDHASH_BAND_BITS,
+        VDHASH_MAX_HAMMING,
+    )
+    agg = hits.groupBy(F.col("delta_id").alias("asset_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_base_matches"),
+        F.min("hamming").cast("long").alias("min_hamming"),
+    )
+    return inc_sig.select("asset_id").join(agg, "asset_id", "left_outer").select(
+        "asset_id",
+        F.when(F.col("n_base_matches").isNotNull(), F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+        F.coalesce(F.col("n_base_matches"), F.lit(0))
+        .cast("long")
+        .alias("n_base_matches"),
+        F.col("min_hamming"),
+    )

@@ -260,3 +260,31 @@ def test_incremental_audio_gate_samples_never_shuffle(spark, sf_dir):
         if "Exchange" in line:
             assert "payload" not in line, line
     assert "CartesianProduct" not in p
+
+
+def test_incremental_video_gate_verdicts_fixture_proven(spark, sf_dir):
+    """Video-gate twin: luma-shifted re-encodes of held clips drop at
+    Hamming 0 (temporal-majority dHash is brightness-invariant); new
+    clips overwhelmingly keep."""
+    from financial_arbitrage_data_pipeline_spark.operators.perceptual import (
+        incremental_video_gate,
+    )
+
+    out = incremental_video_gate(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    copies = out[out.asset_id % 8 == 0]
+    novel = out[out.asset_id % 8 == 4]
+    assert len(copies) > 0 and len(novel) > 0
+    # a copy whose source (doc+2) is past the corpus correctly keeps
+    max_doc = out.asset_id.max()
+    in_corpus = copies[copies.asset_id + 2 <= max_doc + 2]
+    assert (in_corpus.verdict == "drop").mean() >= 0.95
+    assert (novel.verdict == "keep").mean() >= 0.9
+
+
+def test_incremental_video_gate_frames_never_shuffle(spark, sf_dir):
+    p = plan_of(spark, "incremental_video_gate", sf_dir)
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line, line
+    assert "CartesianProduct" not in p
