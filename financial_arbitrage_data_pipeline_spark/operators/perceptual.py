@@ -30,6 +30,7 @@ form, proving exactly that).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -925,57 +926,75 @@ def incremental_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _HAS_NUMPY:  # pragma: no cover
         raise NotImplementedError("numpy required for the BMP codec kernels")
     docs = load_table(spark, sf_dir, "documents")
-
-    def synth_base(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"].values,
-                    "payload": [
-                        synthesize_phash_bmp(int(d)) for d in pdf["doc_id"]
-                    ],
-                }
-            )
-
-    def synth_incoming(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for a in pdf["doc_id"]:
-                doc = int(a)
-                if doc % 8 == 2:  # re-encoded copy of a held asset
-                    src = synthesize_phash_bmp(doc - 2)
-                    w, h = _phash_dims(doc - 2)
-                    payloads.append(resize_image(src, 2 * w, 2 * h))
-                else:  # genuinely new image
-                    payloads.append(synthesize_phash_bmp(doc))
-            yield pd.DataFrame(
-                {"asset_id": pdf["doc_id"].values, "payload": payloads}
-            )
-
-    def hash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"].values,
-                    "dhash": [dhash56(p) for p in pdf["payload"]],
-                }
-            )
-
-    base_sig = (
-        docs.filter(F.col("doc_id") % 4 == 0)
-        .select("doc_id")
-        .mapInPandas(synth_base, _ASSET_SCHEMA)
-        .mapInPandas(hash_kernel, _SIG_SCHEMA)
-    )
+    base_sig = _phash_gate_base_sig(docs)
     inc_sig = (
         docs.filter(F.col("doc_id") % 4 == 2)
         .select("doc_id")
-        .mapInPandas(synth_incoming, _ASSET_SCHEMA)
-        .mapInPandas(hash_kernel, _SIG_SCHEMA)
+        .mapInPandas(_phash_gate_synth_incoming, _ASSET_SCHEMA)
+        .mapInPandas(_phash_gate_hash_kernel, _SIG_SCHEMA)
         .persist()
     )
+    return _phash_gate_verdicts(inc_sig, base_sig)
+
+
+# Shared kernels: the batch gate above and the streaming twin below run
+# EXACTLY these (semantics cannot diverge between the lanes).
+
+
+def _phash_gate_synth_base(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["doc_id"].values,
+                "payload": [
+                    synthesize_phash_bmp(int(d)) for d in pdf["doc_id"]
+                ],
+            }
+        )
+
+
+def _phash_gate_synth_incoming(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = []
+        for a in pdf["doc_id"]:
+            doc = int(a)
+            if doc % 8 == 2:  # re-encoded copy of a held asset
+                src = synthesize_phash_bmp(doc - 2)
+                w, h = _phash_dims(doc - 2)
+                payloads.append(resize_image(src, 2 * w, 2 * h))
+            else:  # genuinely new image
+                payloads.append(synthesize_phash_bmp(doc))
+        yield pd.DataFrame(
+            {"asset_id": pdf["doc_id"].values, "payload": payloads}
+        )
+
+
+def _phash_gate_hash_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"].values,
+                "dhash": [dhash56(p) for p in pdf["payload"]],
+            }
+        )
+
+
+def _phash_gate_base_sig(docs: DataFrame) -> DataFrame:
+    return (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id")
+        .mapInPandas(_phash_gate_synth_base, _ASSET_SCHEMA)
+        .mapInPandas(_phash_gate_hash_kernel, _SIG_SCHEMA)
+    )
+
+
+def _phash_gate_verdicts(inc_sig: DataFrame, base_sig: DataFrame) -> DataFrame:
     hits = _hamming_band_probe(
         inc_sig, base_sig, "dhash", DHASH_BANDS, _DHASH_BAND_BITS,
         DHASH_MAX_HAMMING,
@@ -994,6 +1013,67 @@ def incremental_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_base_matches"),
         F.col("min_hamming"),
     )
+
+
+@query(
+    "streaming_media_gate",
+    oracle=_PHASH_GATE_ORACLE,
+    tags=("multimodal", "image", "dedup", "perceptual", "incremental",
+          "streaming", "T4"),
+)
+def streaming_media_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental perceptual gate as a STREAMING lane (the
+    optional twin VERDICT r9 task 5 named): incoming media assets
+    arrive in micro-batches (file replay, one chunk per trigger); each
+    batch runs the SAME synth + decode-hash kernels and the SAME banded
+    asymmetric probe as `incremental_phash_gate` (shared module-level
+    kernels — semantics cannot diverge) against a base signature table
+    materialized ONCE before the stream starts; per-batch verdicts land
+    in an append sink. The oracle is the batch gate's oracle verbatim:
+    equality proves no asset was lost, duplicated, or re-scored across
+    micro-batch boundaries — the probe is batch-local against a static
+    base, so verdict composition over batches IS the batch semantics.
+    At 100 TB this is the ingest shape: the base band table is a
+    materialized index, each arriving batch pays only its own probe."""
+    import shutil
+
+    from .streaming_queries import _workdir
+
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the BMP codec kernels")
+    root = _workdir()
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        base_sig = _phash_gate_base_sig(docs).localCheckpoint()
+
+        inc = docs.filter(F.col("doc_id") % 4 == 2).select("doc_id")
+        chunk_dir = os.path.join(root, "chunks")
+        inc.repartition(4).write.parquet(chunk_dir)
+        stream = (
+            spark.readStream.schema(inc.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        out_dir = os.path.join(root, "verdicts")
+
+        def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+            sig = batch_df.mapInPandas(
+                _phash_gate_synth_incoming, _ASSET_SCHEMA
+            ).mapInPandas(_phash_gate_hash_kernel, _SIG_SCHEMA)
+            _phash_gate_verdicts(sig, base_sig).write.mode("append").parquet(
+                out_dir
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(gate_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 _AUDIO_GATE_ORACLE = f"""
