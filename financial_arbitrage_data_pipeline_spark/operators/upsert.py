@@ -496,11 +496,20 @@ def merge_table_changes(
         paths = _asof_bucket_paths(target_dir, version, log, touched)
         if not paths:
             return read_merge_table(spark, target_dir).limit(0)
-        df = spark.read.parquet(*paths.values())
+        df = _read_parquet(spark, *paths.values(), evolved=_evolved(target_dir))
         return df.drop("__bucket__") if "__bucket__" in df.columns else df
 
     old_df = read_side(from_version)
     new_df = read_side(to_version)
+    # CDF across a schema-evolution boundary: the pre-evolution side has
+    # no post-evolution columns at all — conform it with typed nulls so
+    # the image structs align and a null -> value transition reads as an
+    # honest 'update'
+    for c in new_df.columns:
+        if c not in old_df.columns:
+            old_df = old_df.withColumn(
+                c, F.lit(None).cast(new_df.schema[c].dataType)
+            )
     cols = [c for c in new_df.columns]
     o = old_df.select(
         F.col(key).alias("__k"), F.struct(*cols).alias("old")

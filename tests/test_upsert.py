@@ -1599,3 +1599,35 @@ def test_asof_vacuum_merge_triangle_fuzz(spark, tmp_path):
     # the fuzz must have exercised both legal outcomes across trials
     assert loud + consistent == 6
     assert consistent >= 1
+
+
+def test_change_feed_across_schema_evolution_boundary(spark, tmp_path):
+    """The CDF spanning an evolving merge: the pre-evolution image
+    conforms with typed nulls, so a touched row reads as an 'update'
+    whose old image has tag=null and whose new image carries the
+    value."""
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, i) for i in range(12)], "k long, v long")
+    U.create_bucketed_table(
+        spark, target, base, "k", n_buckets=4, keep_history=True
+    )
+    U.merge_into_parquet(
+        spark, target,
+        spark.createDataFrame([(1, 100)], "k long, v long"),
+        key="k", set_exprs={"v": F.col("u.v")},
+    )  # v1
+    U.merge_into_parquet(
+        spark, target,
+        spark.createDataFrame([(2, 200, "x")], "k long, v long, tag string"),
+        key="k", set_exprs={"v": F.col("u.v")}, evolve_schema=True,
+    )  # v2, widened
+
+    feed = U.merge_table_changes(spark, target, 1, 2, key="k").collect()
+    rows = {r.k: r for r in feed}
+    assert set(rows) == {2}
+    r = rows[2]
+    assert r.change_type == "update"
+    assert r.old.tag is None and r.old.v == 2
+    assert r.new.tag == "x" and r.new.v == 200
