@@ -1060,9 +1060,12 @@ def streaming_media_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             sig = batch_df.mapInPandas(
                 _phash_gate_synth_incoming, _ASSET_SCHEMA
             ).mapInPandas(_phash_gate_hash_kernel, _SIG_SCHEMA)
-            _phash_gate_verdicts(sig, base_sig).write.mode("append").parquet(
-                out_dir
-            )
+            # per-batch overwrite path = idempotent under foreachBatch's
+            # at-least-once redelivery: a replayed batch rewrites its own
+            # directory instead of double-appending verdicts
+            _phash_gate_verdicts(sig, base_sig).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"batch={batch_id}"))
 
         q = (
             stream.writeStream.foreachBatch(gate_batch)
@@ -1071,7 +1074,9 @@ def streaming_media_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        return spark.read.parquet(out_dir).localCheckpoint()
+        return (
+            spark.read.parquet(out_dir).drop("batch").localCheckpoint()
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -204,6 +204,105 @@ def sweep(spark, sf_dir: str, repeats: int) -> dict:
         )
         print(json.dumps(rows[-1]))
 
+    # --- IVF+PQ: ADC-scored candidates inside the nprobe=1 cell -------
+    # (round 9) The compression tier: candidates still come from the
+    # trained coarse quantizer, but ranking uses the 8x8-codebook
+    # asymmetric distance (sum over 8 subspaces of the query-to-centroid
+    # table entry for the candidate's code) — the memory-bound regime a
+    # 100 TB index actually runs, measured for the recall it costs.
+    from financial_arbitrage_data_pipeline_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUBDIM,
+        pq_trained,
+    )
+
+    pq_assigned, codebook_rows = pq_trained(spark, sf_dir)
+    cand_codes = pq_assigned.select("vec_id", "m", "code").localCheckpoint()
+    codebook = spark.createDataFrame(
+        [(m, cid, c) for (m, cid, c) in codebook_rows],
+        "m int, cid int, c array<bigint>",
+    )
+    # per-query subvectors -> per-(query, m, cid) distance table
+    q_subs = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            "q",
+        )
+        .select(
+            "query_id",
+            "m",
+            F.expr(f"slice(q, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sq"),
+        )
+    )
+    adc_table = (
+        q_subs.join(F.broadcast(codebook), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("cid").alias("code"),
+            F.expr(
+                "aggregate(zip_with(sq, c, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+        .localCheckpoint()
+    )
+    probes1 = ranked.filter(F.col("rn") <= 1).select("query_id", "probe_cid")
+    cell_cands = probes1.join(
+        cands_ivf.select("cand_id", "c_cid"),
+        F.col("c_cid") == F.col("probe_cid"),
+    ).select("query_id", "cand_id").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    n_pairs_pq = cell_cands.count()
+
+    def adc_topk() -> object:
+        scored = (
+            cell_cands.join(cand_codes, F.col("cand_id") == F.col("vec_id"))
+            .join(F.broadcast(adc_table), ["query_id", "m", "code"])
+            .groupBy("query_id", "cand_id")
+            .agg(F.sum("d").alias("adc"))
+        )
+        w = Window.partitionBy("query_id").orderBy("adc", "cand_id")
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOPK)
+            .select("query_id", "cand_id")
+            .toPandas()
+        )
+
+    walls = []
+    got = None
+    for _ in range(repeats):
+        t0 = time.time()
+        got = adc_topk()
+        walls.append(time.time() - t0)
+    hits = sum(
+        1 for r in got.itertuples() if (r.query_id, r.cand_id) in exact_pairs
+    )
+    med = statistics.median(walls)
+    rows.append(
+        {
+            "method": "ivfpq",
+            "nprobe": 1,
+            "pq_m": PQ_M,
+            "recall_at_k": round(hits / k_total, 4),
+            "n_cand_pairs": int(n_pairs_pq),
+            "cand_pairs_per_query": round(n_pairs_pq / N_QUERIES, 1),
+            "scan_fraction": round(
+                n_pairs_pq / (N_QUERIES * (n_vectors - 1)), 4
+            ),
+            "wall_best_sec": round(min(walls), 3),
+            "wall_median_sec": round(med, 3),
+            "wall_mad_sec": round(
+                statistics.median(abs(w - med) for w in walls), 3
+            ),
+        }
+    )
+    print(json.dumps(rows[-1]))
+
     # free the per-SF persisted state so multi-SF sweeps don't stack
     # corpus-sized cached rounds (the SCALE.md §18 lesson)
     spark.catalog.clearCache()

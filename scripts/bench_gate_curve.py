@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Scaling curve for the r9 incremental perceptual gate: wall clock of
+the delta-vs-base banded probe as the media corpus grows 1x -> 10x ->
+30x (driver sf0.1 documents, then the key-shifted scaledata upscales).
+
+The 100 TB claim under test: gate cost is decode-bound and LINEAR in
+assets (each asset is synthesized, decoded, and hashed exactly once;
+the probe joins 64-bit band integers in buckets), so the wall should
+track asset count — NOT the pair space (which grows quadratically) —
+and candidates/incoming-asset should stay flat.
+
+Output: BENCH_gate_curve.json with per-scale-point rows
+  {label, n_docs, n_incoming, n_verdicts, n_drop, wall_best_sec,
+   wall_median_sec, wall_mad_sec}
+
+Env: REPEATS (default 3), SPARK_GRAFT_SFS (labels among
+sf0.01,sf0.1,sf1,sf3; default those present).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from financial_arbitrage_data_pipeline_spark.operators.perceptual import (
+    incremental_phash_gate,
+)
+from financial_arbitrage_data_pipeline_spark.session import get_spark
+from financial_arbitrage_data_pipeline_spark.sources.tables import load_table
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIRS = {
+    "sf0.01": "/root/testdata/sf0.01",
+    "sf0.1": "/root/testdata/sf0.1",
+    "sf1": os.path.join(ROOT, "scaledata", "sf1"),
+    "sf3": os.path.join(ROOT, "scaledata", "sf3"),
+}
+
+
+def main() -> int:
+    repeats = int(os.environ.get("REPEATS", "3"))
+    labels = [
+        s
+        for s in os.environ.get(
+            "SPARK_GRAFT_SFS", "sf0.01,sf0.1,sf1,sf3"
+        ).split(",")
+        if s and os.path.isdir(SF_DIRS.get(s, ""))
+    ]
+    spark = get_spark(app_name="gate-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for label in labels:
+        sf_dir = SF_DIRS[label]
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        walls = []
+        pdf = None
+        for _ in range(repeats):
+            t0 = time.time()
+            pdf = incremental_phash_gate(spark, sf_dir).toPandas()
+            walls.append(time.time() - t0)
+            spark.catalog.clearCache()
+        med = statistics.median(walls)
+        rows.append(
+            {
+                "label": label,
+                "n_docs": int(n_docs),
+                "n_incoming": int(len(pdf)),
+                "n_drop": int((pdf.verdict == "drop").sum()),
+                "candidates_per_incoming": round(
+                    float(pdf.n_base_matches.sum()) / max(1, len(pdf)), 4
+                ),
+                "wall_best_sec": round(min(walls), 3),
+                "wall_median_sec": round(med, 3),
+                "wall_mad_sec": round(
+                    statistics.median(abs(w - med) for w in walls), 3
+                ),
+            }
+        )
+        print(json.dumps(rows[-1]))
+    out = {"metric": "gate_scale_curve", "repeats": repeats, "rows": rows}
+    with open(os.path.join(ROOT, "BENCH_gate_curve.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"written": "BENCH_gate_curve.json", "sfs": labels}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
