@@ -239,78 +239,10 @@ def pair_cointegration_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COV_TOP_K = 20
 
 
-@query(
-    "pair_covariance_matrix",
-    oracle=f"""
-WITH q AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'view'
-),
-act AS (
-  SELECT user_id, COUNT(*) AS n_quotes FROM q GROUP BY user_id
-  QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id)
-          <= {_COV_TOP_K}
-),
-closes AS (
-  SELECT q.user_id AS pair_key, q.ts_us // {_DAY_US} AS day,
-         arg_max(q.cents, q.ts_us * 4096 + q.event_id % 4096) AS close_c
-  FROM q JOIN act ON act.user_id = q.user_id
-  GROUP BY q.user_id, q.ts_us // {_DAY_US}
-),
-mv AS (
-  SELECT pair_key, day,
-         close_c - LAG(close_c) OVER w AS m,
-         day - LAG(day) OVER w AS dgap
-  FROM closes WINDOW w AS (PARTITION BY pair_key ORDER BY day)
-),
-obs AS (SELECT pair_key, day, m FROM mv WHERE dgap = 1),
-cells AS (
-  SELECT a.pair_key AS pair_a, b.pair_key AS pair_b,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(a.m) AS BIGINT) AS sx,
-         CAST(SUM(b.m) AS BIGINT) AS sy,
-         CAST(SUM(a.m * b.m) AS BIGINT) AS sxy,
-         CAST(SUM(a.m * a.m) AS BIGINT) AS sx2,
-         CAST(SUM(b.m * b.m) AS BIGINT) AS sy2
-  FROM obs a JOIN obs b ON a.day = b.day AND a.pair_key <= b.pair_key
-  GROUP BY a.pair_key, b.pair_key
-)
-SELECT pair_a, pair_b, n,
-       n * sxy - sx * sy AS cov_num,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-          * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
-                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
-FROM cells
-WHERE n >= 5 AND n * sx2 > sx * sx AND n * sy2 > sy * sy
-""",
-    tags=("J1", "econometrics", "finance", "risk"),
-)
-def pair_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COVARIANCE/CORRELATION MATRIX of daily moves over the
-    top-{_COV_TOP_K} most-quoted pairs — the input every portfolio-risk
-    computation (VaR aggregation, hedge construction, concentration
-    limits) starts from. Restricting to a top-K slice is the 100 TB
-    shape: the full pairwise matrix is quadratic in pairs, so
-    production risk systems estimate it over the liquid universe (and
-    factor-model the tail) — here the K×K cell space is bounded by
-    construction (day-aligned equi-join over K pairs' daily moves,
-    never a corpus self-join).
-
-    Exactness: per-cell moments are exact int64; cov_num = n·Σxy−ΣxΣy
-    stays int64; the correlation is the fixed two-sqrt IEEE tree (the
-    venue_lead_lag/signal_ic tree); degenerate cells gated by integer
-    variance tests, thin cells by n >= 5. Diagonal cells (pair_a =
-    pair_b) carry the variances, so the result IS the full symmetric
-    matrix in upper-triangular form.
-
-    Plan: activity top-K via a map-combined count + TakeOrdered (no
-    global sort); closes aggregate map-combined per (pair, day); one
-    pair window for LAG; the day-keyed matrix join shuffles only the
-    K-pair move table (K·days rows)."""
+def _cov_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-K daily-move covariance CELL table (the Spark half of
+    `_COV_CELLS_SQL`), shared by `pair_covariance_matrix` and
+    `portfolio_risk_pca`."""
     q = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "view")
@@ -354,7 +286,7 @@ def pair_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = obs.select(
         F.col("pair_key").alias("pair_b"), "day", F.col("m").alias("mb")
     )
-    cells = (
+    return (
         a.join(b, (a.day == b.day) & (F.col("pair_a") <= F.col("pair_b")))
         .groupBy("pair_a", "pair_b")
         .agg(
@@ -366,6 +298,86 @@ def pair_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("mb") * F.col("mb")).alias("sy2"),
         )
     )
+
+
+# The top-K daily-move covariance CELL chain, shared by the matrix query
+# and the PCA on top of it (both oracles splice it verbatim).
+_COV_CELLS_SQL = f"""q AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+act AS (
+  SELECT user_id, COUNT(*) AS n_quotes FROM q GROUP BY user_id
+  QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id)
+          <= {_COV_TOP_K}
+),
+closes AS (
+  SELECT q.user_id AS pair_key, q.ts_us // {_DAY_US} AS day,
+         arg_max(q.cents, q.ts_us * 4096 + q.event_id % 4096) AS close_c
+  FROM q JOIN act ON act.user_id = q.user_id
+  GROUP BY q.user_id, q.ts_us // {_DAY_US}
+),
+mv AS (
+  SELECT pair_key, day,
+         close_c - LAG(close_c) OVER w AS m,
+         day - LAG(day) OVER w AS dgap
+  FROM closes WINDOW w AS (PARTITION BY pair_key ORDER BY day)
+),
+obs AS (SELECT pair_key, day, m FROM mv WHERE dgap = 1),
+cells AS (
+  SELECT a.pair_key AS pair_a, b.pair_key AS pair_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a.m) AS BIGINT) AS sx,
+         CAST(SUM(b.m) AS BIGINT) AS sy,
+         CAST(SUM(a.m * b.m) AS BIGINT) AS sxy,
+         CAST(SUM(a.m * a.m) AS BIGINT) AS sx2,
+         CAST(SUM(b.m * b.m) AS BIGINT) AS sy2
+  FROM obs a JOIN obs b ON a.day = b.day AND a.pair_key <= b.pair_key
+  GROUP BY a.pair_key, b.pair_key
+)"""
+
+
+@query(
+    "pair_covariance_matrix",
+    oracle=f"""
+WITH {_COV_CELLS_SQL}
+SELECT pair_a, pair_b, n,
+       n * sxy - sx * sy AS cov_num,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+FROM cells
+WHERE n >= 5 AND n * sx2 > sx * sx AND n * sy2 > sy * sy
+""",
+    tags=("J1", "econometrics", "finance", "risk"),
+)
+def pair_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COVARIANCE/CORRELATION MATRIX of daily moves over the
+    top-{_COV_TOP_K} most-quoted pairs — the input every portfolio-risk
+    computation (VaR aggregation, hedge construction, concentration
+    limits) starts from. Restricting to a top-K slice is the 100 TB
+    shape: the full pairwise matrix is quadratic in pairs, so
+    production risk systems estimate it over the liquid universe (and
+    factor-model the tail) — here the K×K cell space is bounded by
+    construction (day-aligned equi-join over K pairs' daily moves,
+    never a corpus self-join).
+
+    Exactness: per-cell moments are exact int64; cov_num = n·Σxy−ΣxΣy
+    stays int64; the correlation is the fixed two-sqrt IEEE tree (the
+    venue_lead_lag/signal_ic tree); degenerate cells gated by integer
+    variance tests, thin cells by n >= 5. Diagonal cells (pair_a =
+    pair_b) carry the variances, so the result IS the full symmetric
+    matrix in upper-triangular form.
+
+    Plan: activity top-K via a map-combined count + TakeOrdered (no
+    global sort); closes aggregate map-combined per (pair, day); one
+    pair window for LAG; the day-keyed matrix join shuffles only the
+    K-pair move table (K·days rows)."""
+    cells = _cov_cells(spark, sf_dir)
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     return cells.filter(
         (F.col("n") >= 5)
@@ -385,4 +397,136 @@ def pair_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.sqrt(d("n") * d("sy2") - d("sy") * d("sy"))
             )
         ).alias("corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portfolio risk PCA: top eigenvector of the K x K covariance matrix
+# ---------------------------------------------------------------------------
+_PCA_ROUNDS = 4
+_PCA_SCALE = 100_000
+
+
+def _pca_rounds_sql() -> str:
+    """The unrolled integer power iteration (declared rounds, truncating
+    rescale) — identical arithmetic to the driver loop in
+    `portfolio_risk_pca`."""
+    parts = []
+    for r in range(1, _PCA_ROUNDS + 1):
+        prev = f"v{r - 1}"
+        # every CTE here is multiply-referenced downstream — without
+        # MATERIALIZED, DuckDB 1.0 re-inlines each reference and the
+        # unrolled rounds recompute the cell chain ~3^rounds times
+        # (the dup_graph_kcore lesson)
+        parts.append(f"""w{r} AS MATERIALIZED (
+  SELECT s.i AS pair_key, CAST(SUM(s.a * v.v) AS BIGINT) AS w
+  FROM sym s JOIN {prev} v ON v.pair_key = s.j GROUP BY 1
+),
+st{r} AS MATERIALIZED (
+  SELECT MAX(ABS(w)) // {_PCA_SCALE} + 1 AS step FROM w{r}
+),
+v{r} AS MATERIALIZED (
+  SELECT pair_key,
+         CASE WHEN w >= 0 THEN w // (SELECT step FROM st{r})
+              ELSE -((-w) // (SELECT step FROM st{r})) END AS v
+  FROM w{r}
+)""")
+    return ",\n".join(parts)
+
+
+_PCA_ORACLE = f"""
+WITH {_COV_CELLS_SQL},
+sym AS MATERIALIZED (
+  SELECT pair_a AS i, pair_b AS j, n * sxy - sx * sy AS a FROM cells
+  UNION ALL
+  SELECT pair_b, pair_a, n * sxy - sx * sy FROM cells WHERE pair_a <> pair_b
+),
+v0 AS (SELECT DISTINCT i AS pair_key, CAST({_PCA_SCALE} AS BIGINT) AS v
+       FROM sym),
+{_pca_rounds_sql()},
+sgn AS (
+  SELECT COALESCE((SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END
+                   FROM v{_PCA_ROUNDS} WHERE v <> 0
+                   ORDER BY pair_key LIMIT 1), 1) AS f
+),
+tot AS (SELECT SUM(v * v) AS s2 FROM v{_PCA_ROUNDS})
+SELECT t.pair_key,
+       CAST(t.v * (SELECT f FROM sgn) AS BIGINT) AS loading,
+       CAST(CASE WHEN (SELECT s2 FROM tot) > 0
+            THEN (t.v * t.v * 1000000) // (SELECT s2 FROM tot)
+            ELSE 0 END AS BIGINT) AS variance_share_ppm
+FROM v{_PCA_ROUNDS} t
+"""
+
+
+@query(
+    "portfolio_risk_pca",
+    oracle=_PCA_ORACLE,
+    tags=("econometrics", "finance", "risk", "iterative", "linalg"),
+)
+def portfolio_risk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DOMINANT RISK FACTOR of the top-{_COV_TOP_K} pair universe:
+    the first eigenvector of the K x K daily-move covariance matrix
+    (`pair_covariance_matrix`'s cell table, shared builder), computed by
+    {_PCA_ROUNDS} declared rounds of INTEGER power iteration with a
+    truncating rescale each round — the `embedding_top_eigvec`
+    discipline applied to portfolio risk. Loadings answer the risk
+    question the covariance matrix only sets up: how much of the book's
+    variance is ONE factor (market mode), and which pairs carry it —
+    the input to hedge construction and concentration limits.
+    Orientation is pinned (the first nonzero loading by pair order is
+    made positive), so the eigenvector's sign ambiguity cannot flap the
+    hash; `variance_share_ppm` = v_i^2 / |v|^2 in exact ppm.
+
+    Exactness: the matrix entries are exact int64 cov numerators
+    (n*Sxy - Sx*Sy); every matvec is an int64 sum (magnitudes bounded:
+    |a| <~ 2e11, |v| <= {_PCA_SCALE}, K = {_COV_TOP_K} => |w| < 1e18);
+    the rescale is a truncating divide — identical in Python, Spark and
+    DuckDB — so the oracle unrolls the SAME rounds and value-hash
+    equality proves the whole iteration, not just the final rotation.
+
+    Plan/scale shape: the cell table is K x K-BOUNDED by construction
+    (the pair_covariance_matrix argument), so collecting it to the
+    driver for the K-dimensional iteration is the same bounded-state
+    pattern as the k-means centroid loop — at 100 TB the data-sized
+    work is the cell aggregation, which shuffles only the K-pair move
+    table."""
+    cells = _cov_cells(spark, sf_dir).select(
+        "pair_a",
+        "pair_b",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("a"),
+    )
+    rows = cells.collect()  # bounded: K*(K+1)/2 cells, K = _COV_TOP_K
+    sym: dict[tuple[int, int], int] = {}
+    for r in rows:
+        sym[(r.pair_a, r.pair_b)] = r.a
+        if r.pair_a != r.pair_b:
+            sym[(r.pair_b, r.pair_a)] = r.a
+    universe = sorted({i for i, _ in sym})
+    v = {i: _PCA_SCALE for i in universe}
+    for _ in range(_PCA_ROUNDS):
+        w = {i: 0 for i in universe}
+        for (i, j), a in sym.items():
+            w[i] += a * v[j]
+        step = max(abs(x) for x in w.values()) // _PCA_SCALE + 1
+        v = {
+            i: (abs(x) // step if x >= 0 else -(abs(x) // step))
+            for i, x in w.items()
+        }
+    flip = 1
+    for i in universe:
+        if v[i] != 0:
+            flip = -1 if v[i] < 0 else 1
+            break
+    s2 = sum(x * x for x in v.values())
+    out = [
+        (
+            i,
+            v[i] * flip,
+            (v[i] * v[i] * 1_000_000) // s2 if s2 > 0 else 0,
+        )
+        for i in universe
+    ]
+    return spark.createDataFrame(
+        out, "pair_key bigint, loading bigint, variance_share_ppm bigint"
     )
