@@ -239,10 +239,10 @@ def pair_cointegration_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COV_TOP_K = 20
 
 
-def _cov_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The top-K daily-move covariance CELL table (the Spark half of
-    `_COV_CELLS_SQL`), shared by `pair_covariance_matrix` and
-    `portfolio_risk_pca`."""
+def _cov_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(pair, day) consecutive-day moves of the top-K universe (the
+    Spark half of `_COV_CELLS_SQL`'s obs CTE), shared by the covariance
+    matrix, the risk PCA, and the factor-residual decomposition."""
     q = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "view")
@@ -279,7 +279,13 @@ def _cov_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("close_c") - F.lag("close_c").over(w)).alias("m"),
         (F.col("day") - F.lag("day").over(w)).alias("dgap"),
     )
-    obs = mv.filter(F.col("dgap") == 1).select("pair_key", "day", "m")
+    return mv.filter(F.col("dgap") == 1).select("pair_key", "day", "m")
+
+
+def _cov_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cell moments over `_cov_obs` (the Spark half of
+    `_COV_CELLS_SQL`'s cells CTE)."""
+    obs = _cov_obs(spark, sf_dir)
     a = obs.select(
         F.col("pair_key").alias("pair_a"), "day", F.col("m").alias("ma")
     )
@@ -324,7 +330,7 @@ mv AS (
          day - LAG(day) OVER w AS dgap
   FROM closes WINDOW w AS (PARTITION BY pair_key ORDER BY day)
 ),
-obs AS (SELECT pair_key, day, m FROM mv WHERE dgap = 1),
+obs AS MATERIALIZED (SELECT pair_key, day, m FROM mv WHERE dgap = 1),
 cells AS (
   SELECT a.pair_key AS pair_a, b.pair_key AS pair_b,
          CAST(COUNT(*) AS BIGINT) AS n,
@@ -459,6 +465,41 @@ FROM v{_PCA_ROUNDS} t
 """
 
 
+def _pca_loadings(spark: SparkSession, sf_dir: str):
+    """(universe, raw loading dict, orientation flip) from the bounded
+    driver-side power iteration — shared by `portfolio_risk_pca` and
+    `factor_residual_risk`. Pure integer arithmetic, identical to the
+    oracle's unrolled rounds (truncating divides throughout)."""
+    cells = _cov_cells(spark, sf_dir).select(
+        "pair_a",
+        "pair_b",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("a"),
+    )
+    rows = cells.collect()  # bounded: K*(K+1)/2 cells, K = _COV_TOP_K
+    sym: dict[tuple[int, int], int] = {}
+    for r in rows:
+        sym[(r.pair_a, r.pair_b)] = r.a
+        if r.pair_a != r.pair_b:
+            sym[(r.pair_b, r.pair_a)] = r.a
+    universe = sorted({i for i, _ in sym})
+    v = {i: _PCA_SCALE for i in universe}
+    for _ in range(_PCA_ROUNDS):
+        w = {i: 0 for i in universe}
+        for (i, j), a in sym.items():
+            w[i] += a * v[j]
+        step = max(abs(x) for x in w.values()) // _PCA_SCALE + 1
+        v = {
+            i: (abs(x) // step if x >= 0 else -(abs(x) // step))
+            for i, x in w.items()
+        }
+    flip = 1
+    for i in universe:
+        if v[i] != 0:
+            flip = -1 if v[i] < 0 else 1
+            break
+    return universe, v, flip
+
+
 @query(
     "portfolio_risk_pca",
     oracle=_PCA_ORACLE,
@@ -491,33 +532,7 @@ def portfolio_risk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern as the k-means centroid loop — at 100 TB the data-sized
     work is the cell aggregation, which shuffles only the K-pair move
     table."""
-    cells = _cov_cells(spark, sf_dir).select(
-        "pair_a",
-        "pair_b",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("a"),
-    )
-    rows = cells.collect()  # bounded: K*(K+1)/2 cells, K = _COV_TOP_K
-    sym: dict[tuple[int, int], int] = {}
-    for r in rows:
-        sym[(r.pair_a, r.pair_b)] = r.a
-        if r.pair_a != r.pair_b:
-            sym[(r.pair_b, r.pair_a)] = r.a
-    universe = sorted({i for i, _ in sym})
-    v = {i: _PCA_SCALE for i in universe}
-    for _ in range(_PCA_ROUNDS):
-        w = {i: 0 for i in universe}
-        for (i, j), a in sym.items():
-            w[i] += a * v[j]
-        step = max(abs(x) for x in w.values()) // _PCA_SCALE + 1
-        v = {
-            i: (abs(x) // step if x >= 0 else -(abs(x) // step))
-            for i, x in w.items()
-        }
-    flip = 1
-    for i in universe:
-        if v[i] != 0:
-            flip = -1 if v[i] < 0 else 1
-            break
+    universe, v, flip = _pca_loadings(spark, sf_dir)
     s2 = sum(x * x for x in v.values())
     out = [
         (
@@ -529,4 +544,137 @@ def portfolio_risk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         out, "pair_key bigint, loading bigint, variance_share_ppm bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Factor-residual decomposition: how much of each pair's variance the
+# dominant factor explains, and what is genuinely idiosyncratic
+# ---------------------------------------------------------------------------
+_FAC_W_DIV = 1000  # loading -> factor weight downscale, keeps every
+#                    int64 moment bounded (see overflow ledger below)
+
+_E_BETA = "CAST(cmf AS DOUBLE) / CAST(cf2 AS DOUBLE) AS beta"
+_E_R2 = (
+    "(CAST(cmf AS DOUBLE) * CAST(cmf AS DOUBLE))"
+    " / (CAST(cm2 AS DOUBLE) * CAST(cf2 AS DOUBLE)) AS factor_r2"
+)
+_E_IDIO = "CAST('1' AS DOUBLE) - factor_r2 AS idio_share"
+
+_FAC_ORACLE = f"""
+WITH {_COV_CELLS_SQL},
+sym AS MATERIALIZED (
+  SELECT pair_a AS i, pair_b AS j, n * sxy - sx * sy AS a FROM cells
+  UNION ALL
+  SELECT pair_b, pair_a, n * sxy - sx * sy FROM cells WHERE pair_a <> pair_b
+),
+v0 AS (SELECT DISTINCT i AS pair_key, CAST({_PCA_SCALE} AS BIGINT) AS v
+       FROM sym),
+{_pca_rounds_sql()},
+sgn AS (
+  SELECT COALESCE((SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END
+                   FROM v{_PCA_ROUNDS} WHERE v <> 0
+                   ORDER BY pair_key LIMIT 1), 1) AS f
+),
+wts AS MATERIALIZED (
+  SELECT pair_key, (v * (SELECT f FROM sgn)) // {_FAC_W_DIV} AS w
+  FROM v{_PCA_ROUNDS}
+),
+fac AS MATERIALIZED (
+  SELECT o.day, CAST(SUM(w.w * o.m) AS BIGINT) AS f
+  FROM obs o JOIN wts w ON w.pair_key = o.pair_key
+  GROUP BY o.day
+),
+mom AS (
+  SELECT o.pair_key,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(o.m) AS BIGINT) AS sm,
+         CAST(SUM(fc.f) AS BIGINT) AS sf,
+         CAST(SUM(o.m * fc.f) AS BIGINT) AS smf,
+         CAST(SUM(o.m * o.m) AS BIGINT) AS sm2,
+         CAST(SUM(fc.f * fc.f) AS BIGINT) AS sf2
+  FROM obs o JOIN fac fc ON fc.day = o.day
+  GROUP BY 1
+),
+ints AS (
+  SELECT *, n * smf - sm * sf AS cmf,
+         n * sm2 - sm * sm AS cm2,
+         n * sf2 - sf * sf AS cf2
+  FROM mom
+  WHERE n >= 5 AND n * sm2 > sm * sm AND n * sf2 > sf * sf
+),
+f1 AS (SELECT *, {_E_BETA}, {_E_R2} FROM ints),
+f2 AS (SELECT *, {_E_IDIO} FROM f1)
+SELECT pair_key, n, cmf, cm2, cf2, beta, factor_r2, idio_share FROM f2
+"""
+
+
+@query(
+    "factor_residual_risk",
+    oracle=_FAC_ORACLE,
+    tags=("econometrics", "finance", "risk", "iterative"),
+)
+def factor_residual_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER `portfolio_risk_pca`: regress every pair's daily
+    moves on the DOMINANT FACTOR's realized series (f_t = sum of
+    loading-weighted moves of the pairs observed that day) and split
+    each pair's variance into factor-explained (factor_r2) and
+    IDIOSYNCRATIC (idio_share = 1 - r2) — the decomposition hedge
+    construction actually consumes: beta says how much market-mode
+    exposure to hedge, idio_share says how much risk survives the
+    hedge.
+
+    Exactness/overflow ledger: loadings (<= {_PCA_SCALE}) downscale by
+    {_FAC_W_DIV} to weights <= 100, so |f_t| <= K*100*|m| <= 2e7,
+    Sf2 <= 30*4e14 = 1.2e16 and every c-term (n*S.. - S..*S..) stays
+    int64 with >1 order of headroom. The beta/r2 tail is the shared
+    two-term IEEE tree (_E_BETA/_E_R2/_E_IDIO spliced verbatim into
+    both engines); degenerate pairs gated by integer variance tests.
+
+    Plan/scale: the factor series is a day-keyed aggregation of the
+    K-pair move table (tiny); the per-pair moment rollup joins obs to
+    the broadcast-sized factor series — nothing corpus-sized shuffles
+    beyond the close aggregation the whole family shares. The PCA
+    weights come from the bounded driver iteration (`_pca_loadings`),
+    exactly as the oracle unrolls them."""
+    universe, v, flip = _pca_loadings(spark, sf_dir)
+
+    def trunc_div(x: int, d: int) -> int:
+        return abs(x) // d if x >= 0 else -(abs(x) // d)
+
+    wts = [(i, trunc_div(v[i] * flip, _FAC_W_DIV)) for i in universe]
+    wdf = spark.createDataFrame(wts, "pair_key long, w long")
+    obs = _cov_obs(spark, sf_dir)
+    fac = (
+        obs.join(F.broadcast(wdf), "pair_key")
+        .groupBy("day")
+        .agg(F.sum(F.col("w") * F.col("m")).cast("long").alias("f"))
+    )
+    mom = (
+        obs.join(fac, "day")
+        .groupBy("pair_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("m").alias("sm"),
+            F.sum("f").alias("sf"),
+            F.sum(F.col("m") * F.col("f")).alias("smf"),
+            F.sum(F.col("m") * F.col("m")).alias("sm2"),
+            F.sum(F.col("f") * F.col("f")).alias("sf2"),
+        )
+    )
+    ints = mom.filter(
+        (F.col("n") >= 5)
+        & (F.col("n") * F.col("sm2") > F.col("sm") * F.col("sm"))
+        & (F.col("n") * F.col("sf2") > F.col("sf") * F.col("sf"))
+    ).selectExpr(
+        "*",
+        "n * smf - sm * sf AS cmf",
+        "n * sm2 - sm * sm AS cm2",
+        "n * sf2 - sf * sf AS cf2",
+    )
+    f1 = ints.selectExpr("*", _E_BETA, _E_R2)
+    f2 = f1.selectExpr("*", _E_IDIO)
+    return f2.selectExpr(
+        "pair_key", "n", "cmf", "cm2", "cf2", "beta", "factor_r2",
+        "idio_share",
     )
