@@ -27,6 +27,8 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import os
+import threading
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -254,19 +256,60 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # materialized RDD, not the whole LSH lineage), and let every graph
 # query share the result (VERDICT r9 task 3 — kcore was overhead-bound
 # on re-materializing this pipeline).
-_SHARED_PAIRS: dict[tuple[str, str], DataFrame] = {}
+#
+# Cache contract (ADVICE r9 / VERDICT r9 task 7): the key carries a
+# cheap DATA FINGERPRINT of the crawl inputs (file count + bytes + max
+# mtime of documents.parquet), so regenerating the corpus at the same
+# sf_dir within one Spark application invalidates naturally instead of
+# serving stale edges. Access is lock-guarded (no double-build under
+# concurrent first callers) and the cache is size-bounded (FIFO evict;
+# a dropped localCheckpoint is just an unreferenced RDD for GC).
+_SHARED_PAIRS: "OrderedDict[tuple[str, str, tuple], DataFrame]" = OrderedDict()
+_SHARED_PAIRS_LOCK = threading.Lock()
+_SHARED_PAIRS_MAX = 8
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """(n_files, total_bytes, max_mtime_ns) over the crawl input files —
+    O(#files) stat calls, no data read."""
+    root = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    paths = [root] if os.path.isfile(root) else [
+        os.path.join(dirpath, f)
+        for dirpath, _, files in os.walk(root)
+        for f in files
+        if not f.startswith(("_", "."))
+    ]
+    n, total, mtime = 0, 0, 0
+    for p in paths:
+        try:
+            st = os.stat(p)
+        except OSError:
+            continue
+        n += 1
+        total += st.st_size
+        mtime = max(mtime, st.st_mtime_ns)
+    return (n, total, mtime)
 
 
 def _lsh_verified_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    df = _SHARED_PAIRS.get(key)
-    if df is None:
-        df = (
-            _lsh_verified_pairs(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .localCheckpoint()
-        )
-        _SHARED_PAIRS[key] = df
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _corpus_fingerprint(sf_dir),
+    )
+    with _SHARED_PAIRS_LOCK:
+        df = _SHARED_PAIRS.get(key)
+        if df is None:
+            df = (
+                _lsh_verified_pairs(spark, sf_dir)
+                .select("doc_a", "doc_b")
+                .localCheckpoint()
+            )
+            _SHARED_PAIRS[key] = df
+            while len(_SHARED_PAIRS) > _SHARED_PAIRS_MAX:
+                _SHARED_PAIRS.popitem(last=False)
+        else:
+            _SHARED_PAIRS.move_to_end(key)
     return df
 
 

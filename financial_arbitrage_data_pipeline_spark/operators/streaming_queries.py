@@ -2312,6 +2312,14 @@ def streaming_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (F.col("pair_id") % 3 + 1).cast("int"),
                         ),
                     )
+                    # ADVICE r9: EVERY v2 batch must apply the venue, not
+                    # just the widening one — a pair whose v2 rows all
+                    # arrive after batch 0 would otherwise keep NULL
+                    # (the target pads t.venue with a typed null while
+                    # the column is new, so this resolves in batch 0 too)
+                    set_exprs["venue"] = F.coalesce(
+                        F.col("u.venue"), F.col("t.venue")
+                    )
                 merge_into_parquet(
                     spark,
                     table,
@@ -2320,6 +2328,7 @@ def streaming_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     set_exprs=set_exprs,
                     insert_missing=True,
                     evolve_schema=(phase == 1),
+                    evolve_cols=["venue"] if phase == 1 else None,
                 )
 
             q = (

@@ -767,6 +767,7 @@ def merge_into_parquet(
     extra_files: dict[str, str] | None = None,
     applied_batch_id: int | None = None,
     evolve_schema: bool = False,
+    evolve_cols: list[str] | None = None,
 ) -> None:
     """K4: MERGE INTO target USING updates ON target.key = updates.key
     WHEN MATCHED THEN UPDATE SET <set_exprs> [WHEN NOT MATCHED INSERT].
@@ -775,7 +776,11 @@ def merge_into_parquet(
     updates column absent from the target schema becomes a new table
     column (matched/inserted rows take the update's value — or the
     set_exprs entry if one is given — and pre-existing unmatched rows
-    read as null). Only touched buckets are rewritten with the new
+    read as null). `evolve_cols` (ADVICE r9) restricts the widening to
+    an explicit allowlist, so updates columns that are only join-side
+    helpers for set_exprs (intermediate sums, flags) are NOT silently
+    persisted into the table schema — pass the columns you mean to
+    evolve. Only touched buckets are rewritten with the new
     schema; untouched buckets keep their old files and the table flips
     to mergeSchema reads via the `_schema_evolved` marker, installed
     atomically with the commit manifest (crash roll-forward reinstalls
@@ -817,7 +822,21 @@ def merge_into_parquet(
        target; a crash between the renames leaves the data in
        `<target>.__merge_old__` (recovery: rename it back and re-run).
     """
+    if evolve_cols is not None and not evolve_schema:
+        raise ValueError("evolve_cols requires evolve_schema=True")
     if _HAS_DELTA and os.path.isdir(os.path.join(target_dir, "_delta_log")):
+        if applied_batch_id is not None or evolve_schema:
+            # ADVICE r9: the Delta branch has neither the locked
+            # applied-batch recheck nor the widening path — silently
+            # dropping either guarantee is worse than failing loudly.
+            # (Implementable via Delta txnAppId/txnVersion + mergeSchema
+            # once a delta-spark distribution is reachable; see
+            # MIGRATION.md "Delta integration runbook".)
+            raise NotImplementedError(
+                "applied_batch_id / evolve_schema are not implemented for "
+                "Delta targets — use a bucketed parquet merge table, or "
+                "wire Delta txnAppId/txnVersion + mergeSchema"
+            )
         # Delta brings its own optimistic concurrency control
         _merge_delta(
             spark, target_dir, updates, key, set_exprs, insert_missing, extra_files
@@ -846,6 +865,7 @@ def merge_into_parquet(
                 extra_files,
                 n_buckets,
                 evolve_schema,
+                evolve_cols,
             )
             return
         _merge_full_rewrite(
@@ -857,9 +877,31 @@ def merge_into_parquet(
             insert_missing,
             extra_files,
             evolve_schema,
+            evolve_cols,
         )
     finally:
         _release_merge_lock(target_dir)
+
+
+def _evolution_new_cols(
+    updates: DataFrame,
+    existing: set[str],
+    evolve_schema: bool,
+    evolve_cols: list[str] | None,
+) -> list[str]:
+    """Which updates columns become new TABLE columns this merge.
+    With an explicit `evolve_cols` allowlist only those are promoted
+    (and each must actually be an updates column); without one, every
+    updates column absent from the target widens the table — the r9
+    behavior, kept for callers that curate their updates projection."""
+    if not evolve_schema:
+        return []
+    if evolve_cols is not None:
+        missing = [c for c in evolve_cols if c not in updates.columns]
+        if missing:
+            raise ValueError(f"evolve_cols not in updates: {missing}")
+        return [c for c in evolve_cols if c not in existing]
+    return [c for c in updates.columns if c not in existing]
 
 
 def _merged_output(
@@ -873,9 +915,15 @@ def _merged_output(
 ) -> DataFrame:
     """The MERGE join + per-column WHEN MATCHED/NOT MATCHED projection,
     shared by the bucketed and full-rewrite paths. Columns in `new_cols`
-    (schema evolution) have no target side: matched/inserted rows take
-    the update's value (or the set_exprs entry), unmatched target rows
-    read null."""
+    (schema evolution) have no stored target side: the target is padded
+    with typed nulls for them, so a set_exprs entry may reference
+    `t.<c>` uniformly whether the column is new this batch or was
+    evolved in an earlier one (ADVICE r9: the coalesce(u.c, t.c)
+    idiom must work in EVERY batch of an upgraded feed, not only the
+    widening batch). Matched/inserted rows take the update's value (or
+    the set_exprs entry); unmatched target rows read null."""
+    for c in new_cols:
+        target = target.withColumn(c, F.lit(None).cast(updates.schema[c].dataType))
     t = target.alias("t")
     u = updates.alias("u")
     join_type = "full_outer" if insert_missing else "left_outer"
@@ -888,7 +936,7 @@ def _merged_output(
         elif c in new_cols:
             out_cols.append(
                 F.when(matched, set_exprs.get(c, F.col(f"u.{c}")))
-                .otherwise(F.lit(None))
+                .otherwise(F.col(f"t.{c}"))  # the typed-null pad above
                 .alias(c)
             )
         elif c in set_exprs:
@@ -920,6 +968,7 @@ def _merge_bucketed(
     extra_files: dict[str, str] | None,
     n_buckets: int,
     evolve_schema: bool = False,
+    evolve_cols: list[str] | None = None,
 ) -> None:
     """Bucket-scoped MERGE: rewrite only `__bucket__=<i>` directories
     whose bucket id appears among the update keys. The touched-bucket
@@ -954,10 +1003,8 @@ def _merge_bucketed(
         return
     full = _read_parquet(spark, target_dir, evolved=_evolved(target_dir))
     data_cols = [c for c in full.columns if c != "__bucket__"]
-    new_cols = (
-        [c for c in updates.columns if c not in data_cols and c != "__bucket__"]
-        if evolve_schema
-        else []
+    new_cols = _evolution_new_cols(
+        updates, set(data_cols) | {"__bucket__"}, evolve_schema, evolve_cols
     )
     if new_cols:
         # the evolution marker rides the commit manifest's extra_files:
@@ -1059,6 +1106,7 @@ def _merge_full_rewrite(
     insert_missing: bool,
     extra_files: dict[str, str] | None,
     evolve_schema: bool = False,
+    evolve_cols: list[str] | None = None,
 ) -> None:
     """Whole-table rewrite fallback for unbucketed targets."""
     # clear leftovers from a crashed prior run: a stale __merge_old__
@@ -1075,10 +1123,8 @@ def _merge_full_rewrite(
             os.rename(old_path, target_dir)
 
     target = _read_parquet(spark, target_dir, evolved=_evolved(target_dir))
-    new_cols = (
-        [c for c in updates.columns if c not in target.columns]
-        if evolve_schema
-        else []
+    new_cols = _evolution_new_cols(
+        updates, set(target.columns), evolve_schema, evolve_cols
     )
     if new_cols:
         extra_files = dict(extra_files or {})
@@ -1810,6 +1856,9 @@ def ticket_fill_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.lit("pending")),
             },
             evolve_schema=True,
+            # ADVICE r9: promote ONLY venue — `fq` is a join-side helper
+            # for set_exprs and must not pollute the persisted schema
+            evolve_cols=["venue"],
         )
 
         def rollup(df: DataFrame, version: int) -> DataFrame:

@@ -122,3 +122,69 @@ def test_prefix_doubling_matches_python_suffix_sort(spark, tmp_path):
             ",".join(str(x) for x in rank).encode()
         ).hexdigest()
         assert got[doc_id] == (len(t), expected_md5, order[0]), t
+
+
+def test_shared_pairs_cache_invalidates_and_isolates(spark, tmp_path):
+    """ADVICE r9 / VERDICT r9 task 7: the shared verified-edge cache
+    (a) does not cross-contaminate two sf_dirs, (b) invalidates when
+    the corpus at one sf_dir is regenerated in the SAME application,
+    and (c) stays size-bounded."""
+    import pandas as pd
+
+    from financial_arbitrage_data_pipeline_spark.operators import dedup as D
+
+    def write_corpus(d, texts):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": "en",
+                "source": "test",
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    # corpus A: doc 7's recrawl twin (doc_id % 7 == 0) guarantees a pair
+    write_corpus(a_dir, [base * 3, "completely different text here ok"])
+    write_corpus(b_dir, ["unrelated single doc with no twin pairs"])
+
+    builds = []
+    real = D._lsh_verified_pairs
+
+    def counting(spark_, sf_dir_):
+        builds.append(sf_dir_)
+        return real(spark_, sf_dir_)
+
+    D._lsh_verified_pairs = counting
+    try:
+        D._SHARED_PAIRS.clear()
+        a1 = D._lsh_verified_pairs_shared(spark, a_dir).count()
+        a2 = D._lsh_verified_pairs_shared(spark, a_dir).count()
+        assert a1 == a2 and len(builds) == 1  # cache hit, no rebuild
+        D._lsh_verified_pairs_shared(spark, b_dir).count()
+        assert len(builds) == 2  # (a) different sf_dir = different entry
+        assert builds[-1] == b_dir  # ...built from B's corpus, not A's
+
+        # (b) regenerate corpus A in place -> fingerprint changes -> rebuild
+        import time
+
+        time.sleep(0.05)  # ensure mtime_ns moves even on coarse clocks
+        write_corpus(a_dir, [base * 3] * 4)  # 4 near-identical docs
+        a3 = D._lsh_verified_pairs_shared(spark, a_dir).count()
+        assert len(builds) == 3, "stale cache served after corpus rewrite"
+        assert a3 > a1  # the new corpus has more verified pairs
+
+        # (c) bound: hammer distinct fingerprints, cache never exceeds max
+        for i in range(D._SHARED_PAIRS_MAX + 3):
+            time.sleep(0.01)
+            write_corpus(b_dir, [f"doc variant number {i} stands alone"])
+            D._lsh_verified_pairs_shared(spark, b_dir).count()
+        assert len(D._SHARED_PAIRS) <= D._SHARED_PAIRS_MAX
+    finally:
+        D._lsh_verified_pairs = real
+        D._SHARED_PAIRS.clear()

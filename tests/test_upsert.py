@@ -1631,3 +1631,105 @@ def test_change_feed_across_schema_evolution_boundary(spark, tmp_path):
     assert r.change_type == "update"
     assert r.old.tag is None and r.old.v == 2
     assert r.new.tag == "x" and r.new.v == 200
+
+
+def test_evolve_cols_allowlist_keeps_helpers_join_side(spark, tmp_path):
+    """ADVICE r9: with evolve_cols, updates columns that exist only as
+    set_exprs helpers (here `dv`) are NOT persisted into the table
+    schema — only the allowlisted column widens."""
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, i) for i in range(10)], "k long, v long")
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=4)
+    updates = spark.createDataFrame(
+        [(3, 5, "kalshi")], "k long, dv long, venue string"
+    )
+    U.merge_into_parquet(
+        spark, target, updates, key="k",
+        set_exprs={"v": F.col("t.v") + F.col("u.dv")},
+        evolve_schema=True, evolve_cols=["venue"],
+    )
+    tbl = U.read_merge_table(spark, target)
+    assert set(tbl.columns) == {"k", "v", "venue"}  # no dv pollution
+    got = {r.k: (r.v, r.venue) for r in tbl.collect()}
+    assert got[3] == (8, "kalshi")
+    assert got[4] == (4, None)
+
+
+def test_evolve_cols_validation(spark, tmp_path):
+    """evolve_cols must name real updates columns and requires
+    evolve_schema=True; a Delta-looking target refuses the evolution
+    path loudly instead of silently dropping it (ADVICE r9)."""
+    import os
+
+    import pytest
+
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 1)], "k long, v long")
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=2)
+    updates = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="evolve_schema"):
+        U.merge_into_parquet(
+            spark, target, updates, key="k",
+            set_exprs={"v": F.col("u.v")}, evolve_cols=["venue"],
+        )
+    with pytest.raises(ValueError, match="not in updates"):
+        U.merge_into_parquet(
+            spark, target, updates, key="k",
+            set_exprs={"v": F.col("u.v")},
+            evolve_schema=True, evolve_cols=["venue"],
+        )
+    if U._HAS_DELTA:  # pragma: no cover - container has no delta
+        delta_target = str(tmp_path / "d")
+        os.makedirs(os.path.join(delta_target, "_delta_log"))
+        with pytest.raises(NotImplementedError):
+            U.merge_into_parquet(
+                spark, delta_target, updates, key="k",
+                set_exprs={"v": F.col("u.v")}, evolve_schema=True,
+            )
+
+
+def test_evolved_col_coalesce_applies_in_every_batch(spark, tmp_path):
+    """ADVICE r9 (streaming_schema_drift): the coalesce(u.c, t.c)
+    set_exprs idiom must apply the evolved column in the WIDENING batch
+    (t.c is a typed-null pad) AND in every later batch — a key first
+    touched by a post-widening batch still gets its value, and a later
+    batch with a null update value preserves the stored one."""
+    from financial_arbitrage_data_pipeline_spark.operators import upsert as U
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, 0) for i in range(6)], "k long, n long")
+    U.create_bucketed_table(spark, target, base, "k", n_buckets=2)
+    venue_exprs = {
+        "n": F.coalesce(F.col("t.n"), F.lit(0)) + F.col("u.dn"),
+        "venue": F.coalesce(F.col("u.venue"), F.col("t.venue")),
+    }
+    # batch 0 (widening): touches k=1 only
+    U.merge_into_parquet(
+        spark, target,
+        spark.createDataFrame([(1, 1, "poly")], "k long, dn long, venue string"),
+        key="k", set_exprs=venue_exprs, insert_missing=True,
+        evolve_schema=True, evolve_cols=["venue"],
+    )
+    # batch 1 (post-widening): k=2 first sees its venue HERE; k=7 inserted
+    U.merge_into_parquet(
+        spark, target,
+        spark.createDataFrame(
+            [(2, 1, "iex"), (7, 1, "kalshi")], "k long, dn long, venue string"
+        ),
+        key="k", set_exprs=venue_exprs, insert_missing=True,
+    )
+    # batch 2: k=1 updated with a NULL venue — stored value must survive
+    U.merge_into_parquet(
+        spark, target,
+        spark.createDataFrame([(1, 1, None)], "k long, dn long, venue string"),
+        key="k", set_exprs=venue_exprs, insert_missing=True,
+    )
+    got = {r.k: (r.n, r.venue) for r in U.read_merge_table(spark, target).collect()}
+    assert got[1] == (2, "poly")
+    assert got[2] == (1, "iex")
+    assert got[7] == (1, "kalshi")
+    assert got[0] == (0, None)
