@@ -147,47 +147,109 @@ _ASSET_SCHEMA = T.StructType(
 )
 
 
+def _subband_keys(
+    sig: DataFrame,
+    col: str,
+    id_alias: str,
+    h_alias: str,
+    n_bands: int,
+    band_bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Two-level pigeonhole bucketing (VERDICT r9 task 1 — the
+    multi-index-hashing refinement): for each clean-band hypothesis b,
+    the pair's remaining <= max_hamming errors live in the OTHER bands'
+    (n_bands-1)*band_bits concatenated bits; splitting that complement
+    into max_hamming+1 sub-blocks guarantees one clean sub-block. Bucket
+    key = (b, s, band_val_b, sub_val_{b,s}) — band_bits + ~comp/n_sub
+    key bits instead of band_bits, so bucket populations shrink by
+    ~2^sub_bits exactly where single-level banding saturates (the r9
+    gate curve: candidates/incoming 0.50 -> 7.70 over sf0.01 -> sf3).
+    Cost: n_bands*(max_hamming+1) narrow rows per asset instead of
+    n_bands — the classic multi-index memory trade. Exactness: every
+    pair within max_hamming shares >= 1 (b, s) bucket (double
+    pigeonhole); no false negatives, and false positives are removed by
+    the exact bit_count verify downstream."""
+    n_sub = max_hamming + 1
+    comp_bits = (n_bands - 1) * band_bits
+    band_of = [
+        F.shiftright(F.col(col), b * band_bits).bitwiseAND((1 << band_bits) - 1)
+        for b in range(n_bands)
+    ]
+    keys = []
+    for b in range(n_bands):
+        # the complement: the other bands' values concatenated, low-first
+        comp = F.lit(0).cast("long")
+        pos = 0
+        for j in range(n_bands):
+            if j == b:
+                continue
+            comp = comp + F.shiftleft(band_of[j].cast("long"), pos)
+            pos += band_bits
+        # partition comp_bits into n_sub contiguous blocks (widths differ
+        # by at most 1); a block may be empty only if comp_bits < n_sub
+        base_w, rem = divmod(comp_bits, n_sub)
+        off = 0
+        for s in range(n_sub):
+            w = base_w + (1 if s < rem else 0)
+            sub_val = (
+                F.shiftright(comp, off).bitwiseAND((1 << max(w, 1)) - 1)
+                if w > 0
+                else F.lit(0).cast("long")
+            )
+            keys.append(
+                F.struct(
+                    F.lit(b * n_sub + s).alias("bucket_id"),
+                    band_of[b].cast("long").alias("band_val"),
+                    sub_val.cast("long").alias("sub_val"),
+                )
+            )
+            off += w
+    return sig.select(
+        F.col("asset_id").alias(id_alias),
+        F.col(col).alias(h_alias),
+        F.explode(F.array(*keys)).alias("k"),
+    ).select(id_alias, h_alias, "k.bucket_id", "k.band_val", "k.sub_val")
+
+
 def _hamming_band_pairs(
     sig: DataFrame, col: str, n_bands: int, band_bits: int, max_hamming: int
 ) -> DataFrame:
     """Banded Hamming-distance self-join (the SimHash machinery,
-    `dedup.py:530`, generalized): explode each fingerprint into
-    (band_id, band_val), equi-join on the band, keep pairs within
-    `max_hamming`. Exact (pigeonhole) when max_hamming < n_bands."""
-    bands = sig.select(
-        "asset_id",
-        col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftright(F.col(col), b * band_bits)
-                        .bitwiseAND((1 << band_bits) - 1)
-                        .alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("asset_id", col, "band.band_id", "band.band_val")
-    a, b = bands.alias("a"), bands.alias("b")
+    `dedup.py:530`, generalized) with the two-level sub-band bucketing
+    of `_subband_keys`: equi-join on (bucket_id, band_val, sub_val),
+    verify with exact bit_count, THEN distinct — only qualifying pairs
+    ever reach the dedup exchange, so the shuffled volume is O(true
+    matches), not O(band candidates). Exact (double pigeonhole) when
+    max_hamming < n_bands."""
+    keyed = _subband_keys(
+        sig, col, "asset_id", "h", n_bands, band_bits, max_hamming
+    )
+    a = keyed.select(
+        F.col("asset_id").alias("id_a"), F.col("h").alias("h_a"),
+        "bucket_id", "band_val", "sub_val",
+    ).alias("a")
+    b = keyed.select(
+        F.col("asset_id").alias("id_b"), F.col("h").alias("h_b"),
+        "bucket_id", "band_val", "sub_val",
+    ).alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band_id") == F.col("b.band_id"))
+            (F.col("a.bucket_id") == F.col("b.bucket_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.asset_id") < F.col("b.asset_id")),
+            & (F.col("a.sub_val") == F.col("b.sub_val"))
+            & (F.col("a.id_a") < F.col("b.id_b")),
         )
         .select(
-            F.col("a.asset_id").alias("asset_a"),
-            F.col("b.asset_id").alias("asset_b"),
-            F.bit_count(F.col(f"a.{col}").bitwiseXOR(F.col(f"b.{col}")))
+            F.col("a.id_a").alias("asset_a"),
+            F.col("b.id_b").alias("asset_b"),
+            F.bit_count(F.col("a.h_a").bitwiseXOR(F.col("b.h_b")))
             .cast("long")
             .alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -788,42 +850,48 @@ def _hamming_band_probe(
     """Asymmetric banded Hamming probe: explode BOTH fingerprint tables
     into (band_id, band_val), equi-join delta bands against base bands
     only (never base-base, never delta-delta), keep (delta, base) pairs
-    within `max_hamming`. Exact by the same pigeonhole argument as
-    `_hamming_band_pairs` when max_hamming < n_bands. The delta side is
-    batch-sized, the base side corpus-sized — the probe cost scales with
-    the BATCH, exactly what an ingest gate at 100 TB needs."""
+    within `max_hamming`. Exact by the same double-pigeonhole argument
+    as `_hamming_band_pairs` when max_hamming < n_bands. The delta side
+    is batch-sized, the base side corpus-sized — the probe cost scales
+    with the BATCH, exactly what an ingest gate at 100 TB needs.
 
-    def bands(sig: DataFrame, name: str) -> DataFrame:
-        return sig.select(
-            F.col("asset_id").alias(f"{name}_id"),
-            F.col(col).alias(f"{name}_h"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.shiftright(F.col(col), b * band_bits)
-                            .bitwiseAND((1 << band_bits) - 1)
-                            .alias("band_val"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("band"),
-        ).select(f"{name}_id", f"{name}_h", "band.band_id", "band.band_val")
+    VERDICT r9 task 1 hardening: buckets are the two-level sub-band keys
+    of `_subband_keys` (band_bits + ~comp/(max_hamming+1) key bits), so
+    bucket populations — and with them band-join candidate volume — stay
+    ~O(1) per incoming asset where the r9 single-level 14-bit bands were
+    collision-saturating; and the exact-Hamming verify runs BEFORE the
+    pair-dedup distinct, so non-qualifying candidates are eliminated
+    inside the pipelined join stage and never reach an exchange."""
+    d = _band_probe_candidates(
+        delta_sig, base_sig, col, n_bands, band_bits, max_hamming
+    )
+    return d.filter(F.col("hamming") <= max_hamming).distinct()
 
-    d, b = bands(delta_sig, "delta"), bands(base_sig, "base")
-    return (
-        d.join(b, ["band_id", "band_val"])
-        .select(
-            "delta_id",
-            "base_id",
-            F.bit_count(F.col("delta_h").bitwiseXOR(F.col("base_h")))
-            .cast("long")
-            .alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+
+def _band_probe_candidates(
+    delta_sig: DataFrame,
+    base_sig: DataFrame,
+    col: str,
+    n_bands: int,
+    band_bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """The raw (delta, base, hamming) candidate stream from the sub-band
+    bucket join, BEFORE the Hamming filter and pair dedup — the quantity
+    the index controls. Split out so the gate-curve bench can account
+    candidates/incoming separately from true matches/incoming."""
+    d = _subband_keys(
+        delta_sig, col, "delta_id", "delta_h", n_bands, band_bits, max_hamming
+    )
+    b = _subband_keys(
+        base_sig, col, "base_id", "base_h", n_bands, band_bits, max_hamming
+    )
+    return d.join(b, ["bucket_id", "band_val", "sub_val"]).select(
+        "delta_id",
+        "base_id",
+        F.bit_count(F.col("delta_h").bitwiseXOR(F.col("base_h")))
+        .cast("long")
+        .alias("hamming"),
     )
 
 

@@ -882,35 +882,47 @@ def pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
 # index i), subspace split, then the same two Lloyd rounds with m as an
 # extra key, ending in pa2 (final codes) and pc1 (final codebook).
 _PQ_DIST = "CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT)"
-_PQ_CHAIN = f"""sqe AS (
+
+
+def _pq_chain_sql(k: int, materialized: bool = False) -> str:
+    """The two-round per-subspace Lloyd chain, parameterized by codebook
+    size. `materialized` marks the heavy members AS MATERIALIZED —
+    required for the K=256 ranking tier, where DuckDB 1.0's inline-at-
+    every-reference behavior would otherwise recompute the million-row
+    distance joins once per downstream reference (the r9 kcore lesson)."""
+    mat = "MATERIALIZED " if materialized else ""
+    return f"""sqe AS (
   SELECT vec_id, (i - 1) // {PQ_SUBDIM} AS m, (i - 1) % {PQ_SUBDIM} AS j, q
   FROM qe
 ),
-pc0 AS (SELECT vec_id AS cid, m, j, q AS c FROM sqe WHERE vec_id < {PQ_K}),
-pd1 AS (
+pc0 AS (SELECT vec_id AS cid, m, j, q AS c FROM sqe WHERE vec_id < {k}),
+pd1 AS {mat}(
   SELECT e.vec_id, e.m, c.cid, {_PQ_DIST} AS dist
   FROM sqe e JOIN pc0 c ON c.m = e.m AND c.j = e.j
   GROUP BY 1, 2, 3
 ),
-pa1 AS (
+pa1 AS {mat}(
   SELECT vec_id, m, cid FROM pd1
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
 ),
-pc1 AS (
+pc1 AS {mat}(
   SELECT a.cid, e.m, e.j,
          CAST(round(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
   FROM pa1 a JOIN sqe e ON e.vec_id = a.vec_id AND e.m = a.m
   GROUP BY a.cid, e.m, e.j
 ),
-pd2 AS (
+pd2 AS {mat}(
   SELECT e.vec_id, e.m, c.cid, {_PQ_DIST} AS dist
   FROM sqe e JOIN pc1 c ON c.m = e.m AND c.j = e.j
   GROUP BY 1, 2, 3
 ),
-pa2 AS (
+pa2 AS {mat}(
   SELECT vec_id, m, cid, dist FROM pd2
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
 )"""
+
+
+_PQ_CHAIN = _pq_chain_sql(PQ_K)
 
 _PQ_CTES = f"{_QUANT_SQL},\n{_PQ_CHAIN}"
 

@@ -14,7 +14,7 @@ Output: BENCH_gate_curve.json with per-scale-point rows
    wall_median_sec, wall_mad_sec}
 
 Env: REPEATS (default 3), SPARK_GRAFT_SFS (labels among
-sf0.01,sf0.1,sf1,sf3; default those present).
+sf0.01,sf0.1,sf1,sf3,sf10; default those present).
 """
 
 from __future__ import annotations
@@ -30,6 +30,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from financial_arbitrage_data_pipeline_spark.operators.perceptual import (
+    DHASH_BANDS,
+    DHASH_MAX_HAMMING,
+    _DHASH_BAND_BITS,
+    _ASSET_SCHEMA,
+    _band_probe_candidates,
+    _phash_gate_base_sig,
+    _phash_gate_hash_kernel,
+    _phash_gate_synth_incoming,
+    _SIG_SCHEMA,
     incremental_phash_gate,
 )
 from financial_arbitrage_data_pipeline_spark.session import get_spark
@@ -41,7 +50,49 @@ SF_DIRS = {
     "sf0.1": "/root/testdata/sf0.1",
     "sf1": os.path.join(ROOT, "scaledata", "sf1"),
     "sf3": os.path.join(ROOT, "scaledata", "sf3"),
+    "sf10": os.path.join(ROOT, "scaledata", "sf10"),
 }
+
+
+def band_candidate_stats(spark, sf_dir: str) -> dict:
+    """Candidate accounting of the sub-band bucket join, split into the
+    quantity the index controls and the quantity the data dictates:
+    - raw join volume (each qualifying pair appears once per shared
+      (band, sub-block) key, <= n_bands*(max_h+1) = 16 times),
+    - distinct candidate pairs BEFORE the Hamming verify,
+    - distinct FALSE candidates (failed verify) — pure index waste; an
+      ideal index has ~0 here, and true matches are a corpus property
+      no index can shrink (r9's curve conflated the two)."""
+    docs = load_table(spark, sf_dir, "documents")
+    inc_sig = (
+        docs.filter(F.col("doc_id") % 4 == 2)
+        .select("doc_id")
+        .mapInPandas(_phash_gate_synth_incoming, _ASSET_SCHEMA)
+        .mapInPandas(_phash_gate_hash_kernel, _SIG_SCHEMA)
+    )
+    cand = _band_probe_candidates(
+        inc_sig,
+        _phash_gate_base_sig(docs),
+        "dhash",
+        DHASH_BANDS,
+        _DHASH_BAND_BITS,
+        DHASH_MAX_HAMMING,
+    )
+    row = cand.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.countDistinct("delta_id", "base_id").alias("pairs"),
+        F.countDistinct(
+            F.when(
+                F.col("hamming") > DHASH_MAX_HAMMING,
+                F.concat_ws("|", "delta_id", "base_id"),
+            )
+        ).alias("false_pairs"),
+    ).collect()[0]
+    return {
+        "raw": int(row["raw"]),
+        "pairs": int(row["pairs"]),
+        "false_pairs": int(row["false_pairs"]),
+    }
 
 
 def main() -> int:
@@ -49,7 +100,7 @@ def main() -> int:
     labels = [
         s
         for s in os.environ.get(
-            "SPARK_GRAFT_SFS", "sf0.01,sf0.1,sf1,sf3"
+            "SPARK_GRAFT_SFS", "sf0.01,sf0.1,sf1,sf3,sf10"
         ).split(",")
         if s and os.path.isdir(SF_DIRS.get(s, ""))
     ]
@@ -67,14 +118,29 @@ def main() -> int:
             walls.append(time.time() - t0)
             spark.catalog.clearCache()
         med = statistics.median(walls)
+        stats = band_candidate_stats(spark, sf_dir)
+        n_inc = max(1, len(pdf))
         rows.append(
             {
                 "label": label,
                 "n_docs": int(n_docs),
                 "n_incoming": int(len(pdf)),
                 "n_drop": int((pdf.verdict == "drop").sum()),
-                "candidates_per_incoming": round(
-                    float(pdf.n_base_matches.sum()) / max(1, len(pdf)), 4
+                # raw bucket-join volume (qualifying pairs x <=16 keys)
+                "band_join_rows_per_incoming": round(stats["raw"] / n_inc, 4),
+                # distinct pre-verify candidate pairs
+                "cand_pairs_per_incoming": round(stats["pairs"] / n_inc, 4),
+                # index waste: distinct candidates the verify rejects —
+                # the ONLY index-controllable ratio; true matches are a
+                # corpus property (replica corpora saturate hash space,
+                # SCALE.md §29, so matches/incoming legitimately grows)
+                "false_cand_pairs_per_incoming": round(
+                    stats["false_pairs"] / n_inc, 4
+                ),
+                # data-determined: verified Hamming<=3 matches / batch
+                # (r9's "candidates_per_incoming" was THIS quantity)
+                "true_matches_per_incoming": round(
+                    float(pdf.n_base_matches.sum()) / n_inc, 4
                 ),
                 "wall_best_sec": round(min(walls), 3),
                 "wall_median_sec": round(med, 3),
