@@ -234,39 +234,57 @@ FROM r, n WHERE r.rn = (n.cnt + 1) // 2
 """
 
 
+_MEDIAN_HIST_BUCKETS = 65536
+_median_passes_last: int = -1  # observability hook for the pass-count pin
+
+
 @query("exact_median_bisect", oracle=_MEDIAN_ORACLE, tags=("A8", "iterative"))
 def exact_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXACT global median (lower median, rank ⌈n/2⌉) computed by
-    BISECTION on the value domain instead of any sort: lo/hi start at
-    the data min/max and each round halves the interval with one
-    map-combined `count(x <= mid)` — the invariant is that the answer
-    (the smallest v with count(≤v) ≥ ⌈n/2⌉, which is always an
-    attained data value) stays inside [lo, hi]. ~log2(range) ≈ 16
-    rounds here; each round is a full-scan AGGREGATE with no shuffle of
-    data rows (counts combine map-side), so at 100 TB this costs ~16
-    cached scans where a global sort would shuffle the entire table —
-    the classic exact-distributed-quantile trade, and the deterministic
-    sibling of approx_percentile. The projected column is persisted
-    once so rounds 2..k hit memory. The oracle recomputes the same
-    order statistic by brute-force ranking; a value match proves both
-    the invariant and the tie convention."""
+    HISTOGRAM PARTITION (VERDICT r9 task 4 — replacing the r9 O(log₂
+    range) bisection): one count/min/max pass, then each round buckets
+    the live interval into {_MEDIAN_HIST_BUCKETS} ranges with one
+    map-combined groupBy-count (≤{_MEDIAN_HIST_BUCKETS} rows to the
+    driver), walks the cumulative counts to the bucket holding rank
+    ⌈n/2⌉, and recurses into it. Each round divides the value range by
+    {_MEDIAN_HIST_BUCKETS}, so any 32-bit domain is EXACT within two
+    histogram passes (65536² > 2³²; vs ~16 bisection scans) —
+    at 100 TB that's 3 scans total where a global sort would shuffle
+    the entire table. The tie convention is unchanged: the answer is
+    the smallest attained v with count(≤v) ≥ ⌈n/2⌉ (the cumulative
+    walk can only cross the target at a nonzero bucket). The oracle
+    recomputes the same order statistic by brute-force ranking."""
+    global _median_passes_last
     ev = load_table(spark, sf_dir, "events")
     proj = ev.select(
         F.expr("cast(round(value * 100) as bigint)").alias("c")
     ).persist()
+    b = _MEDIAN_HIST_BUCKETS
     try:
         row = proj.agg(
             F.count("c").alias("n"), F.min("c").alias("lo"), F.max("c").alias("hi")
         ).collect()[0]
         n, lo, hi = row["n"], row["lo"], row["hi"]
         target = (n + 1) // 2
+        below = 0  # rows with c < lo (outside the live interval)
+        passes = 0
         while lo < hi:
-            mid = (lo + hi) // 2
-            c = proj.filter(F.col("c") <= mid).count()
-            if c >= target:
-                hi = mid
-            else:
-                lo = mid + 1
+            width = (hi - lo) // b + 1
+            hist = dict(
+                proj.filter((F.col("c") >= lo) & (F.col("c") <= hi))
+                .groupBy(F.expr(f"(c - {lo}) div {width}").alias("bk"))
+                .count()
+                .collect()
+            )
+            passes += 1
+            cum = below
+            for bk in sorted(hist):
+                if cum + hist[bk] >= target:
+                    lo, hi = lo + bk * width, min(hi, lo + (bk + 1) * width - 1)
+                    below = cum
+                    break
+                cum += hist[bk]
+        _median_passes_last = passes
     finally:
         proj.unpersist()
     return spark.createDataFrame([(int(n), int(lo))], "n bigint, median_cents bigint")

@@ -884,18 +884,39 @@ def pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
 _PQ_DIST = "CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT)"
 
 
-def _pq_chain_sql(k: int, materialized: bool = False) -> str:
+def _pq_chain_sql(
+    k: int,
+    materialized: bool = False,
+    subdim: int = PQ_SUBDIM,
+    strided_init: bool = False,
+) -> str:
     """The two-round per-subspace Lloyd chain, parameterized by codebook
-    size. `materialized` marks the heavy members AS MATERIALIZED —
-    required for the K=256 ranking tier, where DuckDB 1.0's inline-at-
-    every-reference behavior would otherwise recompute the million-row
-    distance joins once per downstream reference (the r9 kcore lesson)."""
+    size and subspace width. `materialized` marks the heavy members AS
+    MATERIALIZED — required for the K=256 ranking tier, where DuckDB
+    1.0's inline-at-every-reference behavior would otherwise recompute
+    the million-row distance joins once per downstream reference (the
+    r9 kcore lesson). `strided_init` seeds the codebook with every
+    (n//k)-th vector instead of the first k — on clustered corpora the
+    id-order head covers too few modes (measured r10: organic-sf1
+    shortlist recall 0.38 -> 0.46 at M=8 from this switch alone)."""
     mat = "MATERIALIZED " if materialized else ""
+    if strided_init:
+        init = f"""pcstep AS (
+  SELECT GREATEST(1, COUNT(*) // {k}) AS s FROM embeddings
+),
+pc0 AS (
+  SELECT vec_id // (SELECT s FROM pcstep) AS cid, m, j, q AS c
+  FROM sqe
+  WHERE vec_id % (SELECT s FROM pcstep) = 0
+    AND vec_id < (SELECT s FROM pcstep) * {k}
+),"""
+    else:
+        init = f"pc0 AS (SELECT vec_id AS cid, m, j, q AS c FROM sqe WHERE vec_id < {k}),"
     return f"""sqe AS (
-  SELECT vec_id, (i - 1) // {PQ_SUBDIM} AS m, (i - 1) % {PQ_SUBDIM} AS j, q
+  SELECT vec_id, (i - 1) // {subdim} AS m, (i - 1) % {subdim} AS j, q
   FROM qe
 ),
-pc0 AS (SELECT vec_id AS cid, m, j, q AS c FROM sqe WHERE vec_id < {k}),
+{init}
 pd1 AS {mat}(
   SELECT e.vec_id, e.m, c.cid, {_PQ_DIST} AS dist
   FROM sqe e JOIN pc0 c ON c.m = e.m AND c.j = e.j
@@ -1194,6 +1215,324 @@ def ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "cand_id", "rank", "adist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The PQ RANKING tier (VERDICT r9 task 2): 256-entry per-subspace
+# codebooks + exact re-rank of the ADC shortlist. The 8-entry codebook
+# above is honest as a pre-filter only (r9 measured ADC recall 0.26);
+# a 100 TB ANN user needs PQ to RANK. faiss practice: K=256 codebooks
+# (1 byte/subspace), ADC shortlist, exact re-rank of the top-C.
+# ---------------------------------------------------------------------------
+PQ_RANK_K = 256  # ranking-tier codewords per subspace (1 byte of code)
+PQ_RANK_M = 16  # ranking-tier subspaces (16-byte codes; see docstring)
+PQ_RANK_SUBDIM = 4
+PQ_RERANK_C = 10 * TOPK  # exact-re-rank shortlist per query
+
+
+def _pq_assign_bcast(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest codeword per (vector, subspace) via a broadcast join on
+    the subspace id. The K=8 tier inlines its codebook as a literal
+    (`_pq_assign`); at K=256 that literal is ~200 KB of expression tree,
+    so the ranking tier attaches each subspace's codeword array once per
+    row (8 rows broadcast) and argmins with a per-row HOF — still no
+    shuffle, still whole-stage codegen, any K."""
+    by_m = cents.groupBy("m").agg(
+        F.collect_list(F.struct("cid", "c")).alias("cw")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cw"),
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("sq"), s["c"], lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                s["cid"].cast("long").alias("cid"),
+            ),
+        )
+    )
+    return (
+        sub.join(F.broadcast(by_m), "m")
+        .select("vec_id", "m", "sq", best.alias("b"))
+        .select(
+            "vec_id",
+            "m",
+            "sq",
+            F.col("b.cid").alias("code"),
+            F.col("b.dist").alias("dist"),
+        )
+    )
+
+
+def _pq_subvectors_m(emb: DataFrame, m: int, subdim: int) -> DataFrame:
+    """`_pq_subvectors` at an explicit (M, subdim) — the ranking tier
+    uses finer subspaces than the K=8 demo tier."""
+    return emb.select(
+        "vec_id",
+        "q",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+    ).select(
+        "vec_id",
+        F.col("m").cast("long").alias("m"),
+        F.expr(f"slice(q, m * {subdim} + 1, {subdim})").alias("sq"),
+    )
+
+
+def pq_rank_trained(
+    spark: SparkSession, sf_dir: str, k: int = PQ_RANK_K
+) -> tuple[DataFrame, DataFrame]:
+    """Two-round per-subspace Lloyd at ranking-tier geometry (K=256
+    codewords × M={PQ_RANK_M} subspaces of {PQ_RANK_SUBDIM} dims):
+    strided deterministic init (every (n//k)-th vector, covering the
+    corpus's modes instead of its id-order head), broadcast-join
+    assignment, same integer update arithmetic as `pq_trained`.
+
+    Why M=16 and not the demo tier's M=8: the organic benchmark corpus
+    is near-isotropic BY DESIGN (cluster signal 0.07 vs noise 1.0 —
+    gen_organic_embeddings.py), and in that regime 8-byte codes are
+    information-limited: per-subspace distortion ~(1/M)·K^(-2/subdim)
+    gives reconstruction error ~0.5 of unit norm at M=8 — bigger than
+    the ~0.1 cosine margins ADC must resolve — vs ~0.25 at M=16
+    (measured r10: shortlist recall 0.54 -> 0.86 at C=50). 16-byte
+    codes still compress 256-byte vectors 16×.
+
+    Returns (final assignment, trained codebook DataFrame (m, cid, c))
+    — the codebook is M×K rows (4096), localCheckpointed because it
+    feeds both the final assignment and the query LUT."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized("embedding").alias("q")
+    )
+    step = max(1, emb.count() // k)
+    sub = _pq_subvectors_m(emb, PQ_RANK_M, PQ_RANK_SUBDIM)
+    init = sub.filter(
+        (F.col("vec_id") % step == 0) & (F.col("vec_id") < step * k)
+    ).select(
+        "m",
+        F.expr(f"vec_id div {step}").alias("cid"),
+        F.col("sq").alias("c"),
+    )
+    c1 = _pq_update(_pq_assign_bcast(sub, init)).localCheckpoint()
+    return _pq_assign_bcast(sub, c1), c1
+
+
+_PQ_RANK_CTES = f"""{_QUANT_SQL},
+{_pq_chain_sql(PQ_RANK_K, materialized=True, subdim=PQ_RANK_SUBDIM, strided_init=True)}"""
+
+
+@query(
+    "pq_rank_codes",
+    oracle=f"""
+WITH {_PQ_RANK_CTES}
+SELECT vec_id, m, cid AS code, dist FROM pa2
+""",
+    tags=("similarity-pq-rank", "iterative"),
+)
+def pq_rank_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the collection with the RANKING-tier product quantizer
+    (K=256 codewords per subspace — 8 bytes of code per 256-byte
+    vector): per (vector, subspace), the nearest final codeword and its
+    exact integer reconstruction error. The oracle replays both Lloyd
+    rounds at K=256 in SQL, so the code assignments the 100 TB index
+    would persist are hash-checked end-to-end (VERDICT r9 task 2:
+    'code assignments oracle-checked')."""
+    assigned, _ = pq_rank_trained(spark, sf_dir)
+    return assigned.select("vec_id", "m", "code", "dist")
+
+
+_IVFPQ_RERANK_ORACLE = f"""
+WITH {_kmeans_ctes(KMEANS_K)},
+{_pq_chain_sql(PQ_RANK_K, materialized=True, subdim=PQ_RANK_SUBDIM, strided_init=True)},
+qlut AS MATERIALIZED (
+  SELECT e.vec_id AS query_id, qa.cid AS qcid, e.m, c.cid,
+         CAST(SUM(e.q * c.c) AS BIGINT) AS pdot
+  FROM sqe e
+  JOIN a2 qa ON qa.vec_id = e.vec_id
+  JOIN pc1 c ON c.m = e.m AND c.j = e.j
+  WHERE e.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3, 4
+),
+cnn AS (
+  SELECT m, cid, CAST(SUM(c * c) AS BIGINT) AS pnn FROM pc1 GROUP BY 1, 2
+),
+cods AS (
+  SELECT a.vec_id, a.m, a.cid, ca.cid AS ccid
+  FROM pa2 a JOIN a2 ca ON ca.vec_id = a.vec_id
+),
+adc AS MATERIALIZED (
+  SELECT l.query_id, a.vec_id AS cand_id,
+         CAST(SUM(l.pdot) AS BIGINT) AS adot,
+         CAST(SUM(n.pnn) AS BIGINT) AS ann
+  FROM cods a
+  JOIN qlut l ON l.m = a.m AND l.cid = a.cid AND l.qcid = a.ccid
+  JOIN cnn n ON n.m = a.m AND n.cid = a.cid
+  WHERE a.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, cand_id FROM adc
+  WINDOW w AS (
+    PARTITION BY query_id
+    ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(ann + 1 AS DOUBLE)) DESC,
+             cand_id
+  )
+  QUALIFY ROW_NUMBER() OVER w <= {PQ_RERANK_C}
+),
+rd AS (
+  SELECT s.query_id, s.cand_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM shortlist s
+  JOIN qe a ON a.vec_id = s.query_id
+  JOIN qe b ON b.vec_id = s.cand_id AND b.i = a.i
+  GROUP BY 1, 2
+)
+SELECT rd.query_id, rd.cand_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+       CAST(rd.dot AS DOUBLE)
+         / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+         AS cosine
+FROM rd
+JOIN norms na ON na.vec_id = rd.query_id
+JOIN norms nb ON nb.vec_id = rd.cand_id
+WINDOW w AS (
+  PARTITION BY rd.query_id
+  ORDER BY CAST(rd.dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+             DESC, rd.cand_id
+)
+QUALIFY ROW_NUMBER() OVER w <= {TOPK}
+"""
+
+
+@query(
+    "ivfpq_rerank_topk",
+    oracle=_IVFPQ_RERANK_ORACLE,
+    tags=("similarity-pq-rank", "iterative"),
+)
+def ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN stack (VERDICT r9 task 2): coarse IVF
+    blocking (a query probes one trained cell, ~1/{KMEANS_K} of the
+    collection) → COSINE-surrogate ADC ranking with the K=256, M=16
+    codebooks (per candidate: 16 one-byte code lookups into a
+    query×codeword dot table plus a codeword-norm table; score =
+    dot(q, recon)/|recon| — the right surrogate when ground truth is
+    cosine, where the L2 adist the demo tier uses mis-ranks
+    mixed-norm candidates) → EXACT integer-cosine re-rank of the
+    top-{PQ_RERANK_C} shortlist. At 100 TB: the collection stores
+    16-byte codes partitioned by coarse cid; a query reads one
+    partition's codes, one 4096-entry LUT, and touches full vectors
+    only for the {PQ_RERANK_C}-row shortlist — memory, compute, and
+    I/O all scale with the cell, not the collection. The oracle
+    restates coarse training, PQ-rank training, cosine-ADC, the
+    shortlist cut, and the exact re-rank in one SQL chain; measured
+    recall vs the exact baseline on organic sf1 is in
+    BENCH_ann_recall_curve.json (0.86 at C=50 under the same ~12%
+    nprobe=1 budget where the r9 8-byte tier scored 0.26)."""
+    coarse = (
+        trained_assignment(spark, sf_dir)
+        .select("vec_id", "cid")
+        .localCheckpoint()
+    )
+    assigned, codebook = pq_rank_trained(spark, sf_dir)
+    assigned = assigned.localCheckpoint()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized("embedding").alias("q")
+    )
+    # per-(query, m, codeword) dot table, gated by the query's coarse
+    # cell, + per-(m, codeword) norm table: N_QUERIES x M x K and M x K
+    # rows — broadcastable at any corpus size
+    queries_sub = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .join(coarse, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cid").alias("qcid"),
+            "m",
+            "sq",
+        )
+    )
+    lut = queries_sub.join(F.broadcast(codebook), "m").select(
+        "query_id",
+        "qcid",
+        "m",
+        F.col("cid"),
+        F.aggregate(
+            F.zip_with(F.col("sq"), F.col("c"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("pdot"),
+    )
+    cnn = codebook.select(
+        F.col("m").alias("nm"),
+        F.col("cid").alias("ncode"),
+        F.aggregate(
+            F.zip_with(F.col("c"), F.col("c"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("pnn"),
+    )
+    codes = assigned.select(F.col("vec_id").alias("cand_id"), "m", "code").join(
+        coarse.select(F.col("vec_id").alias("cand_id"), F.col("cid").alias("ccid")),
+        "cand_id",
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"])
+            & (codes["code"] == lut["cid"])
+            & (codes["ccid"] == lut["qcid"]),
+        )
+        .join(
+            F.broadcast(cnn),
+            (codes["m"] == F.col("nm")) & (codes["code"] == F.col("ncode")),
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pdot").alias("adot"), F.sum("pnn").alias("ann"))
+    )
+    # identical IEEE text on both sides: adot / sqrt(ann + 1) (the +1
+    # guards the all-zero-codeword corner without branching)
+    score = F.col("adot").cast("double") / F.sqrt(
+        (F.col("ann") + 1).cast("double")
+    )
+    wa = Window.partitionBy("query_id").orderBy(score.desc(), "cand_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= PQ_RERANK_C)
+        .select("query_id", "cand_id")
+    )
+    # exact re-rank: only the shortlist's full vectors are ever touched
+    q_side = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        sq_norm(F.col("q")).alias("q_nsq"),
+    ).filter(F.col("query_id") < N_QUERIES)
+    c_side = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("cq"),
+        sq_norm(F.col("q")).alias("c_nsq"),
+    )
+    scored = (
+        c_side.join(F.broadcast(shortlist), "cand_id")
+        .join(F.broadcast(q_side), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_from_ints(
+                dot_ll(F.col("qq"), F.col("cq")), F.col("q_nsq"), F.col("c_nsq")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "rank", "cosine")
     )
 
 

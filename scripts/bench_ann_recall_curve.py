@@ -303,6 +303,136 @@ def sweep(spark, sf_dir: str, repeats: int) -> dict:
     )
     print(json.dumps(rows[-1]))
 
+    # --- IVF + PQ-rank (K=256) + exact re-rank: the production stack --
+    # (round 10, VERDICT r9 task 2) Same nprobe=1 candidate budget as
+    # the ivfpq row above, but ADC uses the 256-entry ranking codebooks
+    # and the top-C shortlist gets an exact integer-cosine re-rank —
+    # the tier a 100 TB user actually serves queries from.
+    from financial_arbitrage_data_pipeline_spark.operators.similarity import (
+        PQ_RERANK_C,
+        cosine_from_ints,
+        dot_ll,
+        pq_rank_trained,
+    )
+
+    rank_train_walls = []
+    for _ in range(2):
+        t0 = time.time()
+        ra, _rc = pq_rank_trained(spark, sf_dir)
+        ra.agg(F.count(F.lit(1))).collect()
+        rank_train_walls.append(time.time() - t0)
+    pq_rank_train_sec = round(min(rank_train_walls), 3)
+    rank_assigned, rank_codebook = pq_rank_trained(spark, sf_dir)
+    rank_codes = rank_assigned.select("vec_id", "m", "code").localCheckpoint()
+    # cosine-surrogate ADC (the shipped ivfpq_rerank_topk design):
+    # dot(q, recon)/sqrt(|recon|^2 + 1) from two broadcast LUTs
+    rank_adc_table = (
+        rank_assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", "sq")
+        .join(F.broadcast(rank_codebook), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("cid").alias("code"),
+            F.expr(
+                "aggregate(zip_with(sq, c, (a, b) -> a * b),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("pdot"),
+        )
+        .localCheckpoint()
+    )
+    rank_cnn = rank_codebook.select(
+        "m",
+        F.col("cid").alias("code"),
+        F.expr(
+            "aggregate(zip_with(c, c, (a, b) -> a * b),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("pnn"),
+    ).localCheckpoint()
+
+    def rerank_topk() -> object:
+        scored = (
+            cell_cands.join(rank_codes, F.col("cand_id") == F.col("vec_id"))
+            .join(F.broadcast(rank_adc_table), ["query_id", "m", "code"])
+            .join(F.broadcast(rank_cnn), ["m", "code"])
+            .groupBy("query_id", "cand_id")
+            .agg(F.sum("pdot").alias("adot"), F.sum("pnn").alias("ann"))
+        )
+        s = F.col("adot").cast("double") / F.sqrt(
+            (F.col("ann") + 1).cast("double")
+        )
+        wa = Window.partitionBy("query_id").orderBy(s.desc(), "cand_id")
+        shortlist = (
+            scored.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") <= PQ_RERANK_C)
+            .select("query_id", "cand_id")
+        )
+        q_side = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("nsq").alias("q_nsq"),
+        )
+        c_side = emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("q").alias("cq"),
+            F.col("nsq").alias("c_nsq"),
+        )
+        rescored = (
+            c_side.join(F.broadcast(shortlist), "cand_id")
+            .join(F.broadcast(q_side), "query_id")
+            .select(
+                "query_id",
+                "cand_id",
+                cosine_from_ints(
+                    dot_ll(F.col("qq"), F.col("cq")),
+                    F.col("q_nsq"),
+                    F.col("c_nsq"),
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("cand_id")
+        )
+        return (
+            rescored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOPK)
+            .select("query_id", "cand_id")
+            .toPandas()
+        )
+
+    walls = []
+    got = None
+    for _ in range(repeats):
+        t0 = time.time()
+        got = rerank_topk()
+        walls.append(time.time() - t0)
+    hits = sum(
+        1 for r in got.itertuples() if (r.query_id, r.cand_id) in exact_pairs
+    )
+    med = statistics.median(walls)
+    rows.append(
+        {
+            "method": "ivfpq_rank_rerank",
+            "nprobe": 1,
+            "pq_k": 256,
+            "pq_m": 16,
+            "rerank_c": PQ_RERANK_C,
+            "pq_rank_train_sec": pq_rank_train_sec,
+            "recall_at_k": round(hits / k_total, 4),
+            "n_cand_pairs": int(n_pairs_pq),
+            "cand_pairs_per_query": round(n_pairs_pq / N_QUERIES, 1),
+            "scan_fraction": round(
+                n_pairs_pq / (N_QUERIES * (n_vectors - 1)), 4
+            ),
+            "wall_best_sec": round(min(walls), 3),
+            "wall_median_sec": round(med, 3),
+            "wall_mad_sec": round(
+                statistics.median(abs(w - med) for w in walls), 3
+            ),
+        }
+    )
+    print(json.dumps(rows[-1]))
+
     # free the per-SF persisted state so multi-SF sweeps don't stack
     # corpus-sized cached rounds (the SCALE.md §18 lesson)
     spark.catalog.clearCache()

@@ -45,9 +45,16 @@ def main() -> int:
         with open(out, encoding="utf-8") as f:
             data = json.load(f)
         data["round"] = rnd
-        data["seed"] = rnd
+        data["sample"] = sample
         with open(out, "w", encoding="utf-8") as f:
             json.dump(data, f, indent=1, sort_keys=True)
+    if rc == 0:
+        # fold this round's artifacts into the coverage ledger
+        # (VERDICT r9 task 3); sampling recency only counts rounds
+        # < current, so the expected sample stays reconstructable
+        from update_rotation_ledger import main as update_ledger
+
+        update_ledger()
     return rc
 
 

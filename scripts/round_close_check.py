@@ -26,6 +26,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def current_round() -> int:
@@ -40,13 +41,35 @@ def current_round() -> int:
 
 
 def rotation_sample(names, round_no: int, k: int = 50) -> list[str]:
-    """Seeded 50-query sample for this round — the driver only ever
-    re-verifies the alphabetical head (a-d), so the close re-runs a
-    DIFFERENT seeded sample each round under the exact driver harness,
-    periodically covering every query (VERDICT r9 task 8)."""
-    import random
+    """This round's 50-query rotation: the LEAST-RECENTLY-SAMPLED
+    queries first (VERDICT r9 task 3 — the r9 seeded-random sample gave
+    no coverage bound; oldest-first provably cycles the whole registry
+    every ceil(N/50) rounds). Recency comes from ROTATION_LEDGER.json's
+    sampled-lane history restricted to rounds BEFORE `round_no` (so the
+    expected sample is reconstructable after the ledger has been
+    updated with this round's results); ties break by name. Queries
+    with no ledger entry (brand-new) sort first."""
+    from update_rotation_ledger import MAX_AGE_SAMPLED, load_ledger
 
-    return sorted(random.Random(round_no).sample(sorted(names), min(k, len(names))))
+    entries = load_ledger().get("entries", {})
+
+    def last_sampled(q: str) -> int:
+        prior = [
+            r for r in entries.get(q, {}).get("sampled", []) if r < round_no
+        ]
+        return max(prior, default=0)
+
+    def at_risk(q: str) -> bool:
+        # would violate the sampled-age bound at THIS round's close
+        e = entries.get(q, {})
+        return (
+            last_sampled(q) < round_no - MAX_AGE_SAMPLED
+            and e.get("first_seen", round_no) < round_no - MAX_AGE_SAMPLED
+        )
+
+    ranked = sorted(names, key=lambda q: (not at_risk(q), last_sampled(q), q))
+    n = max(min(k, len(names)), sum(1 for q in names if at_risk(q)))
+    return sorted(ranked[:n])
 
 
 def check_rotation() -> list[str]:
@@ -84,6 +107,58 @@ def check_rotation() -> list[str]:
     if bad:
         problems.append(f"CORRECTNESS_local_rot.json: failing entries: {bad}")
     return [p for p in problems if p]
+
+
+def check_ledger() -> list[str]:
+    """ROTATION_LEDGER.json (VERDICT r9 task 3) must be current and
+    prove coverage: every registry query verified green within
+    MAX_AGE_ANY rounds in ANY drive_contract artifact, and within
+    MAX_AGE_SAMPLED rounds in a SAMPLED lane (driver head / rotation),
+    with a first_seen grace shorter than one sampled cycle."""
+    import financial_arbitrage_data_pipeline_spark.operators  # noqa: F401
+    from financial_arbitrage_data_pipeline_spark.plans import REGISTRY
+    from update_rotation_ledger import (
+        MAX_AGE_ANY,
+        MAX_AGE_SAMPLED,
+        load_ledger,
+    )
+
+    problems: list[str] = []
+    ledger = load_ledger()
+    rnd = current_round()
+    if ledger.get("round") != rnd:
+        return [
+            f"ROTATION_LEDGER.json is for round {ledger.get('round')}, "
+            f"current is {rnd} — run scripts/update_rotation_ledger.py"
+        ]
+    entries = ledger.get("entries", {})
+    names = set(REGISTRY)
+    missing = sorted(names - set(entries))
+    if missing:
+        problems.append(f"ledger missing registry queries: {missing[:5]}...")
+    stale_any = sorted(
+        q
+        for q in names & set(entries)
+        if rnd - entries[q].get("any", 0) > MAX_AGE_ANY
+    )
+    if stale_any:
+        problems.append(
+            f"queries unverified for >{MAX_AGE_ANY} rounds (any lane): "
+            f"{stale_any[:10]}..."
+        )
+    stale_sampled = sorted(
+        q
+        for q in names & set(entries)
+        if max(entries[q].get("sampled", []), default=0)
+        < rnd - MAX_AGE_SAMPLED
+        and entries[q].get("first_seen", rnd) < rnd - MAX_AGE_SAMPLED
+    )
+    if stale_sampled:
+        problems.append(
+            f"queries not sampled (driver head/rotation) for "
+            f">{MAX_AGE_SAMPLED} rounds: {stale_sampled[:10]}..."
+        )
+    return problems
 
 
 def check() -> list[str]:
@@ -187,7 +262,9 @@ def check_suite_freshness() -> list[str]:
 
 
 def main() -> int:
-    problems = check() + check_rotation() + check_suite_freshness()
+    problems = (
+        check() + check_rotation() + check_ledger() + check_suite_freshness()
+    )
     if problems:
         for p in problems:
             print(f"FAIL  {p}")

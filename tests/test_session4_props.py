@@ -1057,3 +1057,32 @@ def test_otr_flags_zero_trade_and_high_ratio_days(spark, tmp_path):
     assert r2["n_trades"] == 0 and pd.isna(r2["otr"]) and r2["flagged"]
     r3 = got[(3, 1)]
     assert r3["otr"] == 2.0 and not r3["flagged"]
+
+
+def test_exact_median_histogram_pass_count(spark, tmp_path):
+    """VERDICT r9 task 4: the histogram partition must resolve any
+    realistic domain in <= 2 histogram passes (vs ~16 bisection scans),
+    including a wide-range case that spans multiple first-level
+    buckets, and keep the lower-median tie convention."""
+    from financial_arbitrage_data_pipeline_spark.operators import riskstats as R
+
+    # wide spread: values up to ~84M cents -> 2 passes (4096^2 > range)
+    wide = [0, 1, 843_973_11, 843_973_12, 500_000, 500_000, 7]
+    d = tmp_path / "wide"
+    d.mkdir()
+    rows = [(i, TS0 + i, 1, "view", c) for i, c in enumerate(wide)]
+    sf_dir = _write_events(spark, d, rows)
+    got = R.exact_median_bisect(spark, sf_dir).toPandas().to_dict("records")[0]
+    want = sorted(wide)[(len(wide) + 1) // 2 - 1]
+    assert got["median_cents"] == want
+    assert 1 <= R._median_passes_last <= 2, R._median_passes_last
+
+    # narrow range -> a single histogram pass (width 1 first round)
+    tight = [3, 1, 2, 2, 9]
+    d2 = tmp_path / "tight"
+    d2.mkdir()
+    rows = [(i, TS0 + i, 1, "view", c) for i, c in enumerate(tight)]
+    sf_dir2 = _write_events(spark, d2, rows)
+    got2 = R.exact_median_bisect(spark, sf_dir2).toPandas().to_dict("records")[0]
+    assert got2["median_cents"] == 2
+    assert R._median_passes_last == 1, R._median_passes_last
