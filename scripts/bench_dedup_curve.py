@@ -73,6 +73,52 @@ def candidate_profile(spark, sf_dir: str) -> dict:
     }
 
 
+def gate_profile(spark, sf_dir: str) -> dict:
+    """Candidate accounting for the INCREMENTAL text gate (VERDICT r9
+    task 8 — the perceptual gate showed saturation only once this ratio
+    was measured; the text gate must not be able to hide the same):
+    raw asymmetric band-join volume, distinct (incoming, base)
+    candidate pairs, and verified matches, all per incoming doc."""
+    from financial_arbitrage_data_pipeline_spark.operators.dedup import (
+        _INC_BASE_MAX,
+        _incremental_corpus,
+    )
+
+    corpus = with_minhash(with_shingles(_incremental_corpus(spark, sf_dir)))
+    bands = band_signatures(corpus).persist()
+    base_b = bands.filter(F.col("doc_id") < _INC_BASE_MAX)
+    inc_b = bands.filter(F.col("doc_id") >= _INC_BASE_MAX)
+    n_incoming = (
+        _incremental_corpus(spark, sf_dir)
+        .filter(F.col("doc_id") >= _INC_BASE_MAX)
+        .count()
+    )
+    j = inc_b.alias("i").join(
+        base_b.alias("b"),
+        (F.col("i.band_id") == F.col("b.band_id"))
+        & (F.col("i.band_sig") == F.col("b.band_sig")),
+    )
+    row = j.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.countDistinct(F.col("i.doc_id"), F.col("b.doc_id")).alias("pairs"),
+    ).collect()[0]
+    n_dropped = (
+        REGISTRY["incremental_neardup_gate"]
+        .builder(spark, sf_dir)
+        .filter(F.col("verdict") == "drop")
+        .count()
+    )
+    bands.unpersist()
+    return {
+        "incoming_docs": int(n_incoming),
+        "band_join_rows": int(row["raw"]),
+        "candidate_pairs": int(row["pairs"]),
+        "dropped": int(n_dropped),
+        "band_rows_per_incoming": round(row["raw"] / max(n_incoming, 1), 4),
+        "cand_pairs_per_incoming": round(row["pairs"] / max(n_incoming, 1), 4),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeat", type=int, default=5)
@@ -84,6 +130,7 @@ def main() -> None:
             "/root/repo/scaledata/sf0.3",
             "/root/repo/scaledata/sf1",
             "/root/repo/scaledata/sf3",
+            "/root/repo/scaledata/sf10",
         ],
     )
     args = ap.parse_args()
@@ -129,11 +176,14 @@ def main() -> None:
             print(f"  {label:6s} {name}: {spreads[name]}", flush=True)
         prof = candidate_profile(spark, sf_dir)
         print(f"  {label:6s} candidates: {prof}", flush=True)
+        gprof = gate_profile(spark, sf_dir)
+        print(f"  {label:6s} gate: {gprof}", flush=True)
         runs[label] = {
             "total_wall": round(sum(timings.values()), 4),
             "queries": timings,
             "query_spreads": spreads,
             "minhash_candidates": prof,
+            "incremental_gate": gprof,
         }
 
     labels = list(runs)
