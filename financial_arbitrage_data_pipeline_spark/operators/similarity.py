@@ -1344,8 +1344,7 @@ def pq_rank_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("vec_id", "m", "code", "dist")
 
 
-_IVFPQ_RERANK_ORACLE = f"""
-WITH {_kmeans_ctes(KMEANS_K)},
+_IVFPQ_RERANK_PREFIX = f"""{_kmeans_ctes(KMEANS_K)},
 {_pq_chain_sql(PQ_RANK_K, materialized=True, subdim=PQ_RANK_SUBDIM, strided_init=True)},
 qlut AS MATERIALIZED (
   SELECT e.vec_id AS query_id, qa.cid AS qcid, e.m, c.cid,
@@ -1388,7 +1387,10 @@ rd AS (
   JOIN qe a ON a.vec_id = s.query_id
   JOIN qe b ON b.vec_id = s.cand_id AND b.i = a.i
   GROUP BY 1, 2
-)
+)"""
+
+_IVFPQ_RERANK_ORACLE = f"""
+WITH {_IVFPQ_RERANK_PREFIX}
 SELECT rd.query_id, rd.cand_id,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
        CAST(rd.dot AS DOUBLE)
@@ -1533,6 +1535,83 @@ def ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "cand_id", "rank", "cosine")
+    )
+
+
+_IVFPQ_RERANK_RECALL_ORACLE = f"""
+WITH {_IVFPQ_RERANK_PREFIX},
+rr_topk AS (
+  SELECT rd.query_id, rd.cand_id
+  FROM rd
+  JOIN norms na ON na.vec_id = rd.query_id
+  JOIN norms nb ON nb.vec_id = rd.cand_id
+  WINDOW w AS (
+    PARTITION BY rd.query_id
+    ORDER BY CAST(rd.dot AS DOUBLE)
+               / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               DESC, rd.cand_id
+  )
+  QUALIFY ROW_NUMBER() OVER w <= {TOPK}
+),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+ex_topk AS (
+  SELECT d.query_id, d.cand_id FROM dots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.cand_id
+  WINDOW w AS (
+    PARTITION BY d.query_id
+    ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               DESC, d.cand_id
+  )
+  QUALIFY ROW_NUMBER() OVER w <= {TOPK}
+)
+SELECT e.query_id,
+       CAST(COUNT(p.cand_id) AS BIGINT) AS hits,
+       CAST(COUNT(p.cand_id) AS DOUBLE) / {TOPK} AS recall_at_k
+FROM ex_topk e
+LEFT JOIN rr_topk p ON p.query_id = e.query_id AND p.cand_id = e.cand_id
+GROUP BY e.query_id
+"""
+
+
+@query(
+    "ivfpq_rerank_recall_audit",
+    oracle=_IVFPQ_RERANK_RECALL_ORACLE,
+    tags=("similarity-pq-rank", "iterative"),
+)
+def ivfpq_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the RANKING tier: per query, how many of the
+    exact cosine top-K survive the full IVF→cosine-ADC→exact-re-rank
+    stack — completing the audit family (LSH → ann_recall_at_k, demo
+    PQ → pq_recall_audit, IVF → ivf_recall_at_k). Both rankings are
+    deterministic, so recall is an exact hashable value; the oracle
+    replays the whole stack AND the exact baseline and intersects them.
+    The scale-point numbers (0.86 at the 12% budget on organic sf1/sf3)
+    live in BENCH_ann_recall_curve.json; this query pins the machinery
+    on the driver fixtures."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = ivfpq_rerank_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("h"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("h"), F.lit(0)).cast("double") / F.lit(TOPK)).alias(
+                "recall_at_k"
+            ),
+        )
     )
 
 

@@ -105,7 +105,7 @@ def gate_profile(spark, sf_dir: str) -> dict:
     n_dropped = (
         REGISTRY["incremental_neardup_gate"]
         .builder(spark, sf_dir)
-        .filter(F.col("verdict") == "drop")
+        .filter(F.col("is_duplicate"))
         .count()
     )
     bands.unpersist()
