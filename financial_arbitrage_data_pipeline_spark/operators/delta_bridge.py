@@ -1,0 +1,194 @@
+"""Delta-protocol bridge queries (K4 — lakehouse interop surface).
+
+The reference's durable state lives behind a private Postgres schema
+(`/root/reference/database/postgres/writer.py:351-407`); nothing else
+can read it without the reference's own code. These queries prove the
+Spark engine's durable MERGE state round-trips through the OPEN Delta
+Lake transaction-log format (`sources/delta_log.py`, built from the
+public PROTOCOL.md): any Delta client — delta-spark, delta-rs, Trino,
+DuckDB delta — can consume the exported table, and our own log-replay
+reader consumes it with no directory listing at all.
+
+Both queries are full-cycle: build state -> commit log -> REPLAY the
+log -> aggregate; the oracle recomputes the expected end state
+declaratively from the raw tables, so a hash match proves the entire
+write-log-replay path preserves the data exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financial_arbitrage_data_pipeline_spark.operators.upsert import (
+    apply_fills,
+    create_bucketed_table,
+)
+from financial_arbitrage_data_pipeline_spark.plans.registry import query
+from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+    _latest_checkpoint_at_or_below,
+    commit_append,
+    create_delta_table,
+    delta_versions,
+    export_delta_log,
+    read_delta_table,
+)
+from financial_arbitrage_data_pipeline_spark.sources.tables import load_table
+
+
+@query(
+    "delta_log_time_travel",
+    oracle="""
+WITH tickets AS (
+  SELECT o_orderkey AS ticket_id, o_orderkey % 50 + 1 AS quantity FROM orders
+),
+fills AS (
+  SELECT l_orderkey AS ticket_id, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(l_partkey % 97 + 1 AS BIGINT) AS p
+  FROM lineitem
+),
+state AS (
+  SELECT v.version, t.ticket_id, t.quantity,
+         COALESCE(a.fq, 0) AS eq, COALESCE(a.cost, 0) AS cost
+  FROM (VALUES (0), (1), (2)) v(version)
+  CROSS JOIN tickets t
+  LEFT JOIN (
+    SELECT 1 AS version, ticket_id,
+           CAST(SUM(q) AS BIGINT) AS fq, CAST(SUM(q * p) AS BIGINT) AS cost
+    FROM fills WHERE l_linenumber <= 3 GROUP BY ticket_id
+    UNION ALL
+    SELECT 2, ticket_id, CAST(SUM(q) AS BIGINT), CAST(SUM(q * p) AS BIGINT)
+    FROM fills GROUP BY ticket_id
+  ) a ON a.ticket_id = t.ticket_id AND a.version = v.version
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CASE WHEN eq >= quantity THEN 'filled'
+            WHEN eq > 0 THEN 'partially_filled'
+            ELSE 'pending' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_tickets,
+       CAST(SUM(eq) AS BIGINT) AS total_executed_qty,
+       CAST(SUM(cost) AS BIGINT) AS total_cost_cents
+FROM state
+GROUP BY 1, 2
+""",
+    tags=("K4", "lakehouse", "delta-protocol", "time-travel"),
+)
+def delta_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL through the EXPORTED Delta log: seed the trade-ticket
+    table with history enabled, apply the same two fill batches as
+    `ticket_fill_merge`, mirror the merge history into a `_delta_log`
+    (`export_delta_log` — one Delta version per merge commit, deltas
+    sized by touched buckets), then read versions 0/1/2 back through
+    PURE LOG REPLAY (`read_delta_table` never lists a data directory)
+    and roll each snapshot up by fill status. Matching the oracle for
+    all three versions proves the exported add/remove actions select
+    exactly the right file set at every version — the same guarantee a
+    real Delta reader gets from `VERSION AS OF`."""
+    root = tempfile.mkdtemp(prefix="sgdelta_")
+    tickets_dir = os.path.join(root, "trade_tickets")
+    try:
+        create_bucketed_table(
+            spark,
+            tickets_dir,
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("ticket_id"),
+                (F.col("o_orderkey") % 50 + 1).alias("quantity"),
+                F.lit(0).cast("long").alias("executed_quantity"),
+                F.lit(0).cast("long").alias("executed_cost_cents"),
+                F.lit("pending").alias("status"),
+            ),
+            key="ticket_id",
+            keep_history=True,
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ticket_id"),
+            F.col("l_quantity").cast("long").alias("fill_qty"),
+            (F.col("l_partkey") % 97 + 1).cast("long").alias("fill_price_cents"),
+            "l_linenumber",
+        )
+        apply_fills(spark, tickets_dir, li.filter(F.col("l_linenumber") <= 3))
+        apply_fills(spark, tickets_dir, li.filter(F.col("l_linenumber") > 3))
+
+        last = export_delta_log(spark, tickets_dir)
+        assert last == 2 and delta_versions(tickets_dir) == [0, 1, 2]
+
+        snaps = [
+            read_delta_table(spark, tickets_dir, version=v).withColumn(
+                "version", F.lit(v).cast("long")
+            )
+            for v in (0, 1, 2)
+        ]
+        union = snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
+        out = union.groupBy("version", "status").agg(
+            F.count(F.lit(1)).alias("n_tickets"),
+            F.sum("executed_quantity").alias("total_executed_qty"),
+            F.sum("executed_cost_cents").alias("total_cost_cents"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "delta_checkpoint_replay_read",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("K4", "lakehouse", "delta-protocol", "checkpoint"),
+)
+def delta_checkpoint_replay_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE Delta write path under a checkpointed log: CREATE a
+    Delta table from one twelfth of `orders`, APPEND the other eleven
+    slices as blind-append commits (v1..v11), which crosses the
+    checkpoint interval so `v10.checkpoint.parquet` + `_last_checkpoint`
+    are written; then DELETE every pre-checkpoint JSON commit and read
+    the table via log replay. The read can only succeed through the
+    checkpoint (the JSON history is gone) — exactly how a 100 TB Delta
+    table with millions of commits stays readable in O(interval) log
+    work. The aggregate matching a plain scan of `orders` proves no
+    slice was lost or duplicated across create/append/checkpoint/replay.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="sgdeltacp_")
+    tdir = os.path.join(root, "orders_delta")
+    try:
+        create_delta_table(
+            spark, tdir, orders.filter(F.col("o_orderkey") % 12 == 0)
+        )
+        for i in range(1, 12):
+            v = commit_append(
+                spark, tdir, orders.filter(F.col("o_orderkey") % 12 == i)
+            )
+        assert v == 11
+        cp = _latest_checkpoint_at_or_below(tdir, 11)
+        assert cp == 10, f"expected checkpoint at v10, got {cp}"
+        # drop the pre-checkpoint JSON history: replay must go through
+        # the checkpoint or fail loudly
+        for ver in range(0, cp):
+            os.remove(os.path.join(tdir, "_delta_log", f"{ver:020d}.json"))
+
+        df = read_delta_table(spark, tdir)
+        out = df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

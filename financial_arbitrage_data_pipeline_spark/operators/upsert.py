@@ -842,6 +842,26 @@ def merge_into_parquet(
             spark, target_dir, updates, key, set_exprs, insert_missing, extra_files
         )
         return
+    # A _delta_log without an importable delta module is either (a) our
+    # own exporter's DERIVED mirror (sentinel present) — about to go
+    # stale, so drop it and let the caller re-export — or (b) a real
+    # Delta table some other writer owns: rewriting its data files
+    # outside its transaction log would corrupt it for every reader.
+    dl = os.path.join(target_dir, "_delta_log")
+    if os.path.isdir(dl):
+        from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+            EXPORT_SENTINEL,
+        )
+
+        if os.path.exists(os.path.join(dl, EXPORT_SENTINEL)):
+            shutil.rmtree(dl, ignore_errors=True)
+        else:
+            raise RuntimeError(
+                f"{target_dir} carries a Delta transaction log this engine "
+                "did not derive; refusing a non-transactional parquet merge "
+                "over a live Delta table (install delta-spark or merge "
+                "through a Delta writer)"
+            )
     # the parquet paths are single-writer: claim the writer lock so a
     # second concurrent writer fails loudly instead of racing recovery
     _acquire_merge_lock(target_dir)

@@ -1,0 +1,634 @@
+"""Delta Lake transaction-log bridge — the OPEN lakehouse commit format.
+
+The reference persists its durable ticket/fill state through a
+hand-rolled Postgres upsert sink (`/root/reference/database/postgres/
+writer.py:351-407`). Our engine's durable sink is the bucketed
+parquet MERGE table (`operators/upsert.py`) with its own manifest
+commit log. This module bridges that table into the PUBLIC Delta Lake
+transaction-log format so the state becomes readable by ANY Delta
+client — delta-spark, delta-rs, Trino, DuckDB's delta extension —
+with no dependency on this engine.
+
+Everything here is implemented from the openly published protocol
+specification (delta.io, PROTOCOL.md: "Delta Transaction Log
+Protocol") — no Delta library is imported:
+
+- ``_delta_log/{version:020d}.json`` — one commit per file, one JSON
+  action per line. Actions used: ``protocol`` (minReaderVersion=1,
+  minWriterVersion=2 — the base feature set: nothing here needs
+  deletion vectors / column mapping / generated columns), ``metaData``
+  (``schemaString`` is the Spark StructType JSON — Delta's schema
+  serialization IS Spark's), ``add`` (relative URL-encoded path,
+  ``partitionValues``, ``size``, ``modificationTime``, ``dataChange``,
+  ``stats`` JSON with ``numRecords``), ``remove`` (tombstone with
+  ``deletionTimestamp``), ``commitInfo`` (informational).
+- ``{version:020d}.checkpoint.parquet`` every ``checkpoint_interval``
+  commits + ``_last_checkpoint`` ``{"version": V, "size": N}`` — the
+  replay shortcut: a reader starts from the newest checkpoint at or
+  below its target version and replays only the JSON tail, so log
+  replay cost is O(interval), not O(commits since table creation).
+- State reconstruction follows the protocol's reconciliation rule:
+  latest ``metaData``/``protocol`` win; an ``add`` for a path
+  supersedes earlier actions for that path; a ``remove`` tombstones it.
+
+Scale notes (100 TB):
+- The log carries FILE METADATA only — export cost is proportional to
+  files touched, never to table bytes. ``add.stats`` gives any Delta
+  reader per-file ``numRecords`` (and min/max would slot in the same
+  field) for data skipping.
+- ``export_delta_log`` derives each version's add/remove delta from the
+  merge table's own undo-log, so a commit that touched 3 of 100k
+  buckets emits 3 removes + 3 adds.
+- Readers never list data directories: the active file set comes
+  entirely from log replay (the protocol's core scalability property —
+  object-store LIST is eventually consistent and slow; the log is the
+  source of truth).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+DELTA_LOG_DIR = "_delta_log"
+LAST_CHECKPOINT = "_last_checkpoint"
+CHECKPOINT_INTERVAL = 10
+# Marks a _delta_log as DERIVED by export_delta_log (vs a table some
+# real Delta writer owns). The merge engine deletes a stale derived log
+# on the next merge (re-export rebuilds it) but refuses to touch data
+# files under a log it did not derive.
+EXPORT_SENTINEL = ".spark_graft_export"
+PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+# Checkpoint rows are the union-struct encoding of the log actions
+# (PROTOCOL.md "Checkpoints": one action per row, null-padded columns).
+_CHECKPOINT_SCHEMA_JSON = {
+    "type": "struct",
+    "fields": [
+        {
+            "name": "txn",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"name": "appId", "type": "string", "nullable": True, "metadata": {}},
+                    {"name": "version", "type": "long", "nullable": True, "metadata": {}},
+                    {"name": "lastUpdated", "type": "long", "nullable": True, "metadata": {}},
+                ],
+            },
+            "nullable": True,
+            "metadata": {},
+        },
+        {
+            "name": "add",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"name": "path", "type": "string", "nullable": True, "metadata": {}},
+                    {
+                        "name": "partitionValues",
+                        "type": {"type": "map", "keyType": "string", "valueType": "string", "valueContainsNull": True},
+                        "nullable": True,
+                        "metadata": {},
+                    },
+                    {"name": "size", "type": "long", "nullable": True, "metadata": {}},
+                    {"name": "modificationTime", "type": "long", "nullable": True, "metadata": {}},
+                    {"name": "dataChange", "type": "boolean", "nullable": True, "metadata": {}},
+                    {"name": "stats", "type": "string", "nullable": True, "metadata": {}},
+                    {
+                        "name": "tags",
+                        "type": {"type": "map", "keyType": "string", "valueType": "string", "valueContainsNull": True},
+                        "nullable": True,
+                        "metadata": {},
+                    },
+                ],
+            },
+            "nullable": True,
+            "metadata": {},
+        },
+        {
+            "name": "remove",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"name": "path", "type": "string", "nullable": True, "metadata": {}},
+                    {"name": "deletionTimestamp", "type": "long", "nullable": True, "metadata": {}},
+                    {"name": "dataChange", "type": "boolean", "nullable": True, "metadata": {}},
+                ],
+            },
+            "nullable": True,
+            "metadata": {},
+        },
+        {
+            "name": "metaData",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"name": "id", "type": "string", "nullable": True, "metadata": {}},
+                    {"name": "name", "type": "string", "nullable": True, "metadata": {}},
+                    {"name": "description", "type": "string", "nullable": True, "metadata": {}},
+                    {
+                        "name": "format",
+                        "type": {
+                            "type": "struct",
+                            "fields": [
+                                {"name": "provider", "type": "string", "nullable": True, "metadata": {}},
+                                {
+                                    "name": "options",
+                                    "type": {"type": "map", "keyType": "string", "valueType": "string", "valueContainsNull": True},
+                                    "nullable": True,
+                                    "metadata": {},
+                                },
+                            ],
+                        },
+                        "nullable": True,
+                        "metadata": {},
+                    },
+                    {"name": "schemaString", "type": "string", "nullable": True, "metadata": {}},
+                    {
+                        "name": "partitionColumns",
+                        "type": {"type": "array", "elementType": "string", "containsNull": True},
+                        "nullable": True,
+                        "metadata": {},
+                    },
+                    {
+                        "name": "configuration",
+                        "type": {"type": "map", "keyType": "string", "valueType": "string", "valueContainsNull": True},
+                        "nullable": True,
+                        "metadata": {},
+                    },
+                    {"name": "createdTime", "type": "long", "nullable": True, "metadata": {}},
+                ],
+            },
+            "nullable": True,
+            "metadata": {},
+        },
+        {
+            "name": "protocol",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"name": "minReaderVersion", "type": "integer", "nullable": True, "metadata": {}},
+                    {"name": "minWriterVersion", "type": "integer", "nullable": True, "metadata": {}},
+                ],
+            },
+            "nullable": True,
+            "metadata": {},
+        },
+    ],
+}
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, DELTA_LOG_DIR)
+
+
+def _commit_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_dir(table_dir), f"{version:020d}.json")
+
+
+def _checkpoint_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_dir(table_dir), f"{version:020d}.checkpoint.parquet")
+
+
+def _encode_path(rel_path: str) -> str:
+    """Relative URL-encoded path, the protocol's add/remove path form
+    (Hadoop/object-store readers resolve it with URI decoding)."""
+    return urllib.parse.quote(rel_path.replace(os.sep, "/"), safe="/")
+
+
+def _decode_path(encoded: str) -> str:
+    return urllib.parse.unquote(encoded)
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _parquet_num_records(path: str) -> int:
+    """numRecords from the parquet footer — metadata-only, no data read.
+
+    At 100 TB the writer stamps stats at write time from the in-flight
+    row count; the footer path here is the after-the-fact equivalent
+    for files the merge engine already produced."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _list_parquet(dir_path: str) -> list[str]:
+    return sorted(
+        os.path.join(dir_path, f)
+        for f in os.listdir(dir_path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def _add_action(table_dir: str, abs_path: str, *, stats: bool = True) -> dict:
+    rel = os.path.relpath(abs_path, table_dir)
+    st = os.stat(abs_path)
+    add = {
+        "path": _encode_path(rel),
+        "partitionValues": {},
+        "size": st.st_size,
+        "modificationTime": int(st.st_mtime * 1000),
+        "dataChange": True,
+    }
+    if stats:
+        add["stats"] = json.dumps({"numRecords": _parquet_num_records(abs_path)})
+    return {"add": add}
+
+
+def _remove_action(encoded_path: str) -> dict:
+    return {
+        "remove": {
+            "path": encoded_path,
+            "deletionTimestamp": _now_ms(),
+            "dataChange": True,
+        }
+    }
+
+
+def _metadata_action(table_dir: str, schema: StructType, *, name: str | None) -> dict:
+    # Deterministic table id: exports of the same table agree across runs.
+    table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, "spark-graft-delta:" + os.path.abspath(table_dir)))
+    return {
+        "metaData": {
+            "id": table_id,
+            "name": name,
+            "description": None,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": _now_ms(),
+        }
+    }
+
+
+def _write_commit(table_dir: str, version: int, actions: list[dict]) -> None:
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    tmp = _commit_path(table_dir, version) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    os.rename(tmp, _commit_path(table_dir, version))
+
+
+def delta_versions(table_dir: str) -> list[int]:
+    """Committed versions present as JSON commits, ascending."""
+    d = _log_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json") and f[:-5].isdigit()
+    )
+
+
+# ---------------------------------------------------------------------------
+# State replay (reader side)
+# ---------------------------------------------------------------------------
+
+
+class _LogState:
+    """Reconstructed snapshot: active files + latest metaData/protocol."""
+
+    def __init__(self) -> None:
+        self.files: dict[str, dict] = {}  # encoded path -> add action body
+        self.metadata: dict | None = None
+        self.protocol: dict | None = None
+
+    def apply(self, action: dict) -> None:
+        if "add" in action:
+            self.files[action["add"]["path"]] = action["add"]
+        elif "remove" in action:
+            self.files.pop(action["remove"]["path"], None)
+        elif "metaData" in action:
+            self.metadata = action["metaData"]
+        elif "protocol" in action:
+            self.protocol = action["protocol"]
+        # commitInfo / txn: informational, no state effect
+
+
+def _read_commit_actions(table_dir: str, version: int) -> list[dict]:
+    with open(_commit_path(table_dir, version), encoding="utf-8") as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def _latest_checkpoint_at_or_below(table_dir: str, version: int) -> int | None:
+    d = _log_dir(table_dir)
+    if not os.path.isdir(d):
+        return None
+    cps = [
+        int(f.split(".", 1)[0])
+        for f in os.listdir(d)
+        if f.endswith(".checkpoint.parquet")
+    ]
+    cps = [v for v in cps if v <= version]
+    return max(cps) if cps else None
+
+
+def _state_from_checkpoint(spark: SparkSession, table_dir: str, cp_version: int) -> _LogState:
+    rows = spark.read.parquet(_checkpoint_path(table_dir, cp_version)).collect()
+    state = _LogState()
+    for r in rows:
+        d = r.asDict(recursive=True)
+        for key in ("protocol", "metaData", "add", "remove"):
+            if d.get(key) is not None:
+                body = {k: v for k, v in d[key].items() if v is not None}
+                state.apply({key: body})
+    return state
+
+
+def replay_state(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> _LogState:
+    """Protocol-rule replay to `version` (default: latest). Starts from
+    the newest checkpoint at or below the target when one exists, so
+    pre-checkpoint JSON commits may be absent (vacuumed) — the property
+    checkpoints exist to provide."""
+    versions = delta_versions(table_dir)
+    cp = None if version is None else _latest_checkpoint_at_or_below(table_dir, version)
+    if version is None:
+        if versions:
+            version = versions[-1]
+        else:
+            cp_all = _latest_checkpoint_at_or_below(table_dir, 1 << 62)
+            if cp_all is None:
+                raise FileNotFoundError(f"no Delta log at {table_dir}")
+            version = cp_all
+        cp = _latest_checkpoint_at_or_below(table_dir, version)
+    state = _LogState()
+    start = 0
+    if cp is not None:
+        state = _state_from_checkpoint(spark, table_dir, cp)
+        start = cp + 1
+    for v in range(start, version + 1):
+        if not os.path.exists(_commit_path(table_dir, v)):
+            raise FileNotFoundError(
+                f"missing Delta commit {v} for {table_dir} (no covering checkpoint)"
+            )
+        for action in _read_commit_actions(table_dir, v):
+            state.apply(action)
+    if state.metadata is None or state.protocol is None:
+        raise ValueError(f"Delta log at {table_dir} lacks metaData/protocol by v{version}")
+    if state.protocol["minReaderVersion"] > 1:
+        raise ValueError(
+            f"table requires reader version {state.protocol['minReaderVersion']}"
+        )
+    return state
+
+
+def read_delta_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """DataFrame over the Delta table at `version` via pure log replay —
+    no directory listing. The metaData schemaString is imposed on the
+    scan, so files written before a schema widening surface the later
+    columns as nulls (the protocol's evolution semantics)."""
+    state = replay_state(spark, table_dir, version)
+    schema = StructType.fromJson(json.loads(state.metadata["schemaString"]))
+    paths = [
+        os.path.join(table_dir, _decode_path(p)) for p in sorted(state.files)
+    ]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    # explicit field select drops any partition-style tokens a path
+    # component (e.g. `__bucket__=3`) would otherwise surface as columns
+    return (
+        spark.read.schema(schema)
+        .option("basePath", table_dir)
+        .parquet(*paths)
+        .select(*[F.col(f.name) for f in schema.fields])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint writer
+# ---------------------------------------------------------------------------
+
+
+def _write_checkpoint(spark: SparkSession, table_dir: str, version: int, state: _LogState) -> None:
+    schema = StructType.fromJson(_CHECKPOINT_SCHEMA_JSON)
+    rows: list[tuple] = [
+        (None, None, None, None, (state.protocol["minReaderVersion"], state.protocol["minWriterVersion"])),
+        (
+            None,
+            None,
+            None,
+            (
+                state.metadata["id"],
+                state.metadata.get("name"),
+                state.metadata.get("description"),
+                (state.metadata["format"]["provider"], state.metadata["format"].get("options", {})),
+                state.metadata["schemaString"],
+                state.metadata.get("partitionColumns", []),
+                state.metadata.get("configuration", {}),
+                state.metadata.get("createdTime"),
+            ),
+            None,
+        ),
+    ]
+    for path in sorted(state.files):
+        a = state.files[path]
+        rows.append(
+            (
+                None,
+                (
+                    a["path"],
+                    a.get("partitionValues", {}),
+                    a.get("size"),
+                    a.get("modificationTime"),
+                    a.get("dataChange", True),
+                    a.get("stats"),
+                    a.get("tags"),
+                ),
+                None,
+                None,
+                None,
+            )
+        )
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    tmp = _checkpoint_path(table_dir, version) + ".__tmp__"
+    df.write.mode("overwrite").parquet(tmp)
+    part = _list_parquet(tmp)[0]
+    os.replace(part, _checkpoint_path(table_dir, version))
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(_log_dir(table_dir), LAST_CHECKPOINT), "w", encoding="utf-8") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+
+
+def _maybe_checkpoint(
+    spark: SparkSession, table_dir: str, version: int, interval: int
+) -> None:
+    if interval and version > 0 and version % interval == 0:
+        _write_checkpoint(spark, table_dir, version, replay_state(spark, table_dir, version))
+
+
+# ---------------------------------------------------------------------------
+# Native write path: create / append commits
+# ---------------------------------------------------------------------------
+
+
+def _materialize_files(
+    spark_df: DataFrame, table_dir: str, version: int
+) -> list[str]:
+    """Write the batch as parquet files at the table root with
+    version-scoped names (the protocol does not constrain data file
+    names — only that the log references them)."""
+    tmp = os.path.join(table_dir, f".__stage_v{version}__")
+    spark_df.write.mode("overwrite").parquet(tmp)
+    out: list[str] = []
+    for i, part in enumerate(_list_parquet(tmp)):
+        dst = os.path.join(table_dir, f"part-{version:05d}-{i:05d}.snappy.parquet")
+        os.replace(part, dst)
+        out.append(dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def create_delta_table(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    *,
+    name: str | None = None,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
+) -> int:
+    """Version-0 commit: protocol + metaData + the seed files."""
+    os.makedirs(table_dir, exist_ok=True)
+    if delta_versions(table_dir):
+        raise FileExistsError(f"Delta log already exists at {table_dir}")
+    files = _materialize_files(df, table_dir, 0)
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "CREATE TABLE AS SELECT", "engine": "spark-graft"}},
+        dict(PROTOCOL_ACTION),
+        _metadata_action(table_dir, df.schema, name=name),
+    ]
+    actions += [_add_action(table_dir, f) for f in files]
+    _write_commit(table_dir, 0, actions)
+    _maybe_checkpoint(spark, table_dir, 0, checkpoint_interval)
+    return 0
+
+
+def commit_append(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    *,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
+) -> int:
+    """Blind-append commit (adds only — no reconciliation needed, the
+    cheapest Delta write). Returns the new version."""
+    versions = delta_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta table at {table_dir}; create first")
+    version = versions[-1] + 1
+    files = _materialize_files(df, table_dir, version)
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "WRITE", "operationParameters": {"mode": "Append"}, "engine": "spark-graft"}}
+    ]
+    actions += [_add_action(table_dir, f) for f in files]
+    _write_commit(table_dir, version, actions)
+    _maybe_checkpoint(spark, table_dir, version, checkpoint_interval)
+    return version
+
+
+# ---------------------------------------------------------------------------
+# Merge-table export: bucketed MERGE history -> Delta log
+# ---------------------------------------------------------------------------
+
+
+def _merge_version_fileset(
+    spark: SparkSession, table_dir: str, version: int, log: list[dict]
+) -> list[str]:
+    from financial_arbitrage_data_pipeline_spark.operators.upsert import _asof_bucket_paths
+
+    bucket_dirs = _asof_bucket_paths(table_dir, version, log)
+    files: list[str] = []
+    for b in sorted(bucket_dirs):
+        files.extend(_list_parquet(bucket_dirs[b]))
+    return files
+
+
+def export_delta_log(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    name: str | None = None,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
+) -> int:
+    """Mirror a bucketed MERGE table's full commit history (see
+    `operators/upsert.py`) into a conformant `_delta_log`, one Delta
+    version per merge commit. Add/remove deltas come from the merge
+    undo-log — a merge that touched B of N buckets emits O(B) actions.
+    A new metaData action is emitted at any version whose file schema
+    widens (the MERGE schema-evolution path), so Delta readers see the
+    same evolution boundary the native as-of reader enforces.
+
+    Idempotent rebuild: an existing `_delta_log` is replaced (the
+    export is derived state; the merge manifest stays authoritative).
+
+    Returns the latest Delta version (== the merge table's last seq).
+    """
+    from financial_arbitrage_data_pipeline_spark.operators.upsert import (
+        _read_commit_log,
+        history_versions,
+    )
+
+    log = _read_commit_log(table_dir)
+    versions = history_versions(table_dir)
+    if versions[0] != 0:
+        raise ValueError(
+            "export requires full history (vacuumed tables lose early "
+            f"versions; earliest available: {versions[0]})"
+        )
+    ldir = _log_dir(table_dir)
+    if os.path.isdir(ldir):
+        shutil.rmtree(ldir)
+
+    prev_files: dict[str, str] = {}  # encoded rel path -> abs path
+    prev_schema_json: str | None = None
+    for v in versions:
+        files = {
+            _encode_path(os.path.relpath(p, table_dir)): p
+            for p in _merge_version_fileset(spark, table_dir, v, log)
+        }
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "CREATE TABLE AS SELECT" if v == 0 else "MERGE",
+                    "engine": "spark-graft",
+                    "mergeSeq": v,
+                }
+            }
+        ]
+        # schema at this version, from this version's own files
+        schema = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*files.values())
+            .drop("__bucket__")
+            .schema
+        )
+        if v == 0:
+            actions.append(dict(PROTOCOL_ACTION))
+        if schema.json() != prev_schema_json:
+            actions.append(_metadata_action(table_dir, schema, name=name))
+            prev_schema_json = schema.json()
+        for gone in sorted(set(prev_files) - set(files)):
+            actions.append(_remove_action(gone))
+        for added in sorted(set(files) - set(prev_files)):
+            actions.append(_add_action(table_dir, files[added]))
+        _write_commit(table_dir, v, actions)
+        _maybe_checkpoint(spark, table_dir, v, checkpoint_interval)
+        prev_files = files
+    with open(os.path.join(ldir, EXPORT_SENTINEL), "w", encoding="utf-8") as fh:
+        fh.write("derived from the merge commit manifest; re-export to refresh\n")
+    return versions[-1]

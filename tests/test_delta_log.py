@@ -1,0 +1,227 @@
+"""Delta transaction-log bridge: protocol conformance + replay parity.
+
+Conformance targets are the openly published Delta PROTOCOL.md fields;
+parity targets are the engine's own as-of reader (the exported log must
+reproduce exactly what the merge table's native time travel returns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_arbitrage_data_pipeline_spark.operators.upsert import (
+    create_bucketed_table,
+    merge_into_parquet,
+    read_merge_table_asof,
+)
+from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+    _latest_checkpoint_at_or_below,
+    commit_append,
+    create_delta_table,
+    delta_versions,
+    export_delta_log,
+    read_delta_table,
+    replay_state,
+)
+
+
+def _mk_merge_table(spark, tdir, *, evolve=False):
+    """Tiny history-enabled merge table with two merges; optionally the
+    second merge widens the schema."""
+    seed = spark.createDataFrame(
+        [(i, i * 10, "init") for i in range(40)], "k long, v long, tag string"
+    )
+    create_bucketed_table(spark, tdir, seed, key="k", n_buckets=4, keep_history=True)
+    up1 = spark.createDataFrame(
+        [(i, i * 100) for i in range(0, 40, 2)], "k long, v long"
+    )
+    merge_into_parquet(
+        spark, tdir, up1, key="k",
+        set_exprs={"v": F.col("u.v"), "tag": F.lit("m1")},
+    )
+    if evolve:
+        up2 = spark.createDataFrame(
+            [(i, "ex") for i in range(1, 40, 4)], "k long, venue string"
+        )
+        merge_into_parquet(
+            spark, tdir, up2, key="k",
+            set_exprs={"venue": F.coalesce(F.col("u.venue"), F.col("t.venue"))},
+            evolve_schema=True, evolve_cols=["venue"],
+        )
+    else:
+        up2 = spark.createDataFrame(
+            [(i, i * 1000) for i in range(1, 40, 4)], "k long, v long"
+        )
+        merge_into_parquet(
+            spark, tdir, up2, key="k",
+            set_exprs={"v": F.col("u.v")},
+        )
+
+
+def _log_lines(tdir, version):
+    p = os.path.join(tdir, "_delta_log", f"{version:020d}.json")
+    with open(p, encoding="utf-8") as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def test_export_protocol_conformance(spark, tmp_path):
+    """v0 carries protocol+metaData with the PROTOCOL.md-required
+    fields; every add is relative, sized, stamped, and stats-bearing."""
+    tdir = str(tmp_path / "t")
+    _mk_merge_table(spark, tdir)
+    last = export_delta_log(spark, tdir)
+    assert last == 2 and delta_versions(tdir) == [0, 1, 2]
+
+    v0 = _log_lines(tdir, 0)
+    protos = [a["protocol"] for a in v0 if "protocol" in a]
+    metas = [a["metaData"] for a in v0 if "metaData" in a]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    assert len(metas) == 1
+    meta = metas[0]
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["partitionColumns"] == [] and meta["configuration"] == {}
+    schema_json = json.loads(meta["schemaString"])
+    assert schema_json["type"] == "struct"
+    assert {f["name"] for f in schema_json["fields"]} == {"k", "v", "tag"}
+
+    for ver in (0, 1, 2):
+        for a in _log_lines(tdir, ver):
+            if "add" in a:
+                add = a["add"]
+                assert not add["path"].startswith("/")
+                assert add["partitionValues"] == {}
+                assert add["size"] > 0 and add["modificationTime"] > 0
+                assert add["dataChange"] is True
+                assert json.loads(add["stats"])["numRecords"] >= 0
+            if "remove" in a:
+                assert a["remove"]["deletionTimestamp"] > 0
+
+    # later commits are DELTAS: v1/v2 emit removes for replaced buckets
+    v1 = _log_lines(tdir, 1)
+    assert any("remove" in a for a in v1) and any("add" in a for a in v1)
+    # no repeated metaData when the schema did not change
+    assert not any("metaData" in a for a in v1)
+
+
+def test_export_replay_matches_native_asof(spark, tmp_path):
+    """Log replay at every version == the native as-of reader."""
+    tdir = str(tmp_path / "t")
+    _mk_merge_table(spark, tdir)
+    export_delta_log(spark, tdir)
+    for v in (0, 1, 2):
+        got = sorted(
+            read_delta_table(spark, tdir, version=v).collect(),
+            key=lambda r: r["k"],
+        )
+        want = sorted(
+            read_merge_table_asof(spark, tdir, version=v).collect(),
+            key=lambda r: r["k"],
+        )
+        assert [r.asDict() for r in got] == [r.asDict() for r in want], f"v{v}"
+
+
+def test_export_schema_evolution_boundary(spark, tmp_path):
+    """A widening merge emits a NEW metaData action at that version;
+    pre-evolution files replay with typed nulls for the new column."""
+    tdir = str(tmp_path / "t")
+    _mk_merge_table(spark, tdir, evolve=True)
+    export_delta_log(spark, tdir)
+    assert not any("metaData" in a for a in _log_lines(tdir, 1))
+    metas2 = [a["metaData"] for a in _log_lines(tdir, 2) if "metaData" in a]
+    assert len(metas2) == 1
+    names = {f["name"] for f in json.loads(metas2[0]["schemaString"])["fields"]}
+    assert "venue" in names
+
+    head = read_delta_table(spark, tdir)
+    assert "venue" in head.columns
+    got = {r["k"]: r["venue"] for r in head.collect()}
+    for k in range(40):
+        assert got[k] == ("ex" if k % 4 == 1 else None)
+    # pre-evolution version replays WITHOUT the later column
+    v1 = read_delta_table(spark, tdir, version=1)
+    assert "venue" not in v1.columns
+
+
+def test_checkpoint_written_and_sufficient(spark, tmp_path):
+    """Crossing the interval writes {v}.checkpoint.parquet +
+    _last_checkpoint; replay works with the pre-checkpoint JSONs gone
+    and equals the full-history replay."""
+    tdir = str(tmp_path / "t")
+    df0 = spark.createDataFrame([(0, "a")], "k long, s string")
+    create_delta_table(spark, tdir, df0, checkpoint_interval=5)
+    for i in range(1, 8):
+        commit_append(
+            spark, tdir,
+            spark.createDataFrame([(i, f"s{i}")], "k long, s string"),
+            checkpoint_interval=5,
+        )
+    cp = _latest_checkpoint_at_or_below(tdir, 7)
+    assert cp == 5
+    lc = json.load(open(os.path.join(tdir, "_delta_log", "_last_checkpoint")))
+    assert lc["version"] == 5 and lc["size"] > 0
+
+    full = sorted(r["k"] for r in read_delta_table(spark, tdir).collect())
+    assert full == list(range(8))
+    # checkpoint parquet carries the protocol/metaData rows too
+    state = replay_state(spark, tdir, 5)
+    assert state.protocol and state.metadata
+
+    for v in range(0, 5):
+        os.remove(os.path.join(tdir, "_delta_log", f"{v:020d}.json"))
+    pruned = sorted(r["k"] for r in read_delta_table(spark, tdir).collect())
+    assert pruned == full
+
+    # time travel BELOW the checkpoint with history gone fails loudly
+    with pytest.raises(FileNotFoundError):
+        read_delta_table(spark, tdir, version=3)
+
+
+def test_export_idempotent_rebuild(spark, tmp_path):
+    """Re-export replaces the derived log and converges to the same
+    active file set."""
+    tdir = str(tmp_path / "t")
+    _mk_merge_table(spark, tdir)
+    export_delta_log(spark, tdir)
+    first = set(replay_state(spark, tdir).files)
+    export_delta_log(spark, tdir)
+    assert set(replay_state(spark, tdir).files) == first
+
+
+def test_merge_after_export_drops_stale_derived_log(spark, tmp_path):
+    """A merge following an export invalidates the DERIVED log (it
+    would describe a superseded file set); a foreign _delta_log without
+    the export sentinel refuses the non-transactional merge path."""
+    tdir = str(tmp_path / "t")
+    _mk_merge_table(spark, tdir)
+    export_delta_log(spark, tdir)
+    up = spark.createDataFrame([(3, 999)], "k long, v long")
+    merge_into_parquet(spark, tdir, up, key="k", set_exprs={"v": F.col("u.v")})
+    assert not os.path.isdir(os.path.join(tdir, "_delta_log"))
+    # re-export resumes cleanly and covers the third merge
+    assert export_delta_log(spark, tdir) == 3
+
+    foreign = str(tmp_path / "foreign")
+    _mk_merge_table(spark, foreign)
+    os.makedirs(os.path.join(foreign, "_delta_log"))
+    with pytest.raises(RuntimeError, match="did not derive"):
+        merge_into_parquet(
+            spark, foreign, up, key="k", set_exprs={"v": F.col("u.v")}
+        )
+
+
+def test_real_delta_reader_if_available(spark, tmp_path):
+    """Auto-unskip interop gate (MIGRATION.md runbook): when a real
+    delta-spark is importable, it must read our exported table
+    byte-for-byte. Skipped self-documentingly in containers without
+    the connector."""
+    pytest.importorskip("delta")
+    tdir = str(tmp_path / "t")
+    _mk_merge_table(spark, tdir)
+    export_delta_log(spark, tdir)
+    real = spark.read.format("delta").load(tdir)
+    ours = read_delta_table(spark, tdir)
+    assert sorted(map(tuple, real.collect())) == sorted(map(tuple, ours.collect()))
