@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..plans.registry import query
 from ..sources.tables import load_table
 from .dedup import _CRAWL_UNION_SQL, crawl_union
+from .textstats import STOPWORDS
 
 # ---------------------------------------------------------------------------
 # Composite quality gate (Gopher/C4-style rule stack → keep/drop + reasons)
@@ -1375,4 +1376,214 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "novelty_ppm",
         F.expr("(grams_novel * 1000000) div grams_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-engine trained quality/language classifier: one exact Newton step
+# of logistic regression over surface features (the fastText-style
+# linear gate, trained distributed instead of shipped as a binary)
+# ---------------------------------------------------------------------------
+_LR_FEAT_CAP = 2000  # per-doc feature cap: robustness + overflow bound
+_LR_DOWNSCALE = 1_000_000_000  # keep |S| entries < 1e9 before inversion
+_LR_STOP_SQL = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to", "in", "is", "it"))
+
+_LR_MOMENTS_SQL = f"""
+feat AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS u,
+         LEAST(len(list_filter(string_split(text, ' '), x -> x <> '')),
+               {_LR_FEAT_CAP}) AS t,
+         LEAST(len(list_filter(string_split(text, ' '),
+                               x -> x IN ({_LR_STOP_SQL}))),
+               {_LR_FEAT_CAP}) AS s,
+         lang
+  FROM documents
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(t) AS st, SUM(s) AS ss,
+         SUM(t*t) AS stt, SUM(t*s) AS sts, SUM(s*s) AS sss,
+         SUM(u) AS r1, SUM(t*u) AS rt, SUM(s*u) AS rs
+  FROM feat
+),
+sc AS (
+  SELECT 1 + GREATEST(n, st, ss, stt, sts, sss) // {_LR_DOWNSCALE} AS dd
+  FROM m
+),
+z AS (
+  SELECT n//dd AS a, st//dd AS b, ss//dd AS c,
+         stt//dd AS e, sts//dd AS g, sss//dd AS h,
+         r1//dd AS p, rt//dd AS q, rs//dd AS w
+  FROM m, sc
+),
+det AS (
+  SELECT a*(e*h - g*g) - b*(b*h - g*c) + c*(b*g - e*c) AS d,
+         (e*h - g*g) AS a00, (c*g - b*h) AS a01, (b*g - c*e) AS a02,
+         (a*h - c*c) AS a11, (c*b - a*g) AS a12, (a*e - b*b) AS a22,
+         p, q, w
+  FROM z
+),
+nums AS (
+  SELECT d,
+         a00*p + a01*q + a02*w AS n0,
+         a01*p + a11*q + a12*w AS n1,
+         a02*p + a12*q + a22*w AS n2
+  FROM det
+),
+beta AS (
+  -- magnitude-divide + explicit sign: floor on non-negatives equals
+  -- truncation, so DuckDB // and Python // agree for every sign mix
+  SELECT CASE WHEN d = 0 THEN 0 ELSE
+           (CASE WHEN (n0 < 0) <> (d < 0) THEN -1 ELSE 1 END)
+           * ((2000000 * ABS(n0)) // ABS(d)) END AS b0,
+         CASE WHEN d = 0 THEN 0 ELSE
+           (CASE WHEN (n1 < 0) <> (d < 0) THEN -1 ELSE 1 END)
+           * ((2000000 * ABS(n1)) // ABS(d)) END AS b1,
+         CASE WHEN d = 0 THEN 0 ELSE
+           (CASE WHEN (n2 < 0) <> (d < 0) THEN -1 ELSE 1 END)
+           * ((2000000 * ABS(n2)) // ABS(d)) END AS b2
+  FROM nums
+)
+"""
+
+
+def _lr_model(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
+    """Exact one-step-Newton logistic coefficients (ppm-quantized) for
+    P(lang = en | tokens, stopwords). Bounded driver state: the NINE
+    int64 moments — the same collect discipline as the PCA cell matrix.
+    All arithmetic is integer (Python arbitrary precision mirrors the
+    oracle's HUGEINT); the downscale and every divide truncate via
+    floor `//`, identical in Python and DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    feat = docs.select(
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).alias("u"),
+        F.least(F.size(toks), F.lit(_LR_FEAT_CAP)).cast("long").alias("t"),
+        F.least(
+            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))),
+            F.lit(_LR_FEAT_CAP),
+        ).cast("long").alias("s"),
+    )
+    row = feat.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("s").alias("ss"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("s")).alias("sts"),
+        F.sum(F.col("s") * F.col("s")).alias("sss"),
+        F.sum("u").alias("r1"),
+        F.sum(F.col("t") * F.col("u")).alias("rt"),
+        F.sum(F.col("s") * F.col("u")).alias("rs"),
+    ).collect()[0]
+    n, st, ss = int(row["n"]), int(row["st"]), int(row["ss"])
+    stt, sts, sss = int(row["stt"]), int(row["sts"]), int(row["sss"])
+    r1, rt, rs = int(row["r1"]), int(row["rt"]), int(row["rs"])
+    dd = 1 + max(n, st, ss, stt, sts, sss) // _LR_DOWNSCALE
+    a, b, c = n // dd, st // dd, ss // dd
+    e, g, h = stt // dd, sts // dd, sss // dd
+    p, q, w = r1 // dd, rt // dd, rs // dd
+    det = a * (e * h - g * g) - b * (b * h - g * c) + c * (b * g - e * c)
+    if det == 0:
+        return (0, 0, 0)
+    a00, a01, a02 = e * h - g * g, c * g - b * h, b * g - c * e
+    a11, a12, a22 = a * h - c * c, c * b - a * g, a * e - b * b
+
+    def ppm(num: int) -> int:
+        # magnitude-divide + explicit sign (floor==truncate on
+        # non-negatives), mirroring the oracle exactly for any sign mix
+        sg = -1 if (num < 0) != (det < 0) else 1
+        return sg * ((2_000_000 * abs(num)) // abs(det))
+
+    b0 = ppm(a00 * p + a01 * q + a02 * w)
+    b1 = ppm(a01 * p + a11 * q + a12 * w)
+    b2 = ppm(a02 * p + a12 * q + a22 * w)
+    return (b0, b1, b2)
+
+
+@query(
+    "quality_lr_train",
+    oracle=f"""
+WITH {_LR_MOMENTS_SQL}
+SELECT f.feature, CAST(f.beta_ppm AS BIGINT) AS beta_ppm
+FROM beta, LATERAL (VALUES ('intercept', b0), ('tokens', b1), ('stopwords', b2))
+     AS f(feature, beta_ppm)
+""",
+    tags=("training-prep", "classifier", "linalg", "exact-int"),
+)
+def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the linear document gate IN the engine: one exact Newton
+    step of logistic regression from beta=0 for P(lang='en') on two
+    surface features (token count, English-stopword count) plus
+    intercept. At beta=0 the Hessian is X'X/4 and the gradient is
+    X'(y-1/2), so the step is beta = 2*(X'X)^{{-1}}*X'(2y-1) — a
+    closed form requiring only NINE integer moments from one map-side-
+    combined aggregation pass, at ANY corpus size. The 3x3 solve runs
+    driver-side on those nine numbers (the bounded-state pattern of
+    `portfolio_risk_pca`), via the exact adjugate/determinant with a
+    truncating pre-downscale (keeps every product within 128-bit
+    range; the oracle's HUGEINT replays it term for term).
+    Coefficients are published ppm-quantized — the form a production
+    gate ships — and `quality_lr_eval` scores the corpus with exactly
+    these published integers.
+
+    Overflow ledger: features capped at {_LR_FEAT_CAP}, so each moment
+    <= 4e6 * n_docs (int64-safe to ~2e12 docs; past that the sums
+    promote to decimal(38) with no other change). After the downscale
+    every |S| entry < 1e9 => |det| < 6e27, |adjugate| < 3e18,
+    |numerator| < ~2e28 — inside HUGEINT/Python-int exactness.
+
+    Reference basis: the reference hard-codes its market-quality
+    thresholds (`/root/reference/virginia/api/data_feed.py` filter
+    constants); here the equivalent gate is FIT from the data by the
+    engine itself."""
+    b0, b1, b2 = _lr_model(spark, sf_dir)
+    return spark.createDataFrame(
+        [("intercept", b0), ("tokens", b1), ("stopwords", b2)],
+        "feature string, beta_ppm bigint",
+    )
+
+
+@query(
+    "quality_lr_eval",
+    oracle=f"""
+WITH {_LR_MOMENTS_SQL}
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN b0 + b1*t + b2*s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred_en,
+       CAST(SUM(CASE WHEN (b0 + b1*t + b2*s > 0) = (u = 1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM feat, beta
+GROUP BY lang
+""",
+    tags=("training-prep", "classifier", "exact-int"),
+)
+def quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCORE the corpus with the published quantized model from
+    `quality_lr_train`: per language, how many docs the linear gate
+    flags as English and how many verdicts are correct — the training-
+    accuracy readout that decides whether the gate ships. The decision
+    rule uses the ppm-quantized integer coefficients verbatim (score =
+    b0 + b1*t + b2*s in int64: |b| <= ~1e7 x features <= {_LR_FEAT_CAP}
+    => |score| < 1e11), so the verdict is bit-deterministic under any
+    partitioning — no float crosses the gate. One aggregation pass;
+    the model itself is a 3-int broadcast."""
+    b0, b1, b2 = _lr_model(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    feat = docs.select(
+        "lang",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).alias("u"),
+        F.least(F.size(toks), F.lit(_LR_FEAT_CAP)).cast("long").alias("t"),
+        F.least(
+            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))),
+            F.lit(_LR_FEAT_CAP),
+        ).cast("long").alias("s"),
+    )
+    score = F.lit(b0) + F.lit(b1) * F.col("t") + F.lit(b2) * F.col("s")
+    pred = (score > 0).cast("int")
+    correct = (pred == ((F.col("u") == 1).cast("int"))).cast("long")
+    return feat.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(pred.cast("long")).alias("n_pred_en"),
+        F.sum(correct).alias("n_correct"),
     )
