@@ -35,6 +35,7 @@ from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
     create_delta_table,
     delta_versions,
     export_delta_log,
+    last_txn_version,
     read_delta_table,
 )
 from financial_arbitrage_data_pipeline_spark.sources.tables import load_table
@@ -190,5 +191,88 @@ def delta_checkpoint_replay_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").cast("long").alias("max_key"),
         )
         return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_delta_txn_sink",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events
+GROUP BY event_type
+""",
+    tags=("T1", "T6", "K1", "lakehouse", "delta-protocol", "streaming"),
+)
+def streaming_delta_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING lane lands in a Delta table with the protocol's
+    own exactly-once mechanism: `foreachBatch` stamps every append
+    commit with a `txn` action (appId = a stable query id, version =
+    batchId) and consults `last_txn_version` first — the idempotent-
+    writer handshake real Delta streaming sinks use. After the replay
+    completes, the LAST micro-batch is redelivered verbatim (the crash-
+    restart case: the sink's commit raced the checkpoint), and the txn
+    guard turns it into a no-op instead of duplicate rows. The landed
+    table is then read back through pure log replay and aggregated; the
+    oracle over the ORIGINAL events proves nothing was lost at batch
+    boundaries and the redelivered batch landed exactly once.
+
+    Scale: each micro-batch is one blind-append commit (O(batch files)
+    metadata, no reconciliation); the txn lookup is a log replay —
+    O(checkpoint interval) JSONs at any commit count."""
+    from financial_arbitrage_data_pipeline_spark.operators.streaming_queries import (
+        _replay,
+        _workdir,
+    )
+    from financial_arbitrage_data_pipeline_spark.streaming import ingest
+
+    root = _workdir()
+    app_id = "streaming_delta_txn_sink"
+    try:
+        replay_dir = _replay(spark, sf_dir, root)
+        tdir = os.path.join(root, "events_delta")
+        seen: list[tuple[int, "DataFrame"]] = []
+
+        def land(batch_df: DataFrame, batch_id: int) -> None:
+            batch = batch_df.select(
+                "event_id", "ts_us", "user_id", "event_type", "value"
+            )
+            if not delta_versions(tdir):
+                create_delta_table(spark, tdir, batch.limit(0))
+            if (last_txn_version(spark, tdir, app_id) or -1) >= batch_id:
+                return  # already committed: redelivery is a no-op
+            commit_append(
+                spark, tdir, batch, txn_app_id=app_id, txn_version=batch_id
+            )
+            seen.append((batch_id, batch_df))
+
+        q = (
+            ingest.replay_stream(spark, replay_dir)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # crash-restart simulation: redeliver the last micro-batch with
+        # its original batch_id — the txn guard must no-op it
+        assert seen, "replay produced no batches"
+        last_id, last_df = seen[-1]
+        n_versions = len(delta_versions(tdir))
+        land(last_df, last_id)
+        assert len(delta_versions(tdir)) == n_versions, "redelivery re-committed"
+
+        landed = read_delta_table(spark, tdir)
+        return (
+            landed.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("event_id").alias("sum_event_id"),
+            )
+            .localCheckpoint()
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -304,6 +304,11 @@ class _LogState:
         self.files: dict[str, dict] = {}  # encoded path -> add action body
         self.metadata: dict | None = None
         self.protocol: dict | None = None
+        # appId -> highest committed writer version (the protocol's
+        # idempotent-writer mechanism: a streaming sink records
+        # (appId=queryId, version=batchId) and skips batches at or
+        # below the recorded version on restart/redelivery)
+        self.txns: dict[str, int] = {}
 
     def apply(self, action: dict) -> None:
         if "add" in action:
@@ -314,7 +319,12 @@ class _LogState:
             self.metadata = action["metaData"]
         elif "protocol" in action:
             self.protocol = action["protocol"]
-        # commitInfo / txn: informational, no state effect
+        elif "txn" in action:
+            t = action["txn"]
+            prev = self.txns.get(t["appId"])
+            if prev is None or t["version"] > prev:
+                self.txns[t["appId"]] = t["version"]
+        # commitInfo: informational, no state effect
 
 
 def _read_commit_actions(table_dir: str, version: int) -> list[dict]:
@@ -340,7 +350,7 @@ def _state_from_checkpoint(spark: SparkSession, table_dir: str, cp_version: int)
     state = _LogState()
     for r in rows:
         d = r.asDict(recursive=True)
-        for key in ("protocol", "metaData", "add", "remove"):
+        for key in ("protocol", "metaData", "add", "remove", "txn"):
             if d.get(key) is not None:
                 body = {k: v for k, v in d[key].items() if v is not None}
                 state.apply({key: body})
@@ -436,6 +446,8 @@ def _write_checkpoint(spark: SparkSession, table_dir: str, version: int, state: 
             None,
         ),
     ]
+    for app_id in sorted(state.txns):
+        rows.append(((app_id, state.txns[app_id], None), None, None, None, None))
     for path in sorted(state.files):
         a = state.files[path]
         rows.append(
@@ -524,9 +536,17 @@ def commit_append(
     df: DataFrame,
     *,
     checkpoint_interval: int = CHECKPOINT_INTERVAL,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Blind-append commit (adds only — no reconciliation needed, the
-    cheapest Delta write). Returns the new version."""
+    cheapest Delta write). Returns the new version.
+
+    `txn_app_id`/`txn_version` record the protocol's `txn` action —
+    the idempotent-writer handshake a streaming sink uses: it stamps
+    (appId=queryId, version=batchId) on every commit and consults
+    `last_txn_version` before writing, so a redelivered micro-batch
+    after a crash/restart becomes a no-op instead of duplicate rows."""
     versions = delta_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no Delta table at {table_dir}; create first")
@@ -535,10 +555,22 @@ def commit_append(
     actions: list[dict] = [
         {"commitInfo": {"operation": "WRITE", "operationParameters": {"mode": "Append"}, "engine": "spark-graft"}}
     ]
+    if txn_app_id is not None:
+        if txn_version is None:
+            raise ValueError("txn_app_id requires txn_version")
+        actions.append(
+            {"txn": {"appId": txn_app_id, "version": int(txn_version), "lastUpdated": _now_ms()}}
+        )
     actions += [_add_action(table_dir, f) for f in files]
     _write_commit(table_dir, version, actions)
     _maybe_checkpoint(spark, table_dir, version, checkpoint_interval)
     return version
+
+
+def last_txn_version(spark: SparkSession, table_dir: str, app_id: str) -> int | None:
+    """Highest committed `txn` version for `app_id`, or None — the
+    restart-side half of the idempotent-writer handshake."""
+    return replay_state(spark, table_dir).txns.get(app_id)
 
 
 # ---------------------------------------------------------------------------

@@ -180,6 +180,37 @@ def test_checkpoint_written_and_sufficient(spark, tmp_path):
         read_delta_table(spark, tdir, version=3)
 
 
+def test_txn_action_survives_checkpoint_pruning(spark, tmp_path):
+    """The idempotent-writer handshake: txn versions are monotone per
+    appId, ride the checkpoint rows, and stay queryable after the JSON
+    history below the checkpoint is deleted."""
+    from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+        last_txn_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    create_delta_table(
+        spark,
+        tdir,
+        spark.createDataFrame([(0,)], "k long"),
+        checkpoint_interval=5,
+    )
+    for i in range(1, 8):
+        commit_append(
+            spark, tdir,
+            spark.createDataFrame([(i,)], "k long"),
+            checkpoint_interval=5,
+            txn_app_id="sinkA", txn_version=i,
+        )
+    assert last_txn_version(spark, tdir, "sinkA") == 7
+    assert last_txn_version(spark, tdir, "absent") is None
+    for v in range(0, 5):
+        os.remove(os.path.join(tdir, "_delta_log", f"{v:020d}.json"))
+    # the checkpoint at v5 carries the txn row for batches 1..5
+    assert last_txn_version(spark, tdir, "sinkA") == 7
+    assert replay_state(spark, tdir, 5).txns == {"sinkA": 5}
+
+
 def test_export_idempotent_rebuild(spark, tmp_path):
     """Re-export replaces the derived log and converges to the same
     active file set."""
