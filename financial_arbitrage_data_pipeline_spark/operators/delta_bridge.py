@@ -276,3 +276,71 @@ def streaming_delta_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "delta_optimize_vacuum_read",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("K4", "lakehouse", "delta-protocol", "compaction"),
+)
+def delta_optimize_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-file LIFECYCLE a streaming-append Delta table needs:
+    eight append commits accrete small files (one per micro-batch — at
+    100 TB the scan dies by open-file overhead long before bytes), then
+    OPTIMIZE bin-packs the active set in one dataChange=false commit,
+    VACUUM(retention=0) physically deletes the tombstoned small files,
+    and the table is read back through log replay. In-query assertions
+    pin the contract: compaction shrinks the active file count, vacuum
+    removes bytes from disk without touching the active set, the
+    post-vacuum read still succeeds, and time travel to a pre-OPTIMIZE
+    version now fails LOUDLY (history was traded for storage — the
+    protocol's documented vacuum semantics, same loud-or-exact
+    discipline as the merge table's vacuum). The aggregate matching a
+    plain `orders` scan proves compaction+vacuum changed bytes' layout,
+    never the data."""
+    from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+        optimize_compact,
+        replay_state,
+        vacuum_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="sgdeltaopt_")
+    tdir = os.path.join(root, "orders_delta")
+    try:
+        create_delta_table(spark, tdir, orders.filter(F.col("o_orderkey") % 8 == 0))
+        for i in range(1, 8):
+            commit_append(spark, tdir, orders.filter(F.col("o_orderkey") % 8 == i))
+        n_before = len(replay_state(spark, tdir).files)
+        opt_v = optimize_compact(spark, tdir, target_files=1)
+        n_after = len(replay_state(spark, tdir).files)
+        assert n_after < n_before and n_after >= 1
+
+        deleted = vacuum_delta(spark, tdir, retention_ms=0)
+        assert len(deleted) == n_before, "vacuum must delete exactly the tombstoned files"
+        for rel in deleted:
+            assert not os.path.exists(os.path.join(tdir, rel))
+        try:
+            read_delta_table(spark, tdir, version=opt_v - 1).count()
+            raise AssertionError("pre-OPTIMIZE version readable after vacuum")
+        except Exception as exc:
+            assert not isinstance(exc, AssertionError), exc
+
+        df = read_delta_table(spark, tdir)
+        out = df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -573,6 +573,80 @@ def last_txn_version(spark: SparkSession, table_dir: str, app_id: str) -> int | 
     return replay_state(spark, table_dir).txns.get(app_id)
 
 
+def optimize_compact(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    target_files: int = 1,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
+) -> int:
+    """OPTIMIZE: bin-pack the active files into `target_files` larger
+    ones in a single commit of remove+add actions with
+    ``dataChange: false`` — the protocol's marker that the commit
+    rearranges bytes without changing table content (streaming readers
+    treating the log as a CDC feed skip it; concurrent writers conflict-
+    check against it like any commit).
+
+    This is the lifecycle complement of the streaming txn sink: a
+    micro-batch-per-commit table accretes one small file per trigger,
+    and at 100 TB the scan dies by open-file overhead long before
+    bytes; periodic compaction restores O(target) files while every
+    version before it stays time-travelable (the small files remain on
+    disk until VACUUM expires their tombstones)."""
+    state = replay_state(spark, table_dir)
+    old_paths = sorted(state.files)
+    df = read_delta_table(spark, table_dir).coalesce(max(1, target_files))
+    version = delta_versions(table_dir)[-1] + 1
+    new_files = _materialize_files(df, table_dir, version)
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "OPTIMIZE", "engine": "spark-graft"}}
+    ]
+    for p in old_paths:
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": _now_ms(),
+                    "dataChange": False,
+                }
+            }
+        )
+    for f in new_files:
+        a = _add_action(table_dir, f)
+        a["add"]["dataChange"] = False
+        actions.append(a)
+    _write_commit(table_dir, version, actions)
+    _maybe_checkpoint(spark, table_dir, version, checkpoint_interval)
+    return version
+
+
+def vacuum_delta(
+    spark: SparkSession, table_dir: str, *, retention_ms: int = 0
+) -> list[str]:
+    """VACUUM: physically delete data files that are (a) not in the
+    CURRENT active set and (b) tombstoned by a `remove` whose
+    `deletionTimestamp` is older than the retention window. Time travel
+    to versions that referenced a vacuumed file fails loudly at read
+    time — the protocol's documented trade of history for storage.
+    Returns the deleted relative paths."""
+    state = replay_state(spark, table_dir)
+    active = set(state.files)
+    cutoff = _now_ms() - retention_ms
+    deleted: list[str] = []
+    for v in delta_versions(table_dir):
+        for action in _read_commit_actions(table_dir, v):
+            r = action.get("remove")
+            if not r or r["path"] in active:
+                continue
+            if r.get("deletionTimestamp", 0) > cutoff:
+                continue
+            abs_path = os.path.join(table_dir, _decode_path(r["path"]))
+            if os.path.exists(abs_path):
+                os.remove(abs_path)
+                deleted.append(r["path"])
+    return sorted(set(deleted))
+
+
 # ---------------------------------------------------------------------------
 # Merge-table export: bucketed MERGE history -> Delta log
 # ---------------------------------------------------------------------------

@@ -211,6 +211,40 @@ def test_txn_action_survives_checkpoint_pruning(spark, tmp_path):
     assert replay_state(spark, tdir, 5).txns == {"sinkA": 5}
 
 
+def test_optimize_datachange_false_and_vacuum_retention(spark, tmp_path):
+    """OPTIMIZE emits remove+add with dataChange=false (a layout-only
+    commit per the protocol); VACUUM honors retention and never touches
+    the active set."""
+    from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+        optimize_compact,
+        vacuum_delta,
+    )
+
+    tdir = str(tmp_path / "t")
+    create_delta_table(spark, tdir, spark.createDataFrame([(0,)], "k long"))
+    for i in range(1, 6):
+        commit_append(spark, tdir, spark.createDataFrame([(i,)], "k long"))
+    before = sorted(r["k"] for r in read_delta_table(spark, tdir).collect())
+
+    v = optimize_compact(spark, tdir, target_files=1)
+    acts = _log_lines(tdir, v)
+    assert all(
+        a["remove"]["dataChange"] is False for a in acts if "remove" in a
+    ) and all(a["add"]["dataChange"] is False for a in acts if "add" in a)
+    assert any("remove" in a for a in acts) and any("add" in a for a in acts)
+    assert sorted(r["k"] for r in read_delta_table(spark, tdir).collect()) == before
+
+    # retention not yet expired: nothing is deleted
+    assert vacuum_delta(spark, tdir, retention_ms=3_600_000) == []
+    # expired: exactly the tombstoned small files go; active set intact
+    state = replay_state(spark, tdir)
+    deleted = vacuum_delta(spark, tdir, retention_ms=0)
+    assert deleted and set(deleted).isdisjoint(state.files)
+    for p in state.files:
+        assert os.path.exists(os.path.join(tdir, p))
+    assert sorted(r["k"] for r in read_delta_table(spark, tdir).collect()) == before
+
+
 def test_export_idempotent_rebuild(spark, tmp_path):
     """Re-export replaces the derived log and converges to the same
     active file set."""
