@@ -344,3 +344,72 @@ def delta_optimize_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "delta_partition_pruned_read",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+    tags=("K4", "lakehouse", "delta-protocol", "partition-pruning"),
+)
+def delta_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED Delta table + log-metadata pruning: `orders` lands
+    partitioned by o_orderstatus (Hive-style dirs; the partition column
+    lives ONLY in add.partitionValues and the path, never in the data
+    files — the protocol's storage rule), then a selective read passes
+    `partition_filter={'o_orderstatus': ['F']}` and the reader prunes
+    the file set from the LOG alone, before any parquet footer is
+    opened. In-query assertions pin that the pruned set is a strict
+    non-empty subset, and THE OTHER PARTITIONS' FILES ARE DELETED FROM
+    DISK before the read — the read can only succeed if pruning never
+    touches them. That is the access pattern that makes a one-status
+    scan of a 100 TB table cost O(matching partition): the decision is
+    driver-side metadata, not a distributed directory walk."""
+    from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+        _decode_path,
+        replay_state,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="sgdeltapp_")
+    tdir = os.path.join(root, "orders_delta")
+    try:
+        create_delta_table(
+            spark,
+            tdir,
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            partition_by=["o_orderstatus"],
+        )
+        commit_append(spark, tdir, orders.filter(F.col("o_orderkey") % 2 == 1))
+
+        state = replay_state(spark, tdir)
+        matching = [
+            p for p, a in state.files.items()
+            if a["partitionValues"]["o_orderstatus"] == "F"
+        ]
+        assert 0 < len(matching) < len(state.files)
+        # destroy every non-matching partition file: pruning must make
+        # the filtered read blind to them
+        for p in set(state.files) - set(matching):
+            os.remove(os.path.join(tdir, _decode_path(p)))
+
+        df = read_delta_table(
+            spark, tdir, partition_filter={"o_orderstatus": ["F"]}
+        )
+        out = df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -231,12 +231,18 @@ def _list_parquet(dir_path: str) -> list[str]:
     )
 
 
-def _add_action(table_dir: str, abs_path: str, *, stats: bool = True) -> dict:
+def _add_action(
+    table_dir: str,
+    abs_path: str,
+    *,
+    partition_values: dict[str, str] | None = None,
+    stats: bool = True,
+) -> dict:
     rel = os.path.relpath(abs_path, table_dir)
     st = os.stat(abs_path)
     add = {
         "path": _encode_path(rel),
-        "partitionValues": {},
+        "partitionValues": dict(partition_values or {}),
         "size": st.st_size,
         "modificationTime": int(st.st_mtime * 1000),
         "dataChange": True,
@@ -256,7 +262,13 @@ def _remove_action(encoded_path: str) -> dict:
     }
 
 
-def _metadata_action(table_dir: str, schema: StructType, *, name: str | None) -> dict:
+def _metadata_action(
+    table_dir: str,
+    schema: StructType,
+    *,
+    name: str | None,
+    partition_columns: list[str] | None = None,
+) -> dict:
     # Deterministic table id: exports of the same table agree across runs.
     table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, "spark-graft-delta:" + os.path.abspath(table_dir)))
     return {
@@ -266,7 +278,7 @@ def _metadata_action(table_dir: str, schema: StructType, *, name: str | None) ->
             "description": None,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema.json(),
-            "partitionColumns": [],
+            "partitionColumns": list(partition_columns or []),
             "configuration": {},
             "createdTime": _now_ms(),
         }
@@ -397,27 +409,70 @@ def replay_state(
 
 
 def read_delta_table(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    partition_filter: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """DataFrame over the Delta table at `version` via pure log replay —
     no directory listing. The metaData schemaString is imposed on the
     scan, so files written before a schema widening surface the later
-    columns as nulls (the protocol's evolution semantics)."""
+    columns as nulls (the protocol's evolution semantics).
+
+    `partition_filter` ({col: allowed values}) prunes files by the
+    log's partitionValues BEFORE any parquet footer is opened — the
+    metadata-only pruning that makes a selective read of a 100 TB
+    partitioned table cost O(matching partition), not O(table). For a
+    partitioned table the partition columns are reattached from the
+    log metadata (the data files do not contain them, per protocol)."""
     state = replay_state(spark, table_dir, version)
     schema = StructType.fromJson(json.loads(state.metadata["schemaString"]))
-    paths = [
-        os.path.join(table_dir, _decode_path(p)) for p in sorted(state.files)
-    ]
-    if not paths:
+    pcols = state.metadata.get("partitionColumns") or []
+    if partition_filter:
+        unknown = set(partition_filter) - set(pcols)
+        if unknown:
+            raise ValueError(f"partition_filter on non-partition columns: {unknown}")
+
+    def keep(add: dict) -> bool:
+        if not partition_filter:
+            return True
+        pv = add.get("partitionValues", {})
+        return all(pv.get(c) in set(vals) for c, vals in partition_filter.items())
+
+    selected = {p: a for p, a in state.files.items() if keep(a)}
+    if not selected:
         return spark.createDataFrame([], schema)
-    # explicit field select drops any partition-style tokens a path
-    # component (e.g. `__bucket__=3`) would otherwise surface as columns
-    return (
-        spark.read.schema(schema)
-        .option("basePath", table_dir)
-        .parquet(*paths)
-        .select(*[F.col(f.name) for f in schema.fields])
-    )
+    if not pcols:
+        paths = [os.path.join(table_dir, _decode_path(p)) for p in sorted(selected)]
+        # explicit field select drops any partition-style tokens a path
+        # component (e.g. `__bucket__=3`) would otherwise surface as columns
+        return (
+            spark.read.schema(schema)
+            .option("basePath", table_dir)
+            .parquet(*paths)
+            .select(*[F.col(f.name) for f in schema.fields])
+        )
+    # partitioned: group files by partitionValues tuple, read each group
+    # with the DATA schema, reattach partition columns as typed literals
+    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    groups: dict[tuple, list[str]] = {}
+    for p, a in selected.items():
+        key = tuple(a["partitionValues"][c] for c in pcols)
+        groups.setdefault(key, []).append(
+            os.path.join(table_dir, _decode_path(p))
+        )
+    parts: list[DataFrame] = []
+    for key in sorted(groups):
+        df = spark.read.schema(data_schema).parquet(*sorted(groups[key]))
+        df = df.select(*[F.col(f.name) for f in data_schema.fields])
+        for c, v in zip(pcols, key):
+            df = df.withColumn(c, F.lit(v).cast(ptypes[c]))
+        parts.append(df.select(*[F.col(f.name) for f in schema.fields]))
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -490,18 +545,51 @@ def _maybe_checkpoint(
 
 
 def _materialize_files(
-    spark_df: DataFrame, table_dir: str, version: int
-) -> list[str]:
-    """Write the batch as parquet files at the table root with
-    version-scoped names (the protocol does not constrain data file
-    names — only that the log references them)."""
+    spark_df: DataFrame,
+    table_dir: str,
+    version: int,
+    partition_cols: list[str] | None = None,
+) -> list[tuple[str, dict[str, str]]]:
+    """Write the batch as parquet files with version-scoped names and
+    return (abs_path, partitionValues) pairs. Partitioned writes use
+    the Hive-style `<col>=<value>/` layout real Delta writers emit;
+    partition column VALUES live only in the path + the log's
+    partitionValues map — the data files do not contain the columns
+    (the protocol's storage rule)."""
     tmp = os.path.join(table_dir, f".__stage_v{version}__")
-    spark_df.write.mode("overwrite").parquet(tmp)
-    out: list[str] = []
-    for i, part in enumerate(_list_parquet(tmp)):
-        dst = os.path.join(table_dir, f"part-{version:05d}-{i:05d}.snappy.parquet")
-        os.replace(part, dst)
-        out.append(dst)
+    w = spark_df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    out: list[tuple[str, dict[str, str]]] = []
+    if not partition_cols:
+        for i, part in enumerate(_list_parquet(tmp)):
+            dst = os.path.join(table_dir, f"part-{version:05d}-{i:05d}.snappy.parquet")
+            os.replace(part, dst)
+            out.append((dst, {}))
+    else:
+        i = 0
+        for dirpath, _dirnames, filenames in sorted(os.walk(tmp)):
+            pvals: dict[str, str] = {}
+            rel = os.path.relpath(dirpath, tmp)
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = urllib.parse.unquote(v)
+            if set(pvals) != set(partition_cols):
+                continue
+            for f in sorted(filenames):
+                if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                    continue
+                ddir = os.path.join(
+                    table_dir,
+                    *(f"{c}={urllib.parse.quote(pvals[c], safe='')}" for c in partition_cols),
+                )
+                os.makedirs(ddir, exist_ok=True)
+                dst = os.path.join(ddir, f"part-{version:05d}-{i:05d}.snappy.parquet")
+                os.replace(os.path.join(dirpath, f), dst)
+                out.append((dst, dict(pvals)))
+                i += 1
     shutil.rmtree(tmp, ignore_errors=True)
     return out
 
@@ -512,19 +600,24 @@ def create_delta_table(
     df: DataFrame,
     *,
     name: str | None = None,
+    partition_by: list[str] | None = None,
     checkpoint_interval: int = CHECKPOINT_INTERVAL,
 ) -> int:
-    """Version-0 commit: protocol + metaData + the seed files."""
+    """Version-0 commit: protocol + metaData + the seed files.
+    `partition_by` declares protocol partitioning: files land in
+    Hive-style dirs, partition values live in the log (add.
+    partitionValues) and NOT in the data files, and every later append
+    inherits the layout from metaData.partitionColumns."""
     os.makedirs(table_dir, exist_ok=True)
     if delta_versions(table_dir):
         raise FileExistsError(f"Delta log already exists at {table_dir}")
-    files = _materialize_files(df, table_dir, 0)
+    files = _materialize_files(df, table_dir, 0, partition_by)
     actions: list[dict] = [
         {"commitInfo": {"operation": "CREATE TABLE AS SELECT", "engine": "spark-graft"}},
         dict(PROTOCOL_ACTION),
-        _metadata_action(table_dir, df.schema, name=name),
+        _metadata_action(table_dir, df.schema, name=name, partition_columns=partition_by),
     ]
-    actions += [_add_action(table_dir, f) for f in files]
+    actions += [_add_action(table_dir, f, partition_values=pv) for f, pv in files]
     _write_commit(table_dir, 0, actions)
     _maybe_checkpoint(spark, table_dir, 0, checkpoint_interval)
     return 0
@@ -551,7 +644,8 @@ def commit_append(
     if not versions:
         raise FileNotFoundError(f"no Delta table at {table_dir}; create first")
     version = versions[-1] + 1
-    files = _materialize_files(df, table_dir, version)
+    pcols = replay_state(spark, table_dir).metadata.get("partitionColumns") or []
+    files = _materialize_files(df, table_dir, version, pcols or None)
     actions: list[dict] = [
         {"commitInfo": {"operation": "WRITE", "operationParameters": {"mode": "Append"}, "engine": "spark-graft"}}
     ]
@@ -561,7 +655,7 @@ def commit_append(
         actions.append(
             {"txn": {"appId": txn_app_id, "version": int(txn_version), "lastUpdated": _now_ms()}}
         )
-    actions += [_add_action(table_dir, f) for f in files]
+    actions += [_add_action(table_dir, f, partition_values=pv) for f, pv in files]
     _write_commit(table_dir, version, actions)
     _maybe_checkpoint(spark, table_dir, version, checkpoint_interval)
     return version
@@ -595,9 +689,10 @@ def optimize_compact(
     disk until VACUUM expires their tombstones)."""
     state = replay_state(spark, table_dir)
     old_paths = sorted(state.files)
+    pcols = state.metadata.get("partitionColumns") or []
     df = read_delta_table(spark, table_dir).coalesce(max(1, target_files))
     version = delta_versions(table_dir)[-1] + 1
-    new_files = _materialize_files(df, table_dir, version)
+    new_files = _materialize_files(df, table_dir, version, pcols or None)
     actions: list[dict] = [
         {"commitInfo": {"operation": "OPTIMIZE", "engine": "spark-graft"}}
     ]
@@ -611,8 +706,8 @@ def optimize_compact(
                 }
             }
         )
-    for f in new_files:
-        a = _add_action(table_dir, f)
+    for f, pv in new_files:
+        a = _add_action(table_dir, f, partition_values=pv)
         a["add"]["dataChange"] = False
         actions.append(a)
     _write_commit(table_dir, version, actions)

@@ -245,6 +245,61 @@ def test_optimize_datachange_false_and_vacuum_retention(spark, tmp_path):
     assert sorted(r["k"] for r in read_delta_table(spark, tdir).collect()) == before
 
 
+def test_partitioned_layout_and_pruned_read(spark, tmp_path):
+    """Partition values live in add.partitionValues + Hive-style paths,
+    NOT in the data files; appends inherit the layout from metaData;
+    partition_filter prunes from the log alone (non-matching files can
+    be deleted from disk and the filtered read never notices); OPTIMIZE
+    preserves partitioning."""
+    import pyarrow.parquet as pq
+
+    from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+        _decode_path,
+        optimize_compact,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i * 10) for i in range(20)], "k long, g string, v long"
+    )
+    create_delta_table(spark, tdir, df.filter("k < 10"), partition_by=["g"])
+    commit_append(spark, tdir, df.filter("k >= 10"))
+
+    state = replay_state(spark, tdir)
+    meta = state.metadata
+    assert meta["partitionColumns"] == ["g"]
+    for p, a in state.files.items():
+        assert a["partitionValues"]["g"] in ("a", "b")
+        assert f"g={a['partitionValues']['g']}" in _decode_path(p)
+        # protocol storage rule: the data file does NOT contain g
+        cols = pq.ParquetFile(
+            os.path.join(tdir, _decode_path(p))
+        ).schema_arrow.names
+        assert "g" not in cols
+
+    full = read_delta_table(spark, tdir)
+    assert sorted((r["k"], r["g"]) for r in full.collect()) == [
+        (i, "ab"[i % 2]) for i in range(20)
+    ]
+
+    only_a = read_delta_table(spark, tdir, partition_filter={"g": ["a"]})
+    assert sorted(r["k"] for r in only_a.collect()) == list(range(0, 20, 2))
+    with pytest.raises(ValueError, match="non-partition"):
+        read_delta_table(spark, tdir, partition_filter={"nope": ["x"]})
+
+    v = optimize_compact(spark, tdir, target_files=1)
+    state2 = replay_state(spark, tdir, v)
+    assert {a["partitionValues"]["g"] for a in state2.files.values()} == {"a", "b"}
+    assert len(state2.files) < len(state.files) or len(state.files) == 2
+
+    # pruning is log-only: destroy partition b's files, read a fine
+    for p, a in state2.files.items():
+        if a["partitionValues"]["g"] == "b":
+            os.remove(os.path.join(tdir, _decode_path(p)))
+    still_a = read_delta_table(spark, tdir, partition_filter={"g": ["a"]})
+    assert sorted(r["k"] for r in still_a.collect()) == list(range(0, 20, 2))
+
+
 def test_export_idempotent_rebuild(spark, tmp_path):
     """Re-export replaces the derived log and converges to the same
     active file set."""
