@@ -300,6 +300,26 @@ def test_partitioned_layout_and_pruned_read(spark, tmp_path):
     assert sorted(r["k"] for r in still_a.collect()) == list(range(0, 20, 2))
 
 
+def test_replay_read_pushes_filters_and_prunes_columns(spark, tmp_path):
+    """The log-replay scan stays a first-class Catalyst parquet scan:
+    filters push into PushedFilters and projections prune ReadSchema —
+    the bridge must not cost the optimizer anything."""
+    tdir = str(tmp_path / "t")
+    create_delta_table(
+        spark,
+        tdir,
+        spark.createDataFrame(
+            [(i, i * 10, f"s{i}") for i in range(100)], "k long, v long, s string"
+        ),
+    )
+    df = read_delta_table(spark, tdir).filter("k > 50").select("k", "v")
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,50)]" in plan
+    assert "ReadSchema: struct<k:bigint,v:bigint>" in plan
+
+
 def test_export_idempotent_rebuild(spark, tmp_path):
     """Re-export replaces the derived log and converges to the same
     active file set."""
