@@ -358,14 +358,73 @@ def _latest_checkpoint_at_or_below(table_dir: str, version: int) -> int | None:
 
 
 def _state_from_checkpoint(spark: SparkSession, table_dir: str, cp_version: int) -> _LogState:
-    rows = spark.read.parquet(_checkpoint_path(table_dir, cp_version)).collect()
+    """Driver-side pyarrow read — a checkpoint is a small metadata file
+    and loading it must not cost a Spark job (measured: the fixed
+    job-submission overhead exceeded parsing ~10k JSON commits,
+    inverting the checkpoint's entire purpose; BENCH_delta_replay.json
+    carries the before/after)."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(_checkpoint_path(table_dir, cp_version))
+
+    map_fields = {"partitionValues", "tags", "options", "configuration"}
+
+    def norm(body: dict) -> dict:
+        out = {}
+        for k, v in body.items():
+            if v is None:
+                continue
+            if k in map_fields and isinstance(v, list):
+                out[k] = dict(v)  # arrow maps arrive as (key, value) pairs
+            elif isinstance(v, dict):
+                out[k] = norm(v)
+            else:
+                out[k] = v
+        return out
+
+    def struct_rows(name: str):
+        """Row dicts of one action column via COLUMNAR field access —
+        `to_pylist()` on the nested struct column converts every null
+        sub-field of every row and measures ~8x slower on a 10k-file
+        checkpoint (it erased the checkpoint's win over full JSON
+        replay; BENCH_delta_replay.json carries the curve)."""
+        import pyarrow as pa
+
+        if name not in table.column_names:
+            return
+        col = table.column(name).combine_chunks()
+        valid = col.is_valid().to_pylist()
+        if not any(valid):
+            return
+        names = [f.name for f in col.type]
+        field_lists = []
+        for f in names:
+            arr = col.field(f)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_map(arr.type) and len(arr.keys) == 0:
+                # every map in the column is empty/null (the common case
+                # for partitionValues/tags): one offsets probe replaces
+                # 10k per-row conversions
+                field_lists.append(None)
+            else:
+                field_lists.append(arr.to_pylist())
+        for i, ok in enumerate(valid):
+            if ok:
+                body = {
+                    k: vals[i]
+                    for k, vals in zip(names, field_lists)
+                    if vals is not None and vals[i] is not None
+                }
+                for k, vals in zip(names, field_lists):
+                    if vals is None:
+                        body[k] = {}
+                yield body
+
     state = _LogState()
-    for r in rows:
-        d = r.asDict(recursive=True)
-        for key in ("protocol", "metaData", "add", "remove", "txn"):
-            if d.get(key) is not None:
-                body = {k: v for k, v in d[key].items() if v is not None}
-                state.apply({key: body})
+    for key in ("protocol", "metaData", "txn", "add", "remove"):
+        for body in struct_rows(key):
+            state.apply({key: norm(body)})
     return state
 
 

@@ -69,11 +69,14 @@ def real_tier(spark, commit_counts, interval) -> list[dict]:
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     for n_commits in commit_counts:
-        out = []
-        for cp_interval in (interval, 0):  # 0 = checkpoints disabled
-            root = tempfile.mkdtemp(prefix="sgdrb_")
-            tdir = os.path.join(root, "t")
-            try:
+        root = tempfile.mkdtemp(prefix="sgdrb_")
+        dirs = {}
+        try:
+            # build BOTH variants first, then measure INTERLEAVED —
+            # sequential build+measure gave the later variant a warmed
+            # JVM/page cache and consistently inverted the comparison
+            for label, cp_interval in (("cp", interval), ("full", 0)):
+                tdir = os.path.join(root, label)
                 create_delta_table(
                     spark,
                     tdir,
@@ -87,28 +90,42 @@ def real_tier(spark, commit_counts, interval) -> list[dict]:
                         orders.filter(F.col("o_orderkey") % n_commits == i),
                         checkpoint_interval=cp_interval,
                     )
-                wall = _median_wall(
-                    lambda: read_delta_table(spark, tdir).agg(
+                dirs[label] = tdir
+            walls = {"cp": [], "full": []}
+            for _ in range(7):
+                for label in ("cp", "full"):
+                    t0 = time.perf_counter()
+                    read_delta_table(spark, dirs[label]).agg(
                         F.count(F.lit(1))
                     ).collect()
-                )
-                out.append(round(wall, 4))
-            finally:
-                shutil.rmtree(root, ignore_errors=True)
+                    walls[label].append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
         rows.append(
             {
                 "commits": n_commits,
-                "read_wall_checkpointed_sec": out[0],
-                "read_wall_full_replay_sec": out[1],
+                "read_wall_checkpointed_sec": round(
+                    statistics.median(walls["cp"]), 4
+                ),
+                "read_wall_full_replay_sec": round(
+                    statistics.median(walls["full"]), 4
+                ),
             }
         )
         print(f"  real tier {rows[-1]}", flush=True)
     return rows
 
 
-def metadata_tier(spark, commit_counts, interval) -> list[dict]:
+def metadata_tier(spark, commit_counts, interval, churn=False) -> list[dict]:
     """replay_state alone at commit counts too large to write data for.
-    Fabricated single-add commits; checkpoints via the real writer."""
+    Fabricated commits; checkpoints via the real writer. `churn=False`
+    grows the active set with every commit (append-only worst case for
+    the checkpoint: state is O(commits) either way and the win is
+    columnar-load vs JSON-parse). `churn=True` removes the previous
+    file each commit (upsert/compaction-shaped history, active set
+    O(1)): full replay still parses EVERY commit, the checkpointed
+    read is a near-empty checkpoint + the bounded JSON tail — the
+    regime a long-lived 100 TB table actually lives in."""
     rows = []
     for n_commits in commit_counts:
         root = tempfile.mkdtemp(prefix="sgdrbm_")
@@ -147,6 +164,16 @@ def metadata_tier(spark, commit_counts, interval) -> list[dict]:
                         }
                     }
                 )
+                if churn and v > 0:
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": f"part-{v - 1:07d}.parquet",
+                                "deletionTimestamp": 1,
+                                "dataChange": True,
+                            }
+                        }
+                    )
                 _write_commit(tdir, v, actions)
                 for a in actions:
                     state.apply(a)
@@ -189,23 +216,29 @@ def main() -> None:
 
     interval = 10
     real = real_tier(spark, [12, 40, 120], interval)
-    meta = metadata_tier(spark, [100, 1000, 10000], interval * 10)
+    meta = metadata_tier(spark, [100, 1000, 10000, 30000], interval * 10)
+    churn = metadata_tier(
+        spark, [100, 1000, 10000, 30000], interval * 10, churn=True
+    )
     out = {
         "metric": "delta_log_replay_cost",
         "unit": "sec",
         "checkpoint_interval_real": interval,
         "checkpoint_interval_metadata": interval * 10,
         "harness": (
-            "median of 5; real tier = full read (replay + data) on a "
-            "table of N append commits from orders sf0.1; metadata tier "
-            "= replay_state only on fabricated single-add commits"
+            "real tier = full read (replay + data), interleaved medians "
+            "of 7, N append commits from orders sf0.1; metadata tiers = "
+            "replay_state only on fabricated commits, median of 5 — "
+            "append-only grows the active set O(commits), churn keeps "
+            "it O(1) (each commit supersedes the previous file)"
         ),
         "real_tier": real,
-        "metadata_tier": meta,
+        "metadata_tier_append_only": meta,
+        "metadata_tier_churn": churn,
     }
     with open(args.out, "w", encoding="utf-8") as fh:
         json.dump(out, fh, indent=1)
-    print(json.dumps({"metric": "delta_replay", "rows": len(real) + len(meta)}))
+    print(json.dumps({"metric": "delta_replay", "rows": len(real) + len(meta) + len(churn)}))
 
 
 if __name__ == "__main__":
