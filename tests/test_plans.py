@@ -336,6 +336,9 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "lang_id_ngram",        # tiny language-profile dimension
         "pq_recall_audit",      # contains ann_cosine_topk by construction
         "ivf_recall_at_k",      # contains ann_cosine_topk by construction
+        "ivfpq_rerank_recall_audit",  # same exact-baseline composition:
+                                      # the 10-query broadcast scorer
+                                      # grades the rerank shortlist
         "ann_recall_at_k",      # exact side IS ann_cosine_topk's 10-query broadcast;
                                 # recall metric runs on a bounded query sample by design
         "ann_plane_sweep",      # same exact-baseline composition per swept config,
