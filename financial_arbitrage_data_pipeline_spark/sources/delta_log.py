@@ -285,13 +285,31 @@ def _metadata_action(
     }
 
 
+class DeltaCommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic
+    concurrency): re-read the log and retry on top of the new head."""
+
+
 def _write_commit(table_dir: str, version: int, actions: list[dict]) -> None:
     os.makedirs(_log_dir(table_dir), exist_ok=True)
-    tmp = _commit_path(table_dir, version) + ".tmp"
+    tmp = _commit_path(table_dir, version) + f".tmp.{os.getpid()}"
     with open(tmp, "w", encoding="utf-8") as fh:
         for a in actions:
             fh.write(json.dumps(a, separators=(",", ":")) + "\n")
-    os.rename(tmp, _commit_path(table_dir, version))
+    # put-if-absent, the protocol's commit atomicity rule: os.rename
+    # REPLACES silently, so two writers racing to version N would lose a
+    # commit — link() fails loudly on an existing target instead
+    try:
+        os.link(tmp, _commit_path(table_dir, version))
+    except FileExistsError:
+        raise DeltaCommitConflict(
+            f"version {version} of {table_dir} was committed concurrently"
+        ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def delta_versions(table_dir: str) -> list[int]:
@@ -634,6 +652,13 @@ def _materialize_files(
             if rel != ".":
                 for seg in rel.split(os.sep):
                     k, _, v = seg.partition("=")
+                    if v == "__HIVE_DEFAULT_PARTITION__":
+                        raise NotImplementedError(
+                            f"null partition value in column {k!r}: the "
+                            "protocol encodes it as a null map entry, "
+                            "which this writer does not implement — "
+                            "filter nulls or pick a non-null partition key"
+                        )
                     pvals[k] = urllib.parse.unquote(v)
             if set(pvals) != set(partition_cols):
                 continue
@@ -839,10 +864,17 @@ def export_delta_log(
     Returns the latest Delta version (== the merge table's last seq).
     """
     from financial_arbitrage_data_pipeline_spark.operators.upsert import (
+        _bucketed_n,
         _read_commit_log,
         history_versions,
     )
 
+    if _bucketed_n(table_dir) is None:
+        raise ValueError(
+            f"{table_dir} is not a bucketed merge table (no _n_buckets "
+            "marker) — export derives its file sets from the bucketed "
+            "layout; for arbitrary DataFrames use create_delta_table"
+        )
     log = _read_commit_log(table_dir)
     versions = history_versions(table_dir)
     if versions[0] != 0:

@@ -353,6 +353,39 @@ def test_merge_after_export_drops_stale_derived_log(spark, tmp_path):
         )
 
 
+def test_commit_conflict_and_loud_guards(spark, tmp_path):
+    """(a) committing an already-taken version raises DeltaCommitConflict
+    instead of silently replacing it (put-if-absent, the protocol's
+    commit atomicity); (b) exporting a non-bucketed dir refuses loudly;
+    (c) a null partition value refuses loudly instead of landing as the
+    __HIVE_DEFAULT_PARTITION__ literal."""
+    from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+        DeltaCommitConflict,
+        _read_commit_actions,
+        _write_commit,
+    )
+
+    tdir = str(tmp_path / "t")
+    create_delta_table(spark, tdir, spark.createDataFrame([(1,)], "k long"))
+    before = _read_commit_actions(tdir, 0)
+    with pytest.raises(DeltaCommitConflict, match="version 0"):
+        _write_commit(tdir, 0, [{"commitInfo": {"operation": "EVIL"}}])
+    assert _read_commit_actions(tdir, 0) == before  # untouched
+
+    plain = str(tmp_path / "plain")
+    spark.createDataFrame([(1,)], "k long").write.parquet(plain)
+    with pytest.raises(ValueError, match="not a bucketed merge table"):
+        export_delta_log(spark, plain)
+
+    with pytest.raises(NotImplementedError, match="null partition value"):
+        create_delta_table(
+            spark,
+            str(tmp_path / "nullpart"),
+            spark.createDataFrame([(1, None)], "k long, g string"),
+            partition_by=["g"],
+        )
+
+
 def test_real_delta_reader_if_available(spark, tmp_path):
     """Auto-unskip interop gate (MIGRATION.md runbook): when a real
     delta-spark is importable, it must read our exported table
