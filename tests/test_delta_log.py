@@ -386,6 +386,82 @@ def test_commit_conflict_and_loud_guards(spark, tmp_path):
         )
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_model_fuzz_lifecycle(spark, tmp_path, seed):
+    """Model-based fuzz: a random sequence of append/optimize/vacuum
+    ops (txn-stamped, random checkpoint intervals) against a plain
+    Python list model. Invariants: HEAD read equals the model after
+    EVERY op; time travel to any retained version is exact; vacuumed
+    history fails LOUDLY, never silently wrong. (25-seed sweep ran at
+    round close; 6 seeds here keep the suite budget.)"""
+    import random
+
+    from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+        optimize_compact,
+        vacuum_delta,
+    )
+
+    rng = random.Random(seed)
+    tdir = str(tmp_path / "t")
+    interval = rng.choice([2, 3, 5])
+    model: list[tuple[int, int]] = []
+    history: dict[int, list[tuple[int, int]]] = {}
+    nxt = 0
+
+    def batch(n):
+        nonlocal nxt
+        rows = [(nxt + i, rng.randrange(1000)) for i in range(n)]
+        nxt += n
+        return rows
+
+    rows = batch(rng.randrange(0, 4))
+    create_delta_table(
+        spark,
+        tdir,
+        spark.createDataFrame(rows, "k long, v long"),
+        checkpoint_interval=interval,
+    )
+    model += rows
+    history[0] = list(model)
+    for step in range(rng.randrange(4, 8)):
+        op = rng.random()
+        if op < 0.55:
+            rows = batch(rng.randrange(0, 5))
+            ver = commit_append(
+                spark,
+                tdir,
+                spark.createDataFrame(rows, "k long, v long"),
+                checkpoint_interval=interval,
+                txn_app_id="fz",
+                txn_version=step,
+            )
+            model += rows
+            history[ver] = list(model)
+        elif op < 0.8:
+            ver = optimize_compact(
+                spark, tdir, target_files=rng.choice([1, 2]),
+                checkpoint_interval=interval,
+            )
+            history[ver] = list(model)
+        else:
+            vacuum_delta(spark, tdir, retention_ms=0)
+        got = sorted(
+            (r["k"], r["v"]) for r in read_delta_table(spark, tdir).collect()
+        )
+        assert got == sorted(model), f"HEAD diverged from model after op {step}"
+    head_ver = max(history)
+    for ver, snap in history.items():
+        try:
+            got = sorted(
+                (r["k"], r["v"])
+                for r in read_delta_table(spark, tdir, version=ver).collect()
+            )
+        except Exception:
+            assert ver < head_ver, "HEAD must stay readable"
+            continue  # vacuumed history died loudly — allowed
+        assert got == sorted(snap), f"time travel diverged at v{ver}"
+
+
 def test_real_delta_reader_if_available(spark, tmp_path):
     """Auto-unskip interop gate (MIGRATION.md runbook): when a real
     delta-spark is importable, it must read our exported table
