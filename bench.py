@@ -119,6 +119,47 @@ def _calib_summary(probes: list[dict]) -> dict:
     }
 
 
+def _proc_tree_cpu_sec() -> float:
+    """CPU-seconds consumed so far by this process and EVERY descendant
+    (the local-mode JVM, its Python workers, the streaming maintenance
+    threads) — utime+stime of live descendants plus cutime+cstime for
+    already-reaped ones. Deltas of this counter around a query are
+    load-INSENSITIVE: a co-tenant burst stretches wall but not CPU
+    consumed, so cpu_sec is the field that makes a round-over-round
+    regression unambiguous when normalization_reliable=false
+    (VERDICT r10 task 7). /proc-based; returns -1 on non-procfs hosts."""
+    try:
+        clk = os.sysconf("SC_CLK_TCK")
+        stats: dict[int, tuple[int, float]] = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as fh:
+                    s = fh.read()
+            except OSError:
+                continue  # raced a process exit
+            rest = s[s.rindex(")") + 2 :].split()
+            ppid = int(rest[1])
+            # utime+stime (own) + cutime+cstime (reaped descendants)
+            cpu = (int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])) / clk
+            stats[int(p)] = (ppid, cpu)
+        children: dict[int, list[int]] = {}
+        for pid, (ppid, _) in stats.items():
+            children.setdefault(ppid, []).append(pid)
+        total, stack, seen = 0.0, [os.getpid()], set()
+        while stack:
+            pid = stack.pop()
+            if pid in seen or pid not in stats:
+                continue
+            seen.add(pid)
+            total += stats[pid][1]
+            stack.extend(children.get(pid, []))
+        return total
+    except (OSError, ValueError):  # pragma: no cover - non-procfs host
+        return -1.0
+
+
 def _contention_snapshot() -> dict:
     """Host contention at a point in time (VERDICT r7 task 1): the 1/5/15
     minute load averages plus the number of OTHER live processes on the
@@ -185,11 +226,16 @@ def main() -> None:
     EXTRA_RUN_BUDGET = 20
 
     all_runs: dict[str, list[float]] = {}
+    all_cpu: dict[str, list[float]] = {}
 
     def one_run(name: str) -> None:
+        c0 = _proc_tree_cpu_sec()
         t0 = time.perf_counter()
         REGISTRY[name].builder(spark, sf_dir).toPandas()
         all_runs[name].append(time.perf_counter() - t0)
+        c1 = _proc_tree_cpu_sec()
+        if c0 >= 0 and c1 >= 0:
+            all_cpu.setdefault(name, []).append(c1 - c0)
 
     def med_mad(runs: list[float]) -> tuple[float, float]:
         med = statistics.median(runs)
@@ -216,11 +262,16 @@ def main() -> None:
         extra += 1
 
     timings: dict[str, float] = {}
+    cpu_secs: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
     for name in names:
         runs = all_runs[name]
         med, mad = med_mad(runs)
         timings[name] = round(min(runs), 4)
+        if all_cpu.get(name):
+            # median CPU-seconds across runs: load-insensitive cost —
+            # the adjudication field when wall normalization is flagged
+            cpu_secs[name] = round(statistics.median(all_cpu[name]), 4)
         mean = sum(runs) / len(runs)
         sd = (sum((r - mean) ** 2 for r in runs) / len(runs)) ** 0.5
         spreads[name] = {
@@ -350,6 +401,8 @@ def main() -> None:
                 "load_after_queries": load_after_queries,
                 **calib,
                 "queries": timings,
+                "queries_cpu_sec": cpu_secs,
+                "total_cpu_sec": round(sum(cpu_secs.values()), 4),
                 "query_spreads": spreads,
                 "sf": sf_val,
                 "gate_docs_per_sec": gate_rps,

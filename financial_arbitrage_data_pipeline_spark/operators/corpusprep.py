@@ -1386,7 +1386,10 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _LR_FEAT_CAP = 2000  # per-doc feature cap: robustness + overflow bound
 _LR_DOWNSCALE = 1_000_000_000  # keep |S| entries < 1e9 before inversion
-_LR_STOP_SQL = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to", "in", "is", "it"))
+# Built from the SAME list the Spark side filters with — one source of
+# truth, so an edit to textstats.STOPWORDS can never desynchronize the
+# oracle (ADVICE r10).
+_LR_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 _LR_MOMENTS_SQL = f"""
 feat AS (
@@ -1410,9 +1413,15 @@ sc AS (
   FROM m
 ),
 z AS (
+  -- a..h are sums of non-negative terms, so plain // is exact and
+  -- sign-free; p/q/w can be NEGATIVE, where DuckDB // truncates toward
+  -- zero but Python // floors — so both sides divide magnitudes and
+  -- re-apply the sign explicitly (ADVICE r10)
   SELECT n//dd AS a, st//dd AS b, ss//dd AS c,
          stt//dd AS e, sts//dd AS g, sss//dd AS h,
-         r1//dd AS p, rt//dd AS q, rs//dd AS w
+         CASE WHEN r1 < 0 THEN -(ABS(r1) // dd) ELSE r1 // dd END AS p,
+         CASE WHEN rt < 0 THEN -(ABS(rt) // dd) ELSE rt // dd END AS q,
+         CASE WHEN rs < 0 THEN -(ABS(rs) // dd) ELSE rs // dd END AS w
   FROM m, sc
 ),
 det AS (
@@ -1451,8 +1460,11 @@ def _lr_model(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
     P(lang = en | tokens, stopwords). Bounded driver state: the NINE
     int64 moments — the same collect discipline as the PCA cell matrix.
     All arithmetic is integer (Python arbitrary precision mirrors the
-    oracle's HUGEINT); the downscale and every divide truncate via
-    floor `//`, identical in Python and DuckDB."""
+    oracle's HUGEINT). Divides on NON-NEGATIVE operands use plain `//`
+    (floor == truncate there, so Python and DuckDB agree); divides whose
+    numerator can be negative (the r1/rt/rs moments and the final betas)
+    use sign-explicit magnitude division on BOTH sides, because Python
+    `//` floors while DuckDB `//` truncates toward zero."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     feat = docs.select(
@@ -1480,7 +1492,14 @@ def _lr_model(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
     dd = 1 + max(n, st, ss, stt, sts, sss) // _LR_DOWNSCALE
     a, b, c = n // dd, st // dd, ss // dd
     e, g, h = stt // dd, sts // dd, sss // dd
-    p, q, w = r1 // dd, rt // dd, rs // dd
+
+    def tdiv(x: int) -> int:
+        # truncate-toward-zero via magnitude divide: Python // floors
+        # (-3008 // 3 = -1003) while DuckDB // truncates (= -1002) —
+        # both sides use |x|//dd with the sign re-applied (ADVICE r10)
+        return -(-x // dd) if x < 0 else x // dd
+
+    p, q, w = tdiv(r1), tdiv(rt), tdiv(rs)
     det = a * (e * h - g * g) - b * (b * h - g * c) + c * (b * g - e * c)
     if det == 0:
         return (0, 0, 0)

@@ -413,3 +413,132 @@ def delta_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "delta_merge_lifecycle",
+    oracle="""
+WITH tickets AS (
+  SELECT o_orderkey AS ticket_id, o_orderkey % 50 + 1 AS quantity FROM orders
+),
+fills AS (
+  SELECT l_orderkey AS ticket_id, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(l_partkey % 97 + 1 AS BIGINT) AS p
+  FROM lineitem
+),
+agg AS (
+  SELECT ticket_id,
+         CAST(SUM(q) AS BIGINT) AS fq,
+         CAST(SUM(q * p) AS BIGINT) AS cost
+  FROM fills GROUP BY ticket_id
+),
+b2 AS (
+  SELECT ticket_id, CAST(SUM(q) AS BIGINT) AS fq2
+  FROM fills WHERE l_linenumber > 3 GROUP BY ticket_id
+)
+SELECT t.ticket_id,
+       t.quantity,
+       COALESCE(a.fq, 0) AS executed_quantity,
+       COALESCE(a.cost, 0) AS executed_cost_cents,
+       CASE WHEN COALESCE(a.fq, 0) >= t.quantity THEN 'filled'
+            WHEN COALESCE(a.fq, 0) > 0 THEN 'partially_filled'
+            ELSE 'pending' END AS status,
+       b2.fq2 AS last_fill_qty
+FROM tickets t
+LEFT JOIN agg a ON a.ticket_id = t.ticket_id
+LEFT JOIN b2 ON b2.ticket_id = t.ticket_id
+""",
+    tags=("K4", "J4", "lakehouse", "delta-protocol", "exactly-once"),
+)
+def delta_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full trade-ticket lifecycle as NATIVE-DELTA keyed MERGE
+    (VERDICT r10 task 2): seed pending tickets straight into a Delta
+    table (`create_delta_table`), apply the same two fill batches as
+    `ticket_fill_merge` via `merge_delta_table` — copy-on-write
+    rewrite of only the key-stats-matching files, remove+add in one
+    commit — with the protocol's `txn` action carrying exactly-once:
+    batch 1 is REDELIVERED verbatim after it commits and must no-op.
+    Batch 2 additionally WIDENS the schema through the merge
+    (`evolve_cols=['last_fill_qty']` re-emits metaData in the same
+    commit), so the final log-replay read surfaces the new column with
+    nulls for tickets batch 2 never touched. The oracle recomputes the
+    end state set-based from the raw tables; a hash match proves the
+    incremental copy-on-write path converges to the set-based truth —
+    the same guarantee the reference buys from Postgres transactions
+    (`/root/reference/database/postgres/writer.py:351-407`)."""
+    from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+        merge_delta_table,
+    )
+
+    root = tempfile.mkdtemp(prefix="sgdmerge_")
+    tdir = os.path.join(root, "tickets_delta")
+    app = "delta_merge_lifecycle"
+    try:
+        create_delta_table(
+            spark,
+            tdir,
+            load_table(spark, sf_dir, "orders")
+            .select(
+                F.col("o_orderkey").alias("ticket_id"),
+                (F.col("o_orderkey") % 50 + 1).alias("quantity"),
+                F.lit(0).cast("long").alias("executed_quantity"),
+                F.lit(0).cast("long").alias("executed_cost_cents"),
+                F.lit("pending").alias("status"),
+            )
+            .repartitionByRange(8, "ticket_id"),
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ticket_id"),
+            F.col("l_quantity").cast("long").alias("fill_qty"),
+            (F.col("l_partkey") % 97 + 1).cast("long").alias("fill_price_cents"),
+            "l_linenumber",
+        )
+
+        def batch(df: DataFrame) -> DataFrame:
+            return df.groupBy("ticket_id").agg(
+                F.sum("fill_qty").alias("batch_qty"),
+                F.sum(F.col("fill_qty") * F.col("fill_price_cents")).alias(
+                    "batch_cost"
+                ),
+            )
+
+        new_exec = F.col("t.executed_quantity") + F.col("u.batch_qty")
+        new_cost = F.col("t.executed_cost_cents") + F.col("u.batch_cost")
+        set_exprs = {
+            "executed_quantity": new_exec,
+            "executed_cost_cents": new_cost,
+            "status": F.when(new_exec >= F.col("t.quantity"), F.lit("filled"))
+            .when(new_exec > 0, F.lit("partially_filled"))
+            .otherwise(F.lit("pending")),
+        }
+        b1 = batch(li.filter(F.col("l_linenumber") <= 3))
+        assert merge_delta_table(
+            spark, tdir, b1, "ticket_id", set_exprs,
+            txn_app_id=app, txn_version=1,
+        ) == 1
+        # crash-redelivery of batch 1: the txn guard must no-op it
+        assert merge_delta_table(
+            spark, tdir, b1, "ticket_id", set_exprs,
+            txn_app_id=app, txn_version=1,
+        ) is None
+        b2 = batch(li.filter(F.col("l_linenumber") > 3)).withColumn(
+            "last_fill_qty", F.col("batch_qty")
+        )
+        assert merge_delta_table(
+            spark, tdir, b2, "ticket_id", set_exprs,
+            txn_app_id=app, txn_version=2,
+            evolve_schema=True, evolve_cols=["last_fill_qty"],
+        ) == 2
+
+        final = read_delta_table(spark, tdir).select(
+            "ticket_id",
+            "quantity",
+            "executed_quantity",
+            "executed_cost_cents",
+            "status",
+            "last_fill_qty",
+        )
+        return final.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

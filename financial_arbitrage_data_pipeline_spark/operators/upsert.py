@@ -803,8 +803,13 @@ def merge_into_parquet(
 
     Physical strategy, best available first:
 
-    1. **Delta** (`_delta_log` present and delta importable): true
-       transactional `MERGE INTO` — file-pruned, atomic, concurrent-safe.
+    1. **Delta** (`_delta_log` present): transactional `MERGE INTO` —
+       file-pruned, atomic, concurrent-safe. Via the delta-spark
+       library when importable (plain merges), else via the engine's
+       own protocol writer (`sources/delta_log.py:merge_delta_table`,
+       copy-on-write remove+add in one commit); applied_batch_id maps
+       to the protocol's `txn` action and evolve_schema to a metaData
+       re-emit, so both guarantees hold on Delta targets too.
     2. **Hash-bucketed parquet** (`_n_buckets` marker present, written by
        `create_bucketed_table`): read/join/rewrite ONLY the buckets the
        update keys hash into; untouched buckets are never opened. Swaps
@@ -825,43 +830,50 @@ def merge_into_parquet(
     if evolve_cols is not None and not evolve_schema:
         raise ValueError("evolve_cols requires evolve_schema=True")
     if _HAS_DELTA and os.path.isdir(os.path.join(target_dir, "_delta_log")):
-        if applied_batch_id is not None or evolve_schema:
-            # ADVICE r9: the Delta branch has neither the locked
-            # applied-batch recheck nor the widening path — silently
-            # dropping either guarantee is worse than failing loudly.
-            # (Implementable via Delta txnAppId/txnVersion + mergeSchema
-            # once a delta-spark distribution is reachable; see
-            # MIGRATION.md "Delta integration runbook".)
-            raise NotImplementedError(
-                "applied_batch_id / evolve_schema are not implemented for "
-                "Delta targets — use a bucketed parquet merge table, or "
-                "wire Delta txnAppId/txnVersion + mergeSchema"
+        if applied_batch_id is None and not evolve_schema:
+            # Delta brings its own optimistic concurrency control
+            _merge_delta(
+                spark, target_dir, updates, key, set_exprs, insert_missing, extra_files
             )
-        # Delta brings its own optimistic concurrency control
-        _merge_delta(
-            spark, target_dir, updates, key, set_exprs, insert_missing, extra_files
-        )
-        return
-    # A _delta_log without an importable delta module is either (a) our
-    # own exporter's DERIVED mirror (sentinel present) — about to go
-    # stale, so drop it and let the caller re-export — or (b) a real
-    # Delta table some other writer owns: rewriting its data files
-    # outside its transaction log would corrupt it for every reader.
+            return
+        # applied_batch_id / evolve_schema: the library MERGE has
+        # neither the locked applied-batch recheck nor our widening
+        # allowlist — the NATIVE protocol writer implements both
+        # (txn action + metaData re-emit), so route there (r10
+        # VERDICT task 2; formerly a loud NotImplementedError)
+    # A _delta_log carrying our exporter's sentinel is a DERIVED mirror
+    # (about to go stale): drop it, merge bucketed, and let the caller
+    # re-export. ANY other _delta_log — library-written or authored by
+    # our native protocol writer — is a live Delta table: merge THROUGH
+    # the transaction log (copy-on-write remove+add in one commit,
+    # `txn` for the applied-batch guarantee, metaData re-emit for
+    # widening), never around it.
     dl = os.path.join(target_dir, "_delta_log")
     if os.path.isdir(dl):
         from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
             EXPORT_SENTINEL,
+            merge_delta_table,
         )
 
         if os.path.exists(os.path.join(dl, EXPORT_SENTINEL)):
             shutil.rmtree(dl, ignore_errors=True)
         else:
-            raise RuntimeError(
-                f"{target_dir} carries a Delta transaction log this engine "
-                "did not derive; refusing a non-transactional parquet merge "
-                "over a live Delta table (install delta-spark or merge "
-                "through a Delta writer)"
+            merge_delta_table(
+                spark,
+                target_dir,
+                updates,
+                key,
+                set_exprs,
+                insert_missing=insert_missing,
+                txn_app_id="spark-graft-applied-batch"
+                if applied_batch_id is not None
+                else None,
+                txn_version=applied_batch_id,
+                evolve_schema=evolve_schema,
+                evolve_cols=evolve_cols,
             )
+            _install_root_files(target_dir, extra_files)
+            return
     # the parquet paths are single-writer: claim the writer lock so a
     # second concurrent writer fails loudly instead of racing recovery
     _acquire_merge_lock(target_dir)

@@ -56,7 +56,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructType
 
 DELTA_LOG_DIR = "_delta_log"
 LAST_CHECKPOINT = "_last_checkpoint"
@@ -67,6 +67,12 @@ CHECKPOINT_INTERVAL = 10
 # files under a log it did not derive.
 EXPORT_SENTINEL = ".spark_graft_export"
 PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+# Checkpoints must carry unexpired remove tombstones (PROTOCOL.md
+# "Checkpoints": reconciliation keeps removes until the retention window
+# lapses) — otherwise files tombstoned before a checkpoint become
+# invisible to VACUUM/FSCK once pre-checkpoint JSON commits are deleted.
+# Mirrors delta.deletedFileRetentionDuration's 1-week default.
+TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
 
 # Checkpoint rows are the union-struct encoding of the log actions
 # (PROTOCOL.md "Checkpoints": one action per row, null-padded columns).
@@ -231,6 +237,51 @@ def _list_parquet(dir_path: str) -> list[str]:
     )
 
 
+def _parquet_col_stats(path: str) -> tuple[dict, dict, dict]:
+    """Per-column (minValues, maxValues, nullCount) from the parquet
+    footer — metadata-only, no data read. Only top-level primitive
+    columns whose statistics decode to JSON-representable scalars are
+    stamped; everything else is simply absent (readers must treat a
+    missing stat as 'unknown', per PROTOCOL.md data-skipping rules)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:
+                continue  # nested leaves: no top-level stat
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dropped.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    dropped.add(name)
+                    continue
+            if not isinstance(mn, (bool, int, float, str)):
+                dropped.add(name)  # timestamps/decimals: skip, stay honest
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    return mins, maxs, nulls
+
+
 def _add_action(
     table_dir: str,
     abs_path: str,
@@ -248,7 +299,14 @@ def _add_action(
         "dataChange": True,
     }
     if stats:
-        add["stats"] = json.dumps({"numRecords": _parquet_num_records(abs_path)})
+        mins, maxs, nulls = _parquet_col_stats(abs_path)
+        body: dict = {"numRecords": _parquet_num_records(abs_path)}
+        if mins:
+            body["minValues"] = mins
+            body["maxValues"] = maxs
+        if nulls:
+            body["nullCount"] = nulls
+        add["stats"] = json.dumps(body)
     return {"add": add}
 
 
@@ -332,6 +390,11 @@ class _LogState:
 
     def __init__(self) -> None:
         self.files: dict[str, dict] = {}  # encoded path -> add action body
+        # encoded path -> remove action body: tombstones the protocol
+        # keeps through checkpoints until the retention window lapses,
+        # so VACUUM still sees pre-checkpoint removes after the JSON
+        # commits carrying them are deleted (ADVICE r10)
+        self.tombstones: dict[str, dict] = {}
         self.metadata: dict | None = None
         self.protocol: dict | None = None
         # appId -> highest committed writer version (the protocol's
@@ -343,8 +406,11 @@ class _LogState:
     def apply(self, action: dict) -> None:
         if "add" in action:
             self.files[action["add"]["path"]] = action["add"]
+            # an add supersedes an earlier remove for the same path
+            self.tombstones.pop(action["add"]["path"], None)
         elif "remove" in action:
             self.files.pop(action["remove"]["path"], None)
+            self.tombstones[action["remove"]["path"]] = action["remove"]
         elif "metaData" in action:
             self.metadata = action["metaData"]
         elif "protocol" in action:
@@ -517,6 +583,19 @@ def read_delta_table(
         return all(pv.get(c) in set(vals) for c, vals in partition_filter.items())
 
     selected = {p: a for p, a in state.files.items() if keep(a)}
+    return _read_fileset(spark, table_dir, schema, pcols, selected)
+
+
+def _read_fileset(
+    spark: SparkSession,
+    table_dir: str,
+    schema: StructType,
+    pcols: list[str],
+    selected: dict[str, dict],
+) -> DataFrame:
+    """DataFrame over an explicit {encoded path: add body} subset with
+    the log schema imposed — the shared scan of the full reader and the
+    merge's candidate-files read."""
     if not selected:
         return spark.createDataFrame([], schema)
     if not pcols:
@@ -580,6 +659,23 @@ def _write_checkpoint(spark: SparkSession, table_dir: str, version: int, state: 
     ]
     for app_id in sorted(state.txns):
         rows.append(((app_id, state.txns[app_id], None), None, None, None, None))
+    # unexpired tombstones survive into the checkpoint (the protocol's
+    # reconciliation rule): a remove older than the retention horizon
+    # was already VACUUM-eligible and may be dropped; everything newer
+    # must remain visible to VACUUM after pre-checkpoint JSON deletion
+    horizon = _now_ms() - TOMBSTONE_RETENTION_MS
+    for path in sorted(state.tombstones):
+        r = state.tombstones[path]
+        if r.get("deletionTimestamp", 0) >= horizon:
+            rows.append(
+                (
+                    None,
+                    None,
+                    (r["path"], r.get("deletionTimestamp"), r.get("dataChange", True)),
+                    None,
+                    None,
+                )
+            )
     for path in sorted(state.files):
         a = state.files[path]
         rows.append(
@@ -626,14 +722,21 @@ def _materialize_files(
     table_dir: str,
     version: int,
     partition_cols: list[str] | None = None,
+    token: str | None = None,
 ) -> list[tuple[str, dict[str, str]]]:
     """Write the batch as parquet files with version-scoped names and
     return (abs_path, partitionValues) pairs. Partitioned writes use
     the Hive-style `<col>=<value>/` layout real Delta writers emit;
     partition column VALUES live only in the path + the log's
     partitionValues map — the data files do not contain the columns
-    (the protocol's storage rule)."""
-    tmp = os.path.join(table_dir, f".__stage_v{version}__")
+    (the protocol's storage rule).
+
+    `token` makes file (and stage-dir) names unique per WRITE ATTEMPT,
+    the way real Delta writers embed a GUID: two optimistic writers
+    racing toward the same version then stage disjoint files, and the
+    commit-conflict loser's files never alias the winner's."""
+    tag = f"{version:05d}" + (f"-{token}" if token else "")
+    tmp = os.path.join(table_dir, f".__stage_v{tag}__")
     w = spark_df.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
@@ -641,7 +744,7 @@ def _materialize_files(
     out: list[tuple[str, dict[str, str]]] = []
     if not partition_cols:
         for i, part in enumerate(_list_parquet(tmp)):
-            dst = os.path.join(table_dir, f"part-{version:05d}-{i:05d}.snappy.parquet")
+            dst = os.path.join(table_dir, f"part-{tag}-{i:05d}.snappy.parquet")
             os.replace(part, dst)
             out.append((dst, {}))
     else:
@@ -670,7 +773,7 @@ def _materialize_files(
                     *(f"{c}={urllib.parse.quote(pvals[c], safe='')}" for c in partition_cols),
                 )
                 os.makedirs(ddir, exist_ok=True)
-                dst = os.path.join(ddir, f"part-{version:05d}-{i:05d}.snappy.parquet")
+                dst = os.path.join(ddir, f"part-{tag}-{i:05d}.snappy.parquet")
                 os.replace(os.path.join(dirpath, f), dst)
                 out.append((dst, dict(pvals)))
                 i += 1
@@ -799,6 +902,234 @@ def optimize_compact(
     return version
 
 
+def _candidate_merge_paths(
+    spark: SparkSession,
+    table_dir: str,
+    state: _LogState,
+    key: str,
+    updates: DataFrame,
+    pcols: list[str],
+    schema: StructType,
+) -> set[str]:
+    """Active files that MAY contain an update key — the copy-on-write
+    pruning step. A file is skipped only when its log metadata PROVES no
+    update key can live in it: for a partition-column key, by its
+    partitionValues entry; otherwise by the add.stats minValues/
+    maxValues range for the key column. Files without usable stats are
+    always candidates (stats are advisory; correctness never depends on
+    them). The check is a DISTRIBUTED semi-join of the update keys
+    against the broadcast file ranges — the file list is already
+    driver-resident (it IS the replayed log), but the update keys are
+    never collected."""
+    from pyspark.sql.types import StructField
+
+    key_field = next((f for f in schema.fields if f.name == key), None)
+    if key_field is None:
+        raise ValueError(f"merge key {key!r} not in table schema")
+    keys = updates.select(F.col(key).alias("__k__")).distinct()
+
+    if key in pcols:
+        rows = [(p, a.get("partitionValues", {}).get(key)) for p, a in state.files.items()]
+        ranges = spark.createDataFrame(
+            rows, StructType([StructField("__path__", StringType(), False),
+                              StructField("__pv__", StringType(), True)])
+        )
+        hit = keys.join(
+            F.broadcast(ranges),
+            F.col("__k__").cast("string") == F.col("__pv__"),
+            "inner",
+        )
+        return {r["__path__"] for r in hit.select("__path__").distinct().collect()}
+
+    always: set[str] = set()
+    rows = []
+    for p, a in state.files.items():
+        try:
+            st = json.loads(a["stats"]) if a.get("stats") else {}
+            mn = st.get("minValues", {}).get(key)
+            mx = st.get("maxValues", {}).get(key)
+        except (ValueError, TypeError):
+            mn = mx = None
+        if mn is None or mx is None:
+            always.add(p)  # no stats => must read
+        else:
+            rows.append((p, mn, mx))
+    if not rows:
+        return always
+    try:
+        ranges = spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("__path__", StringType(), False),
+                    StructField("__mn__", key_field.dataType, True),
+                    StructField("__mx__", key_field.dataType, True),
+                ]
+            ),
+        )
+    except Exception:
+        # stats value shape doesn't round-trip into the key's Spark type
+        # (e.g. a reader-foreign encoding): stats are advisory — degrade
+        # to reading every stats-bearing file rather than guessing
+        return always | {p for p, _, _ in rows}
+    hit = keys.join(
+        F.broadcast(ranges),
+        (F.col("__k__") >= F.col("__mn__")) & (F.col("__k__") <= F.col("__mx__")),
+        "inner",
+    )
+    return always | {r["__path__"] for r in hit.select("__path__").distinct().collect()}
+
+
+def merge_delta_table(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: str,
+    set_exprs: dict,
+    *,
+    insert_missing: bool = False,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+    evolve_schema: bool = False,
+    evolve_cols: list[str] | None = None,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
+    max_attempts: int = 4,
+) -> int | None:
+    """K4 through the OPEN protocol: copy-on-write MERGE INTO a native
+    Delta table — `WHEN MATCHED UPDATE SET <set_exprs>` (+ optional
+    `WHEN NOT MATCHED INSERT`), committed as remove+add actions in ONE
+    log version. Parity with the bucketed merge table's semantics
+    (`operators/upsert.py:merge_into_parquet`), expressed in the
+    protocol's own mechanisms:
+
+    - **File pruning**: only files whose key-column stats range (or
+      partitionValues, for a partition key) can contain an update key
+      are read and rewritten — O(touched files), never O(table). The
+      adds this writer stamps carry minValues/maxValues straight from
+      the parquet footers, so its own tables always prune.
+    - **Exactly-once redelivery** via the protocol's `txn` action:
+      pass (txn_app_id, txn_version); a replayed/redelivered batch at
+      or below the recorded version is a no-op, checked against the
+      SAME snapshot the merge will commit against (a concurrent
+      committer bumping the txn makes this attempt lose the version
+      race and re-check on retry — the protocol's locked-recheck
+      equivalent of the bucketed path's post-lock marker re-read).
+    - **Schema widening** (`evolve_schema`/`evolve_cols`, same
+      allowlist semantics as the bucketed path): new columns re-emit
+      `metaData` with the widened schemaString in the same commit;
+      untouched files surface typed nulls through the imposed-schema
+      read, exactly as the protocol prescribes.
+    - **Crash safety**: data files are staged under attempt-unique
+      names BEFORE the commit JSON exists; a crash pre-commit leaves
+      the table untouched (orphan files are invisible to replay) and
+      the re-run applies cleanly. Optimistic concurrency via the
+      log's put-if-absent commit: a lost race discards this attempt's
+      staged files and retries on the new head.
+
+    Reference anchor: the Postgres upsert the reference relies on for
+    the same lifecycle (`/root/reference/database/postgres/
+    writer.py:351-407`). Returns the committed version, or None when
+    the merge was a redelivery no-op (or provably changed nothing).
+
+    Note on partitioned tables + `insert_missing`: an inserted row's
+    partition column must get a non-null value via set_exprs (columns
+    not covered default to null, and a null partition value is
+    refused at write)."""
+    from financial_arbitrage_data_pipeline_spark.operators.upsert import (
+        _evolution_new_cols,
+        _merged_output,
+    )
+    from pyspark.sql.types import StructField
+
+    if evolve_cols is not None and not evolve_schema:
+        raise ValueError("evolve_cols requires evolve_schema=True")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be passed together")
+
+    last_err: Exception | None = None
+    for _attempt in range(max_attempts):
+        versions = delta_versions(table_dir)
+        cp_only = not versions and _latest_checkpoint_at_or_below(table_dir, 1 << 62)
+        if not versions and not cp_only:
+            raise FileNotFoundError(f"no Delta table at {table_dir}; create first")
+        state = replay_state(spark, table_dir)
+        head = versions[-1] if versions else _latest_checkpoint_at_or_below(table_dir, 1 << 62)
+        if state.protocol.get("minWriterVersion", 2) > 2:
+            raise ValueError(
+                "table requires writer features beyond minWriterVersion=2 "
+                f"({state.protocol}) — this writer would corrupt it"
+            )
+        if txn_app_id is not None:
+            prev = state.txns.get(txn_app_id)
+            if prev is not None and txn_version <= prev:
+                return None  # redelivered batch: the protocol's no-op
+        schema = StructType.fromJson(json.loads(state.metadata["schemaString"]))
+        pcols = state.metadata.get("partitionColumns") or []
+        new_cols = _evolution_new_cols(
+            updates, {f.name for f in schema.fields}, evolve_schema, evolve_cols
+        )
+        data_cols = [f.name for f in schema.fields] + new_cols
+        cand = _candidate_merge_paths(spark, table_dir, state, key, updates, pcols, schema)
+        selected = {p: state.files[p] for p in cand}
+        if not selected and not insert_missing and txn_app_id is None and not new_cols:
+            return None  # provably no matched file, nothing to record
+
+        staged: list[tuple[str, dict[str, str]]] = []
+        widened = schema
+        if new_cols:
+            widened = StructType(
+                list(schema.fields)
+                + [StructField(c, updates.schema[c].dataType, True) for c in new_cols]
+            )
+        if selected or insert_missing:
+            target = _read_fileset(spark, table_dir, schema, pcols, selected)
+            merged = _merged_output(
+                target, updates, key, set_exprs, insert_missing,
+                data_cols, frozenset(new_cols),
+            )
+            staged = _materialize_files(
+                merged, table_dir, head + 1, pcols or None,
+                token=uuid.uuid4().hex[:12],
+            )
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "MERGE",
+                    "operationParameters": {"predicate": f"t.{key} = u.{key}"},
+                    "engine": "spark-graft",
+                }
+            }
+        ]
+        if txn_app_id is not None:
+            actions.append(
+                {"txn": {"appId": txn_app_id, "version": int(txn_version), "lastUpdated": _now_ms()}}
+            )
+        if new_cols:
+            md = dict(state.metadata)  # keep id/createdTime: the table's identity
+            md["schemaString"] = widened.json()
+            actions.append({"metaData": md})
+        for p in sorted(selected):
+            actions.append(
+                {"remove": {"path": p, "deletionTimestamp": _now_ms(), "dataChange": True}}
+            )
+        actions += [_add_action(table_dir, f, partition_values=pv) for f, pv in staged]
+        try:
+            _write_commit(table_dir, head + 1, actions)
+        except DeltaCommitConflict as e:
+            last_err = e
+            for f, _pv in staged:  # loser cleans its own staged files
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            continue
+        _maybe_checkpoint(spark, table_dir, head + 1, checkpoint_interval)
+        return head + 1
+    raise DeltaCommitConflict(
+        f"merge lost {max_attempts} optimistic version races on {table_dir}"
+    ) from last_err
+
+
 def vacuum_delta(
     spark: SparkSession, table_dir: str, *, retention_ms: int = 0
 ) -> list[str]:
@@ -807,22 +1138,31 @@ def vacuum_delta(
     `deletionTimestamp` is older than the retention window. Time travel
     to versions that referenced a vacuumed file fails loudly at read
     time — the protocol's documented trade of history for storage.
-    Returns the deleted relative paths."""
+    Returns the deleted relative paths.
+
+    Tombstone sources: the replayed state's tombstone set (which a
+    checkpoint carries forward, so removes whose JSON commits were
+    deleted stay reclaimable — ADVICE r10) UNION the removes in every
+    surviving JSON commit (covers tombstones a checkpoint already
+    expired but whose commits still exist)."""
     state = replay_state(spark, table_dir)
     active = set(state.files)
     cutoff = _now_ms() - retention_ms
-    deleted: list[str] = []
+    removes: dict[str, dict] = dict(state.tombstones)
     for v in delta_versions(table_dir):
         for action in _read_commit_actions(table_dir, v):
             r = action.get("remove")
-            if not r or r["path"] in active:
-                continue
-            if r.get("deletionTimestamp", 0) > cutoff:
-                continue
-            abs_path = os.path.join(table_dir, _decode_path(r["path"]))
-            if os.path.exists(abs_path):
-                os.remove(abs_path)
-                deleted.append(r["path"])
+            if r:
+                removes.setdefault(r["path"], r)
+    deleted: list[str] = []
+    for path in sorted(removes):
+        r = removes[path]
+        if path in active or r.get("deletionTimestamp", 0) > cutoff:
+            continue
+        abs_path = os.path.join(table_dir, _decode_path(path))
+        if os.path.exists(abs_path):
+            os.remove(abs_path)
+            deleted.append(path)
     return sorted(set(deleted))
 
 
@@ -884,6 +1224,19 @@ def export_delta_log(
         )
     ldir = _log_dir(table_dir)
     if os.path.isdir(ldir):
+        # Only replace a _delta_log THIS engine derived (marked by the
+        # export sentinel). A log without the sentinel belongs to a real
+        # Delta writer coexisting with the bucketed layout; destroying
+        # its transaction history would corrupt that table — the same
+        # refusal merge_into_parquet applies before touching data files
+        # under a foreign log (ADVICE r10).
+        if not os.path.exists(os.path.join(ldir, EXPORT_SENTINEL)):
+            raise FileExistsError(
+                f"{ldir} exists but was not derived by export_delta_log "
+                "(no export sentinel) — refusing to overwrite a foreign "
+                "Delta transaction log; remove it explicitly if it is "
+                "truly abandoned"
+            )
         shutil.rmtree(ldir)
 
     prev_files: dict[str, str] = {}  # encoded rel path -> abs path

@@ -211,3 +211,46 @@ def test_doc_duplicate_span_load_bounds(spark, sf_dir):
     # recrawled docs (every 7th, duplicated verbatim under a new id)
     # must show up as 100%-duplicate-span documents
     assert full_dup > 0
+
+
+def test_lr_train_negative_moment_downscale_parity(spark, tmp_path):
+    """Regression (ADVICE r10): when the downscale dd > 1 and a signed
+    moment (r1/rt/rs) is negative and not divisible by dd, Python //
+    floors while DuckDB // truncates toward zero — the engine and
+    oracle betas diverged. Build a corpus that forces dd = 2 with an
+    ODD NEGATIVE rs (and rt), and assert the published betas still
+    hash-match the oracle SQL bit for bit."""
+    import duckdb
+
+    rows = []
+    # 280 max-length docs push stt = sum(t^2) past the 1e9 downscale
+    # threshold (280 * 2000^2 = 1.12e9 => dd = 2); all lang 'xx' so the
+    # signed moments go negative.
+    filler = ("w " * corpusprep._LR_FEAT_CAP).strip()
+    for i in range(280):
+        rows.append((i, filler, "xx", "synth", len(filler)))
+    # variety docs: varying t and s so the 3x3 system is nonsingular
+    for j in range(20):
+        s = j % 4
+        t = 100 + j
+        text = ("the " * s + "w " * (t - s)).strip()
+        rows.append((1000 + j, text, "xx" if j else "en", "synth", len(text)))
+    # one extra doc with s=3 stopwords makes sum(s*u) odd => rs odd
+    rows.append((2000, ("the the the w w").strip(), "xx", "synth", 15))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    # pre-flight: the corpus really exercises the hazard
+    b0, b1, b2 = corpusprep._lr_model(spark, sf_dir)
+    feat = duckdb.sql(
+        f"""
+        WITH {corpusprep._LR_MOMENTS_SQL.replace("FROM documents",
+            f"FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')", 1)}
+        SELECT b0, b1, b2 FROM beta
+        """
+    ).fetchone()
+    assert (b0, b1, b2) == tuple(int(x) for x in feat)
+    assert (b0, b1, b2) != (0, 0, 0), "det must be nonzero for the pin to bite"
