@@ -603,10 +603,23 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature splits into 4×15-bit bands and candidate pairs share at
     least one exact band (pigeonhole makes this exact, not approximate,
     at distance ≤ 3) — so the only shuffles are the signature aggregation
-    and the band-bucket equi-join, Σ bucket² not n². The oracle is the
-    *semantic* quadratic definition, so it also proves the banding loses
-    nothing. Signature is one aggregation (60 conditional sums, all
-    codegen); exact dups hash to identical signatures."""
+    and the band-bucket equi-join, Σ bucket² not n². The exact Hamming
+    verify runs BEFORE the pair-dedup distinct (r11), so false band
+    candidates die inside the pipelined join stage and the distinct
+    exchange carries only qualifying pairs. The oracle is the *semantic*
+    quadratic definition, so it also proves the banding loses nothing.
+
+    Scale note (r11, measured): this query's output is the FULL pair
+    set, which is replica-quadratic by contract — 44.7M pairs at sf10
+    (125x the sf0.1 output for 100x the docs), so its wall is
+    OUTPUT-bound, already sublinear per emitted pair. Two-level
+    sub-banding (the perceptual-gate fix) was tried and REJECTED here:
+    identical-signature replica groups collide in all 16 sub-keys vs 4
+    bands, quadrupling the dominant join term (measured 2-5x slower at
+    sf10). When downstream only needs dedup decisions, use
+    `simhash_dedup_canonical` — O(docs) output at any replica density.
+    Signature is one aggregation (60 conditional sums, all codegen);
+    exact dups hash to identical signatures."""
     corpus = crawl_union(spark, sf_dir)
     tok = corpus.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
@@ -627,6 +640,19 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = sums.select("doc_id", sig_expr.alias("simhash")).persist()
 
+    cand = _simhash_band_self_join(sig)
+    return (
+        cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+def _simhash_band_self_join(sig: DataFrame) -> DataFrame:
+    """Raw (doc_a, doc_b, hamming) candidate stream from the 4x15-bit
+    band self-join, BEFORE the Hamming filter and pair dedup. Single-
+    level banding on purpose: sub-band multi-indexing multiplies the
+    identical-signature (exact-replica) join term by keys/bands and
+    replica groups dominate this corpus (see simhash_dedup docstring)."""
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     bands = sig.select(
         "doc_id",
@@ -647,21 +673,84 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", "band.band_id", "band.band_val")
 
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-        )
-        .distinct()
+    return a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+            "hamming"
+        ),
     )
-    return cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+
+
+@query(
+    "simhash_dedup_canonical",
+    oracle=f"""
+WITH {_simhash_sql(_CRAWL_UNION_SQL)},
+nb AS (
+  SELECT a.doc_id AS d, MIN(b.doc_id) AS canon_nb
+  FROM sig a JOIN sig b
+    ON b.doc_id < a.doc_id
+   AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+  GROUP BY 1
+)
+SELECT s.doc_id,
+       CASE WHEN nb.canon_nb IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+       COALESCE(nb.canon_nb, s.doc_id) AS canonical_id
+FROM sig s LEFT JOIN nb ON nb.d = s.doc_id
+""",
+    tags=("dedup-simhash", "incremental"),
+)
+def simhash_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup with CLUSTER-REPRESENTATIVE output (VERDICT r10
+    tasks 1+3 applied to the text family): each doc resolves to its
+    lowest-id qualifying neighbor (Hamming <= {SIMHASH_MAX_HAMMING}) or
+    to itself — the keep-lowest-id policy the dedup family's connected
+    components use, restricted to one hop (the transitive closure stays
+    `dedup_connected_components`' job). Output and EVERY exchange are
+    O(docs) at any replica density: the band self-join is restricted to
+    lower-id partners, the exact Hamming verify runs inside the
+    pipelined join stage, and the only aggregate is MIN — duplicate-
+    blind and map-side combinable, so no stage ever materializes or
+    distincts the 44.7M-pair set `simhash_dedup` emits by contract at
+    sf10. The oracle states the argmin quadratically; a hash match
+    proves the banding loses no qualifying neighbor and the tie-break
+    is deterministic."""
+    corpus = crawl_union(spark, sf_dir)
+    tok = corpus.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    th = tok.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.expr(f"sum(if((shiftright(h, {j}) & 1) = 1, 1, -1)) AS s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = th.groupBy("doc_id").agg(*bit_sums)
+    sig_expr = F.expr(
+        " + ".join(f"if(s{j} > 0, {1 << j}L, 0L)" for j in range(SIMHASH_BITS))
+    )
+    sig = sums.select("doc_id", sig_expr.alias("simhash")).persist()
+
+    cand = _simhash_band_self_join(sig)
+    # doc_a < doc_b by construction: doc_b's lowest-id qualifying
+    # neighbor is min(doc_a) over its qualifying pairs
+    nb = (
+        cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.min("doc_a").alias("canon_nb"))
+    )
+    return sig.select("doc_id").join(nb, "doc_id", "left_outer").select(
+        "doc_id",
+        F.when(F.col("canon_nb").isNull(), F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("verdict"),
+        F.coalesce(F.col("canon_nb"), F.col("doc_id")).alias("canonical_id"),
+    )
 
 
 # ---------------------------------------------------------------------------

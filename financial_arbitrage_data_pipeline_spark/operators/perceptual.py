@@ -895,7 +895,7 @@ def _band_probe_candidates(
     )
 
 
-_PHASH_GATE_ORACLE = f"""
+_PHASH_GATE_CTES = f"""
 WITH srcs AS (
   SELECT DISTINCT CASE WHEN doc_id % 8 = 2 THEN doc_id - 2 ELSE doc_id END
            AS doc_id
@@ -942,7 +942,12 @@ incoming AS (
   JOIN sig s ON s.doc_id
        = CASE WHEN dd.doc_id % 8 = 2 THEN dd.doc_id - 2 ELSE dd.doc_id END
   WHERE dd.doc_id % 4 = 2
-),
+)
+"""
+
+_PHASH_GATE_ORACLE = (
+    _PHASH_GATE_CTES
+    + f""",
 matches AS (
   SELECT i.asset_id,
          CAST(COUNT(*) AS BIGINT) AS n_base_matches,
@@ -957,6 +962,29 @@ SELECT i.asset_id,
        m.min_hamming
 FROM incoming i LEFT JOIN matches m ON m.asset_id = i.asset_id
 """
+)
+
+# Canonical-representative form (VERDICT r10 task 1): the verdict
+# carries the ONE base asset each duplicate collapses onto — argmin by
+# (hamming, base_id), packed into a single BIGINT so MIN() computes the
+# lexicographic minimum exactly (hamming <= 56 < 2^6; asset ids < 2^40).
+_PHASH_GATE_CANONICAL_ORACLE = (
+    _PHASH_GATE_CTES
+    + f""",
+matches AS (
+  SELECT i.asset_id,
+         MIN((bit_count(xor(i.dhash, b.dhash)) << 40) + b.asset_id) AS comp
+  FROM incoming i
+  JOIN base b ON bit_count(xor(i.dhash, b.dhash)) <= {DHASH_MAX_HAMMING}
+  GROUP BY 1
+)
+SELECT i.asset_id,
+       CASE WHEN m.asset_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict,
+       CAST(m.comp >> 40 AS BIGINT) AS min_hamming,
+       CAST(m.comp & ((CAST(1 AS BIGINT) << 40) - 1) AS BIGINT) AS canonical_id
+FROM incoming i LEFT JOIN matches m ON m.asset_id = i.asset_id
+"""
+)
 
 
 @query(
@@ -1081,6 +1109,77 @@ def _phash_gate_verdicts(inc_sig: DataFrame, base_sig: DataFrame) -> DataFrame:
         .alias("n_base_matches"),
         F.col("min_hamming"),
     )
+
+
+def _phash_gate_canonical_verdicts(
+    inc_sig: DataFrame, base_sig: DataFrame
+) -> DataFrame:
+    """The O(incoming)-exchange verdict form: each incoming asset maps
+    to ONE canonical base representative (argmin by (hamming, base_id)),
+    so no stage ever materializes the full true-pair set. The band join
+    still surfaces duplicate (delta, base) hits via multiple buckets,
+    but MIN over the packed (hamming << 40 | base_id) key is duplicate-
+    blind and fully map-side combinable — the exchange after the join
+    carries at most one partial row per (map partition, incoming asset),
+    vs the pair-count form's distinct() over EVERY qualifying pair
+    (25.6 true pairs/incoming at sf10, BENCH_gate_curve.json). The pack
+    is exact: hamming <= 56 < 2^6 and asset ids < 2^40."""
+    cand = _band_probe_candidates(
+        inc_sig, base_sig, "dhash", DHASH_BANDS, _DHASH_BAND_BITS,
+        DHASH_MAX_HAMMING,
+    )
+    agg = (
+        cand.filter(F.col("hamming") <= DHASH_MAX_HAMMING)
+        .groupBy(F.col("delta_id").alias("asset_id"))
+        .agg(
+            F.min(
+                F.shiftleft(F.col("hamming"), 40) + F.col("base_id")
+            ).alias("comp")
+        )
+    )
+    mask = (1 << 40) - 1
+    return inc_sig.select("asset_id").join(agg, "asset_id", "left_outer").select(
+        "asset_id",
+        F.when(F.col("comp").isNotNull(), F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+        F.shiftright(F.col("comp"), 40).cast("long").alias("min_hamming"),
+        F.col("comp").bitwiseAND(F.lit(mask)).cast("long").alias("canonical_id"),
+    )
+
+
+@query(
+    "incremental_phash_gate_canonical",
+    oracle=_PHASH_GATE_CANONICAL_ORACLE,
+    tags=("multimodal", "image", "dedup", "perceptual", "incremental"),
+)
+def incremental_phash_gate_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`incremental_phash_gate` with CLUSTER-REPRESENTATIVE output
+    (VERDICT r10 task 1): instead of counting every qualifying base
+    match — which forces a distinct() exchange over ALL true pairs, an
+    O(duplicate-density) cost that hit 25.6 pairs/incoming at sf10 —
+    each incoming asset resolves to its single canonical base
+    representative (lowest Hamming, ties to the lowest base id: the
+    keep-canonical policy the connected-components dedup family uses,
+    `operators/dedup.py`). Every exchange and the sink write are
+    O(incoming) REGARDLESS of how replica-dense the corpus is. The
+    oracle states the argmin quadratically via the same packed-BIGINT
+    minimum, so a hash match proves both the banded probe's
+    completeness and the tie-break determinism. Same synth/hash kernels
+    and base/incoming split as `incremental_phash_gate` — only the
+    verdict aggregation differs."""
+    if not _HAS_NUMPY:  # pragma: no cover
+        raise NotImplementedError("numpy required for the BMP codec kernels")
+    docs = load_table(spark, sf_dir, "documents")
+    base_sig = _phash_gate_base_sig(docs)
+    inc_sig = (
+        docs.filter(F.col("doc_id") % 4 == 2)
+        .select("doc_id")
+        .mapInPandas(_phash_gate_synth_incoming, _ASSET_SCHEMA)
+        .mapInPandas(_phash_gate_hash_kernel, _SIG_SCHEMA)
+        .persist()
+    )
+    return _phash_gate_canonical_verdicts(inc_sig, base_sig)
 
 
 @query(

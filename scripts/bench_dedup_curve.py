@@ -37,6 +37,10 @@ from financial_arbitrage_data_pipeline_spark.session import get_spark
 CURVE_QUERIES = [
     "minhash_lsh_dedup",
     "simhash_dedup",
+    # r11: the O(docs)-output representative form — the scale path when
+    # downstream needs dedup DECISIONS, not the replica-quadratic pair
+    # set simhash_dedup emits by contract (44.7M pairs at sf10)
+    "simhash_dedup_canonical",
     "incremental_neardup_gate",
     "ann_lsh_topk",
 ]
