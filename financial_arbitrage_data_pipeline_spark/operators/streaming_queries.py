@@ -115,12 +115,12 @@ def streaming_kafka_standin_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     enrich → partitioned sink, and the oracle recomputes the stats from
     events directly. A hash match proves the full Kafka-shaped path —
     per-partition offsets, JSON value decode, micro-batch boundaries —
-    lands every published record exactly once. (Publishing collects the
-    fixture driver-side: that is the BROKER stand-in's setup, the role a
-    real broker plays, not engine work; the consuming lane is fully
-    distributed.)"""
-    import json as _json
-
+    lands every published record exactly once. Publishing is
+    EXECUTOR-SIDE (`publish_df`, VERDICT r10 task 5): records are routed
+    to topic partitions by the same fnv-1a partitioner inside the plan
+    and each partition log is appended by exactly one task — the fixture
+    is never collected to the driver, so the broker-setup step scales
+    with executors, not driver memory."""
     from ..sources import kafka_standin
 
     root = _workdir()
@@ -132,28 +132,14 @@ def streaming_kafka_standin_ingest(spark: SparkSession, sf_dir: str) -> DataFram
             "event_type",
             "value",
         )
-        pdf = ev.toPandas()
-        records = [
-            (
-                str(int(u)),
-                _json.dumps(
-                    {
-                        "event_id": int(e),
-                        "ts_us": int(t),
-                        "user_id": int(u),
-                        "event_type": str(et),
-                        "value": float(v),
-                    },
-                    separators=(",", ":"),
-                ),
-            )
-            for e, t, u, et, v in zip(
-                pdf["event_id"], pdf["ts_us"], pdf["user_id"],
-                pdf["event_type"], pdf["value"],
-            )
-        ]
+        records_df = ev.select(
+            F.col("user_id").cast("string").alias("key"),
+            F.to_json(
+                F.struct("event_id", "ts_us", "user_id", "event_type", "value")
+            ).alias("value"),
+        )
         topic_dir = os.path.join(root, "topic")
-        kafka_standin.publish(topic_dir, records, n_partitions=4)
+        kafka_standin.publish_df(records_df, topic_dir, n_partitions=4)
         table_dir = os.path.join(root, "market_snapshot")
         q = ingest.start_storage_lane(
             ingest.enrich_snapshots(

@@ -111,6 +111,99 @@ def publish(
             fh.close()
 
 
+# fnv-1a over the key's UTF-8 bytes, as a JVM-side SQL expression —
+# bit-identical to the Python loop in publish(), so driver- and
+# executor-published records land in the SAME partition for the same key
+_FNV_SQL = (
+    "aggregate("
+    "  transform(sequence(1, octet_length({key})),"
+    "            i -> cast(conv(hex(substring(cast({key} as binary), i, 1)),"
+    "                           16, 10) as bigint)),"
+    "  2166136261L,"
+    "  (h, b) -> ((h ^ b) * 16777619L) & 4294967295L)"
+)
+
+
+def publish_df(
+    df,
+    log_dir: str,
+    n_partitions: int = 3,
+    ts_ms: int | None = None,
+    order_by: str = "value",
+) -> None:
+    """EXECUTOR-SIDE publisher (VERDICT r10 task 5): publish a DataFrame
+    of (key string, value string) rows into the topic logs without ever
+    materializing the records on the driver — `publish()` collects the
+    whole fixture via a list, which at 100 TB would OOM the driver even
+    though it only plays the BROKER's setup role.
+
+    Same contract as `publish()`: the topic-partition of a keyed record
+    is fnv-1a(key) % n_partitions (the SQL expression above replays the
+    Python loop bit for bit), the log format is one
+    {key, value, ts_ms} JSON object per line, ts_ms is LogAppendTime
+    stamped once per publish call. The DataFrame is repartitioned BY the
+    topic-partition id — all records of one topic partition land in one
+    task, so each log file has exactly one exclusive appender (a broker
+    shard) — and sorted within partitions by `order_by` so offsets are
+    deterministic across runs (Kafka guarantees order only within a
+    partition; the sort gives the stand-in the same reproducibility the
+    replay tests rely on).
+
+    Single-machine note: partition logs are plain local files here; on a
+    real cluster the broker directory must be on shared storage (or be
+    an actual broker — see kafka_feed_stream)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(log_dir, exist_ok=True)
+    stamp = int(time.time() * 1000) if ts_ms is None else ts_ms
+    routed = (
+        df.select(
+            F.col("key").cast("string").alias("key"),
+            F.col("value").cast("string").alias("value"),
+            F.col(order_by).alias("__ord__"),
+        )
+        .withColumn(
+            "__p__",
+            F.when(
+                F.col("key").isNotNull(),
+                F.expr(_FNV_SQL.format(key="key")) % n_partitions,
+            ).otherwise(
+                # unkeyed: any stable spread (publish() round-robins; the
+                # contract only promises SOME partition, keyed ordering
+                # is the part that matters)
+                F.abs(F.hash("value")) % n_partitions
+            ).cast("int"),
+        )
+        .repartition(F.col("__p__"))
+        .sortWithinPartitions("__p__", "__ord__")
+    )
+
+    def append_partition(rows) -> None:
+        handles: dict[int, object] = {}
+        try:
+            for r in rows:
+                p = int(r["__p__"])
+                fh = handles.get(p)
+                if fh is None:
+                    fh = open(
+                        os.path.join(log_dir, f"p{p}.jsonl"),
+                        "a",
+                        encoding="utf-8",
+                    )
+                    handles[p] = fh
+                fh.write(
+                    json.dumps(
+                        {"key": r["key"], "value": r["value"], "ts_ms": stamp}
+                    )
+                    + "\n"
+                )
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    routed.foreachPartition(append_partition)
+
+
 def _partition_files(log_dir: str) -> dict[int, str]:
     out = {}
     if os.path.isdir(log_dir):

@@ -350,9 +350,9 @@ def sweep(spark, sf_dir: str, repeats: int) -> dict:
         ).alias("pnn"),
     ).localCheckpoint()
 
-    def rerank_topk() -> object:
+    def rerank_topk(pair_cands) -> object:
         scored = (
-            cell_cands.join(rank_codes, F.col("cand_id") == F.col("vec_id"))
+            pair_cands.join(rank_codes, F.col("cand_id") == F.col("vec_id"))
             .join(F.broadcast(rank_adc_table), ["query_id", "m", "code"])
             .join(F.broadcast(rank_cnn), ["m", "code"])
             .groupBy("query_id", "cand_id")
@@ -404,7 +404,7 @@ def sweep(spark, sf_dir: str, repeats: int) -> dict:
     got = None
     for _ in range(repeats):
         t0 = time.time()
-        got = rerank_topk()
+        got = rerank_topk(cell_cands)
         walls.append(time.time() - t0)
     hits = sum(
         1 for r in got.itertuples() if (r.query_id, r.cand_id) in exact_pairs
@@ -423,6 +423,80 @@ def sweep(spark, sf_dir: str, repeats: int) -> dict:
             "cand_pairs_per_query": round(n_pairs_pq / N_QUERIES, 1),
             "scan_fraction": round(
                 n_pairs_pq / (N_QUERIES * (n_vectors - 1)), 4
+            ),
+            "wall_best_sec": round(min(walls), 3),
+            "wall_median_sec": round(med, 3),
+            "wall_mad_sec": round(
+                statistics.median(abs(w - med) for w in walls), 3
+            ),
+        }
+    )
+    print(json.dumps(rows[-1]))
+
+    # --- COMPOSED tier (r11, VERDICT r10 task 4): multiprobe coarse ----
+    # blocking (K=16 cells, nprobe=2 -> ~12.5% scan fraction) feeding
+    # the SAME K=256 ADC + exact re-rank — the shipped
+    # ivfpq_multiprobe_rerank_topk shape, timed search-only with the
+    # train costs recorded separately like every other trained row.
+    from financial_arbitrage_data_pipeline_spark.operators.similarity import (
+        IVFPQ_MP_K,
+        NPROBE,
+    )
+
+    mp_assigned, mp_centroids = trained_model(spark, sf_dir, k=IVFPQ_MP_K)
+    mp_coarse = mp_assigned.select("vec_id", "cid").localCheckpoint()
+    mp_centroids = mp_centroids.localCheckpoint()
+    mp_qd = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "q")
+        .join(F.broadcast(mp_centroids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cid").alias("probe_cid"),
+            F.expr(_DIST_EXPR).alias("cdist"),
+        )
+    )
+    mp_ranked = mp_qd.withColumn(
+        "rn", F.row_number().over(wprobe)
+    ).localCheckpoint()
+    mp_cell_cands = (
+        mp_ranked.filter(F.col("rn") <= NPROBE)
+        .select("query_id", "probe_cid")
+        .join(
+            mp_coarse.select(
+                F.col("vec_id").alias("cand_id"), F.col("cid").alias("c_cid")
+            ),
+            F.col("c_cid") == F.col("probe_cid"),
+        )
+        .select("query_id", "cand_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .localCheckpoint()
+    )
+    n_pairs_mp = mp_cell_cands.count()
+    walls = []
+    got = None
+    for _ in range(repeats):
+        t0 = time.time()
+        got = rerank_topk(mp_cell_cands)
+        walls.append(time.time() - t0)
+    hits = sum(
+        1 for r in got.itertuples() if (r.query_id, r.cand_id) in exact_pairs
+    )
+    med = statistics.median(walls)
+    rows.append(
+        {
+            "method": "ivfpq_mp_rerank",
+            "coarse_k": IVFPQ_MP_K,
+            "nprobe": NPROBE,
+            "pq_k": 256,
+            "pq_m": 16,
+            "rerank_c": PQ_RERANK_C,
+            "pq_rank_train_sec": pq_rank_train_sec,
+            "recall_at_k": round(hits / k_total, 4),
+            "n_cand_pairs": int(n_pairs_mp),
+            "cand_pairs_per_query": round(n_pairs_mp / N_QUERIES, 1),
+            "scan_fraction": round(
+                n_pairs_mp / (N_QUERIES * (n_vectors - 1)), 4
             ),
             "wall_best_sec": round(min(walls), 3),
             "wall_median_sec": round(med, 3),
@@ -455,6 +529,7 @@ SF_DIRS = {
     # frontier above sf0.1 is only measurable on these.
     "sf1org": os.path.join(ROOT, "scaledata", "sf1_organic"),
     "sf3org": os.path.join(ROOT, "scaledata", "sf3_organic"),
+    "sf10org": os.path.join(ROOT, "scaledata", "sf10_organic"),
 }
 
 
@@ -462,7 +537,9 @@ def main() -> int:
     repeats = int(os.environ.get("REPEATS", "5"))
     labels = [
         s
-        for s in os.environ.get("SPARK_GRAFT_SFS", "sf0.1,sf1,sf3,sf1org,sf3org").split(",")
+        for s in os.environ.get(
+            "SPARK_GRAFT_SFS", "sf0.1,sf1,sf3,sf1org,sf3org,sf10org"
+        ).split(",")
         if s and os.path.isdir(SF_DIRS.get(s, ""))
     ]
     spark = get_spark(app_name="ann-recall-curve")
