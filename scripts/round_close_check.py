@@ -201,6 +201,72 @@ def check() -> list[str]:
     return problems
 
 
+# Heavy-family tag selection (VERDICT r10 task 6): the dedup / ANN /
+# media / textstats operators whose semantics can be scale-dependent
+# (tie handling under bigger groups, overflow paths, approx-op bands) —
+# these additionally get an exact-oracle drive at SF=1
+# (scaledata/sf1), recorded as CORRECTNESS_local_sf1_heavy.json.
+_HEAVY_TAG_PREFIXES = (
+    "dedup", "similarity", "text", "corpus", "quality-gate",
+    "training-prep", "sketch",
+)
+_HEAVY_TAGS = {
+    "multimodal", "image", "audio", "video", "perceptual", "codec",
+    "incremental",
+}
+
+
+def heavy_names() -> set[str]:
+    import financial_arbitrage_data_pipeline_spark.operators  # noqa: F401
+    from financial_arbitrage_data_pipeline_spark.plans import REGISTRY
+
+    return {
+        n
+        for n, s in REGISTRY.items()
+        if any(
+            t in _HEAVY_TAGS or t.startswith(_HEAVY_TAG_PREFIXES)
+            for t in s.tags
+        )
+    }
+
+
+def check_sf1_heavy() -> list[str]:
+    """CORRECTNESS_local_sf1_heavy.json must exist, cover exactly the
+    heavy-family tag selection, and be all-green. Produce it with:
+    SF=1 SF_DIR=<repo>/scaledata/sf1 OUT=CORRECTNESS_local_sf1_heavy.json
+    ONLY=<heavy names> python scripts/drive_contract.py"""
+    problems: list[str] = []
+    path = os.path.join(REPO, "CORRECTNESS_local_sf1_heavy.json")
+    if not os.path.exists(path):
+        return [
+            "CORRECTNESS_local_sf1_heavy.json missing — drive the heavy "
+            "families at SF=1 (see check_sf1_heavy docstring)"
+        ]
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    data = data.get("results", data)
+    expected = heavy_names()
+    got = set(data)
+    missing = sorted(expected - got)
+    stale = sorted(got - expected)
+    if missing:
+        problems.append(
+            f"CORRECTNESS_local_sf1_heavy.json: heavy queries absent: "
+            f"{missing[:10]}..."
+        )
+    if stale:
+        problems.append(
+            f"CORRECTNESS_local_sf1_heavy.json: entries not in the heavy "
+            f"selection: {stale[:10]}..."
+        )
+    bad = sorted(n for n, r in data.items() if not r.get("ok"))
+    if bad:
+        problems.append(
+            f"CORRECTNESS_local_sf1_heavy.json: failing entries: {bad}"
+        )
+    return problems
+
+
 # Paths whose commits invalidate a recorded suite run. tests/ is the
 # point of the r7 amendment (VERDICT r7 'What's wrong' #2: test-only
 # commits landed after the last suite run); engine code and the driver
@@ -263,7 +329,11 @@ def check_suite_freshness() -> list[str]:
 
 def main() -> int:
     problems = (
-        check() + check_rotation() + check_ledger() + check_suite_freshness()
+        check()
+        + check_rotation()
+        + check_ledger()
+        + check_sf1_heavy()
+        + check_suite_freshness()
     )
     if problems:
         for p in problems:

@@ -23,3 +23,14 @@ def test_round_close_invariants():
     mod = _load_check()
     problems = mod.check()
     assert not problems, "\n".join(problems)
+
+
+def test_round_close_rotation_ledger_and_sf1_heavy():
+    """The sampled-lane rotation, the coverage ledger, and (r11) the
+    SF=1 heavy-family artifact are part of the same close discipline:
+    a snapshot commit with any of them stale turns the suite red."""
+    mod = _load_check()
+    problems = (
+        mod.check_rotation() + mod.check_ledger() + mod.check_sf1_heavy()
+    )
+    assert not problems, "\n".join(problems)
