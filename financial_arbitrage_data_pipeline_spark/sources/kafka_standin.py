@@ -114,11 +114,15 @@ def publish(
 # fnv-1a over the key's UTF-8 bytes, as a JVM-side SQL expression —
 # bit-identical to the Python loop in publish(), so driver- and
 # executor-published records land in the SAME partition for the same key
+# NB the empty-key guard: Spark's sequence(1, 0) is the DESCENDING
+# [1, 0], not an empty array, so '' must short-circuit to zero
+# iterations exactly like the Python loop does.
 _FNV_SQL = (
     "aggregate("
-    "  transform(sequence(1, octet_length({key})),"
+    "  case when octet_length({key}) = 0 then array()"
+    "       else transform(sequence(1, octet_length({key})),"
     "            i -> cast(conv(hex(substring(cast({key} as binary), i, 1)),"
-    "                           16, 10) as bigint)),"
+    "                           16, 10) as bigint)) end,"
     "  2166136261L,"
     "  (h, b) -> ((h ^ b) * 16777619L) & 4294967295L)"
 )
@@ -170,8 +174,10 @@ def publish_df(
             ).otherwise(
                 # unkeyed: any stable spread (publish() round-robins; the
                 # contract only promises SOME partition, keyed ordering
-                # is the part that matters)
-                F.abs(F.hash("value")) % n_partitions
+                # is the part that matters). pmod, not abs(hash)%n:
+                # abs(Integer.MIN_VALUE) is still negative and would
+                # name a p-<k>.jsonl file outside the topic contract
+                F.pmod(F.hash("value"), F.lit(n_partitions))
             ).cast("int"),
         )
         .repartition(F.col("__p__"))

@@ -340,6 +340,9 @@ def test_publish_df_matches_driver_publish(spark, tmp_path):
         (str(k), json.dumps({"k": k, "payload": f"v{k}"}))
         for k in list(range(25)) + [127, 128, 255, 1000, 99999]
     ]
+    # empty and multibyte keys: sequence(1,0) is DESCENDING in Spark
+    # (not empty) and utf-8 iteration must be byte-wise, not char-wise
+    records += [("", "empty-key"), ("é世", "multibyte-key")]
     drv = str(tmp_path / "driver_topic")
     kafka_standin.publish(drv, records, n_partitions=4, ts_ms=777)
 
