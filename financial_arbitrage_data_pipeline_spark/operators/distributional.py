@@ -64,7 +64,10 @@ SELECT lang,
        CAST(n AS BIGINT) AS n_distinct,
        CAST(h AS BIGINT) AS kth_min_hash,
        CASE WHEN n >= {_KMV_K}
-            THEN CAST(({_KMV_K} - 1) * {_HASH_MOD} AS DOUBLE) / h
+            -- product folded in Python: DuckDB types both literals
+            -- INT32 and the runtime multiply overflows (first caught
+            -- by the sf1 heavy gate)
+            THEN CAST({(_KMV_K - 1) * _HASH_MOD} AS DOUBLE) / h
             ELSE CAST(n AS DOUBLE) END AS est_distinct
 FROM r WHERE rn = CASE WHEN n < {_KMV_K} THEN n ELSE {_KMV_K} END
 """

@@ -972,8 +972,12 @@ _PHASH_GATE_CANONICAL_ORACLE = (
     _PHASH_GATE_CTES
     + f""",
 matches AS (
+  -- the BIGINT cast is load-bearing: DuckDB's << infers the narrow
+  -- bit_count type and errors on any nonzero hamming shifted by 40
+  -- (caught by the sf1 heavy gate, where hamming 1-3 first appears)
   SELECT i.asset_id,
-         MIN((bit_count(xor(i.dhash, b.dhash)) << 40) + b.asset_id) AS comp
+         MIN((CAST(bit_count(xor(i.dhash, b.dhash)) AS BIGINT) << 40)
+             + b.asset_id) AS comp
   FROM incoming i
   JOIN base b ON bit_count(xor(i.dhash, b.dhash)) <= {DHASH_MAX_HAMMING}
   GROUP BY 1
