@@ -139,10 +139,13 @@ def _proc_tree_cpu_sec() -> float:
                     s = fh.read()
             except OSError:
                 continue  # raced a process exit
-            rest = s[s.rindex(")") + 2 :].split()
-            ppid = int(rest[1])
-            # utime+stime (own) + cutime+cstime (reaped descendants)
-            cpu = (int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])) / clk
+            try:
+                rest = s[s.rindex(")") + 2 :].split()
+                ppid = int(rest[1])
+                # utime+stime (own) + cutime+cstime (reaped descendants)
+                cpu = (int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])) / clk
+            except (ValueError, IndexError):
+                continue  # truncated stat line from a process dying mid-read
             stats[int(p)] = (ppid, cpu)
         children: dict[int, list[int]] = {}
         for pid, (ppid, _) in stats.items():

@@ -620,16 +620,27 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `simhash_dedup_canonical` — O(docs) output at any replica density.
     Signature is one aggregation (60 conditional sums, all codegen);
     exact dups hash to identical signatures."""
-    corpus = crawl_union(spark, sf_dir)
+    sig = _simhash_signatures(crawl_union(spark, sf_dir)).persist()
+    cand = _simhash_band_self_join(sig)
+    return (
+        cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+def _simhash_signatures(corpus: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — the ONE signature kernel both simhash queries
+    share (and their shared oracle CTE states): bit j of the 60-bit
+    signature votes +1/-1 by bit j of md5(token) over the distinct token
+    set. One F.expr per bit (and one for the signature fold) instead of
+    hand-built Column trees: 60 bits x ~14 py4j calls is ~1 s of driver
+    plan-construction time; sql strings ship the same expressions to
+    Catalyst in 61 calls total."""
     tok = corpus.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )
     h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     th = tok.select("doc_id", h.alias("h"))
-    # one F.expr per bit (and one for the signature fold) instead of
-    # hand-built Column trees: 60 bits x ~14 py4j calls is ~1 s of driver
-    # plan-construction time; sql strings ship the same expressions to
-    # Catalyst in 61 calls total
     bit_sums = [
         F.expr(f"sum(if((shiftright(h, {j}) & 1) = 1, 1, -1)) AS s{j}")
         for j in range(SIMHASH_BITS)
@@ -638,13 +649,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_expr = F.expr(
         " + ".join(f"if(s{j} > 0, {1 << j}L, 0L)" for j in range(SIMHASH_BITS))
     )
-    sig = sums.select("doc_id", sig_expr.alias("simhash")).persist()
-
-    cand = _simhash_band_self_join(sig)
-    return (
-        cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .distinct()
-    )
+    return sums.select("doc_id", sig_expr.alias("simhash"))
 
 
 def _simhash_band_self_join(sig: DataFrame) -> DataFrame:
@@ -720,22 +725,7 @@ def simhash_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf10. The oracle states the argmin quadratically; a hash match
     proves the banding loses no qualifying neighbor and the tie-break
     is deterministic."""
-    corpus = crawl_union(spark, sf_dir)
-    tok = corpus.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
-    )
-    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
-    th = tok.select("doc_id", h.alias("h"))
-    bit_sums = [
-        F.expr(f"sum(if((shiftright(h, {j}) & 1) = 1, 1, -1)) AS s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    sums = th.groupBy("doc_id").agg(*bit_sums)
-    sig_expr = F.expr(
-        " + ".join(f"if(s{j} > 0, {1 << j}L, 0L)" for j in range(SIMHASH_BITS))
-    )
-    sig = sums.select("doc_id", sig_expr.alias("simhash")).persist()
-
+    sig = _simhash_signatures(crawl_union(spark, sf_dir)).persist()
     cand = _simhash_band_self_join(sig)
     # doc_a < doc_b by construction: doc_b's lowest-id qualifying
     # neighbor is min(doc_a) over its qualifying pairs

@@ -512,24 +512,33 @@ def delta_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(new_exec > 0, F.lit("partially_filled"))
             .otherwise(F.lit("pending")),
         }
+        # Plain calls with explicit checks — NOT asserts: the merges are
+        # side-effecting, and `python -O` strips assert statements, which
+        # would silently skip the merges instead of failing loudly.
         b1 = batch(li.filter(F.col("l_linenumber") <= 3))
-        assert merge_delta_table(
+        v1 = merge_delta_table(
             spark, tdir, b1, "ticket_id", set_exprs,
             txn_app_id=app, txn_version=1,
-        ) == 1
+        )
+        if v1 != 1:
+            raise RuntimeError(f"batch-1 merge committed version {v1}, expected 1")
         # crash-redelivery of batch 1: the txn guard must no-op it
-        assert merge_delta_table(
+        redel = merge_delta_table(
             spark, tdir, b1, "ticket_id", set_exprs,
             txn_app_id=app, txn_version=1,
-        ) is None
+        )
+        if redel is not None:
+            raise RuntimeError(f"redelivered batch 1 committed {redel}, expected no-op")
         b2 = batch(li.filter(F.col("l_linenumber") > 3)).withColumn(
             "last_fill_qty", F.col("batch_qty")
         )
-        assert merge_delta_table(
+        v2 = merge_delta_table(
             spark, tdir, b2, "ticket_id", set_exprs,
             txn_app_id=app, txn_version=2,
             evolve_schema=True, evolve_cols=["last_fill_qty"],
-        ) == 2
+        )
+        if v2 != 2:
+            raise RuntimeError(f"batch-2 merge committed version {v2}, expected 2")
 
         final = read_delta_table(spark, tdir).select(
             "ticket_id",

@@ -1026,15 +1026,23 @@ def incremental_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _HAS_NUMPY:  # pragma: no cover
         raise NotImplementedError("numpy required for the BMP codec kernels")
     docs = load_table(spark, sf_dir, "documents")
-    base_sig = _phash_gate_base_sig(docs)
-    inc_sig = (
+    return _phash_gate_verdicts(
+        _phash_gate_incoming_sig(docs), _phash_gate_base_sig(docs)
+    )
+
+
+def _phash_gate_incoming_sig(docs: DataFrame) -> DataFrame:
+    """The incoming batch's (asset_id, dhash) signatures — the ONE
+    synth+hash pipeline the plain and canonical gates share (their
+    oracles share the corresponding CTE, so a tweak here must stay in
+    lockstep with exactly one SQL block)."""
+    return (
         docs.filter(F.col("doc_id") % 4 == 2)
         .select("doc_id")
         .mapInPandas(_phash_gate_synth_incoming, _ASSET_SCHEMA)
         .mapInPandas(_phash_gate_hash_kernel, _SIG_SCHEMA)
         .persist()
     )
-    return _phash_gate_verdicts(inc_sig, base_sig)
 
 
 # Shared kernels: the batch gate above and the streaming twin below run
@@ -1175,15 +1183,9 @@ def incremental_phash_gate_canonical(spark: SparkSession, sf_dir: str) -> DataFr
     if not _HAS_NUMPY:  # pragma: no cover
         raise NotImplementedError("numpy required for the BMP codec kernels")
     docs = load_table(spark, sf_dir, "documents")
-    base_sig = _phash_gate_base_sig(docs)
-    inc_sig = (
-        docs.filter(F.col("doc_id") % 4 == 2)
-        .select("doc_id")
-        .mapInPandas(_phash_gate_synth_incoming, _ASSET_SCHEMA)
-        .mapInPandas(_phash_gate_hash_kernel, _SIG_SCHEMA)
-        .persist()
+    return _phash_gate_canonical_verdicts(
+        _phash_gate_incoming_sig(docs), _phash_gate_base_sig(docs)
     )
-    return _phash_gate_canonical_verdicts(inc_sig, base_sig)
 
 
 @query(

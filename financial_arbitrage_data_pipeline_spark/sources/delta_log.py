@@ -249,17 +249,34 @@ def _parquet_col_stats(path: str) -> tuple[dict, dict, dict]:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
-    dropped: set[str] = set()
+    # A stat is stamped only if EVERY row group contributes to it —
+    # a partial min/max (or nullCount) over a subset of row groups is
+    # worse than none: stats-based pruning would skip files whose
+    # matching rows live in the uncovered row groups (lost updates in
+    # _candidate_merge_paths, mis-skips in third-party readers). Track
+    # min/max and nullCount completeness independently: a column can
+    # lose its min/max (e.g. non-UTF-8 binary) while its nullCount
+    # stays exact.
+    dropped_mm: set[str] = set()
+    dropped_null: set[str] = set()
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
             col = row_group.column(ci)
             name = col.path_in_schema
-            if "." in name or name in dropped:
+            if "." in name:
                 continue  # nested leaves: no top-level stat
             st = col.statistics
+            if name not in dropped_null:
+                if st is None or st.null_count is None:
+                    dropped_null.add(name)
+                    nulls.pop(name, None)
+                else:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+            if name in dropped_mm:
+                continue
             if st is None or not st.has_min_max:
-                dropped.add(name)
+                dropped_mm.add(name)
                 mins.pop(name, None)
                 maxs.pop(name, None)
                 continue
@@ -268,17 +285,17 @@ def _parquet_col_stats(path: str) -> tuple[dict, dict, dict]:
                 try:
                     mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
                 except UnicodeDecodeError:
-                    dropped.add(name)
+                    dropped_mm.add(name)
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
                     continue
             if not isinstance(mn, (bool, int, float, str)):
-                dropped.add(name)  # timestamps/decimals: skip, stay honest
+                dropped_mm.add(name)  # timestamps/decimals: skip, stay honest
                 mins.pop(name, None)
                 maxs.pop(name, None)
                 continue
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-            if st.null_count is not None:
-                nulls[name] = nulls.get(name, 0) + st.null_count
     return mins, maxs, nulls
 
 
@@ -1144,7 +1161,17 @@ def vacuum_delta(
     checkpoint carries forward, so removes whose JSON commits were
     deleted stay reclaimable — ADVICE r10) UNION the removes in every
     surviving JSON commit (covers tombstones a checkpoint already
-    expired but whose commits still exist)."""
+    expired but whose commits still exist).
+
+    Like real Delta VACUUM, a directory-listing sweep then reclaims
+    data files the log no longer references AT ALL — the case where a
+    tombstone aged past TOMBSTONE_RETENTION_MS before any vacuum ran,
+    a checkpoint dropped it, and the pre-checkpoint JSON commits were
+    deleted: without the sweep such files would be orphaned forever.
+    The sweep protects the active set, every unexpired tombstone, and
+    any file whose mtime is newer than the retention cutoff (an
+    in-flight writer's not-yet-committed file — the same race real
+    Delta's 7-day-minimum retention check exists to paper over)."""
     state = replay_state(spark, table_dir)
     active = set(state.files)
     cutoff = _now_ms() - retention_ms
@@ -1163,6 +1190,24 @@ def vacuum_delta(
         if os.path.exists(abs_path):
             os.remove(abs_path)
             deleted.append(path)
+    # Listing sweep: unreferenced files (no add, no live tombstone).
+    protected = set(active)
+    for path, r in removes.items():
+        if r.get("deletionTimestamp", 0) > cutoff:
+            protected.add(path)
+    for root, dirs, files in os.walk(table_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            abs_path = os.path.join(root, f)
+            rel = _encode_path(os.path.relpath(abs_path, table_dir))
+            if rel in protected:
+                continue
+            if os.stat(abs_path).st_mtime * 1000 > cutoff:
+                continue
+            os.remove(abs_path)
+            deleted.append(rel)
     return sorted(set(deleted))
 
 

@@ -148,18 +148,33 @@ def publish_df(
     stamped once per publish call. The DataFrame is repartitioned BY the
     topic-partition id — all records of one topic partition land in one
     task, so each log file has exactly one exclusive appender (a broker
-    shard) — and sorted within partitions by `order_by` so offsets are
-    deterministic across runs (Kafka guarantees order only within a
-    partition; the sort gives the stand-in the same reproducibility the
-    replay tests rely on).
+    shard) — and sorted within partitions by (`order_by`, key, value),
+    a TOTAL order over the emitted record (two records tying on
+    `order_by` alone would otherwise land in plan-dependent order), so
+    the log bytes are deterministic across runs.
+
+    Exactly-once under task retries: a bare append would double-publish
+    if Spark re-executes a task (retry, speculation). Each task
+    therefore runs a journaled append per partition log: under an
+    exclusive flock it records {publish_id, base_line, n} in a sidecar
+    journal, then appends. A re-executed attempt finds the journal —
+    full append already there → no-op; partial/torn append → truncate
+    back to base_line and re-append. A LATER publish that finds a
+    mismatched journal (a previous publish crashed between journal and
+    complete append and was never retried) repairs the log to the
+    journaled base first, so a FAILED publish_df leaves no partial
+    records behind once any subsequent publish touches the partition.
 
     Single-machine note: partition logs are plain local files here; on a
     real cluster the broker directory must be on shared storage (or be
     an actual broker — see kafka_feed_stream)."""
+    import uuid
+
     from pyspark.sql import functions as F
 
     os.makedirs(log_dir, exist_ok=True)
     stamp = int(time.time() * 1000) if ts_ms is None else ts_ms
+    publish_id = uuid.uuid4().hex  # fixed per CALL: retries share it
     routed = (
         df.select(
             F.col("key").cast("string").alias("key"),
@@ -181,33 +196,110 @@ def publish_df(
             ).cast("int"),
         )
         .repartition(F.col("__p__"))
-        .sortWithinPartitions("__p__", "__ord__")
+        .sortWithinPartitions("__p__", "__ord__", "key", "value")
     )
 
     def append_partition(rows) -> None:
-        handles: dict[int, object] = {}
+        import tempfile
+
+        # Buffer each topic-partition's records to a local spill file
+        # (never in memory — a partition's records can be arbitrarily
+        # large), then journaled-append each one.
+        spills: dict[int, object] = {}
+        counts: dict[int, int] = {}
         try:
             for r in rows:
                 p = int(r["__p__"])
-                fh = handles.get(p)
+                fh = spills.get(p)
                 if fh is None:
-                    fh = open(
-                        os.path.join(log_dir, f"p{p}.jsonl"),
-                        "a",
-                        encoding="utf-8",
-                    )
-                    handles[p] = fh
+                    fh = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+                    spills[p] = fh
+                    counts[p] = 0
                 fh.write(
                     json.dumps(
                         {"key": r["key"], "value": r["value"], "ts_ms": stamp}
                     )
                     + "\n"
                 )
+                counts[p] += 1
+            for p, fh in spills.items():
+                fh.seek(0)
+                _journaled_append(log_dir, p, publish_id, fh, counts[p])
         finally:
-            for fh in handles.values():
+            for fh in spills.values():
                 fh.close()
 
     routed.foreachPartition(append_partition)
+
+
+def _line_base_bytes(path: str, n_lines: int) -> int:
+    """Byte offset just past line `n_lines` (0 if the file is shorter)."""
+    off = 0
+    seen = 0
+    with open(path, "rb") as fh:
+        for line in fh:
+            if seen >= n_lines:
+                break
+            off += len(line)
+            seen += 1
+    return off
+
+
+def _journaled_append(
+    log_dir: str, p: int, publish_id: str, src, n_new: int
+) -> None:
+    """Append `src`'s lines to p<p>.jsonl exactly once per publish_id.
+
+    Protocol (all under an exclusive flock on the log file, so a
+    speculative duplicate attempt serializes behind the first):
+    journal `.pub-p<p>.json` = {publish_id, base, n} written atomically
+    (temp + os.replace) BEFORE the append. Cases on entry:
+    - journal.publish_id == ours: base comes from the journal; if the
+      log already holds base+n lines the append completed (no-op); any
+      other length is a torn append → truncate to base, redo.
+    - journal from an EARLIER publish whose append never completed
+      (line count < journal.base + journal.n — a count BEYOND the
+      journaled end means later appends, e.g. driver-side publish(),
+      which must not be rolled back): that publish failed and was
+      abandoned → repair-truncate to its base before starting ours.
+      (Corollary: after a FAILED publish_df, repair happens on the next
+      publish_df to that partition; interleaving a driver-side
+      publish() before that repair would strand the torn lines — don't
+      mix the two paths across a failure.)
+    """
+    import fcntl
+
+    log_path = os.path.join(log_dir, f"p{p}.jsonl")
+    jrn_path = os.path.join(log_dir, f".pub-p{p}.json")
+    with open(log_path, "a+b") as log_fh:
+        fcntl.flock(log_fh, fcntl.LOCK_EX)
+        try:
+            cur = _line_count(log_path)
+            base = cur
+            if os.path.exists(jrn_path):
+                with open(jrn_path, encoding="utf-8") as jf:
+                    jrn = json.load(jf)
+                if jrn.get("publish_id") == publish_id:
+                    base = int(jrn["base"])
+                    if cur == base + n_new:
+                        return  # a previous attempt fully appended
+                elif cur < int(jrn["base"]) + int(jrn["n"]):
+                    base = int(jrn["base"])  # abandoned torn publish
+            if cur != base:
+                os.truncate(log_path, _line_base_bytes(log_path, base))
+            tmp = jrn_path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as jf:
+                json.dump({"publish_id": publish_id, "base": base, "n": n_new}, jf)
+                jf.flush()
+                os.fsync(jf.fileno())
+            os.replace(tmp, jrn_path)
+            log_fh.seek(0, os.SEEK_END)
+            for line in src:
+                log_fh.write(line.encode("utf-8"))
+            log_fh.flush()
+            os.fsync(log_fh.fileno())
+        finally:
+            fcntl.flock(log_fh, fcntl.LOCK_UN)
 
 
 def _partition_files(log_dir: str) -> dict[int, str]:

@@ -386,3 +386,92 @@ def test_publish_df_is_deterministic_across_runs(spark, tmp_path):
         }
 
     assert dump(dirs[0]) == dump(dirs[1])
+
+
+def test_publish_df_deterministic_under_order_by_ties(spark, tmp_path):
+    """Two records tying on `order_by` (the default: value) but with
+    different keys routed to the same partition used to land in
+    plan-dependent order; the sort is now a TOTAL order over
+    (order_by, key, value), so the logs stay byte-identical across
+    runs even with ties."""
+    from financial_arbitrage_data_pipeline_spark.sources import kafka_standin
+
+    # every value identical -> order_by alone is a pure tie
+    df = spark.range(0, 60).selectExpr(
+        "cast(id as string) as key", "'same-value' as value"
+    ).repartition(7)
+    dirs = [str(tmp_path / f"t{i}") for i in (1, 2)]
+    for d in dirs:
+        kafka_standin.publish_df(df, d, n_partitions=3, ts_ms=9)
+
+    def dump(log_dir):
+        return {
+            p: open(path, encoding="utf-8").read()
+            for p, path in kafka_standin._partition_files(log_dir).items()
+        }
+
+    assert dump(dirs[0]) == dump(dirs[1])
+
+
+def test_journaled_append_is_idempotent_under_task_retry(tmp_path):
+    """A re-executed Spark task (retry / speculation) re-runs the same
+    journaled append with the SAME publish_id — the log must hold the
+    records exactly once (code-review r11: the bare foreachPartition
+    append double-published on any re-execution)."""
+    import io
+
+    from financial_arbitrage_data_pipeline_spark.sources import kafka_standin as K
+
+    log_dir = str(tmp_path / "topic")
+    os.makedirs(log_dir)
+    lines = [json.dumps({"key": str(i), "value": f"v{i}", "ts_ms": 1}) + "\n"
+             for i in range(10)]
+    for _attempt in range(3):  # original run + two retries
+        K._journaled_append(log_dir, 0, "pub-A", io.StringIO("".join(lines)), 10)
+    with open(os.path.join(log_dir, "p0.jsonl"), encoding="utf-8") as fh:
+        assert fh.readlines() == lines
+    # a SECOND publish (new id) appends after, and ITS retry is also a no-op
+    lines2 = [json.dumps({"key": "x", "value": "late", "ts_ms": 2}) + "\n"]
+    for _attempt in range(2):
+        K._journaled_append(log_dir, 0, "pub-B", io.StringIO("".join(lines2)), 1)
+    with open(os.path.join(log_dir, "p0.jsonl"), encoding="utf-8") as fh:
+        assert fh.readlines() == lines + lines2
+
+
+def test_journaled_append_repairs_torn_attempt(tmp_path):
+    """A task that died mid-append left a partial tail; the retry (same
+    publish_id) must truncate back to the journaled base and re-append,
+    and a LATER publish (different id) finding the abandoned torn state
+    must repair it the same way instead of stacking on garbage."""
+    import io
+
+    from financial_arbitrage_data_pipeline_spark.sources import kafka_standin as K
+
+    log_dir = str(tmp_path / "topic")
+    os.makedirs(log_dir)
+    pre = [json.dumps({"key": "p", "value": "pre", "ts_ms": 0}) + "\n"]
+    K._journaled_append(log_dir, 2, "pub-0", io.StringIO("".join(pre)), 1)
+    new = [json.dumps({"key": str(i), "value": f"n{i}", "ts_ms": 1}) + "\n"
+           for i in range(5)]
+
+    def tear(publish_id, base):
+        # journal written (base = line count at the publish's start),
+        # then only 2 of 5 lines land (simulated crash)
+        jrn = os.path.join(log_dir, ".pub-p2.json")
+        with open(jrn, "w", encoding="utf-8") as jf:
+            json.dump({"publish_id": publish_id, "base": base, "n": 5}, jf)
+        with open(os.path.join(log_dir, "p2.jsonl"), "a", encoding="utf-8") as fh:
+            fh.write(new[0])
+            fh.write(new[1][: len(new[1]) // 2])  # torn mid-line
+
+    tear("pub-X", base=1)
+    K._journaled_append(log_dir, 2, "pub-X", io.StringIO("".join(new)), 5)
+    with open(os.path.join(log_dir, "p2.jsonl"), encoding="utf-8") as fh:
+        assert fh.readlines() == pre + new
+
+    tear("pub-dead", base=6)  # abandoned: never retried...
+    other = [json.dumps({"key": "o", "value": "other", "ts_ms": 3}) + "\n"]
+    # ...the NEXT publish to the partition repairs before appending
+    K._journaled_append(log_dir, 2, "pub-Y", io.StringIO("".join(other)), 1)
+    with open(os.path.join(log_dir, "p2.jsonl"), encoding="utf-8") as fh:
+        assert fh.readlines() == pre + new + other
