@@ -669,9 +669,11 @@ def doc_duplicate_span_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same in-row gram stream: the cross-doc duplicate span set
     (`ngram_duplicate_spans`' keyed aggregate) LEFT-joined back to each
     doc's positions, then one per-doc reduce. Shuffles are keyed on
-    gram hash and doc_id only — gram text never crosses an exchange,
-    and the dup-set join is a hash join that AQE can broadcast when the
-    duplicate set is small relative to the corpus."""
+    gram hash and doc_id only — gram text never crosses an exchange.
+    The dup-set side is O(duplicated grams) — corpus-scale, so it is
+    pinned SHUFFLE_HASH: at sf1 under the driver's vanilla 1 GB heap
+    Catalyst's post-agg estimate let it broadcast and the build OOMed
+    (SCALE.md §39); at 100 TB the same side is terabytes."""
     corpus = crawl_union(spark, sf_dir)
     grams = ngram_span_column(_SPAN_N)
     g = corpus.select("doc_id", F.explode(grams).alias("gram")).select(
@@ -683,7 +685,7 @@ def doc_duplicate_span_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") > 1)
         .select("gram_hash", F.lit(True).alias("is_dup"))
     )
-    joined = g.join(dup, "gram_hash", "left")
+    joined = g.join(dup.hint("shuffle_hash"), "gram_hash", "left")
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.count(F.when(F.col("is_dup"), 1)).alias("n_dup_spans"),
@@ -1136,7 +1138,9 @@ def duplicate_span_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") > 1)
         .select("h")
     )
-    p = g.join(dup, "h").select("doc_id", "i")
+    # dup is O(duplicated grams) — corpus-scale, never broadcast
+    # (sf1 vanilla-session OOM, SCALE.md §39)
+    p = g.join(dup.hint("shuffle_hash"), "h").select("doc_id", "i")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("i")

@@ -336,9 +336,14 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # SHUFFLE_HASH pins: the shingle-set sides are O(docs) and carry the
+    # token arrays — they must NEVER broadcast (r11: at sf1 under the
+    # driver's vanilla 1 GB heap, Catalyst's post-agg size estimate let
+    # one through and the BroadcastExchange build OOMed; at 100 TB the
+    # same side is terabytes). Hash join on the long key, no sort.
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
@@ -519,8 +524,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     sa, sb = sh.alias("sa"), sh.alias("sb")
+    # The inverted-index self-join: both sides are the full exploded
+    # posting table — pin SORT-MERGE (spills per key group), never
+    # broadcast (Catalyst's post-distinct estimate let one side through
+    # at sf1 under the vanilla 1 GB heap, SCALE.md §39) and never
+    # shuffle-hash (the per-partition build side is the whole posting
+    # partition, O(corpus/partitions) resident).
     inter = (
-        sa.join(
+        sa.hint("merge").join(
             sb,
             (F.col("sa.lang") == F.col("sb.lang"))
             & (F.col("sa.lbucket") == F.col("sb.lbucket"))
@@ -537,8 +548,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
+        # size sides are O(docs): shuffle-hash, never broadcast
+        # (SCALE.md §39)
+        inter.join(za.hint("shuffle_hash"), "doc_a")
+        .join(zb.hint("shuffle_hash"), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.4)
     )
@@ -818,8 +831,10 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = n_match.cast("double") / F.lit(N_MINHASH)
     exact = inter.cast("double") / union
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        # signature sides are O(docs): shuffle-hash, never broadcast
+        # (SCALE.md §39)
+        cand.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -1095,8 +1110,10 @@ def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     matches = (
-        cand.join(sa, "base_id")
-        .join(sb, "incoming_id")
+        # shingle-set sides are O(docs): shuffle-hash, never broadcast
+        # (sf1 vanilla-session OOM, SCALE.md §39)
+        cand.join(sa.hint("shuffle_hash"), "base_id")
+        .join(sb.hint("shuffle_hash"), "incoming_id")
         .filter((inter.cast("double") / union) >= 0.5)
         .groupBy("incoming_id")
         .agg(
@@ -1342,8 +1359,9 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         union = F.size("sh_a") + F.size("sh_b") - inter
         verified = (
-            cand.join(sa, "doc_a")
-            .join(sb, "doc_b")
+            # shingle-set sides are O(docs): shuffle-hash (SCALE.md §39)
+            cand.join(sa.hint("shuffle_hash"), "doc_a")
+            .join(sb.hint("shuffle_hash"), "doc_b")
             .filter((inter.cast("double") / union) >= 0.5)
         )
         n_cand = cand.count()

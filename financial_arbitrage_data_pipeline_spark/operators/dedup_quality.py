@@ -256,8 +256,9 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("naive_split").alias("naive_b"),
     )
     audit = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        # split labels are O(docs): shuffle-hash, never broadcast
+        pairs.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .groupBy(F.col("split_a").alias("split"))
         .agg(
             F.sum(
@@ -345,8 +346,10 @@ def crosslang_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
     )
     labeled = (
-        pairs.join(la, "doc_a")
-        .join(lb, "doc_b")
+        # doc-level label sides are O(docs): shuffle-hash, never broadcast
+        # (sf1 vanilla-session OOM, see _lsh_verified_pairs)
+        pairs.join(la.hint("shuffle_hash"), "doc_a")
+        .join(lb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -551,3 +551,138 @@ def delta_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         return final.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "delta_stats_skipping_read",
+    oracle="""
+WITH b AS (
+  SELECT MAX(o_orderkey) // 4 AS lo, MAX(o_orderkey) // 2 AS hi FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_cust
+FROM orders, b
+WHERE o_orderkey BETWEEN b.lo AND b.hi
+GROUP BY o_orderstatus
+""",
+    tags=("K4", "lakehouse", "delta-protocol", "data-skipping"),
+)
+def delta_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DATA SKIPPING end-to-end (r11): the writer stamps per-file
+    minValues/maxValues from parquet footers into add.stats; a read
+    with `stats_filter` prunes files by those logged ranges BEFORE any
+    footer is opened — the metadata tier that makes a selective key-
+    range read of a 100 TB table cost O(matching files), not O(table).
+    The table is written key-clustered (repartitionByRange on the key,
+    so each file covers a tight key range — the layout any
+    streaming-by-key or MERGE-bucketed table already has); the query
+    then reads a quarter of the keyspace and SELF-ENFORCES that the
+    log-level pruning actually skipped files (a silent full-scan
+    degrade raises instead of passing). The oracle states the same
+    range read declaratively over the raw table; the hash match proves
+    skipping lost no qualifying row and admitted no extra one.
+    Reference anchor: the reference's range scans lean on Postgres
+    btree indexes (`/root/reference/database/postgres/writer.py`);
+    Delta's stats tier is the lakehouse equivalent."""
+    from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+        stats_selected_files,
+    )
+
+    root = tempfile.mkdtemp(prefix="sgdskip_")
+    tdir = os.path.join(root, "orders_delta")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        create_delta_table(
+            spark, tdir, orders.repartitionByRange(8, "o_orderkey")
+        )
+        mx = orders.agg(F.max("o_orderkey")).first()[0]
+        lo, hi = mx // 4, mx // 2
+        kept, total = stats_selected_files(
+            spark, tdir, {"o_orderkey": (lo, hi)}
+        )
+        if not kept < total:
+            raise RuntimeError(
+                f"stats skipping degraded to a full scan ({kept}/{total} "
+                "files kept for a quarter-keyspace read)"
+            )
+        df = read_delta_table(spark, tdir, stats_filter={"o_orderkey": (lo, hi)})
+        out = df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "delta_zorder_skipping_read",
+    oracle="""
+SELECT l_partkey % 256 AS px,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(l_orderkey % 256) AS BIGINT) AS sum_sy
+FROM lineitem
+WHERE l_partkey % 256 BETWEEN 32 AND 63
+  AND l_orderkey % 256 BETWEEN 96 AND 127
+GROUP BY 1
+""",
+    tags=("K4", "lakehouse", "delta-protocol", "data-skipping", "zorder"),
+)
+def delta_zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY + two-dimensional data skipping (r11): a
+    table queried by box predicates on TWO columns can't be served by a
+    single-column sort — clustering on the Morton z-curve keeps each
+    rewritten file tight in BOTH dimensions, so `stats_filter` skips
+    files for either (or both) bounds. The query seeds an UNCLUSTERED
+    table (hash-scrambled files whose per-file [min,max] spans nearly
+    the whole space — version 0 keeps ~every file), runs the layout-only
+    z-order OPTIMIZE, and SELF-ENFORCES that the identical box read now
+    skips at least half the files at HEAD (and strictly beats the
+    unclustered layout) while version-0 time travel shows the
+    counterfactual — at bench SFs the observed skip is far higher; the
+    floor only needs to survive the 750-row-per-file smallest tier. The box [32,63]x[96,127] is a 32x32 cell aligned
+    on the curve, i.e. one contiguous z-interval — the geometry that
+    makes aligned-box reads O(cell) after clustering. The oracle states
+    the box read flat over the raw table: the hash match proves the
+    rewrite moved bytes without changing content AND that skipping was
+    exact."""
+    from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+        optimize_compact,
+        stats_selected_files,
+    )
+
+    root = tempfile.mkdtemp(prefix="sgdzord_")
+    tdir = os.path.join(root, "cells_delta")
+    box = {"px": (32, 63), "sy": (96, 127)}
+    try:
+        cells = load_table(spark, sf_dir, "lineitem").select(
+            (F.col("l_partkey") % 256).alias("px"),
+            (F.col("l_orderkey") % 256).alias("sy"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        create_delta_table(spark, tdir, cells.repartition(8))
+        kept0, total0 = stats_selected_files(spark, tdir, box, version=0)
+        optimize_compact(spark, tdir, target_files=8, zorder_by=("px", "sy"))
+        kept, total = stats_selected_files(spark, tdir, box)
+        if not (kept * 2 <= total and kept < kept0):
+            raise RuntimeError(
+                f"z-order bought no skipping: box read keeps {kept}/{total} "
+                f"files after OPTIMIZE vs {kept0}/{total0} unclustered"
+            )
+        df = read_delta_table(spark, tdir, stats_filter=box)
+        out = df.groupBy("px").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty").alias("sum_qty"),
+            F.sum("sy").alias("sum_sy"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

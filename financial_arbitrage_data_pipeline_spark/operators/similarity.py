@@ -2334,7 +2334,10 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cosine").alias("max_prior_cosine"),
         )
     )
-    return members.join(dups, members["vec_id"] == dups["b_id"], "left").select(
+    # dups is O(vectors): shuffle-hash, never broadcast (SCALE.md §39)
+    return members.join(
+        dups.hint("shuffle_hash"), members["vec_id"] == dups["b_id"], "left"
+    ).select(
         "vec_id",
         F.col("cid").alias("cluster_id"),
         F.when(F.col("b_id").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("kept"),

@@ -119,8 +119,10 @@ def bbit_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     estf = n_full.cast("double") / F.lit(N_MINHASH)
     jac = inter.cast("double") / union
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        # signature sides are O(docs): shuffle-hash, never broadcast
+        # (SCALE.md §39)
+        cand.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -568,11 +568,40 @@ def replay_state(
     return state
 
 
+def stats_keep_file(add: dict, stats_filter: dict[str, tuple]) -> bool:
+    """Data-skipping decision for one add action: False only when the
+    file's logged [minValues, maxValues] range PROVABLY excludes every
+    bound in `stats_filter` ({col: (lo, hi)}, either end None for
+    one-sided). A column with no stamped stat is UNKNOWN → the file must
+    be read (the _parquet_col_stats contract: stats are complete over
+    every row group or absent entirely, never partial). Comparison
+    errors (caller bound of a different type than the logged scalar)
+    also degrade to keep — skipping must never be able to lose rows."""
+    try:
+        stats = json.loads(add.get("stats") or "{}")
+    except (TypeError, ValueError):
+        return True
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    for col, (lo, hi) in stats_filter.items():
+        if col not in mins or col not in maxs:
+            continue  # unknown: must read
+        try:
+            if hi is not None and mins[col] > hi:
+                return False
+            if lo is not None and maxs[col] < lo:
+                return False
+        except TypeError:
+            continue  # incomparable bound: must read
+    return True
+
+
 def read_delta_table(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
     partition_filter: dict[str, list[str]] | None = None,
+    stats_filter: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """DataFrame over the Delta table at `version` via pure log replay —
     no directory listing. The metaData schemaString is imposed on the
@@ -584,7 +613,19 @@ def read_delta_table(
     metadata-only pruning that makes a selective read of a 100 TB
     partitioned table cost O(matching partition), not O(table). For a
     partitioned table the partition columns are reattached from the
-    log metadata (the data files do not contain them, per protocol)."""
+    log metadata (the data files do not contain them, per protocol).
+
+    `stats_filter` ({col: (lo, hi)}, either end None) is Delta's second
+    metadata-only pruning tier — DATA SKIPPING by the per-file
+    minValues/maxValues the writer stamps from parquet footers: files
+    whose logged range provably misses [lo, hi] are never opened, and
+    the surviving scan gets the equivalent row-level BETWEEN filter so
+    the result is exactly the rows satisfying every bound (NULLs
+    excluded, as in SQL range predicates). On an unclustered table the
+    ranges are wide and nothing skips; cluster by the filter columns
+    (repartitionByRange at write, or OPTIMIZE ... zorder_by for two
+    dimensions) to make the ranges tight. Returns only the matching
+    rows; the pruning itself is observable via `stats_selected_files`."""
     state = replay_state(spark, table_dir, version)
     schema = StructType.fromJson(json.loads(state.metadata["schemaString"]))
     pcols = state.metadata.get("partitionColumns") or []
@@ -592,6 +633,11 @@ def read_delta_table(
         unknown = set(partition_filter) - set(pcols)
         if unknown:
             raise ValueError(f"partition_filter on non-partition columns: {unknown}")
+    if stats_filter:
+        known = {f.name for f in schema.fields}
+        unknown = set(stats_filter) - known
+        if unknown:
+            raise ValueError(f"stats_filter on unknown columns: {unknown}")
 
     def keep(add: dict) -> bool:
         if not partition_filter:
@@ -600,7 +646,33 @@ def read_delta_table(
         return all(pv.get(c) in set(vals) for c, vals in partition_filter.items())
 
     selected = {p: a for p, a in state.files.items() if keep(a)}
-    return _read_fileset(spark, table_dir, schema, pcols, selected)
+    if stats_filter:
+        selected = {
+            p: a for p, a in selected.items() if stats_keep_file(a, stats_filter)
+        }
+    df = _read_fileset(spark, table_dir, schema, pcols, selected)
+    if stats_filter:
+        for col, (lo, hi) in stats_filter.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
+def stats_selected_files(
+    spark: SparkSession,
+    table_dir: str,
+    stats_filter: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[int, int]:
+    """(files the stats_filter keeps, total active files) — the
+    observable data-skipping rate, for tests and the bridge queries'
+    self-enforcement (a 'skipping' read that opens every file should
+    fail loudly, not silently degrade to a full scan)."""
+    state = replay_state(spark, table_dir, version)
+    kept = sum(1 for a in state.files.values() if stats_keep_file(a, stats_filter))
+    return kept, len(state.files)
 
 
 def _read_fileset(
@@ -877,6 +949,8 @@ def optimize_compact(
     *,
     target_files: int = 1,
     checkpoint_interval: int = CHECKPOINT_INTERVAL,
+    zorder_by: tuple[str, str] | None = None,
+    zorder_bits: int = 8,
 ) -> int:
     """OPTIMIZE: bin-pack the active files into `target_files` larger
     ones in a single commit of remove+add actions with
@@ -890,11 +964,40 @@ def optimize_compact(
     and at 100 TB the scan dies by open-file overhead long before
     bytes; periodic compaction restores O(target) files while every
     version before it stays time-travelable (the small files remain on
-    disk until VACUUM expires their tombstones)."""
+    disk until VACUUM expires their tombstones).
+
+    `zorder_by=(x, y)` clusters the rewrite on the Morton z-curve of
+    two columns (Delta's OPTIMIZE ... ZORDER BY): range-partition +
+    sort on the interleaved key, so every output file covers a tight
+    range in BOTH dimensions and the stamped minValues/maxValues make
+    `stats_filter` reads skip files for predicates on either column —
+    the clustering trade a single-column sort cannot make. Columns
+    must be non-negative ints < 2^zorder_bits (quantile-bucket them
+    upstream otherwise — `operators/layout.with_quantile_buckets`).
+    Layout-only like plain compaction: same rows, dataChange=false."""
     state = replay_state(spark, table_dir)
     old_paths = sorted(state.files)
     pcols = state.metadata.get("partitionColumns") or []
-    df = read_delta_table(spark, table_dir).coalesce(max(1, target_files))
+    df = read_delta_table(spark, table_dir)
+    if zorder_by is not None:
+        if pcols:
+            raise NotImplementedError(
+                "zorder_by on a partitioned table is not supported: z-cluster "
+                "within partitions needs per-partition range bounds"
+            )
+        from financial_arbitrage_data_pipeline_spark.operators.layout import (
+            zorder_key,
+        )
+
+        x, y = zorder_by
+        df = (
+            df.withColumn("__z", zorder_key(x, y, zorder_bits))
+            .repartitionByRange(max(1, target_files), "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        df = df.coalesce(max(1, target_files))
     version = delta_versions(table_dir)[-1] + 1
     new_files = _materialize_files(df, table_dir, version, pcols or None)
     actions: list[dict] = [

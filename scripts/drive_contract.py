@@ -81,6 +81,28 @@ def main() -> int:
             failures.append(name)
             print(f"  FAIL {name}: {exc}")
             results[name] = {"ok": False, "err": str(exc)[:500]}
+            # A task-level OOM can kill the whole SparkContext; without a
+            # rebuild every later query fails with 'stopped SparkContext'
+            # (the r11 sf1 heavy drive lost 49 green queries to one
+            # casualty this way). Rebuild and keep driving.
+            try:
+                dead = spark.sparkContext._jsc.sc().isStopped()
+            except Exception:  # noqa: BLE001
+                dead = True
+            if dead:
+                print("  !! SparkContext died — rebuilding the session")
+                try:
+                    spark.stop()
+                except Exception:  # noqa: BLE001
+                    pass
+                SparkSession._instantiatedSession = None
+                SparkSession._activeSession = None
+                spark = (
+                    SparkSession.builder.master("local[8]")
+                    .config("spark.ui.enabled", "false")
+                    .getOrCreate()
+                )
+                spark.sparkContext.setLogLevel("ERROR")
     out = os.environ.get("OUT")
     if out:
         import json

@@ -552,3 +552,87 @@ def test_vacuum_listing_sweep_reclaims_checkpoint_expired_orphans(
         assert os.path.exists(os.path.join(tdir, DL._decode_path(p)))
     got = sorted(r["k"] for r in DL.read_delta_table(spark, tdir).collect())
     assert got == expect
+
+
+def test_stats_filter_skips_files_and_returns_exact_rows(spark, tmp_path):
+    """Data skipping (r11): a key-clustered table read with stats_filter
+    must (a) keep only the files whose logged [min,max] intersects the
+    bounds, (b) return exactly the rows a plain BETWEEN yields, and
+    (c) treat files without a usable stat as must-read."""
+    from financial_arbitrage_data_pipeline_spark.sources import delta_log as DL
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id as k", "id * 3 as v")
+    DL.create_delta_table(spark, tdir, df.repartitionByRange(10, "k"))
+
+    kept, total = DL.stats_selected_files(spark, tdir, {"k": (250, 449)})
+    assert total == 10 and 1 <= kept <= 3, (kept, total)
+    got = sorted(
+        (r["k"], r["v"])
+        for r in DL.read_delta_table(
+            spark, tdir, stats_filter={"k": (250, 449)}
+        ).collect()
+    )
+    assert got == [(k, k * 3) for k in range(250, 450)]
+    # one-sided bounds
+    hi = DL.read_delta_table(spark, tdir, stats_filter={"k": (900, None)})
+    assert sorted(r["k"] for r in hi.collect()) == list(range(900, 1000))
+    # unknown column refused loudly; unknown STATS kept conservatively
+    with pytest.raises(ValueError):
+        DL.read_delta_table(spark, tdir, stats_filter={"nope": (1, 2)})
+    add_nostats = {"partitionValues": {}}  # no stats key at all
+    assert DL.stats_keep_file(add_nostats, {"k": (0, 1)})
+    add_incomparable = {"stats": json.dumps(
+        {"numRecords": 1, "minValues": {"k": "a"}, "maxValues": {"k": "z"}}
+    )}
+    assert DL.stats_keep_file(add_incomparable, {"k": (0, 1)})
+
+
+def test_optimize_zorder_two_dimensional_skipping(spark, tmp_path):
+    """OPTIMIZE zorder_by (r11): layout-only (same rows, dataChange
+    false), and after the rewrite an aligned box stats_filter on BOTH
+    columns skips most files where the unclustered v0 layout skipped
+    none."""
+    from financial_arbitrage_data_pipeline_spark.sources import delta_log as DL
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(0, 20000).selectExpr(
+        "cast(id % 256 as long) as x",
+        "cast((id * 7919) % 256 as long) as y",
+        "id as payload",
+    )
+    DL.create_delta_table(spark, tdir, df.repartition(8))
+    box = {"x": (64, 95), "y": (128, 159)}  # aligned 32x32 cell
+    kept0, total0 = DL.stats_selected_files(spark, tdir, box, version=0)
+    assert kept0 == total0 == 8  # hash-scrambled: nothing skips
+
+    before = sorted(tuple(r) for r in DL.read_delta_table(spark, tdir).collect())
+    v = DL.optimize_compact(spark, tdir, target_files=8, zorder_by=("x", "y"))
+    acts = _log_lines(tdir, v)
+    assert all(
+        a["add"]["dataChange"] is False for a in acts if "add" in a
+    ), "zorder OPTIMIZE must stay layout-only"
+    after = sorted(tuple(r) for r in DL.read_delta_table(spark, tdir).collect())
+    assert after == before, "zorder rewrite changed table content"
+
+    kept, total = DL.stats_selected_files(spark, tdir, box)
+    assert kept * 2 <= total, f"box read kept {kept}/{total} after zorder"
+    got = sorted(
+        tuple(r)
+        for r in DL.read_delta_table(spark, tdir, stats_filter=box).collect()
+    )
+    want = sorted(
+        (i % 256, (i * 7919) % 256, i)
+        for i in range(20000)
+        if 64 <= i % 256 <= 95 and 128 <= (i * 7919) % 256 <= 159
+    )
+    assert got == want
+    # partitioned tables refuse zorder loudly (per-partition bounds unbuilt)
+    pdir = str(tmp_path / "p")
+    DL.create_delta_table(
+        spark, pdir,
+        spark.range(20).selectExpr("cast(id % 2 as string) as pc", "id as k"),
+        partition_by=["pc"],
+    )
+    with pytest.raises(NotImplementedError):
+        DL.optimize_compact(spark, pdir, zorder_by=("k", "k"))

@@ -333,6 +333,9 @@ def test_no_unexpected_cartesian_or_nested_loop_anywhere(spark, sf_dir):
         "ngram_novelty_decay",  # 1-row doc_id min/max bound for decile slicing
         "idle_rich_customers",  # 1-row scalar AVG threshold
         "ivf_multiprobe_topk",  # array_contains over 10 broadcast probe rows
+        "ivfpq_multiprobe_rerank_topk",  # composes ivf_multiprobe_topk's
+                                         # probe: same 10-row broadcast
+                                         # array_contains, by construction
         "lang_id_ngram",        # tiny language-profile dimension
         "pq_recall_audit",      # contains ann_cosine_topk by construction
         "ivf_recall_at_k",      # contains ann_cosine_topk by construction
