@@ -2251,15 +2251,20 @@ WITH {{KMEANS}},
 members AS (
   SELECT a2.vec_id, a2.cid, n.nsq FROM a2 JOIN norms n ON n.vec_id = a2.vec_id
 ),
+-- O(pairs), not O(pairs x dims): the per-dimension qe self-join form
+-- materialized ~1.6G rows at sf1 (105 GB before the oracle memory cap);
+-- a list dot per pair is exact here — quantized components are small
+-- ints, so every product and the <=2^53 partial sums are
+-- order-independent exact doubles.
+ql AS (SELECT vec_id, list(q ORDER BY i) AS l FROM qe GROUP BY vec_id),
 pairdots AS (
   SELECT ma.vec_id AS a_id, mb.vec_id AS b_id,
-         CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot,
+         CAST(list_dot_product(qa.l, qb.l) AS BIGINT) AS dot,
          ma.nsq AS a_nsq, mb.nsq AS b_nsq
   FROM members ma
   JOIN members mb ON ma.cid = mb.cid AND ma.vec_id < mb.vec_id
-  JOIN qe qa ON qa.vec_id = ma.vec_id
-  JOIN qe qb ON qb.vec_id = mb.vec_id AND qb.i = qa.i
-  GROUP BY 1, 2, ma.nsq, mb.nsq
+  JOIN ql qa ON qa.vec_id = ma.vec_id
+  JOIN ql qb ON qb.vec_id = mb.vec_id
 ),
 dups AS (
   SELECT b_id,

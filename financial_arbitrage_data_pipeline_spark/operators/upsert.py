@@ -858,6 +858,25 @@ def merge_into_parquet(
         if os.path.exists(os.path.join(dl, EXPORT_SENTINEL)):
             shutil.rmtree(dl, ignore_errors=True)
         else:
+            from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+                _latest_checkpoint_at_or_below,
+                delta_versions,
+            )
+
+            if not delta_versions(target_dir) and not _latest_checkpoint_at_or_below(
+                target_dir, 1 << 62
+            ):
+                # A _delta_log with NO commits and no sentinel is not a
+                # live Delta table — it is a foreign marker the engine
+                # did not derive. Writing around it would desync a
+                # third-party writer; writing through it would invent a
+                # table that writer never created. Refuse loudly.
+                raise RuntimeError(
+                    f"refusing to merge: {dl} exists but holds no Delta "
+                    "commits and the engine did not derive it (no export "
+                    "sentinel) — a foreign transaction log must not be "
+                    "written around or through"
+                )
             merge_delta_table(
                 spark,
                 target_dir,

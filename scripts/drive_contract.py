@@ -42,6 +42,14 @@ def main() -> int:
     qs, osql = E.queries(), E.oracle_sql()
     assert set(osql) <= set(qs), "oracle_sql keys must be a subset of queries"
     con = duckdb.connect()
+    # Cap the oracle side: a quadratic oracle at SF>=1 (e.g. the
+    # within-cluster all-pairs CTEs) can otherwise eat the whole box —
+    # observed 105 GB RSS at sf1 before the cap. With a limit DuckDB
+    # spills to disk instead of racing the OOM killer.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('ORACLE_MEM', '24GB')}'"
+    )
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TESTDATA_TABLES:
         # driver testdata ships one file per table; the scale-curve dirs
         # (scripts/gen_scale_data.py) are parquet DIRECTORIES — glob them
@@ -95,8 +103,16 @@ def main() -> int:
                     spark.stop()
                 except Exception:  # noqa: BLE001
                     pass
+                # A task-level OutOfMemoryError can take the whole JVM
+                # with it; clearing the gateway handles both cases by
+                # letting getOrCreate launch a fresh JVM when needed.
+                from pyspark import SparkContext
+
                 SparkSession._instantiatedSession = None
                 SparkSession._activeSession = None
+                SparkContext._active_spark_context = None
+                SparkContext._gateway = None
+                SparkContext._jvm = None
                 spark = (
                     SparkSession.builder.master("local[8]")
                     .config("spark.ui.enabled", "false")
