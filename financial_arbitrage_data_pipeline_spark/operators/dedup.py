@@ -1441,8 +1441,18 @@ def _suffix_ranks(docs: DataFrame) -> DataFrame:
     # satisfies the windows' ClusteredDistribution, so the explicit
     # repartition replaces — not precedes — the windows' own exchange
     # and every round inherits it.
+    # The conf can be the non-numeric 'auto' in AQE-managed
+    # environments (ADVICE r11 item 4) — fall back to the cluster's
+    # default parallelism so the position-proportional floor still
+    # applies instead of raising before any work runs.
+    try:
+        conf_parts = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (ValueError, TypeError):
+        conf_parts = docs.sparkSession.sparkContext.defaultParallelism
     n_parts = max(
-        int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        conf_parts,
         min(512, -(-int(total_pos) // 2_000_000)),
     )
     pos = pos.repartition(n_parts, "doc_id")

@@ -1250,8 +1250,22 @@ def merge_delta_table(
     ) from last_err
 
 
+# Listing-sweep safety floor (ADVICE r11 item 3): with retention_ms=0
+# the sweep's mtime guard is vacuous — a concurrent writer's
+# materialized-but-not-yet-committed parquet (in no log yet) would be
+# deleted the instant it lands. Real Delta guards this with an enforced
+# minimum retention (retentionDurationCheck, default 7 days); here the
+# floor applies to the LISTING SWEEP only (tombstone-driven deletes are
+# log-committed and need no mtime heuristic).
+MIN_SWEEP_RETENTION_MS = 3_600_000
+
+
 def vacuum_delta(
-    spark: SparkSession, table_dir: str, *, retention_ms: int = 0
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    retention_ms: int = 0,
+    force_listing_sweep: bool = False,
 ) -> list[str]:
     """VACUUM: physically delete data files that are (a) not in the
     CURRENT active set and (b) tombstoned by a `remove` whose
@@ -1274,7 +1288,11 @@ def vacuum_delta(
     The sweep protects the active set, every unexpired tombstone, and
     any file whose mtime is newer than the retention cutoff (an
     in-flight writer's not-yet-committed file — the same race real
-    Delta's 7-day-minimum retention check exists to paper over)."""
+    Delta's 7-day-minimum retention check exists to paper over). The
+    mtime guard is only meaningful with a real retention window, so the
+    sweep runs only when retention_ms >= MIN_SWEEP_RETENTION_MS or the
+    caller passes force_listing_sweep=True (mirroring real VACUUM's
+    retentionDurationCheck escape hatch)."""
     state = replay_state(spark, table_dir)
     active = set(state.files)
     cutoff = _now_ms() - retention_ms
@@ -1294,23 +1312,31 @@ def vacuum_delta(
             os.remove(abs_path)
             deleted.append(path)
     # Listing sweep: unreferenced files (no add, no live tombstone).
-    protected = set(active)
+    if retention_ms < MIN_SWEEP_RETENTION_MS and not force_listing_sweep:
+        return sorted(set(deleted))
+    # Protection compares DECODED paths (ADVICE r11 item 2): a foreign
+    # writer may log Hive partition paths with a literal '=' where this
+    # engine logs '%3D' — re-encoding the filesystem relpath would only
+    # match logs this engine wrote, and the sweep would delete ACTIVE
+    # files of a foreign partitioned table. _decode_path is the
+    # protocol-correct normalization for whatever quoting the log used.
+    protected = {_decode_path(p) for p in active}
     for path, r in removes.items():
         if r.get("deletionTimestamp", 0) > cutoff:
-            protected.add(path)
+            protected.add(_decode_path(path))
     for root, dirs, files in os.walk(table_dir):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if not f.endswith(".parquet") or f.startswith(("_", ".")):
                 continue
             abs_path = os.path.join(root, f)
-            rel = _encode_path(os.path.relpath(abs_path, table_dir))
-            if rel in protected:
+            rel_fs = os.path.relpath(abs_path, table_dir).replace(os.sep, "/")
+            if rel_fs in protected:
                 continue
             if os.stat(abs_path).st_mtime * 1000 > cutoff:
                 continue
             os.remove(abs_path)
-            deleted.append(rel)
+            deleted.append(_encode_path(rel_fs))
     return sorted(set(deleted))
 
 

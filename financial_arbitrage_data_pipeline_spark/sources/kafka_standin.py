@@ -232,6 +232,34 @@ def publish_df(
     routed.foreachPartition(append_partition)
 
 
+def _truncate_partial_tail(log_fh) -> None:
+    """Truncate a non-newline-terminated final line (a torn write).
+
+    Caller holds the exclusive flock. Scans back from EOF to the last
+    b'\\n' (or to 0) and truncates there; a file ending in b'\\n' (or
+    empty) is left untouched. Bounded work: one backward block scan
+    over at most the torn tail."""
+    log_fh.seek(0, os.SEEK_END)
+    size = log_fh.tell()
+    if size == 0:
+        return
+    log_fh.seek(size - 1)
+    if log_fh.read(1) == b"\n":
+        return
+    pos = size - 1
+    block = 4096
+    while pos > 0:
+        start = max(0, pos - block)
+        log_fh.seek(start)
+        chunk = log_fh.read(pos - start)
+        nl = chunk.rfind(b"\n")
+        if nl >= 0:
+            log_fh.truncate(start + nl + 1)
+            return
+        pos = start
+    log_fh.truncate(0)
+
+
 def _line_base_bytes(path: str, n_lines: int) -> int:
     """Byte offset just past line `n_lines` (0 if the file is shorter)."""
     off = 0
@@ -274,6 +302,16 @@ def _journaled_append(
     with open(log_path, "a+b") as log_fh:
         fcntl.flock(log_fh, fcntl.LOCK_EX)
         try:
+            # A log whose last byte is not b'\n' is torn BY DEFINITION:
+            # every completed append under this lock ends with a
+            # newline-terminated record. Truncate the partial tail
+            # FIRST — otherwise _line_count counts it as a full line,
+            # and a crash inside the LAST of n_new lines makes
+            # cur == base + n_new, so a retry with the same publish_id
+            # no-ops and the corrupt half-record is kept forever (and
+            # the next publish appends onto it, merging two records
+            # into one garbage line). (ADVICE r11 item 1.)
+            _truncate_partial_tail(log_fh)
             cur = _line_count(log_path)
             base = cur
             if os.path.exists(jrn_path):

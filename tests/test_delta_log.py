@@ -545,7 +545,12 @@ def test_vacuum_listing_sweep_reclaims_checkpoint_expired_orphans(
     os.remove(os.path.join(tdir, "_delta_log", f"{v:020d}.json"))
     assert not DL.replay_state(spark, tdir).tombstones
 
-    deleted = DL.vacuum_delta(spark, tdir, retention_ms=0)
+    # retention below the sweep floor: the listing sweep is skipped
+    # (ADVICE r11 item 3) unless explicitly forced
+    assert DL.vacuum_delta(spark, tdir, retention_ms=0) == []
+    deleted = DL.vacuum_delta(
+        spark, tdir, retention_ms=0, force_listing_sweep=True
+    )
     assert set(deleted) == tombstoned, "sweep must reclaim exactly the orphans"
     active = set(DL.replay_state(spark, tdir).files)
     for p in active:
@@ -636,3 +641,77 @@ def test_optimize_zorder_two_dimensional_skipping(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError):
         DL.optimize_compact(spark, pdir, zorder_by=("k", "k"))
+
+
+def test_vacuum_sweep_protects_foreign_literal_eq_paths(spark, tmp_path):
+    """ADVICE r11 item 2: a foreign writer logs Hive partition paths
+    with a LITERAL '=' (e.g. 'pc=1/part-...parquet') where this engine
+    logs '%3D'. The listing sweep's protected set must match whatever
+    quoting the log used — pre-fix it re-encoded the filesystem path
+    and deleted ACTIVE files of foreign partitioned tables."""
+    from financial_arbitrage_data_pipeline_spark.sources import delta_log as DL
+
+    tdir = str(tmp_path / "t")
+    DL.create_delta_table(
+        spark, tdir,
+        spark.range(20).selectExpr("cast(id % 2 as string) as pc", "id as k"),
+        partition_by=["pc"],
+    )
+    # Rewrite the log the way a foreign writer quotes it: literal '='.
+    log = os.path.join(tdir, "_delta_log", f"{0:020d}.json")
+    with open(log, encoding="utf-8") as fh:
+        txt = fh.read()
+    assert "%3D" in txt, "engine writer must have percent-encoded '='"
+    with open(log, "w", encoding="utf-8") as fh:
+        fh.write(txt.replace("%3D", "="))
+    before = sorted(r["k"] for r in DL.read_delta_table(spark, tdir).collect())
+    assert before == list(range(20))
+
+    # age every data file past any cutoff, then force the sweep
+    old = (DL._now_ms() - 10 * DL.MIN_SWEEP_RETENTION_MS) / 1000
+    for root, dirs, files in os.walk(tdir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(root, f), (old, old))
+    deleted = DL.vacuum_delta(spark, tdir, retention_ms=0, force_listing_sweep=True)
+    assert deleted == [], f"sweep deleted ACTIVE foreign-path files: {deleted}"
+    after = sorted(r["k"] for r in DL.read_delta_table(spark, tdir).collect())
+    assert after == before
+
+
+def test_publish_df_repairs_torn_final_line(spark, tmp_path):
+    """ADVICE r11 item 1: a crash that tears the write inside the LAST
+    record leaves a non-newline-terminated tail. _line_count counted it
+    as a full line, so a same-publish retry no-op'd and kept the corrupt
+    half-record, and the next publish merged two records into one line.
+    The journaled append must treat a missing trailing newline as torn."""
+    from financial_arbitrage_data_pipeline_spark.sources import kafka_standin as KS
+
+    log_dir = str(tmp_path / "topic")
+    os.makedirs(log_dir)
+    lines = [json.dumps({"key": "a", "value": f"v{i}", "ts_ms": 0}) + "\n"
+             for i in range(3)]
+    # attempt 1: crashes mid-final-record (journal written, tail torn)
+    KS._journaled_append(log_dir, 0, "pub-1", iter(lines[:2]), 3)
+    log_path = os.path.join(log_dir, "p0.jsonl")
+    with open(log_path, "ab") as fh:
+        fh.write(lines[2][: len(lines[2]) // 2].encode())  # torn tail
+    assert KS._line_count(log_path) == 3  # the pre-fix false 'complete'
+    # retry with the SAME publish_id must repair and re-append fully
+    KS._journaled_append(log_dir, 0, "pub-1", iter(lines), 3)
+    with open(log_path, "rb") as fh:
+        data = fh.read()
+    assert data.endswith(b"\n")
+    got = [json.loads(line) for line in data.decode().splitlines()]
+    assert [g["value"] for g in got] == ["v0", "v1", "v2"]
+    # a LATER publish over a torn abandoned tail must not merge records
+    with open(log_path, "ab") as fh:
+        fh.write(b'{"key": "a", "va')  # torn, journal says complete
+    KS._journaled_append(
+        log_dir, 0, "pub-2",
+        iter([json.dumps({"key": "b", "value": "w0", "ts_ms": 1}) + "\n"]), 1,
+    )
+    with open(log_path, "rb") as fh:
+        rows = [json.loads(line) for line in fh.read().decode().splitlines()]
+    assert [r["value"] for r in rows] == ["v0", "v1", "v2", "w0"]
