@@ -302,6 +302,20 @@ def main() -> None:
     # across back-to-back runs at sf0.1)
     ingest_rps = 0.0
     scan_rps = 0.0
+    # Per-anchor CPU-seconds (VERDICT r11 task 1): the r11 gate/scan
+    # anchor dip could not be adjudicated because the anchors recorded
+    # only wall-derived rates; a co-tenant burst stretches wall but not
+    # CPU. Record the MIN process-tree cpu_sec across repeats (min =
+    # least polluted by concurrent maintenance threads) so round-over-
+    # round anchor moves can be pinned to load vs a real regression.
+    anchor_cpu: dict[str, float] = {}
+
+    def _note_cpu(key: str, c0: float, c1: float) -> None:
+        if c0 >= 0 and c1 >= 0:
+            prev = anchor_cpu.get(key)
+            cur = round(c1 - c0, 4)
+            anchor_cpu[key] = cur if prev is None else min(prev, cur)
+
     from financial_arbitrage_data_pipeline_spark.streaming import scan as sscan
 
     for _ in range(max(1, args.repeat)):
@@ -309,6 +323,7 @@ def main() -> None:
         try:
             replay_dir = os.path.join(work, "replay")
             n_rows = ingest.write_replay_chunks(spark, sf_dir, replay_dir, n_chunks=4)
+            c0 = _proc_tree_cpu_sec()
             t0 = time.perf_counter()
             q = ingest.start_storage_lane(
                 ingest.enrich_snapshots(ingest.replay_stream(spark, replay_dir)),
@@ -317,12 +332,14 @@ def main() -> None:
             )
             q.awaitTermination()
             ingest_sec = time.perf_counter() - t0
+            _note_cpu("ingest", c0, _proc_tree_cpu_sec())
             ingest_rps = max(ingest_rps, round(n_rows / ingest_sec, 1))
 
             # the TRADING lane: the full stateful opportunity scan
             # (enrich → quotes → broadcast pair join → per-key state
             # fold → decision emissions) — the reference's end-to-end
             # detection path, same 93 msg/s baseline anchor
+            c0 = _proc_tree_cpu_sec()
             t0 = time.perf_counter()
             q2 = sscan.start_scan_lane(
                 sscan.opportunity_stream(
@@ -336,6 +353,7 @@ def main() -> None:
             )
             q2.awaitTermination()
             scan_sec = time.perf_counter() - t0
+            _note_cpu("scan", c0, _proc_tree_cpu_sec())
             scan_rps = max(scan_rps, round(n_rows / scan_sec, 1))
         finally:
             shutil.rmtree(work, ignore_errors=True)
@@ -348,9 +366,13 @@ def main() -> None:
     )
 
     gate_rps = 0.0
+    gate_docs = 0
     for _ in range(max(1, args.repeat)):
+        c0 = _proc_tree_cpu_sec()
         t0 = time.perf_counter()
         n_docs = corpus_quality_gate(spark, sf_dir).count()
+        _note_cpu("gate", c0, _proc_tree_cpu_sec())
+        gate_docs = n_docs
         gate_rps = max(
             gate_rps, round(n_docs / (time.perf_counter() - t0), 1)
         )
@@ -364,9 +386,13 @@ def main() -> None:
     )
 
     codec_rps = 0.0
+    codec_assets = 0
     for _ in range(max(1, args.repeat)):
+        c0 = _proc_tree_cpu_sec()
         t0 = time.perf_counter()
         n_assets = jpeg_coeff_stats(spark, sf_dir).count()
+        _note_cpu("jpeg", c0, _proc_tree_cpu_sec())
+        codec_assets = n_assets
         codec_rps = max(
             codec_rps, round(n_assets / (time.perf_counter() - t0), 1)
         )
@@ -412,6 +438,23 @@ def main() -> None:
                 "jpeg_assets_per_sec": codec_rps,
                 "ingest_rows_per_sec": ingest_rps,
                 "scan_rows_per_sec": scan_rps,
+                # load-insensitive anchor costs (VERDICT r11 task 1):
+                # min process-tree cpu_sec per anchor + the cpu-based
+                # rate — the adjudication channel when wall-derived
+                # rates move under contention
+                "anchor_cpu_sec": anchor_cpu,
+                "gate_docs_per_cpu_sec": round(
+                    gate_docs / anchor_cpu["gate"], 1
+                ) if anchor_cpu.get("gate") else None,
+                "jpeg_assets_per_cpu_sec": round(
+                    codec_assets / anchor_cpu["jpeg"], 1
+                ) if anchor_cpu.get("jpeg") else None,
+                "ingest_rows_per_cpu_sec": round(
+                    n_rows / anchor_cpu["ingest"], 1
+                ) if anchor_cpu.get("ingest") else None,
+                "scan_rows_per_cpu_sec": round(
+                    n_rows / anchor_cpu["scan"], 1
+                ) if anchor_cpu.get("scan") else None,
                 "reference_ingest_rows_per_sec": 93.0,
             }
         )
