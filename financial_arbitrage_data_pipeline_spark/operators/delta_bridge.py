@@ -686,3 +686,76 @@ def delta_zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "delta_dv_read",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+FROM orders
+WHERE o_orderkey % 10 >= 3 AND o_orderstatus <> 'F'
+GROUP BY o_orderstatus
+""",
+    tags=("K4", "lakehouse", "delta-protocol", "deletion-vectors"),
+)
+def delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector reads end-to-end (r12): the merge-on-read half
+    of the Delta protocol — DELETE marks row positions in per-file
+    roaring bitmaps (protocol v3 readerFeatures=[deletionVectors])
+    instead of rewriting data files, and every subsequent read must
+    anti-join the deleted positions away. Two stacked deletes exercise
+    the union path (a file's second DV must carry old ∪ new): first by
+    key residue, then by order status; the read after both must return
+    EXACTLY the complement — the oracle states that complement
+    declaratively over the raw table, so the hash match proves no
+    deleted row resurfaces and no surviving row is lost. Self-enforced:
+    the commit must have upgraded the protocol and attached at least
+    one DV (a silent fall-back to copy-on-write would fail loudly), and
+    version-0 time travel still reads the full table. Scale shape: DV
+    bitmaps are packed per-file on executors, only serialized blobs
+    reach the driver, and the read-side anti-join picks broadcast vs
+    shuffle from the descriptors' summed cardinality — log metadata,
+    not a Catalyst estimate.
+
+    Reference anchor: the reference applies row-level corrections to
+    its Postgres trade tables in place (`/root/reference/database/
+    postgres/writer.py:351-407`); DVs are the lakehouse-native form of
+    that workload, and reading them is what modern external Delta
+    writers require (merge-on-read is their default)."""
+    from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+        delete_from_delta_table,
+        replay_state,
+    )
+
+    root = tempfile.mkdtemp(prefix="sgdvread_")
+    tdir = os.path.join(root, "orders_delta")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        create_delta_table(
+            spark, tdir, orders.repartitionByRange(8, "o_orderkey")
+        )
+        v1 = delete_from_delta_table(spark, tdir, "o_orderkey % 10 < 3")
+        v2 = delete_from_delta_table(spark, tdir, "o_orderstatus = 'F'")
+        if v1 is None or v2 is None:
+            raise RuntimeError("DV deletes matched no rows — fixture broken")
+        state = replay_state(spark, tdir)
+        n_dv = sum(1 for a in state.files.values() if a.get("deletionVector"))
+        if n_dv == 0 or state.protocol.get("minReaderVersion") != 3:
+            raise RuntimeError(
+                f"merge-on-read DELETE degraded: {n_dv} DV'd files, "
+                f"protocol {state.protocol}"
+            )
+        df = read_delta_table(spark, tdir)
+        out = df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("o_custkey").alias("sum_cust"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

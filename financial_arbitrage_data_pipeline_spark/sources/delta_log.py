@@ -114,6 +114,21 @@ _CHECKPOINT_SCHEMA_JSON = {
                         "nullable": True,
                         "metadata": {},
                     },
+                    {
+                        "name": "deletionVector",
+                        "type": {
+                            "type": "struct",
+                            "fields": [
+                                {"name": "storageType", "type": "string", "nullable": True, "metadata": {}},
+                                {"name": "pathOrInlineDv", "type": "string", "nullable": True, "metadata": {}},
+                                {"name": "offset", "type": "long", "nullable": True, "metadata": {}},
+                                {"name": "sizeInBytes", "type": "long", "nullable": True, "metadata": {}},
+                                {"name": "cardinality", "type": "long", "nullable": True, "metadata": {}},
+                            ],
+                        },
+                        "nullable": True,
+                        "metadata": {},
+                    },
                 ],
             },
             "nullable": True,
@@ -183,6 +198,18 @@ _CHECKPOINT_SCHEMA_JSON = {
                 "fields": [
                     {"name": "minReaderVersion", "type": "integer", "nullable": True, "metadata": {}},
                     {"name": "minWriterVersion", "type": "integer", "nullable": True, "metadata": {}},
+                    {
+                        "name": "readerFeatures",
+                        "type": {"type": "array", "elementType": "string", "containsNull": True},
+                        "nullable": True,
+                        "metadata": {},
+                    },
+                    {
+                        "name": "writerFeatures",
+                        "type": {"type": "array", "elementType": "string", "containsNull": True},
+                        "nullable": True,
+                        "metadata": {},
+                    },
                 ],
             },
             "nullable": True,
@@ -561,11 +588,33 @@ def replay_state(
             state.apply(action)
     if state.metadata is None or state.protocol is None:
         raise ValueError(f"Delta log at {table_dir} lacks metaData/protocol by v{version}")
-    if state.protocol["minReaderVersion"] > 1:
-        raise ValueError(
-            f"table requires reader version {state.protocol['minReaderVersion']}"
-        )
+    _check_reader_protocol(state.protocol, table_dir)
     return state
+
+
+# Reader features this engine implements beyond protocol v1. Anything
+# else (columnMapping, v2Checkpoint, timestampNtz, typeWidening, ...)
+# stays a LOUD refusal: reading past an unimplemented reader feature
+# returns wrong rows silently, the one failure mode the bridge bans.
+SUPPORTED_READER_FEATURES = {"deletionVectors"}
+
+
+def _check_reader_protocol(protocol: dict, table_dir: str) -> None:
+    mrv = protocol["minReaderVersion"]
+    if mrv <= 1:
+        return
+    if mrv == 3:
+        feats = set(protocol.get("readerFeatures") or [])
+        unsupported = feats - SUPPORTED_READER_FEATURES
+        if not unsupported:
+            return
+        raise ValueError(
+            f"table at {table_dir} requires unsupported reader features "
+            f"{sorted(unsupported)} (supported: "
+            f"{sorted(SUPPORTED_READER_FEATURES)})"
+        )
+    # v2 == columnMapping without the feature vocabulary — unsupported
+    raise ValueError(f"table requires reader version {mrv}")
 
 
 def stats_keep_file(add: dict, stats_filter: dict[str, tuple]) -> bool:
@@ -650,7 +699,13 @@ def read_delta_table(
         selected = {
             p: a for p, a in selected.items() if stats_keep_file(a, stats_filter)
         }
-    df = _read_fileset(spark, table_dir, schema, pcols, selected)
+    dv_selected = {p: a for p, a in selected.items() if a.get("deletionVector")}
+    plain = {p: a for p, a in selected.items() if p not in dv_selected}
+    df = _read_fileset(spark, table_dir, schema, pcols, plain)
+    if dv_selected:
+        df = df.unionByName(
+            _read_fileset_with_dvs(spark, table_dir, schema, pcols, dv_selected)
+        )
     if stats_filter:
         for col, (lo, hi) in stats_filter.items():
             if lo is not None:
@@ -681,12 +736,31 @@ def _read_fileset(
     schema: StructType,
     pcols: list[str],
     selected: dict[str, dict],
+    with_meta: bool = False,
 ) -> DataFrame:
     """DataFrame over an explicit {encoded path: add body} subset with
     the log schema imposed — the shared scan of the full reader and the
-    merge's candidate-files read."""
+    merge's candidate-files read. `with_meta` appends the scan's
+    (__dv_file, __dv_row) = (scheme-stripped _metadata.file_path,
+    _metadata.row_index) — the physical row coordinates deletion
+    vectors are keyed by."""
+    meta_cols = (
+        [
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+            ).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_row"),
+        ]
+        if with_meta
+        else []
+    )
     if not selected:
-        return spark.createDataFrame([], schema)
+        out_schema = StructType(list(schema.fields))
+        if with_meta:
+            out_schema = out_schema.add("__dv_file", "string").add(
+                "__dv_row", "long"
+            )
+        return spark.createDataFrame([], out_schema)
     if not pcols:
         paths = [os.path.join(table_dir, _decode_path(p)) for p in sorted(selected)]
         # explicit field select drops any partition-style tokens a path
@@ -695,7 +769,7 @@ def _read_fileset(
             spark.read.schema(schema)
             .option("basePath", table_dir)
             .parquet(*paths)
-            .select(*[F.col(f.name) for f in schema.fields])
+            .select(*[F.col(f.name) for f in schema.fields], *meta_cols)
         )
     # partitioned: group files by partitionValues tuple, read each group
     # with the DATA schema, reattach partition columns as typed literals
@@ -710,14 +784,89 @@ def _read_fileset(
     parts: list[DataFrame] = []
     for key in sorted(groups):
         df = spark.read.schema(data_schema).parquet(*sorted(groups[key]))
-        df = df.select(*[F.col(f.name) for f in data_schema.fields])
+        df = df.select(*[F.col(f.name) for f in data_schema.fields], *meta_cols)
         for c, v in zip(pcols, key):
             df = df.withColumn(c, F.lit(v).cast(ptypes[c]))
-        parts.append(df.select(*[F.col(f.name) for f in schema.fields]))
+        parts.append(
+            df.select(
+                *[F.col(f.name) for f in schema.fields],
+                *(["__dv_file", "__dv_row"] if with_meta else []),
+            )
+        )
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+# Deleted-set join strategy bound: total DV cardinality at or below this
+# broadcasts the deleted-rows side (16 B/row keyed struct — ~32 MB at
+# the bound); above it the anti-join is pinned SHUFFLE_HASH so a
+# terabyte-scale deleted set can never be built driver/broadcast-side
+# (the same doc-scale-broadcast ban as SCALE.md §39).
+DV_BROADCAST_MAX_DELETED = 2_000_000
+
+
+def _deleted_rows_df(
+    spark: SparkSession, table_dir: str, dv_selected: dict[str, dict]
+) -> DataFrame:
+    """(__dv_file, __dv_row) rows of every deleted row in `dv_selected`.
+    The driver handles only DESCRIPTORS (O(#files)); bitmap decode runs
+    on executors, one task per DV, so deleted row indexes never pass
+    through the driver — at 100 TB a table can carry thousands of DVs
+    with millions of rows each and this stays a parallel scan."""
+    desc_rows = [
+        (
+            os.path.abspath(
+                os.path.join(table_dir, _decode_path(p))
+            ).replace(os.sep, "/"),
+            json.dumps(a["deletionVector"]),
+        )
+        for p, a in sorted(dv_selected.items())
+    ]
+    desc_df = spark.createDataFrame(
+        desc_rows, "__dv_file string, dv_json string"
+    ).repartition(min(len(desc_rows), 32))
+    abs_table_dir = os.path.abspath(table_dir)
+
+    def decode(batches):
+        import pandas as pd
+
+        from financial_arbitrage_data_pipeline_spark.sources.deletion_vectors import (
+            dv_row_indexes,
+        )
+
+        for pdf in batches:
+            for fp, dvj in zip(pdf["__dv_file"], pdf["dv_json"]):
+                idx = dv_row_indexes(abs_table_dir, json.loads(dvj))
+                yield pd.DataFrame({"__dv_file": fp, "__dv_row": idx})
+
+    return desc_df.mapInPandas(decode, "__dv_file string, __dv_row long")
+
+
+def _read_fileset_with_dvs(
+    spark: SparkSession,
+    table_dir: str,
+    schema: StructType,
+    pcols: list[str],
+    dv_selected: dict[str, dict],
+) -> DataFrame:
+    """Scan of DV-carrying files with each file's deleted row positions
+    anti-joined away — the merge-on-read half of a Delta read. Join
+    strategy is decided from LOG METADATA (the descriptors' summed
+    cardinality), not a Catalyst estimate, so a huge deleted set can
+    never be auto-broadcast."""
+    scan = _read_fileset(spark, table_dir, schema, pcols, dv_selected, with_meta=True)
+    deleted = _deleted_rows_df(spark, table_dir, dv_selected)
+    total_card = sum(
+        a["deletionVector"].get("cardinality", 0) for a in dv_selected.values()
+    )
+    if total_card <= DV_BROADCAST_MAX_DELETED:
+        deleted = F.broadcast(deleted)
+    else:
+        deleted = deleted.hint("shuffle_hash")
+    out = scan.join(deleted, ["__dv_file", "__dv_row"], "left_anti")
+    return out.select(*[F.col(f.name) for f in schema.fields])
 
 
 # ---------------------------------------------------------------------------
@@ -728,7 +877,18 @@ def _read_fileset(
 def _write_checkpoint(spark: SparkSession, table_dir: str, version: int, state: _LogState) -> None:
     schema = StructType.fromJson(_CHECKPOINT_SCHEMA_JSON)
     rows: list[tuple] = [
-        (None, None, None, None, (state.protocol["minReaderVersion"], state.protocol["minWriterVersion"])),
+        (
+            None,
+            None,
+            None,
+            None,
+            (
+                state.protocol["minReaderVersion"],
+                state.protocol["minWriterVersion"],
+                state.protocol.get("readerFeatures"),
+                state.protocol.get("writerFeatures"),
+            ),
+        ),
         (
             None,
             None,
@@ -767,6 +927,7 @@ def _write_checkpoint(spark: SparkSession, table_dir: str, version: int, state: 
             )
     for path in sorted(state.files):
         a = state.files[path]
+        dv = a.get("deletionVector")
         rows.append(
             (
                 None,
@@ -778,6 +939,15 @@ def _write_checkpoint(spark: SparkSession, table_dir: str, version: int, state: 
                     a.get("dataChange", True),
                     a.get("stats"),
                     a.get("tags"),
+                    (
+                        dv["storageType"],
+                        dv["pathOrInlineDv"],
+                        dv.get("offset"),
+                        dv["sizeInBytes"],
+                        dv["cardinality"],
+                    )
+                    if dv
+                    else None,
                 ),
                 None,
                 None,
@@ -943,6 +1113,219 @@ def last_txn_version(spark: SparkSession, table_dir: str, app_id: str) -> int | 
     return replay_state(spark, table_dir).txns.get(app_id)
 
 
+DV_PROTOCOL_ACTION = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+}
+
+
+def commit_deletion_vectors(
+    spark: SparkSession,
+    table_dir: str,
+    deleted_rows: dict[str, list[int]],
+    *,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
+) -> int:
+    """Merge-on-read DELETE: mark physical row positions of active data
+    files deleted WITHOUT rewriting the files — one on-disk DV file for
+    the whole commit (multi-DV layout, like real writers), a
+    remove+add pair per touched data file (the add re-emitted with the
+    new `deletionVector` descriptor), and a protocol upgrade to
+    readerFeatures=[deletionVectors] on first use. A file that already
+    carries a DV gets the UNION of its old and new deleted sets (the
+    protocol requires a full replacement descriptor, not a delta).
+
+    `deleted_rows` maps the add action's (encoded) path to row indexes.
+    Indexes are validated against the file's logged numRecords when
+    stats are present — an out-of-range position is a caller bug that
+    must not be persisted. Driver cost is O(deleted rows in THIS
+    commit) — the caller's batch, not the table; superseded DV files
+    are left for a later cleanup (vacuum's sweep ignores non-parquet).
+    """
+    from financial_arbitrage_data_pipeline_spark.sources.deletion_vectors import (
+        dv_row_indexes,
+        roaring_array_serialize,
+        write_dv_file,
+    )
+
+    state = replay_state(spark, table_dir)
+    version = delta_versions(table_dir)[-1] + 1
+    blobs: list[bytes] = []
+    targets: list[tuple[str, dict, int]] = []  # (path, add body, cardinality)
+    for path in sorted(deleted_rows):
+        add = state.files.get(path)
+        if add is None:
+            raise ValueError(f"{path} is not an active file of {table_dir}")
+        idx = set(int(i) for i in deleted_rows[path])
+        if not idx:
+            continue
+        if min(idx) < 0:
+            raise ValueError(f"negative row index for {path}")
+        try:
+            n_records = json.loads(add.get("stats") or "{}").get("numRecords")
+        except ValueError:
+            n_records = None
+        if n_records is not None and max(idx) >= n_records:
+            raise ValueError(
+                f"row index {max(idx)} out of range for {path} "
+                f"({n_records} rows)"
+            )
+        old_dv = add.get("deletionVector")
+        if old_dv:
+            idx |= set(dv_row_indexes(table_dir, old_dv))
+        ordered = sorted(idx)
+        blobs.append(roaring_array_serialize(ordered))
+        targets.append((path, add, len(ordered)))
+    if not targets:
+        raise ValueError("no rows to delete")
+    descriptors = write_dv_file(table_dir, blobs)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "operationParameters": {"mode": "merge-on-read"},
+                "engine": "spark-graft",
+            }
+        }
+    ]
+    if (state.protocol or {}).get("minReaderVersion", 1) < 3:
+        actions.append(json.loads(json.dumps(DV_PROTOCOL_ACTION)))
+    now = _now_ms()
+    for (path, add, card), desc in zip(targets, descriptors):
+        desc = dict(desc, cardinality=card)
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+        )
+        actions.append({"add": {**add, "deletionVector": desc, "dataChange": True}})
+    _write_commit(table_dir, version, actions)
+    _maybe_checkpoint(spark, table_dir, version, checkpoint_interval)
+    return version
+
+
+def delete_from_delta_table(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    *,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
+) -> int | None:
+    """DELETE WHERE via deletion vectors (merge-on-read): no data file
+    is rewritten — matching physical row positions are packed into
+    per-file roaring bitmaps ON THE EXECUTORS (one `applyInPandas`
+    group per touched file), and only the SERIALIZED bitmaps cross to
+    the driver: O(touched files) rows of kilobyte-scale blobs, never
+    the deleted row ids themselves. That is the shape that survives a
+    100 TB table: a delete touching 10k files with 10M rows each moves
+    ~10k compact blobs, not 10^11 indexes. Files already carrying a DV
+    get the union of old and new deleted sets.
+
+    `predicate` is a SQL string or Column over the table's columns.
+    Returns the committed version, or None when nothing matched."""
+    from financial_arbitrage_data_pipeline_spark.sources.deletion_vectors import (
+        dv_row_indexes,
+        roaring_array_deserialize,
+        roaring_array_serialize,
+        write_dv_file,
+    )
+
+    state = replay_state(spark, table_dir)
+    if not state.files:
+        return None
+    schema = StructType.fromJson(json.loads(state.metadata["schemaString"]))
+    pcols = state.metadata.get("partitionColumns") or []
+    scan = _read_fileset(spark, table_dir, schema, pcols, state.files, with_meta=True)
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    matches = scan.filter(cond).select("__dv_file", "__dv_row")
+
+    def pack(pdf):
+        import pandas as pd
+
+        idx = sorted({int(i) for i in pdf["__dv_row"]})
+        return pd.DataFrame(
+            {
+                "f": [pdf["__dv_file"].iloc[0]],
+                "blob": [roaring_array_serialize(idx)],
+                "card": [len(idx)],
+            }
+        )
+
+    packed = matches.groupBy("__dv_file").applyInPandas(
+        pack, "f string, blob binary, card long"
+    ).collect()
+    if not packed:
+        return None
+    by_abs = {
+        os.path.abspath(os.path.join(table_dir, _decode_path(p))).replace(
+            os.sep, "/"
+        ): p
+        for p in state.files
+    }
+    version = delta_versions(table_dir)[-1] + 1
+    blobs: list[bytes] = []
+    targets: list[tuple[str, dict, int]] = []
+    for r in sorted(packed, key=lambda r: r["f"]):
+        path = by_abs[r["f"]]
+        add = state.files[path]
+        blob, card = bytes(r["blob"]), int(r["card"])
+        old_dv = add.get("deletionVector")
+        if old_dv:
+            merged = sorted(
+                set(dv_row_indexes(table_dir, old_dv))
+                | set(roaring_array_deserialize(blob))
+            )
+            blob, card = roaring_array_serialize(merged), len(merged)
+        blobs.append(blob)
+        targets.append((path, add, card))
+    descriptors = write_dv_file(table_dir, blobs)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "operationParameters": {"mode": "merge-on-read"},
+                "engine": "spark-graft",
+            }
+        }
+    ]
+    if (state.protocol or {}).get("minReaderVersion", 1) < 3:
+        actions.append(json.loads(json.dumps(DV_PROTOCOL_ACTION)))
+    now = _now_ms()
+    for (path, add, card), desc in zip(targets, descriptors):
+        desc = dict(desc, cardinality=card)
+        actions.append(
+            {"remove": {"path": path, "deletionTimestamp": now, "dataChange": True}}
+        )
+        actions.append({"add": {**add, "deletionVector": desc, "dataChange": True}})
+    _write_commit(table_dir, version, actions)
+    _maybe_checkpoint(spark, table_dir, version, checkpoint_interval)
+    return version
+
+
+def _refuse_dv_rewrite(state: _LogState, table_dir: str, op: str) -> None:
+    """Loud refusal for rewrite ops on DV-carrying tables: OPTIMIZE /
+    MERGE rewrite data files from a plain scan of the old ones — on a
+    file with a deletion vector that RESURRECTS the deleted rows. Until
+    the rewrite paths are DV-aware, refusing is the only correct
+    behavior (the same loud-or-exact discipline as the reader-version
+    gate)."""
+    dvd = [p for p, a in state.files.items() if a.get("deletionVector")]
+    if dvd:
+        raise NotImplementedError(
+            f"{op} on {table_dir}: {len(dvd)} active file(s) carry "
+            "deletion vectors; rewriting them would resurrect deleted "
+            "rows. Read paths support DVs; rewrite paths do not yet."
+        )
+
+
 def optimize_compact(
     spark: SparkSession,
     table_dir: str,
@@ -976,6 +1359,7 @@ def optimize_compact(
     upstream otherwise — `operators/layout.with_quantile_buckets`).
     Layout-only like plain compaction: same rows, dataChange=false."""
     state = replay_state(spark, table_dir)
+    _refuse_dv_rewrite(state, table_dir, "OPTIMIZE")
     old_paths = sorted(state.files)
     pcols = state.metadata.get("partitionColumns") or []
     df = read_delta_table(spark, table_dir)
@@ -1173,6 +1557,7 @@ def merge_delta_table(
         if not versions and not cp_only:
             raise FileNotFoundError(f"no Delta table at {table_dir}; create first")
         state = replay_state(spark, table_dir)
+        _refuse_dv_rewrite(state, table_dir, "MERGE")
         head = versions[-1] if versions else _latest_checkpoint_at_or_below(table_dir, 1 << 62)
         if state.protocol.get("minWriterVersion", 2) > 2:
             raise ValueError(
