@@ -1025,11 +1025,10 @@ _INC_CORPUS_SQL = """
 """
 
 
-def _incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Existing corpus (all documents) + an incoming crawl batch: exact
-    recrawl copies (ids +1M, expected DROP) and token-order rewrites
-    (ids +2M — every 3-shingle changes, expected KEEP)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+def _incremental_incoming(docs: DataFrame) -> DataFrame:
+    """The incoming crawl batch alone: exact recrawl copies (ids +1M,
+    expected DROP) and token-order rewrites (ids +2M — every 3-shingle
+    changes, expected KEEP)."""
     copies = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
     )
@@ -1038,12 +1037,16 @@ def _incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.reverse(F.split("text", " "))).alias("text"),
         "lang",
     )
-    return docs.unionByName(copies).unionByName(rewrites)
+    return copies.unionByName(rewrites)
 
 
-@query(
-    "incremental_neardup_gate",
-    oracle=f"""
+def _incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existing corpus (all documents) + the incoming crawl batch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return docs.unionByName(_incremental_incoming(docs))
+
+
+_INC_GATE_ORACLE = f"""
 WITH {_minhash_sql(_INC_CORPUS_SQL)},
 matches AS (
   SELECT i.doc_b AS incoming_id,
@@ -1062,7 +1065,12 @@ SELECT inc.doc_id AS incoming_id,
        CAST(m.best_base_id AS BIGINT) AS best_base_id,
        (m.incoming_id IS NOT NULL) AS is_duplicate
 FROM incoming inc LEFT JOIN matches m ON m.incoming_id = inc.doc_id
-""",
+"""
+
+
+@query(
+    "incremental_neardup_gate",
+    oracle=_INC_GATE_ORACLE,
     tags=("dedup-incremental", "lsh"),
 )
 def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1107,11 +1115,24 @@ def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = shingle_sets.select(
         F.col("doc_id").alias("incoming_id"), F.col("shingles").alias("sh_b")
     )
+    incoming = shingle_sets.filter(F.col("doc_id") >= _INC_BASE_MAX).select(
+        F.col("doc_id").alias("incoming_id")
+    )
+    return _neardup_gate_verdicts(cand, sa, sb, incoming)
+
+
+def _neardup_gate_verdicts(
+    cand: DataFrame, sa: DataFrame, sb: DataFrame, incoming: DataFrame
+) -> DataFrame:
+    """Shared verification + verdict aggregation of the incremental
+    near-dup gates: Jaccard-verify (base_id, incoming_id) candidates
+    against the shingle sides sa=(base_id, sh_a) / sb=(incoming_id,
+    sh_b), then one verdict row per incoming doc. Shingle-set sides
+    are O(docs): shuffle-hash, never broadcast (sf1 vanilla-session
+    OOM, SCALE.md §39)."""
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     matches = (
-        # shingle-set sides are O(docs): shuffle-hash, never broadcast
-        # (sf1 vanilla-session OOM, SCALE.md §39)
         cand.join(sa.hint("shuffle_hash"), "base_id")
         .join(sb.hint("shuffle_hash"), "incoming_id")
         .filter((inter.cast("double") / union) >= 0.5)
@@ -1120,9 +1141,6 @@ def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_base_matches"),
             F.min("base_id").cast("long").alias("best_base_id"),
         )
-    )
-    incoming = shingle_sets.filter(F.col("doc_id") >= _INC_BASE_MAX).select(
-        F.col("doc_id").alias("incoming_id")
     )
     return (
         incoming.join(matches, "incoming_id", "left")
@@ -1135,6 +1153,135 @@ def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_base_matches").isNotNull().alias("is_duplicate"),
         )
     )
+
+
+@query(
+    "incremental_neardup_gate_persisted",
+    oracle=_INC_GATE_ORACLE,
+    tags=("dedup-incremental", "lsh", "persisted-index", "canonical-scale"),
+)
+def incremental_neardup_gate_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`incremental_neardup_gate` against a PERSISTED index (VERDICT
+    r11 task 3): the warehouse shape, where the base corpus's band
+    signatures and shingle sets live in BUCKETED tables maintained
+    across runs, and a per-batch gate touches ONLY (a) the incoming
+    batch's text and (b) those index tables — the base corpus text is
+    never re-shingled, re-hashed, or even re-scanned per batch (the
+    in-query gate plan is lineage-cut from the index build; tests pin
+    that its scans are the two index tables plus the incoming batch).
+
+    Index layout: `band_index(band_key, doc_id)` bucketed by band_key
+    — the probe join inherits the bucketing, so the index side joins
+    with NO exchange (the shuffle moved into the one-time write) — and
+    `shingle_store(doc_id, shingles)` bucketed by doc_id for the
+    verify join. At 100 TB both are the materialized state a daily
+    ingest maintains; per-batch cost is sig(batch) + one co-bucketed
+    probe, independent of corpus TEXT size (the index is ~2 longs per
+    doc-band, ~1% of corpus bytes; BENCH_persist_gate_curve.json
+    carries the measured batch-cost curve).
+
+    LIFECYCLE, not just a read: after gating, the accepted (novel)
+    docs' bands and shingles are APPENDED into the index tables —
+    self-enforced to have grown by exactly the accepted counts — so
+    the next batch gates against base ∪ accepted, the reference's
+    pair-universe refresh loop re-expressed as index maintenance
+    (`/root/reference/virginia/coordinator.py:748-840`). Oracle:
+    identical to `incremental_neardup_gate` (the persisted path must
+    change WHERE bytes live, never the verdicts)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    suffix = uuid.uuid4().hex[:10]
+    band_tbl = f"sg_band_index_{suffix}"
+    sh_tbl = f"sg_shingle_store_{suffix}"
+    root = tempfile.mkdtemp(prefix="sgpersistidx_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        # ---- one-time index build (amortized across every later batch)
+        base = with_minhash(with_shingles(docs))
+        band_key = F.concat_ws(
+            ":", F.col("band_id").cast("string"), F.col("band_sig")
+        ).alias("band_key")
+        (
+            band_signatures(base)
+            .select(band_key, "doc_id")
+            .write.format("parquet")
+            .bucketBy(16, "band_key")
+            .sortBy("band_key")
+            .option("path", os.path.join(root, "band_index"))
+            .mode("overwrite")
+            .saveAsTable(band_tbl)
+        )
+        (
+            base.select("doc_id", "shingles")
+            .write.format("parquet")
+            .bucketBy(16, "doc_id")
+            .sortBy("doc_id")
+            .option("path", os.path.join(root, "shingle_store"))
+            .mode("overwrite")
+            .saveAsTable(sh_tbl)
+        )
+
+        # ---- the per-batch gate: incoming text + index tables ONLY.
+        # localCheckpoint cuts lineage: the gate plan provably cannot
+        # reach back into the corpus-text pipeline above.
+        inc = with_minhash(with_shingles(_incremental_incoming(docs))).select(
+            "doc_id", "shingles", *[f"mh{i}" for i in range(N_MINHASH)]
+        ).localCheckpoint()
+        inc_bands = band_signatures(inc).select(
+            band_key, F.col("doc_id").alias("incoming_id")
+        )
+        idx = spark.table(band_tbl)
+        cand = (
+            inc_bands.join(idx, "band_key")
+            .select(
+                F.col("doc_id").alias("base_id"),
+                "incoming_id",
+            )
+            .distinct()
+        )
+        store = spark.table(sh_tbl)
+        sa = store.select(
+            F.col("doc_id").alias("base_id"), F.col("shingles").alias("sh_a")
+        )
+        sb = inc.select(
+            F.col("doc_id").alias("incoming_id"),
+            F.col("shingles").alias("sh_b"),
+        )
+        incoming = inc.select(F.col("doc_id").alias("incoming_id"))
+        out = _neardup_gate_verdicts(cand, sa, sb, incoming).localCheckpoint()
+
+        # ---- index maintenance: accepted docs join the index, so the
+        # NEXT batch gates against base ∪ accepted
+        accepted = inc.join(
+            out.filter(~F.col("is_duplicate")).select(
+                F.col("incoming_id").alias("doc_id")
+            ),
+            "doc_id",
+            "semi",
+        )
+        n_band_before = spark.table(band_tbl).count()
+        n_accepted = accepted.count()
+        band_signatures(accepted).select(band_key, "doc_id").write.mode(
+            "append"
+        ).insertInto(band_tbl)
+        accepted.select("doc_id", "shingles").write.mode("append").insertInto(
+            sh_tbl
+        )
+        grown = spark.table(band_tbl).count() - n_band_before
+        if grown != n_accepted * N_BANDS:
+            raise RuntimeError(
+                f"index maintenance drifted: band index grew by {grown}, "
+                f"expected {n_accepted * N_BANDS}"
+            )
+        return out
+    finally:
+        for t in (band_tbl, sh_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
