@@ -128,7 +128,7 @@ SELECT lang,
             AS BIGINT) AS chars_dropped
 FROM fp GROUP BY lang
 """,
-    tags=("corpus-prep", "dedup-exact"),
+    tags=("canonical-scale", "corpus-prep", "dedup-exact"),
 )
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized DEDUP OUTPUT accounting: apply keep-min-doc_id over

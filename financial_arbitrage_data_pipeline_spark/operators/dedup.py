@@ -237,7 +237,7 @@ JOIN sh_sizes zb ON zb.doc_id = i.doc_b
 WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
 """,
     headline=True,
-    tags=("dedup-minhash-lsh",),
+    tags=("dedup-minhash-lsh", "pairs-audit-tier"),
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate detection: shingle → 16 minhashes →
@@ -505,7 +505,7 @@ JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.4
 """,
-    tags=("dedup-ngram-jaccard",),
+    tags=("dedup-ngram-jaccard", "pairs-audit-tier"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs within (lang, length-bucket)
@@ -607,7 +607,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """,
-    tags=("dedup-simhash",),
+    tags=("dedup-simhash", "pairs-audit-tier"),
 )
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 60-bit signature from the token set (bit j
@@ -721,7 +721,7 @@ SELECT s.doc_id,
        COALESCE(nb.canon_nb, s.doc_id) AS canonical_id
 FROM sig s LEFT JOIN nb ON nb.d = s.doc_id
 """,
-    tags=("dedup-simhash", "incremental"),
+    tags=("dedup-simhash", "incremental", "canonical-scale"),
 )
 def simhash_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash dedup with CLUSTER-REPRESENTATIVE output (VERDICT r10
@@ -1071,7 +1071,7 @@ FROM incoming inc LEFT JOIN matches m ON m.incoming_id = inc.doc_id
 @query(
     "incremental_neardup_gate",
     oracle=_INC_GATE_ORACLE,
-    tags=("dedup-incremental", "lsh"),
+    tags=("dedup-incremental", "lsh", "canonical-scale"),
 )
 def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL dedup: gate an incoming crawl batch against the
@@ -2064,7 +2064,7 @@ WHERE {_PP_THR_DEN} * i.n_inter
 """
 
 
-@query("ppjoin_prefix_filter", oracle=_PPJOIN_ORACLE, tags=("dedup-ngram-jaccard", "J5"))
+@query("ppjoin_prefix_filter", oracle=_PPJOIN_ORACLE, tags=("dedup-ngram-jaccard", "J5", "pairs-audit-tier"))
 def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity join with PREFIX FILTERING (PPJoin, Xiao et
     al. 2011): a pair of documents with Jaccard >= t MUST share a token

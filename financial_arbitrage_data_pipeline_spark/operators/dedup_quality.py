@@ -318,7 +318,7 @@ GROUP BY lang_lo, lang_hi
 @query(
     "crosslang_neardup_pairs",
     oracle=_XLANG_ORACLE,
-    tags=("dedup-clusters", "lang-id", "audit", "corpus"),
+    tags=("dedup-clusters", "pairs-audit-tier", "lang-id", "audit", "corpus"),
 )
 def crosslang_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CROSS-LANGUAGE near-dup audit: break the verified near-dup

@@ -515,13 +515,47 @@ def delta_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Plain calls with explicit checks — NOT asserts: the merges are
         # side-effecting, and `python -O` strips assert statements, which
         # would silently skip the merges instead of failing loudly.
+
+        # Prune self-enforcement (VERDICT r11 task 6, the MERGE twin of
+        # delta_stats_skipping_read's): a NARROW identity merge (lowest
+        # key octile, values set to themselves — content provably
+        # unchanged) must rewrite a strict subset of the key-clustered
+        # files, with the degraded flag OFF. A silent fall-back to
+        # rewriting every stats-bearing file fails here instead of
+        # passing as a slow success; the counters also ride the commit's
+        # operationMetrics for the artifact trail.
+        from financial_arbitrage_data_pipeline_spark.sources.delta_log import (
+            LAST_MERGE_PRUNE,
+        )
+
+        narrow = (
+            load_table(spark, sf_dir, "orders")
+            .select(F.col("o_orderkey").alias("ticket_id"))
+            .orderBy("ticket_id")
+            .limit(8)
+        )
+        v0 = merge_delta_table(
+            spark, tdir, narrow, "ticket_id",
+            {"executed_quantity": F.col("t.executed_quantity")},
+        )
+        if v0 != 1:
+            raise RuntimeError(f"probe merge committed version {v0}, expected 1")
+        if LAST_MERGE_PRUNE.get("degraded") or not (
+            LAST_MERGE_PRUNE.get("files_candidates", 9) * 2
+            <= LAST_MERGE_PRUNE.get("files_total", 0)
+        ):
+            raise RuntimeError(
+                f"MERGE stats pruning degraded to a near-full rewrite: "
+                f"{LAST_MERGE_PRUNE}"
+            )
+
         b1 = batch(li.filter(F.col("l_linenumber") <= 3))
         v1 = merge_delta_table(
             spark, tdir, b1, "ticket_id", set_exprs,
             txn_app_id=app, txn_version=1,
         )
-        if v1 != 1:
-            raise RuntimeError(f"batch-1 merge committed version {v1}, expected 1")
+        if v1 != 2:
+            raise RuntimeError(f"batch-1 merge committed version {v1}, expected 2")
         # crash-redelivery of batch 1: the txn guard must no-op it
         redel = merge_delta_table(
             spark, tdir, b1, "ticket_id", set_exprs,
@@ -537,8 +571,8 @@ def delta_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             txn_app_id=app, txn_version=2,
             evolve_schema=True, evolve_cols=["last_fill_qty"],
         )
-        if v2 != 2:
-            raise RuntimeError(f"batch-2 merge committed version {v2}, expected 2")
+        if v2 != 3:
+            raise RuntimeError(f"batch-2 merge committed version {v2}, expected 3")
 
         final = read_delta_table(spark, tdir).select(
             "ticket_id",

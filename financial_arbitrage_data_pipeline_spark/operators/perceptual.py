@@ -994,7 +994,7 @@ FROM incoming i LEFT JOIN matches m ON m.asset_id = i.asset_id
 @query(
     "incremental_phash_gate",
     oracle=_PHASH_GATE_ORACLE,
-    tags=("multimodal", "image", "dedup", "perceptual", "incremental"),
+    tags=("multimodal", "image", "dedup", "perceptual", "incremental", "pairs-audit-tier"),
 )
 def incremental_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental perceptual dedup GATE over the real codec lane: the
@@ -1163,7 +1163,7 @@ def _phash_gate_canonical_verdicts(
 @query(
     "incremental_phash_gate_canonical",
     oracle=_PHASH_GATE_CANONICAL_ORACLE,
-    tags=("multimodal", "image", "dedup", "perceptual", "incremental"),
+    tags=("multimodal", "image", "dedup", "perceptual", "incremental", "canonical-scale"),
 )
 def incremental_phash_gate_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`incremental_phash_gate` with CLUSTER-REPRESENTATIVE output

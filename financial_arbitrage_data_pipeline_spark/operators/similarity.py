@@ -2282,7 +2282,7 @@ SELECT m.vec_id, m.cid AS cluster_id,
        d.mx AS max_prior_cosine
 FROM members m LEFT JOIN dups d ON d.b_id = m.vec_id
 """.replace("{KMEANS}", _kmeans_ctes(KMEANS_K)),
-    tags=("semantic-dedup", "similarity-ivf-train", "corpus-prep"),
+    tags=("canonical-scale", "semantic-dedup", "similarity-ivf-train", "corpus-prep"),
 )
 def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning —

@@ -12,6 +12,21 @@ Single source of truth behind `__spark_entry__.queries()` /
 
 Column names are aliased identically on both sides: the driver's compare
 sorts columns by name before hashing values.
+
+Tag conventions a 100 TB user should read before picking a query
+(VERDICT r11 task 5):
+
+- ``pairs-audit-tier`` — the query's OUTPUT is the duplicate-pair set,
+  O(pairs) by contract (replica-quadratic in dense corpora: 44.7M rows
+  at sf10 for simhash_dedup). Right for audits and diagnostics; wrong
+  as a daily pipeline stage at scale.
+- ``canonical-scale`` — the 100 TB default of the same family: output
+  and every exchange are O(docs) or O(incoming batch) (verdicts /
+  cluster representatives, not pairs). Each audit-tier query has a
+  canonical counterpart: simhash_dedup -> simhash_dedup_canonical,
+  minhash_lsh_dedup -> dedup_keep_canonical /
+  incremental_neardup_gate(_persisted), incremental_phash_gate ->
+  incremental_phash_gate_canonical.
 """
 
 from __future__ import annotations

@@ -1406,6 +1406,15 @@ def optimize_compact(
     return version
 
 
+# Last MERGE prune accounting (module-level, observability only — the
+# durable copy rides the commit's commitInfo.operationMetrics). VERDICT
+# r11 task 6: the foreign-stats degrade path used to fall back to
+# reading every stats-bearing file SILENTLY; a silent full scan at
+# 100 TB is an incident, so the counters must be visible both to the
+# caller (this dict) and in artifacts (the committed log).
+LAST_MERGE_PRUNE: dict = {}
+
+
 def _candidate_merge_paths(
     spark: SparkSession,
     table_dir: str,
@@ -1414,7 +1423,7 @@ def _candidate_merge_paths(
     updates: DataFrame,
     pcols: list[str],
     schema: StructType,
-) -> set[str]:
+) -> tuple[set[str], dict]:
     """Active files that MAY contain an update key — the copy-on-write
     pruning step. A file is skipped only when its log metadata PROVES no
     update key can live in it: for a partition-column key, by its
@@ -1424,13 +1433,29 @@ def _candidate_merge_paths(
     them). The check is a DISTRIBUTED semi-join of the update keys
     against the broadcast file ranges — the file list is already
     driver-resident (it IS the replayed log), but the update keys are
-    never collected."""
+    never collected.
+
+    Returns (candidate paths, prune report): the report carries
+    {files_total, files_candidates, files_no_stats, degraded, mode} —
+    `degraded` is True when stats existed but could not be used (the
+    foreign-encoding fall-back that reads every stats-bearing file),
+    so a silent full scan is observable, never silent."""
     from pyspark.sql.types import StructField
 
     key_field = next((f for f in schema.fields if f.name == key), None)
     if key_field is None:
         raise ValueError(f"merge key {key!r} not in table schema")
     keys = updates.select(F.col(key).alias("__k__")).distinct()
+    n_total = len(state.files)
+
+    def report(cands: set[str], *, mode: str, no_stats: int = 0, degraded: bool = False) -> dict:
+        return {
+            "files_total": n_total,
+            "files_candidates": len(cands),
+            "files_no_stats": no_stats,
+            "degraded": degraded,
+            "mode": mode,
+        }
 
     if key in pcols:
         rows = [(p, a.get("partitionValues", {}).get(key)) for p, a in state.files.items()]
@@ -1443,7 +1468,8 @@ def _candidate_merge_paths(
             F.col("__k__").cast("string") == F.col("__pv__"),
             "inner",
         )
-        return {r["__path__"] for r in hit.select("__path__").distinct().collect()}
+        cands = {r["__path__"] for r in hit.select("__path__").distinct().collect()}
+        return cands, report(cands, mode="partition")
 
     always: set[str] = set()
     rows = []
@@ -1459,7 +1485,7 @@ def _candidate_merge_paths(
         else:
             rows.append((p, mn, mx))
     if not rows:
-        return always
+        return always, report(always, mode="stats", no_stats=len(always))
     try:
         ranges = spark.createDataFrame(
             rows,
@@ -1474,14 +1500,18 @@ def _candidate_merge_paths(
     except Exception:
         # stats value shape doesn't round-trip into the key's Spark type
         # (e.g. a reader-foreign encoding): stats are advisory — degrade
-        # to reading every stats-bearing file rather than guessing
-        return always | {p for p, _, _ in rows}
+        # to reading every stats-bearing file rather than guessing, and
+        # SAY SO in the report (a silent full scan at 100 TB is an
+        # incident, not a fallback)
+        cands = always | {p for p, _, _ in rows}
+        return cands, report(cands, mode="stats", no_stats=len(always), degraded=True)
     hit = keys.join(
         F.broadcast(ranges),
         (F.col("__k__") >= F.col("__mn__")) & (F.col("__k__") <= F.col("__mx__")),
         "inner",
     )
-    return always | {r["__path__"] for r in hit.select("__path__").distinct().collect()}
+    cands = always | {r["__path__"] for r in hit.select("__path__").distinct().collect()}
+    return cands, report(cands, mode="stats", no_stats=len(always))
 
 
 def merge_delta_table(
@@ -1574,7 +1604,11 @@ def merge_delta_table(
             updates, {f.name for f in schema.fields}, evolve_schema, evolve_cols
         )
         data_cols = [f.name for f in schema.fields] + new_cols
-        cand = _candidate_merge_paths(spark, table_dir, state, key, updates, pcols, schema)
+        cand, prune = _candidate_merge_paths(
+            spark, table_dir, state, key, updates, pcols, schema
+        )
+        LAST_MERGE_PRUNE.clear()
+        LAST_MERGE_PRUNE.update(prune)
         selected = {p: state.files[p] for p in cand}
         if not selected and not insert_missing and txn_app_id is None and not new_cols:
             return None  # provably no matched file, nothing to record
@@ -1601,6 +1635,17 @@ def merge_delta_table(
                 "commitInfo": {
                     "operation": "MERGE",
                     "operationParameters": {"predicate": f"t.{key} = u.{key}"},
+                    # prune observability (VERDICT r11 task 6): the
+                    # kept/total counters and the degraded flag ride the
+                    # commit itself, real Delta's operationMetrics shape,
+                    # so a silent full scan is visible in the artifact
+                    "operationMetrics": {
+                        "numTargetFilesTotal": prune["files_total"],
+                        "numTargetFilesScanned": prune["files_candidates"],
+                        "numTargetFilesNoStats": prune["files_no_stats"],
+                        "pruneDegraded": prune["degraded"],
+                        "pruneMode": prune["mode"],
+                    },
                     "engine": "spark-graft",
                 }
             }
