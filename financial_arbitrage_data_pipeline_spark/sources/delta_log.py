@@ -1310,20 +1310,12 @@ def delete_from_delta_table(
     return version
 
 
-def _refuse_dv_rewrite(state: _LogState, table_dir: str, op: str) -> None:
-    """Loud refusal for rewrite ops on DV-carrying tables: OPTIMIZE /
-    MERGE rewrite data files from a plain scan of the old ones — on a
-    file with a deletion vector that RESURRECTS the deleted rows. Until
-    the rewrite paths are DV-aware, refusing is the only correct
-    behavior (the same loud-or-exact discipline as the reader-version
-    gate)."""
-    dvd = [p for p, a in state.files.items() if a.get("deletionVector")]
-    if dvd:
-        raise NotImplementedError(
-            f"{op} on {table_dir}: {len(dvd)} active file(s) carry "
-            "deletion vectors; rewriting them would resurrect deleted "
-            "rows. Read paths support DVs; rewrite paths do not yet."
-        )
+# Rewrite paths (OPTIMIZE / MERGE) are DV-AWARE: they scan through the
+# DV-applying reader, so a rewritten file contains exactly the LIVE
+# rows and the rewrite drops the deletion vector (real Delta's
+# purge-on-rewrite). The superseded DV .bin files become unreferenced
+# (vacuum's sweep intentionally touches only *.parquet; .bin orphans
+# are kilobyte-scale metadata).
 
 
 def optimize_compact(
@@ -1359,7 +1351,6 @@ def optimize_compact(
     upstream otherwise — `operators/layout.with_quantile_buckets`).
     Layout-only like plain compaction: same rows, dataChange=false."""
     state = replay_state(spark, table_dir)
-    _refuse_dv_rewrite(state, table_dir, "OPTIMIZE")
     old_paths = sorted(state.files)
     pcols = state.metadata.get("partitionColumns") or []
     df = read_delta_table(spark, table_dir)
@@ -1587,9 +1578,14 @@ def merge_delta_table(
         if not versions and not cp_only:
             raise FileNotFoundError(f"no Delta table at {table_dir}; create first")
         state = replay_state(spark, table_dir)
-        _refuse_dv_rewrite(state, table_dir, "MERGE")
         head = versions[-1] if versions else _latest_checkpoint_at_or_below(table_dir, 1 << 62)
-        if state.protocol.get("minWriterVersion", 2) > 2:
+        mwv = state.protocol.get("minWriterVersion", 2)
+        wfeats = set(state.protocol.get("writerFeatures") or [])
+        # v7 is writable iff every demanded writer feature is one this
+        # merge actually honors (deletionVectors: the candidate scan is
+        # DV-applying and rewrites drop the DV). Anything else — e.g.
+        # columnMapping, rowTracking — keeps the loud refusal.
+        if mwv > 2 and not (mwv == 7 and wfeats <= {"deletionVectors"}):
             raise ValueError(
                 "table requires writer features beyond minWriterVersion=2 "
                 f"({state.protocol}) — this writer would corrupt it"
@@ -1621,7 +1617,16 @@ def merge_delta_table(
                 + [StructField(c, updates.schema[c].dataType, True) for c in new_cols]
             )
         if selected or insert_missing:
-            target = _read_fileset(spark, table_dir, schema, pcols, selected)
+            # DV-aware candidate scan: a selected file's deleted rows
+            # must not re-enter the rewrite (they'd resurrect); the
+            # rewrite output carries no DV — purge-on-rewrite.
+            dv_sel = {p: a for p, a in selected.items() if a.get("deletionVector")}
+            plain_sel = {p: a for p, a in selected.items() if p not in dv_sel}
+            target = _read_fileset(spark, table_dir, schema, pcols, plain_sel)
+            if dv_sel:
+                target = target.unionByName(
+                    _read_fileset_with_dvs(spark, table_dir, schema, pcols, dv_sel)
+                )
             merged = _merged_output(
                 target, updates, key, set_exprs, insert_missing,
                 data_cols, frozenset(new_cols),

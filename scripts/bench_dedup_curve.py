@@ -41,9 +41,20 @@ CURVE_QUERIES = [
     # downstream needs dedup DECISIONS, not the replica-quadratic pair
     # set simhash_dedup emits by contract (44.7M pairs at sf10)
     "simhash_dedup_canonical",
+    # r12: the minhash family's canonical-scale form alongside its
+    # pair form, so the artifact carries both walls + the ratio
+    "dedup_keep_canonical",
     "incremental_neardup_gate",
     "ann_lsh_topk",
 ]
+
+# audit-tier pair form -> its canonical-scale counterpart (VERDICT r11
+# task 5): per SF the artifact records canonical_wall / pair_wall, the
+# number a 100 TB user reads before picking a default
+CANONICAL_OF = {
+    "simhash_dedup": "simhash_dedup_canonical",
+    "minhash_lsh_dedup": "dedup_keep_canonical",
+}
 
 
 def candidate_profile(spark, sf_dir: str) -> dict:
@@ -186,6 +197,11 @@ def main() -> None:
             "total_wall": round(sum(timings.values()), 4),
             "queries": timings,
             "query_spreads": spreads,
+            # canonical-scale wall / pair-form wall, per family
+            "canonical_wall_ratio": {
+                pair: round(timings[canon] / max(timings[pair], 1e-9), 3)
+                for pair, canon in CANONICAL_OF.items()
+            },
             "minhash_candidates": prof,
             "incremental_gate": gprof,
         }

@@ -151,21 +151,76 @@ def test_dv_survives_checkpoint_and_json_pruning(spark, tmp_path):
     assert st.protocol["readerFeatures"] == ["deletionVectors"]
 
 
-def test_dv_rewrites_refuse_and_foreign_features_still_refuse(spark, tmp_path):
+def test_optimize_purges_dvs_and_preserves_live_rows(spark, tmp_path):
+    """OPTIMIZE on a DV-carrying table is purge-on-rewrite: the scan
+    applies the DVs, so the compacted files hold exactly the live rows
+    and carry NO deletionVector — deleted rows can never resurrect, and
+    the commit stays layout-only (dataChange=false)."""
+    td = str(tmp_path / "t")
+    DL.create_delta_table(
+        spark, td, spark.range(0, 100).selectExpr("id as k").repartition(4)
+    )
+    DL.delete_from_delta_table(spark, td, "k % 10 = 0")
+    live = sorted(r["k"] for r in DL.read_delta_table(spark, td).collect())
+    v = DL.optimize_compact(spark, td, target_files=1)
+    st = DL.replay_state(spark, td)
+    assert not any(a.get("deletionVector") for a in st.files.values())
+    assert sorted(r["k"] for r in DL.read_delta_table(spark, td).collect()) == live
+    acts = [json.loads(line) for line in open(
+        os.path.join(td, "_delta_log", f"{v:020d}.json"))]
+    assert all(a["add"]["dataChange"] is False for a in acts if "add" in a)
+    # pre-OPTIMIZE version still reads DV-filtered
+    assert DL.read_delta_table(spark, td, version=v - 1).count() == len(live)
+
+
+def test_merge_on_dv_table_no_resurrection(spark, tmp_path):
+    """MERGE into a DV-carrying table: the candidate scan applies DVs
+    (deleted rows never re-enter the rewrite), rewritten files drop
+    their DV, untouched files keep theirs."""
+    td = str(tmp_path / "t")
+    df = spark.range(0, 400).selectExpr("id as k", "id * 2 as v")
+    DL.create_delta_table(spark, td, df.repartitionByRange(8, "k"))
+    DL.delete_from_delta_table(spark, td, "k % 10 = 0")  # DVs on all 8 files
+    up = spark.range(1, 50).selectExpr("id as k", "id * 1000 as v")
+    DL.merge_delta_table(spark, td, up, "k", {"v": F.col("u.v")})
+    got = {r["k"]: r["v"] for r in DL.read_delta_table(spark, td).collect()}
+    for k in range(400):
+        if k % 10 == 0:
+            assert k not in got, f"deleted row {k} resurrected by MERGE"
+        else:
+            assert got[k] == (k * 1000 if 1 <= k < 50 else k * 2)
+    st = DL.replay_state(spark, td)
+    dv_files = [a for a in st.files.values() if a.get("deletionVector")]
+    assert dv_files, "untouched files must keep their DVs"
+    assert len(dv_files) < len(st.files), "rewritten files must drop theirs"
+    # stacked delete after the merge still works
+    DL.delete_from_delta_table(spark, td, "k = 399")
+    assert 399 not in {
+        r["k"] for r in DL.read_delta_table(spark, td).collect()
+    }
+
+
+def test_vacuum_keeps_dv_files_and_foreign_features_refuse(spark, tmp_path):
     td = str(tmp_path / "t")
     DL.create_delta_table(spark, td, spark.range(0, 20).selectExpr("id as k"))
     DL.delete_from_delta_table(spark, td, "k = 3")
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        DL.optimize_compact(spark, td)
-    with pytest.raises((NotImplementedError, ValueError)):
-        DL.merge_delta_table(
-            spark, td, spark.range(1).selectExpr("id as k", "id as v"),
-            "k", {"v": F.col("u.v")},
-        )
     # vacuum's tombstone path must NOT delete the re-added (DV'd) files
     deleted = DL.vacuum_delta(spark, td, retention_ms=0)
     assert deleted == []
     assert DL.read_delta_table(spark, td).count() == 19
+
+    # writer features beyond deletionVectors keep refusing MERGE loudly
+    log0 = os.path.join(td, "_delta_log", f"{1:020d}.json")
+    lines = [json.loads(line) for line in open(log0)]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"]["writerFeatures"] = ["deletionVectors", "rowTracking"]
+    with open(log0, "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in lines)
+    with pytest.raises(ValueError, match="writer features"):
+        DL.merge_delta_table(
+            spark, td, spark.range(1).selectExpr("id as k"), "k", {}
+        )
 
     # a foreign table demanding columnMapping still refuses loudly
     td2 = str(tmp_path / "cm")
