@@ -354,6 +354,22 @@ def _add_action(
     return {"add": add}
 
 
+def _dv_remove_body(
+    encoded_path: str, ts: int, old_add: dict, data_change: bool
+) -> dict:
+    """Remove-action body that carries the superseded add's
+    deletionVector descriptor when it had one — the protocol's shape,
+    and what VACUUM needs to reclaim unreferenced DV files."""
+    body = {
+        "path": encoded_path,
+        "deletionTimestamp": ts,
+        "dataChange": data_change,
+    }
+    if old_add.get("deletionVector"):
+        body["deletionVector"] = old_add["deletionVector"]
+    return body
+
+
 def _remove_action(encoded_path: str) -> dict:
     return {
         "remove": {
@@ -1197,15 +1213,10 @@ def commit_deletion_vectors(
     now = _now_ms()
     for (path, add, card), desc in zip(targets, descriptors):
         desc = dict(desc, cardinality=card)
-        actions.append(
-            {
-                "remove": {
-                    "path": path,
-                    "deletionTimestamp": now,
-                    "dataChange": True,
-                }
-            }
-        )
+        # the remove carries the SUPERSEDED descriptor (protocol shape):
+        # it is what lets VACUUM reclaim the old DV file once the
+        # tombstone expires and no active add shares the .bin
+        actions.append({"remove": _dv_remove_body(path, now, add, True)})
         actions.append({"add": {**add, "deletionVector": desc, "dataChange": True}})
     _write_commit(table_dir, version, actions)
     _maybe_checkpoint(spark, table_dir, version, checkpoint_interval)
@@ -1301,9 +1312,7 @@ def delete_from_delta_table(
     now = _now_ms()
     for (path, add, card), desc in zip(targets, descriptors):
         desc = dict(desc, cardinality=card)
-        actions.append(
-            {"remove": {"path": path, "deletionTimestamp": now, "dataChange": True}}
-        )
+        actions.append({"remove": _dv_remove_body(path, now, add, True)})
         actions.append({"add": {**add, "deletionVector": desc, "dataChange": True}})
     _write_commit(table_dir, version, actions)
     _maybe_checkpoint(spark, table_dir, version, checkpoint_interval)
@@ -1378,15 +1387,10 @@ def optimize_compact(
     actions: list[dict] = [
         {"commitInfo": {"operation": "OPTIMIZE", "engine": "spark-graft"}}
     ]
+    now = _now_ms()
     for p in old_paths:
         actions.append(
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": _now_ms(),
-                    "dataChange": False,
-                }
-            }
+            {"remove": _dv_remove_body(p, now, state.files[p], False)}
         )
     for f, pv in new_files:
         a = _add_action(table_dir, f, partition_values=pv)
@@ -1665,7 +1669,7 @@ def merge_delta_table(
             actions.append({"metaData": md})
         for p in sorted(selected):
             actions.append(
-                {"remove": {"path": p, "deletionTimestamp": _now_ms(), "dataChange": True}}
+                {"remove": _dv_remove_body(p, _now_ms(), selected[p], True)}
             )
         actions += [_add_action(table_dir, f, partition_values=pv) for f, pv in staged]
         try:
@@ -1693,6 +1697,62 @@ def merge_delta_table(
 # floor applies to the LISTING SWEEP only (tombstone-driven deletes are
 # log-committed and need no mtime heuristic).
 MIN_SWEEP_RETENTION_MS = 3_600_000
+
+
+def _vacuum_dv_files(
+    table_dir: str, state: _LogState, removes: dict[str, dict], cutoff: int
+) -> list[str]:
+    """Reclaim superseded deletion-vector files: a remove that carries a
+    `deletionVector` descriptor (the DV its add was replaced under) makes
+    the .bin reclaimable once (a) that tombstone aged past the cutoff and
+    (b) no ACTIVE add and no UNEXPIRED tombstone references the same file
+    — one multi-DV .bin can back several data files from one commit, so
+    reference counting is by resolved path. Only paths inside the table
+    root are ever deleted ('p'-storage can point anywhere; a foreign
+    absolute path is not ours to reclaim). Inline ('i') DVs have no file.
+    Caveat: checkpoints don't carry remove-side DV descriptors, so a DV
+    superseded before a checkpoint whose JSON commit was deleted stays an
+    orphan — safe (never wrong rows), just unreclaimed kilobytes."""
+    from financial_arbitrage_data_pipeline_spark.sources.deletion_vectors import (
+        dv_absolute_path,
+    )
+
+    root = os.path.abspath(table_dir)
+
+    def resolve(dv: dict) -> str | None:
+        if not dv or dv.get("storageType") == "i":
+            return None
+        try:
+            p = dv_absolute_path(table_dir, dv)
+        except (ValueError, KeyError):
+            return None
+        return os.path.abspath(p) if p else None
+
+    protected: set[str] = set()
+    for a in state.files.values():
+        p = resolve(a.get("deletionVector"))
+        if p:
+            protected.add(p)
+    for r in removes.values():
+        if r.get("deletionTimestamp", 0) > cutoff:
+            p = resolve(r.get("deletionVector"))
+            if p:
+                protected.add(p)
+    deleted: list[str] = []
+    for path in sorted(removes):
+        r = removes[path]
+        if r.get("deletionTimestamp", 0) > cutoff:
+            continue
+        p = resolve(r.get("deletionVector"))
+        if (
+            p
+            and p not in protected
+            and p.startswith(root + os.sep)
+            and os.path.exists(p)
+        ):
+            os.remove(p)
+            deleted.append(_encode_path(os.path.relpath(p, table_dir)))
+    return deleted
 
 
 def vacuum_delta(
@@ -1746,6 +1806,7 @@ def vacuum_delta(
         if os.path.exists(abs_path):
             os.remove(abs_path)
             deleted.append(path)
+    deleted.extend(_vacuum_dv_files(table_dir, state, removes, cutoff))
     # Listing sweep: unreferenced files (no add, no live tombstone).
     if retention_ms < MIN_SWEEP_RETENTION_MS and not force_listing_sweep:
         return sorted(set(deleted))

@@ -247,3 +247,30 @@ def test_vacuum_keeps_dv_files_and_foreign_features_refuse(spark, tmp_path):
         fh.writelines(json.dumps(a) + "\n" for a in lines)
     with pytest.raises(ValueError, match="reader version 2"):
         DL.read_delta_table(spark, td2)
+
+
+def test_vacuum_reclaims_superseded_dv_files(spark, tmp_path):
+    """Removes carry the superseded DV descriptor (protocol shape), so
+    VACUUM can reclaim .bin files no active add or unexpired tombstone
+    references — stacked deletes supersede bin1 with bin2, the purge
+    OPTIMIZE supersedes bin2, and an expired vacuum removes both while
+    the table reads exactly."""
+    td = str(tmp_path / "t")
+    DL.create_delta_table(
+        spark, td, spark.range(0, 80).selectExpr("id as k").repartition(4)
+    )
+    DL.delete_from_delta_table(spark, td, "k % 10 = 0")
+    DL.delete_from_delta_table(spark, td, "k % 10 = 1")  # supersedes bin1
+    bins = [f for f in os.listdir(td) if f.startswith("deletion_vector_")]
+    assert len(bins) == 2
+    live = sorted(r["k"] for r in DL.read_delta_table(spark, td).collect())
+
+    # unexpired: nothing reclaimed (bin1's tombstones are fresh)
+    assert DL.vacuum_delta(spark, td, retention_ms=3_600_000) == []
+
+    DL.optimize_compact(spark, td, target_files=1)  # purge: supersedes bin2
+    deleted = DL.vacuum_delta(spark, td, retention_ms=0)
+    remaining = [f for f in os.listdir(td) if f.startswith("deletion_vector_")]
+    assert remaining == [], f"superseded DV files not reclaimed: {remaining}"
+    assert sum(1 for d in deleted if d.startswith("deletion_vector_")) == 2
+    assert sorted(r["k"] for r in DL.read_delta_table(spark, td).collect()) == live
