@@ -2361,8 +2361,8 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # but sitting in regions the base-trained centroids never saw (the
 # distribution-shift case append-path maintenance must survive).
 _APPEND_CTES = """
-qlen AS (SELECT vec_id, MAX(i) AS n FROM qe GROUP BY vec_id),
-qa AS (
+qlen AS MATERIALIZED (SELECT vec_id, MAX(i) AS n FROM qe GROUP BY vec_id),
+qa AS MATERIALIZED (
   SELECT e.vec_id + 1000000 AS vec_id, l.n + 1 - e.i AS i, e.q
   FROM qe e JOIN qlen l ON l.vec_id = e.vec_id
 )
@@ -2422,8 +2422,8 @@ def ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIFT_AUDIT_ORACLE = f"""
 WITH {_kmeans_ctes(KMEANS_K)},
 {_APPEND_CTES.strip().rstrip()},
-qf AS (SELECT * FROM qe UNION ALL SELECT * FROM qa),
-normsf AS (SELECT vec_id, SUM(q * q) AS nsq FROM qf GROUP BY vec_id),
+qf AS MATERIALIZED (SELECT * FROM qe UNION ALL SELECT * FROM qa),
+normsf AS MATERIALIZED (SELECT vec_id, SUM(q * q) AS nsq FROM qf GROUP BY vec_id),
 -- retrained quantizer: the SAME two-round Lloyd over base + append,
 -- re-SEEDED from the drifted distribution (half base, half append —
 -- retraining with stale-only seeds measured no better than stale:
@@ -2443,7 +2443,7 @@ a1f AS (
   SELECT vec_id, cid FROM d1f
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
 ),
-c1f AS (
+c1f AS MATERIALIZED (
   SELECT a.cid, e.i,
          CAST(round(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
   FROM a1f a JOIN qf e ON e.vec_id = a.vec_id
@@ -2455,7 +2455,7 @@ dsta AS (
   SELECT e.vec_id, c.cid, CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS dist
   FROM qf e JOIN c1 c ON c.i = e.i GROUP BY 1, 2
 ),
-asta AS (
+asta AS MATERIALIZED (
   SELECT vec_id, cid FROM dsta
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
 ),
@@ -2463,20 +2463,22 @@ dref AS (
   SELECT e.vec_id, c.cid, CAST(SUM((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS dist
   FROM qf e JOIN c1f c ON c.i = e.i GROUP BY 1, 2
 ),
-aref AS (
+aref AS MATERIALIZED (
   SELECT vec_id, cid FROM dref
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
 ),
 -- the NEW traffic: appended queries
-queries AS (SELECT vec_id FROM qa WHERE vec_id < {1_000_000 + N_QUERIES} GROUP BY 1),
-ex_dots AS (
+queries AS MATERIALIZED (SELECT vec_id FROM qa WHERE vec_id < {1_000_000 + N_QUERIES} GROUP BY 1),
+qq AS MATERIALIZED (
+  SELECT f.vec_id, f.i, f.q FROM qf f JOIN queries s ON s.vec_id = f.vec_id
+),
+ex_dots AS MATERIALIZED (
   SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
          CAST(SUM(a.q * b.q) AS BIGINT) AS dot
-  FROM qf a JOIN qf b ON b.i = a.i AND b.vec_id <> a.vec_id
-  WHERE a.vec_id IN (SELECT vec_id FROM queries)
+  FROM qq a JOIN qf b ON b.i = a.i AND b.vec_id <> a.vec_id
   GROUP BY 1, 2
 ),
-ex_topk AS (
+ex_topk AS MATERIALIZED (
   SELECT query_id, cand_id FROM ex_dots d
   JOIN normsf na ON na.vec_id = d.query_id
   JOIN normsf nb ON nb.vec_id = d.cand_id
