@@ -20,7 +20,7 @@ the same *result* with plain SQL — parity checks semantics, not plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -32,12 +32,26 @@ from . import orderbook as ob
 # ---------------------------------------------------------------------------
 
 
-def _kalshi_books(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kalshi_books(
+    spark: SparkSession, sf_dir: str, require: Column | None = None
+) -> DataFrame:
     """lineitem → one Kalshi book per order, then a JSON round-trip through
     the engine's snapshot format: the book is serialized exactly as
     Virginia does (`virginia/coordinator.py:458` json.dumps of the raw
     dict) and re-parsed with from_json (P11) — so every downstream op
-    consumes the same parsed shape a stored snapshot would yield."""
+    consumes the same parsed shape a stored snapshot would yield.
+
+    `require` is an optional predicate over the PRE-serialization `yes`/
+    `no` level arrays. Callers that gate on side emptiness must pass it
+    here rather than filtering on `book.yes`/`book.no` after the parse:
+    the JSON round-trip preserves array sizes exactly (collect_list
+    yields non-null arrays; to_json/from_json keep every element), so
+    the predicates are equivalent — but a post-parse filter makes the
+    Filter operator re-evaluate the whole to_json→from_json round trip
+    per side (CollapseProject keeps `book` in its own Project, and
+    PushDownPredicates substitutes the parse into the condition), tripling
+    the dominant per-row cost and parsing books that are then discarded
+    (guide §1.2: don't compute things you throw away)."""
     li = load_table(spark, sf_dir, "lineitem")
     price = (F.col("l_partkey") % 97 + 1).cast("int")
     qty = F.col("l_quantity").cast("int")
@@ -58,6 +72,8 @@ def _kalshi_books(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list("ylev").alias("yes"),
         F.collect_list("nlev").alias("no"),
     )
+    if require is not None:
+        books = books.filter(require)
     # serialize → market_snapshot.full_orderbook → parse (P11)
     snap = books.select(
         "ticker",
@@ -103,11 +119,12 @@ def kalshi_book_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order-function extraction (P3) → null/shape guards (F9,
     `opportunity_scanner.py:155-157`). All JVM-side codegen; one shuffle
     (the groupBy building the books)."""
-    books = _kalshi_books(spark, sf_dir)
+    books = _kalshi_books(
+        spark, sf_dir, require=(F.size("yes") > 0) & (F.size("no") > 0)
+    )
     yes, no = F.col("book.yes"), F.col("book.no")
     return (
-        books.filter((F.size(yes) > 0) & (F.size(no) > 0))
-        .select(
+        books.select(
             "ticker",
             ob.best_bid_cents(yes).cast("long").alias("yes_best_bid"),
             ob.best_ask_cents(yes).cast("long").alias("yes_best_ask"),
@@ -148,13 +165,13 @@ def book_vwap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     price to fill 100 contracts walking the YES side best-first; 0.0 if
     the book is too thin. Implemented as an `aggregate()` HOF with a
     (remaining, cost) struct accumulator — stays in codegen, no UDF."""
-    books = _kalshi_books(spark, sf_dir)
+    # guard (F9): only books with a non-empty YES side, matching the
+    # oracle's grouped-CTE domain — applied pre-serialization (see
+    # _kalshi_books.require) so the Filter doesn't re-run the JSON parse
+    books = _kalshi_books(spark, sf_dir, require=F.size("yes") > 0)
     yes_sorted = ob.sort_levels_best_first(F.col("book.yes"))
     return (
-        # guard (F9): only books with a non-empty YES side, matching the
-        # oracle's grouped-CTE domain
-        books.filter(F.size(F.col("book.yes")) > 0)
-        .select(
+        books.select(
             "ticker",
             ob.vwap_fill_cents(yes_sorted, 100).alias("vwap_cents"),
         )
@@ -618,7 +635,9 @@ def book_imbalance_microprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate. All sums are integers; the single double divide is
     IEEE-identical in both engines. Same one-shuffle plan as
     kalshi_book_summary (shared `_kalshi_books`)."""
-    books = _kalshi_books(spark, sf_dir)
+    books = _kalshi_books(
+        spark, sf_dir, require=(F.size("yes") > 0) & (F.size("no") > 0)
+    )
     yes, no = F.col("book.yes"), F.col("book.no")
     bid_px = ob.best_bid_cents(yes).cast("long")
     ask_px = (F.lit(100) - ob.best_bid_cents(no)).cast("long")
@@ -626,8 +645,7 @@ def book_imbalance_microprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ask_qty = ob.side_quantity(no)
     tot = bid_qty + ask_qty
     return (
-        books.filter((F.size(yes) > 0) & (F.size(no) > 0))
-        .select(
+        books.select(
             "ticker",
             bid_px.alias("bid_px"),
             ask_px.alias("ask_px"),
