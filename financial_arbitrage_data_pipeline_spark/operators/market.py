@@ -320,6 +320,16 @@ def arbitrage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(
             F.col("event_type").isin("click", "view", "purchase", "signup", "error")
         )
+        # Semi-join over-approximation of the pair-universe inner join
+        # below (guide §3.2): every surviving row must join a pair_id
+        # satisfying (c_custkey < 200 AND c_custkey % 10 != 0), so the
+        # same predicate on user_id drops definitely-non-matching rows
+        # BEFORE the groupBy — the range half pushes to the parquet
+        # scan (PushedFilters: LessThan(user_id,200)) and the
+        # aggregation shrinks from every user to the pair universe
+        # (~1000× at sf0.1). Rows kept here that lack a customer match
+        # are still dropped by the join, so results are identical.
+        .filter((F.col("user_id") < 200) & (F.col("user_id") % 10 != 0))
         .groupBy(F.col("user_id").alias("pair_key"))
         .agg(
             F.max_by(
