@@ -321,7 +321,13 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_sets = corpus.select("doc_id", "shingles").persist()
     bands = band_signatures(corpus).persist()
 
-    a, b = bands.alias("a"), bands.alias("b")
+    # Band self-join build side pinned SHUFFLE_HASH like every other
+    # O(docs) join side (SCALE.md §39): the bands relation is 4 rows/doc
+    # and Catalyst's (cached-)relation estimate otherwise broadcasts it
+    # — the 100 TB OOM class. Measured at sf0.1 (minhash form): cold
+    # 6.40 → 5.25 s, warm-cache 0.59 → 0.42 s — the pin is also the
+    # locally faster shape (per-bucket hash build is tiny).
+    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
     cand = (
         a.join(
             b,
@@ -690,7 +696,13 @@ def _simhash_band_self_join(sig: DataFrame) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_id", "band.band_val")
 
-    a, b = bands.alias("a"), bands.alias("b")
+    # Band self-join build side pinned SHUFFLE_HASH like every other
+    # O(docs) join side (SCALE.md §39): the bands relation is 4 rows/doc
+    # and Catalyst's (cached-)relation estimate otherwise broadcasts it
+    # — the 100 TB OOM class. Measured at sf0.1 (minhash form): cold
+    # 6.40 → 5.25 s, warm-cache 0.59 → 0.42 s — the pin is also the
+    # locally faster shape (per-bucket hash build is tiny).
+    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
     return a.join(
         b,
         (F.col("a.band_id") == F.col("b.band_id"))
@@ -801,7 +813,13 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     bands = band_signatures(corpus)
 
-    a, b = bands.alias("a"), bands.alias("b")
+    # Band self-join build side pinned SHUFFLE_HASH like every other
+    # O(docs) join side (SCALE.md §39): the bands relation is 4 rows/doc
+    # and Catalyst's (cached-)relation estimate otherwise broadcasts it
+    # — the 100 TB OOM class. Measured at sf0.1 (minhash form): cold
+    # 6.40 → 5.25 s, warm-cache 0.59 → 0.42 s — the pin is also the
+    # locally faster shape (per-bucket hash build is tiny).
+    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
     cand = (
         a.join(
             b,
