@@ -33,13 +33,29 @@ def quantized(col: Column | str, scale: int = 1000) -> Column:
     double BEFORE the multiply — multiplying in f32 can land exactly on
     .5 (e.g. 0.3195f*1000 = 319.5f) while the double path stays below it
     (319.4999…), flipping the rounded value between engines; the oracle
-    casts to DOUBLE identically."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
+    casts to DOUBLE identically.
+
+    String input takes the single-`F.expr` fast path: building a
+    higher-order function through the python `F.transform`/lambda API
+    costs ~10 py4j round trips (lambda variables, casts, literals are
+    each a JVM call), and plan-build time is a measured ~22% of the
+    headline bench (guide §1.2 step 2 — per-task work includes the
+    driver's plan construction). One expr string is one round trip; the
+    parsed expression tree is identical."""
+    if isinstance(col, str):
+        return F.expr(
+            f"transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+        )
+    return F.transform(col, lambda x: F.round(x.cast("double") * scale).cast("long"))
 
 
-def dot_ll(a: Column, b: Column) -> Column:
-    """Integer-exact dot product of two int64 arrays via zip_with+aggregate."""
+def dot_ll(a: Column | str, b: Column | str) -> Column:
+    """Integer-exact dot product of two int64 arrays via zip_with+aggregate.
+    String inputs build the whole thing as ONE expr (see quantized)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -47,7 +63,7 @@ def dot_ll(a: Column, b: Column) -> Column:
     )
 
 
-def sq_norm(a: Column) -> Column:
+def sq_norm(a: Column | str) -> Column:
     return dot_ll(a, a)
 
 
@@ -66,7 +82,7 @@ def topk_per_query(queries_df: DataFrame, cands: DataFrame, cond: Column) -> Dat
         "query_id",
         "cand_id",
         cosine_from_ints(
-            dot_ll(F.col("qq"), F.col("cq")), F.col("q_nsq"), F.col("c_nsq")
+            dot_ll("qq", "cq"), F.col("q_nsq"), F.col("c_nsq")
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
@@ -126,7 +142,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", quantized("embedding").alias("q")
     )
-    emb = emb.withColumn("nsq", sq_norm(F.col("q")))
+    emb = emb.withColumn("nsq", sq_norm("q"))
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
@@ -177,7 +193,7 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", quantized("embedding").alias("q")
     )
-    emb = emb.withColumn("nsq", sq_norm(F.col("q")))
+    emb = emb.withColumn("nsq", sq_norm("q"))
     a = emb.select(
         F.col("label").alias("la"),
         F.col("vec_id").alias("vec_a"),
@@ -194,7 +210,7 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "vec_a",
         "vec_b",
-        cosine_from_ints(dot_ll(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias(
+        cosine_from_ints(dot_ll("qa", "qb"), F.col("na"), F.col("nb")).alias(
             "cosine"
         ),
     )
@@ -326,7 +342,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = 64
     weights = plane_weights(LSH_PLANES, dim)
-    emb = emb.withColumn("nsq", sq_norm(F.col("q"))).withColumn(
+    emb = emb.withColumn("nsq", sq_norm("q")).withColumn(
         "bucket", lsh_bucket("q", weights)
     )
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -631,7 +647,7 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring, so bucketing, training, and ranking are all value-checked
     end-to-end."""
     final = trained_assignment(spark, sf_dir).localCheckpoint()
-    emb = final.withColumn("nsq", sq_norm(F.col("q")))
+    emb = final.withColumn("nsq", sq_norm("q"))
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
@@ -711,7 +727,7 @@ def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match."""
     assigned, centroids = trained_model(spark, sf_dir)
     assigned = assigned.localCheckpoint()
-    emb = assigned.withColumn("nsq", sq_norm(F.col("q")))
+    emb = assigned.withColumn("nsq", sq_norm("q"))
     qd = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "q", "nsq")  # drop the query's own cid/dist
@@ -1534,12 +1550,12 @@ def _adc_rerank_topk(
     q_side = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
-        sq_norm(F.col("q")).alias("q_nsq"),
+        sq_norm("q").alias("q_nsq"),
     ).filter(F.col("query_id") < N_QUERIES)
     c_side = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("q").alias("cq"),
-        sq_norm(F.col("q")).alias("c_nsq"),
+        sq_norm("q").alias("c_nsq"),
     )
     scored = (
         c_side.join(F.broadcast(shortlist), "cand_id")
@@ -1548,7 +1564,7 @@ def _adc_rerank_topk(
             "query_id",
             "cand_id",
             cosine_from_ints(
-                dot_ll(F.col("qq"), F.col("cq")), F.col("q_nsq"), F.col("c_nsq")
+                dot_ll("qq", "cq"), F.col("q_nsq"), F.col("c_nsq")
             ).alias("cosine"),
         )
     )
@@ -1787,7 +1803,7 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle replays training + blocking + ranking end-to-end, so
     a reported non-contamination is exactly reproducible."""
     final = trained_assignment(spark, sf_dir).localCheckpoint()
-    emb = final.withColumn("nsq", sq_norm(F.col("q")))
+    emb = final.withColumn("nsq", sq_norm("q"))
     probes = emb.filter(F.col("vec_id") % 17 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
@@ -2091,7 +2107,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dotted = cands.join(F.broadcast(qv)).select(
         F.col("vec_id").alias("doc_id"),
         cosine_from_ints(
-            dot_ll(F.col("qq"), F.col("q")),
+            dot_ll("qq", "q"),
             F.aggregate(
                 F.transform(F.col("qq"), lambda x: x * x),
                 F.lit(0).cast("long"),
@@ -2309,7 +2325,7 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`database/postgres/writer.py` ON CONFLICT); semantic pruning is the
     training-corpus extension (SURVEY "beyond the reference")."""
     assigned = trained_assignment(spark, sf_dir)  # vec_id, q, cid, dist
-    members = assigned.select("vec_id", "cid", "q", sq_norm(F.col("q")).alias("nsq"))
+    members = assigned.select("vec_id", "cid", "q", sq_norm("q").alias("nsq"))
     a = members.select(
         F.col("vec_id").alias("a_id"),
         F.col("cid").alias("a_cid"),
@@ -2328,7 +2344,7 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "b_id",
         cosine_from_ints(
-            dot_ll(F.col("aq"), F.col("bq")), F.col("a_nsq"), F.col("b_nsq")
+            dot_ll("aq", "bq"), F.col("a_nsq"), F.col("b_nsq")
         ).alias("cosine"),
     )
     dups = (
@@ -2582,12 +2598,12 @@ def ivf_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.select(
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("qq"),
-            sq_norm(F.col("q")).alias("q_nsq"),
+            sq_norm("q").alias("q_nsq"),
         ),
         full.select(
             F.col("vec_id").alias("cand_id"),
             F.col("q").alias("cq"),
-            sq_norm(F.col("q")).alias("c_nsq"),
+            sq_norm("q").alias("c_nsq"),
         ),
         F.col("cand_id") != F.col("query_id"),
     ).select("query_id", "cand_id")
@@ -2600,13 +2616,13 @@ def ivf_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("qq"),
-            sq_norm(F.col("q")).alias("q_nsq"),
+            sq_norm("q").alias("q_nsq"),
             F.col("cid").alias("q_cid"),
         )
         c = assigned.select(
             F.col("vec_id").alias("cand_id"),
             F.col("q").alias("cq"),
-            sq_norm(F.col("q")).alias("c_nsq"),
+            sq_norm("q").alias("c_nsq"),
             F.col("cid").alias("c_cid"),
         )
         return topk_per_query(
