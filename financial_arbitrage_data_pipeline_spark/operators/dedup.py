@@ -100,13 +100,25 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def with_shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """Word n-gram shingle set per doc (distinct), via pure HOFs:
-    sequence → transform(concat of token window) → array_distinct."""
-    tokens = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tokens, i + k) for k in range(n)]
+    sequence → transform(concat of token window) → array_distinct.
+
+    Built as ONE expr string (r12, guide §1.2 applied to the driver):
+    the Column-API form costs a py4j round trip per element_at/literal —
+    ~a hundred JVM calls of pure plan-construction overhead billed to
+    every consumer's build; the parsed expression tree is the same."""
+    tokens = "split(text, ' ')"
+    window = ", ".join(
+        f"element_at({tokens}, i + {k})" if k else f"element_at({tokens}, i)"
+        for k in range(n)
     )
-    return df.withColumn("shingles", F.array_distinct(F.transform(idx, shingle)))
+    return df.withColumn(
+        "shingles",
+        F.expr(
+            f"array_distinct(transform("
+            f"sequence(1, greatest(size({tokens}) - {n - 1}, 0)), "
+            f"i -> concat_ws(' ', {window})))"
+        ),
+    )
 
 
 MINHASH_MOD = (1 << 59) - 55  # 16*M - 16 < 2^63-1: h1%M + 15*(h2%M) can't overflow
@@ -119,30 +131,21 @@ def with_minhash(df: DataFrame, k: int = N_MINHASH) -> DataFrame:
     construction, engine-independent and exactly reproducible in SQL
     (unlike seeded murmur), at 1/k of the crypto-hash cost of hashing
     per-permutation. Narrow per-row transforms, no shuffle."""
-    hashed = F.transform(
-        F.col("shingles"),
-        lambda s: F.struct(
-            (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_MOD).alias(
-                "h1"
-            ),
-            (F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long") % MINHASH_MOD).alias(
-                "h2"
-            ),
-        ),
+    hashed = (
+        "transform(shingles, s -> named_struct("
+        f"'h1', CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % {MINHASH_MOD}L, "
+        f"'h2', CAST(conv(substring(md5(s), 16, 15), 16, 10) AS BIGINT) % {MINHASH_MOD}L))"
     )
     # materialize `hashed` at a projection boundary so the k min-scans
-    # reference one computed array instead of re-hashing k times
-    df = df.withColumn("_hashed", hashed)
-
-    # one F.expr per permutation (the sql lambda `h -> ...` has no
-    # two-parameter-transform pitfall and no per-literal py4j cost)
+    # reference one computed array instead of re-hashing k times; every
+    # expression is a single expr STRING (one py4j round trip each —
+    # r12, guide §1.2 applied to the driver's plan construction)
+    cols = list(df.columns)
     sigs = [
-        F.expr(
-            f"array_min(transform(_hashed, h -> (h.h1 + {i}L * h.h2) % {MINHASH_MOD}L))"
-        ).alias(f"mh{i}")
+        f"array_min(transform(_hashed, h -> (h.h1 + {i}L * h.h2) % {MINHASH_MOD}L)) AS mh{i}"
         for i in range(k)
     ]
-    return df.select(*[c for c in df.columns if c != "_hashed"], *sigs)
+    return df.withColumn("_hashed", F.expr(hashed)).selectExpr(*cols, *sigs)
 
 
 def band_signatures(df: DataFrame, bands: int = N_BANDS, k: int = N_MINHASH) -> DataFrame:
@@ -151,14 +154,15 @@ def band_signatures(df: DataFrame, bands: int = N_BANDS, k: int = N_MINHASH) -> 
     signature is the plain '|'-joined minhash tuple — a join key needs
     equality, not another hash pass."""
     rows = k // bands
-    sig = lambda b: F.concat_ws(  # noqa: E731
-        "|", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+    structs = ", ".join(
+        "named_struct('band_id', {b}, 'band_sig', concat_ws('|', {sigs}))".format(
+            b=b,
+            sigs=", ".join(f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows)),
+        )
+        for b in range(bands)
     )
-    pairs = F.array(
-        *[F.struct(F.lit(b).alias("band_id"), sig(b).alias("band_sig")) for b in range(bands)]
-    )
-    return df.select("doc_id", F.explode(pairs).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_sig"
+    return df.selectExpr("doc_id", f"explode(array({structs})) AS band").selectExpr(
+        "doc_id", "band.band_id AS band_id", "band.band_sig AS band_sig"
     )
 
 
@@ -335,13 +339,11 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
         .distinct()
     )
-    sa = shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    sa = shingle_sets.selectExpr("doc_id AS doc_a", "shingles AS sh_a")
+    sb = shingle_sets.selectExpr("doc_id AS doc_b", "shingles AS sh_b")
     # SHUFFLE_HASH pins: the shingle-set sides are O(docs) and carry the
     # token arrays — they must NEVER broadcast (r11: at sf1 under the
     # driver's vanilla 1 GB heap, Catalyst's post-agg size estimate let
@@ -350,8 +352,13 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa.hint("shuffle_hash"), "doc_a")
         .join(sb.hint("shuffle_hash"), "doc_b")
-        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
+            "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) AS jaccard",
+        )
+        .where("jaccard >= 0.5D")
     )
 
 

@@ -33,7 +33,7 @@ from . import orderbook as ob
 
 
 def _kalshi_books(
-    spark: SparkSession, sf_dir: str, require: Column | None = None
+    spark: SparkSession, sf_dir: str, require: Column | str | None = None
 ) -> DataFrame:
     """lineitem → one Kalshi book per order, then a JSON round-trip through
     the engine's snapshot format: the book is serialized exactly as
@@ -53,31 +53,29 @@ def _kalshi_books(
     the dominant per-row cost and parsing books that are then discarded
     (guide §1.2: don't compute things you throw away)."""
     li = load_table(spark, sf_dir, "lineitem")
-    price = (F.col("l_partkey") % 97 + 1).cast("int")
-    qty = F.col("l_quantity").cast("int")
-    level = F.array(price, qty)
-    odd = F.col("l_linenumber") % 2 == 1
+    level = "array(CAST(l_partkey % 97 + 1 AS INT), CAST(l_quantity AS INT))"
     # repartition on the group key BEFORE the collect_list groupBy:
     # collect_list is non-reducing, so map-side partial aggregation
     # builds per-task hashmaps of lists without shrinking the shuffle at
     # all — pre-shuffling raw level rows moves the (heavy) list build
     # after the exchange, co-partitioned, with no second exchange.
-    # ~35% faster here and strictly less work at any scale.
-    src = li.select(
-        F.col("l_orderkey").alias("ticker"),
-        F.when(odd, level).alias("ylev"),
-        F.when(~odd, level).alias("nlev"),
+    # ~35% faster here and strictly less work at any scale. Expressions
+    # are expr STRINGS (r12, guide §1.2): one py4j round trip per
+    # projection instead of one per Column node.
+    src = li.selectExpr(
+        "l_orderkey AS ticker",
+        f"CASE WHEN l_linenumber % 2 = 1 THEN {level} END AS ylev",
+        f"CASE WHEN NOT (l_linenumber % 2 = 1) THEN {level} END AS nlev",
     ).repartition("ticker")
     books = src.groupBy("ticker").agg(
-        F.collect_list("ylev").alias("yes"),
-        F.collect_list("nlev").alias("no"),
+        F.expr("collect_list(ylev)").alias("yes"),
+        F.expr("collect_list(nlev)").alias("no"),
     )
     if require is not None:
         books = books.filter(require)
     # serialize → market_snapshot.full_orderbook → parse (P11)
-    snap = books.select(
-        "ticker",
-        F.to_json(F.struct("yes", "no")).alias("full_orderbook"),
+    snap = books.selectExpr(
+        "ticker", "to_json(struct(yes, no)) AS full_orderbook"
     )
     return snap.select("ticker", ob.parse_kalshi_book("full_orderbook").alias("book"))
 
@@ -120,19 +118,19 @@ def kalshi_book_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     `opportunity_scanner.py:155-157`). All JVM-side codegen; one shuffle
     (the groupBy building the books)."""
     books = _kalshi_books(
-        spark, sf_dir, require=(F.size("yes") > 0) & (F.size("no") > 0)
+        spark, sf_dir, require="size(yes) > 0 AND size(no) > 0"
     )
-    yes, no = F.col("book.yes"), F.col("book.no")
-    return (
-        books.select(
-            "ticker",
-            ob.best_bid_cents(yes).cast("long").alias("yes_best_bid"),
-            ob.best_ask_cents(yes).cast("long").alias("yes_best_ask"),
-            ob.best_bid_cents(no).cast("long").alias("no_best_bid"),
-            ob.best_ask_cents(no).cast("long").alias("no_best_ask"),
-            ob.side_depth(yes).cast("long").alias("yes_depth"),
-            ob.side_quantity(yes).alias("yes_qty"),
-        )
+    # the P3 extraction HOFs as expr strings (identical trees to the
+    # orderbook.py Column helpers; one py4j round trip per column)
+    return books.selectExpr(
+        "ticker",
+        "CAST(array_max(transform(book.yes, x -> x[0])) AS BIGINT) AS yes_best_bid",
+        "CAST(array_min(transform(book.yes, x -> x[0])) AS BIGINT) AS yes_best_ask",
+        "CAST(array_max(transform(book.no, x -> x[0])) AS BIGINT) AS no_best_bid",
+        "CAST(array_min(transform(book.no, x -> x[0])) AS BIGINT) AS no_best_ask",
+        "CAST(size(book.yes) AS BIGINT) AS yes_depth",
+        "aggregate(book.yes, CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x[1] AS BIGINT))"
+        " AS yes_qty",
     )
 
 
@@ -305,96 +303,98 @@ def arbitrage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     in Structured Streaming (streaming/scan.py) — this plan is its
     deterministic batch equivalent for the oracle."""
     ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
-    is_kalshi = F.col("event_type").isin("click", "view")
-    ts_us = F.expr("ts div 1000")
-    order_key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
-    poly_yes = ob.cents_to_dollars(cents % 99 + 1)
+    # All per-row math as expr STRINGS (r12, guide §1.2 applied to the
+    # driver): the Column-API form of this builder cost ~2,400 py4j
+    # round trips per build (~0.3 s billed to every bench run); the
+    # parsed trees are identical. Double literals carry the D suffix so
+    # SQL parsing matches F.lit(float) exactly.
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    order_key = "named_struct('ts', ts, 'event_id', event_id)"
 
     # Both venues' latest-per-key states in ONE scan + ONE shuffle:
     # venue-conditional max_by (the ordering key is null for the other
     # venue's rows, which max_by ignores) replaces the two windowed
     # row_number passes — at 100 TB this halves the dominant scan and
     # removes a per-key sort.
+    #
+    # The user_id predicate is the semi-join over-approximation of the
+    # pair-universe inner join below (guide §3.2): every surviving row
+    # must join a pair_id satisfying (c_custkey < 200 AND c_custkey % 10
+    # != 0), so the same predicate on user_id drops definitely-non-
+    # matching rows BEFORE the groupBy — the range half pushes to the
+    # parquet scan (PushedFilters: LessThan(user_id,200)) and the
+    # aggregation shrinks from every user to the pair universe (~1000×
+    # at sf0.1). Rows kept here that lack a customer match are still
+    # dropped by the join, so results are identical.
     latest = (
-        ev.filter(
-            F.col("event_type").isin("click", "view", "purchase", "signup", "error")
+        ev.where(
+            "event_type IN ('click', 'view', 'purchase', 'signup', 'error') "
+            "AND user_id < 200 AND user_id % 10 != 0"
         )
-        # Semi-join over-approximation of the pair-universe inner join
-        # below (guide §3.2): every surviving row must join a pair_id
-        # satisfying (c_custkey < 200 AND c_custkey % 10 != 0), so the
-        # same predicate on user_id drops definitely-non-matching rows
-        # BEFORE the groupBy — the range half pushes to the parquet
-        # scan (PushedFilters: LessThan(user_id,200)) and the
-        # aggregation shrinks from every user to the pair universe
-        # (~1000× at sf0.1). Rows kept here that lack a customer match
-        # are still dropped by the join, so results are identical.
-        .filter((F.col("user_id") < 200) & (F.col("user_id") % 10 != 0))
-        .groupBy(F.col("user_id").alias("pair_key"))
+        .groupBy(F.expr("user_id AS pair_key"))
         .agg(
-            F.max_by(
-                F.struct(
-                    ob.cents_to_dollars(cents % 97 + 1).alias("yes_bid"),
-                    ob.cents_to_dollars(cents % 89 + 1).alias("no_bid"),
-                    ts_us.alias("ts_us"),
-                ),
-                F.when(is_kalshi, order_key),
+            F.expr(
+                "max_by(named_struct("
+                f"'yes_bid', CAST({cents} % 97 + 1 AS DOUBLE) / 100.0D, "
+                f"'no_bid', CAST({cents} % 89 + 1 AS DOUBLE) / 100.0D, "
+                "'ts_us', ts div 1000), "
+                "CASE WHEN event_type IN ('click', 'view') "
+                f"THEN {order_key} END)"
             ).alias("k"),
-            F.max_by(
-                F.struct(
-                    poly_yes.alias("yes_price"),
-                    ob.yes_to_no(poly_yes).alias("no_price"),
-                    ts_us.alias("ts_us"),
-                ),
-                F.when(~is_kalshi, order_key),
+            F.expr(
+                "max_by(named_struct("
+                f"'yes_price', CAST({cents} % 99 + 1 AS DOUBLE) / 100.0D, "
+                f"'no_price', 1.0D - CAST({cents} % 99 + 1 AS DOUBLE) / 100.0D, "
+                "'ts_us', ts div 1000), "
+                "CASE WHEN NOT event_type IN ('click', 'view') "
+                f"THEN {order_key} END)"
             ).alias("p"),
         )
-        .filter(F.col("k").isNotNull() & F.col("p").isNotNull())
-        .select(
+        .where("k IS NOT NULL AND p IS NOT NULL")
+        .selectExpr(
             "pair_key",
-            F.col("k.yes_bid").alias("kalshi_yes_bid"),
-            F.col("k.no_bid").alias("kalshi_no_bid"),
-            F.col("k.ts_us").alias("k_ts_us"),
-            F.col("p.yes_price").alias("poly_yes"),
-            F.col("p.no_price").alias("poly_no"),
-            F.col("p.ts_us").alias("p_ts_us"),
+            "k.yes_bid AS kalshi_yes_bid",
+            "k.no_bid AS kalshi_no_bid",
+            "k.ts_us AS k_ts_us",
+            "p.yes_price AS poly_yes",
+            "p.no_price AS poly_no",
+            "p.ts_us AS p_ts_us",
         )
     )
     pairs = (
         load_table(spark, sf_dir, "customer")
-        .filter((F.col("c_custkey") < 200) & (F.col("c_custkey") % 10 != 0))
-        .select(F.col("c_custkey").alias("pair_id"))
+        .where("c_custkey < 200 AND c_custkey % 10 != 0")
+        .selectExpr("c_custkey AS pair_id")
     )
-    bounds = ev.agg(F.max(F.expr("ts div 1000")).alias("max_us"))
+    bounds = ev.agg(F.expr("max(ts div 1000) AS max_us"))
 
     horizon = 86_400_000_000  # µs; batch-fixture freshness window (F5)
     joined = (
         latest.join(F.broadcast(pairs), F.col("pair_key") == F.col("pair_id"))
         .crossJoin(F.broadcast(bounds))
-        .filter(
-            (F.col("k_ts_us") >= F.col("max_us") - horizon)
-            & (F.col("p_ts_us") >= F.col("max_us") - horizon)
+        .where(
+            f"k_ts_us >= max_us - {horizon} AND p_ts_us >= max_us - {horizon}"
         )
     )
-    margin_yes = (F.col("kalshi_yes_bid") - F.col("poly_yes")) / F.col("poly_yes")
-    margin_no = (F.col("kalshi_no_bid") - F.col("poly_no")) / F.col("poly_no")
-    yes_ok = F.col("poly_yes") < F.col("kalshi_yes_bid")
-    no_ok = F.col("poly_no") < F.col("kalshi_no_bid")
-    take_yes = yes_ok & (~no_ok | (margin_yes >= margin_no))
+    margin_yes = "(kalshi_yes_bid - poly_yes) / poly_yes"
+    margin_no = "(kalshi_no_bid - poly_no) / poly_no"
+    take_yes = (
+        "(poly_yes < kalshi_yes_bid) AND "
+        f"(NOT (poly_no < kalshi_no_bid) OR ({margin_yes}) >= ({margin_no}))"
+    )
     return (
-        joined.select(
+        joined.selectExpr(
             "pair_id",
-            F.when(take_yes, F.lit("kalshi_yes_polymarket_no"))
-            .otherwise(F.lit("kalshi_no_polymarket_yes"))
-            .alias("arbitrage_type"),
-            F.when(take_yes, F.col("kalshi_yes_bid")).otherwise(F.col("kalshi_no_bid")).alias(
-                "kalshi_price"
-            ),
-            F.when(take_yes, F.col("poly_yes")).otherwise(F.col("poly_no")).alias("poly_price"),
-            F.when(take_yes, margin_yes).otherwise(margin_no).alias("profit_margin"),
-            (yes_ok | no_ok).alias("any_ok"),
+            f"CASE WHEN {take_yes} THEN 'kalshi_yes_polymarket_no' "
+            "ELSE 'kalshi_no_polymarket_yes' END AS arbitrage_type",
+            f"CASE WHEN {take_yes} THEN kalshi_yes_bid ELSE kalshi_no_bid END"
+            " AS kalshi_price",
+            f"CASE WHEN {take_yes} THEN poly_yes ELSE poly_no END AS poly_price",
+            f"CASE WHEN {take_yes} THEN {margin_yes} ELSE {margin_no} END"
+            " AS profit_margin",
+            "(poly_yes < kalshi_yes_bid) OR (poly_no < kalshi_no_bid) AS any_ok",
         )
-        .filter(F.col("any_ok") & (F.col("profit_margin") > 0.02))
+        .where("any_ok AND profit_margin > 0.02D")
         .drop("any_ok")
     )
 

@@ -40,6 +40,15 @@ from ..functions.core import avg_money, dec, money, rate, sum_money
 from ..plans.registry import query
 from ..sources.tables import load_table
 
+# The exact-money revenue term as a SQL fragment (textually the
+# functions/core.py money()*(1-rate()) discipline) — used by the
+# headline builders whose expressions are expr strings (r12, guide §1.2
+# applied to the driver's plan build).
+_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
 
 # ---------------------------------------------------------------------------
 # Flagship: pricing summary (TPC-H Q1 shape — the A1 aggregate family:
@@ -78,23 +87,30 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; map-side partial aggregation means shuffle carries only
     (group keys x partial states)."""
     li = load_table(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(3,2)")
-    disc_price = money("l_extendedprice") * (one - rate("l_discount"))
-    charge = disc_price * (one + rate("l_tax"))
+    # expr STRINGS (r12, guide §1.2 applied to the driver's plan build);
+    # the decimal cast chain is textually the exact-money discipline of
+    # functions/core.py (money = DECIMAL(12,2), rate = DECIMAL(3,2))
+    disc_price = (
+        "CAST(l_extendedprice AS DECIMAL(12,2)) "
+        "* (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+    )
+    charge = f"({disc_price}) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+    sum_qty = "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+    sum_price = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        li.where("l_shipdate <= CAST('2000-09-02' AS TIMESTAMP)")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(money("l_quantity")).cast("double") / F.count("l_quantity")).alias("avg_qty"),
-            (F.sum(money("l_extendedprice")).cast("double") / F.count("l_extendedprice")).alias(
-                "avg_price"
-            ),
-            (F.sum(rate("l_discount")).cast("double") / F.count("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr(sum_qty).alias("sum_qty"),
+            F.expr(sum_price).alias("sum_base_price"),
+            F.expr(f"CAST(SUM({disc_price}) AS DOUBLE)").alias("sum_disc_price"),
+            F.expr(f"CAST(SUM({charge}) AS DOUBLE)").alias("sum_charge"),
+            F.expr(f"{sum_qty} / COUNT(l_quantity)").alias("avg_qty"),
+            F.expr(f"{sum_price} / COUNT(l_extendedprice)").alias("avg_price"),
+            F.expr(
+                "CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(l_discount)"
+            ).alias("avg_disc"),
+            F.expr("COUNT(1)").alias("count_order"),
         )
     )
 
@@ -575,23 +591,24 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     — measured 1.99 cpu-sec); the pinned shuffled-hash build is both
     faster here (1.39 cpu-sec, wall 0.69→0.41 s) and the only shape
     that survives 100 TB, where neither side fits a broadcast."""
-    cutoff = F.lit("2000-03-15").cast("timestamp")
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    one = F.lit(1).cast("decimal(3,2)")
-    revenue = money("l_extendedprice") * (one - rate("l_discount"))
+    c = load_table(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'")
+    o = load_table(spark, sf_dir, "orders").where(
+        "o_orderdate < CAST('2000-03-15' AS TIMESTAMP)"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        "l_shipdate > CAST('2000-03-15' AS TIMESTAMP)"
+    )
     co = c.join(o, c.c_custkey == o.o_custkey).hint("shuffle_hash")
     return (
         li.join(co, li.l_orderkey == o.o_orderkey)
         .groupBy(
-            F.col("l_orderkey").alias("orderkey"),
+            F.expr("l_orderkey AS orderkey"),
             F.col("o_orderdate"),
             F.col("o_orderpriority"),
         )
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
-        .select("orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .agg(F.expr(f"CAST(SUM({_REVENUE_SQL}) AS DOUBLE)").alias("revenue"))
+        .selectExpr("orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "orderkey")
         .limit(10)
     )
 
@@ -634,24 +651,22 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1.84 cpu-sec locally) was measured and rejected: a local-only
     win that OOMs the driver at scale."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    o = load_table(spark, sf_dir, "orders").where(
+        "o_orderdate >= CAST('1996-01-01' AS TIMESTAMP) "
+        "AND o_orderdate < CAST('1998-01-01' AS TIMESTAMP)"
     )
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    one = F.lit(1).cast("decimal(3,2)")
-    revenue = money("l_extendedprice") * (one - rate("l_discount"))
+    r = load_table(spark, sf_dir, "region").where("r_name = 'ASIA'")
     co = c.join(o, c.c_custkey == o.o_custkey).hint("shuffle_hash")
     return (
         li.join(co, li.l_orderkey == o.o_orderkey)
         .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .groupBy(F.expr("n_name AS nation"))
+        .agg(F.expr(f"CAST(SUM({_REVENUE_SQL}) AS DOUBLE)").alias("revenue"))
     )
 
 
@@ -688,31 +703,26 @@ def rollup_multi_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic 'last' is max_by(event time); at 100 TB this is the
     continuous-aggregate maintenance job, run per partition-day."""
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("ts div 1000")
-    keys = F.array(
-        *[
-            F.struct(
-                F.lit(name).alias("resolution"),
-                (ts_us - ts_us % (secs * 1_000_000)).alias("bucket_us"),
-            )
-            for name, secs in _ROLLUP_RES
-        ]
+    keys = ", ".join(
+        f"named_struct('resolution', '{name}', "
+        f"'bucket_us', (ts div 1000) - ((ts div 1000) % {secs * 1_000_000}))"
+        for name, secs in _ROLLUP_RES
     )
     return (
-        ev.select(
-            F.explode(keys).alias("k"),
+        ev.selectExpr(
+            f"explode(array({keys})) AS k",
             "event_type",
             "value",
-            ts_us.alias("ts_us"),
+            "ts div 1000 AS ts_us",
         )
         .groupBy(
-            F.col("k.resolution").alias("resolution"),
-            F.col("k.bucket_us").alias("bucket_us"),
-            "event_type",
+            F.expr("k.resolution AS resolution"),
+            F.expr("k.bucket_us AS bucket_us"),
+            F.col("event_type"),
         )
         .agg(
-            F.max_by("value", "ts_us").alias("last_value"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.expr("max_by(value, ts_us)").alias("last_value"),
+            F.expr("count(1)").alias("n_events"),
         )
     )
 

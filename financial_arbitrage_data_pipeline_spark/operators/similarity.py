@@ -77,20 +77,25 @@ def topk_per_query(queries_df: DataFrame, cands: DataFrame, cond: Column) -> Dat
     (cand_id, cq, c_nsq, ...) on the variant's candidate condition,
     integer-exact cosine, rank desc with cand_id tie-break, keep TOPK.
     The variants differ ONLY in `cond` (full scan / LSH bucket / IVF
-    cluster / multi-probe set)."""
-    scored = cands.join(F.broadcast(queries_df), cond).select(
+    cluster / multi-probe set).
+
+    Every expression is an expr STRING (r12, guide §1.2 applied to the
+    driver's plan build — same trees, one py4j round trip per column,
+    window included)."""
+    scored = cands.join(F.broadcast(queries_df), cond).selectExpr(
         "query_id",
         "cand_id",
-        cosine_from_ints(
-            dot_ll("qq", "cq"), F.col("q_nsq"), F.col("c_nsq")
-        ).alias("cosine"),
+        "CAST(aggregate(zip_with(qq, cq, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+        " AS DOUBLE) / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE)))"
+        " AS cosine",
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select("query_id", "cand_id", "rank", "cosine")
-    )
+    return scored.selectExpr(
+        "query_id",
+        "cand_id",
+        "CAST(row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank",
+        "cosine",
+    ).where(f"rank <= {TOPK}")
 
 
 _QUANT_SQL = """
@@ -143,15 +148,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", quantized("embedding").alias("q")
     )
     emb = emb.withColumn("nsq", sq_norm("q"))
-    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qq"),
-        F.col("nsq").alias("q_nsq"),
+    queries_df = emb.where(f"vec_id < {N_QUERIES}").selectExpr(
+        "vec_id AS query_id", "q AS qq", "nsq AS q_nsq"
     )
-    cands = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"), F.col("nsq").alias("c_nsq")
-    )
-    return topk_per_query(queries_df, cands, F.col("cand_id") != F.col("query_id"))
+    cands = emb.selectExpr("vec_id AS cand_id", "q AS cq", "nsq AS c_nsq")
+    return topk_per_query(queries_df, cands, F.expr("cand_id != query_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -345,22 +346,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.withColumn("nsq", sq_norm("q")).withColumn(
         "bucket", lsh_bucket("q", weights)
     )
-    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qq"),
-        F.col("nsq").alias("q_nsq"),
-        F.col("bucket").alias("q_bucket"),
+    queries_df = emb.where(f"vec_id < {N_QUERIES}").selectExpr(
+        "vec_id AS query_id", "q AS qq", "nsq AS q_nsq", "bucket AS q_bucket"
     )
-    cands = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("q").alias("cq"),
-        F.col("nsq").alias("c_nsq"),
-        F.col("bucket").alias("c_bucket"),
+    cands = emb.selectExpr(
+        "vec_id AS cand_id", "q AS cq", "nsq AS c_nsq", "bucket AS c_bucket"
     )
     return topk_per_query(
         queries_df,
         cands,
-        (F.col("c_bucket") == F.col("q_bucket")) & (F.col("cand_id") != F.col("query_id")),
+        F.expr("c_bucket = q_bucket AND cand_id != query_id"),
     )
 
 

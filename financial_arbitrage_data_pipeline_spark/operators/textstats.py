@@ -61,29 +61,30 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio / mean token length) folded into a [0,1] score — the standard
     pre-training heuristic filter stack. Pure projection: no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
-    tok_chars = F.aggregate(
-        F.transform(toks, lambda x: F.length(x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # expr STRINGS (r12, guide §1.2 applied to the driver): one py4j
+    # round trip per output column instead of one per Column node; the
+    # parsed trees are identical (D-suffixed double literals match
+    # F.lit(float) exactly)
+    toks = "split(text, ' ')"
+    n_tokens = f"size({toks})"
+    n_stop = f"size(filter({toks}, x -> x IN ({_STOP_SQL})))"
+    tok_chars = (
+        f"aggregate(transform({toks}, x -> CAST(length(x) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    n_punct = F.length("text") - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
-    stop_ratio = n_stop.cast("double") / n_tokens
-    avg_tok = tok_chars.cast("double") / n_tokens
-    return docs.select(
+    n_punct = "(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')))"
+    stop_ratio = f"CAST({n_stop} AS DOUBLE) / {n_tokens}"
+    avg_tok = f"CAST({tok_chars} AS DOUBLE) / {n_tokens}"
+    return docs.selectExpr(
         "doc_id",
         "lang",
-        n_tokens.alias("n_tokens"),
-        stop_ratio.alias("stop_ratio"),
-        (n_punct.cast("double") / F.length("text")).alias("punct_ratio"),
-        avg_tok.alias("avg_token_len"),
-        (
-            F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.5
-            + (F.lit(1.0) - stop_ratio) * 0.3
-            + F.least(F.lit(1.0), avg_tok / F.lit(8.0)) * 0.2
-        ).alias("quality_score"),
+        f"{n_tokens} AS n_tokens",
+        f"{stop_ratio} AS stop_ratio",
+        f"CAST({n_punct} AS DOUBLE) / length(text) AS punct_ratio",
+        f"{avg_tok} AS avg_token_len",
+        f"least(1.0D, {n_tokens} / 100.0D) * 0.5D"
+        f" + (1.0D - {stop_ratio}) * 0.3D"
+        f" + least(1.0D, ({avg_tok}) / 8.0D) * 0.2D AS quality_score",
     )
 
 

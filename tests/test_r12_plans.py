@@ -85,6 +85,42 @@ def test_dedup_band_self_joins_never_broadcast(name, spark, sf_dir):
     assert "BroadcastHashJoin" not in p, f"{name}: band join broadcast again"
 
 
+def test_headline_builders_bounded_py4j_chatter(spark, sf_dir):
+    """r12 batch 2 (guide §1.2 applied to the driver): every headline
+    builder constructs its expressions as expr STRINGS, so plan build is
+    a handful of py4j round trips instead of one per Column node. Before
+    the change the ten builders cost 8,970 calls ≈ 1.8 s of driver time
+    billed to EVERY bench run; after, 1,261. Result identity is covered
+    by test_oracle_parity; this pins the mechanism — a reintroduction of
+    per-node chatter shows up as a call-count explosion long before it
+    is visible in noisy wall time. Cap = ~2.5x the measured total."""
+    from py4j.java_gateway import GatewayClient
+
+    headline = sorted(n for n, s in REGISTRY.items() if s.headline)
+    for name in headline:  # warm: imports, load_table memoization
+        REGISTRY[name].builder(spark, sf_dir)
+
+    counter = {"n": 0}
+    orig = GatewayClient.send_command
+
+    def counted(self, *a, **k):
+        counter["n"] += 1
+        return orig(self, *a, **k)
+
+    GatewayClient.send_command = counted
+    try:
+        per_query = {}
+        for name in headline:
+            counter["n"] = 0
+            REGISTRY[name].builder(spark, sf_dir)
+            per_query[name] = counter["n"]
+    finally:
+        GatewayClient.send_command = orig
+
+    total = sum(per_query.values())
+    assert total <= 3200, f"headline plan-build chatter regressed: {per_query}"
+
+
 def test_similarity_expr_fast_path_is_value_identical(spark):
     from financial_arbitrage_data_pipeline_spark.operators.similarity import (
         dot_ll,
