@@ -239,6 +239,15 @@ def main() -> None:
         c1 = _proc_tree_cpu_sec()
         if c0 >= 0 and c1 >= 0:
             all_cpu.setdefault(name, []).append(c1 - c0)
+        # Measurement fix (r13, VERDICT r12 item 4): queries that persist
+        # an intermediate (the dedup family) left it registered in
+        # Spark's CacheManager, so every repeat run of the identical
+        # plan hit the previous run's cache and best-of-N reported a
+        # WARM number (r12 minhash: cold ~6 s, reported 0.71 s).
+        # Dropping the cache between runs makes every timed run compute
+        # from the parquet inputs — min(runs) is now a cold statistic.
+        # The clear itself is outside the timed region.
+        spark.catalog.clearCache()
 
     def med_mad(runs: list[float]) -> tuple[float, float]:
         med = statistics.median(runs)
@@ -400,65 +409,101 @@ def main() -> None:
     probes.append(_calib_probe(spark))  # final probe (after anchors)
     calib = _calib_summary(probes)
 
+    contract = _contract_line(timings, cpu_secs, spreads, calib, sf_val)
+    contract.update(
+        {
+            "gate_docs_per_sec": gate_rps,
+            "jpeg_assets_per_sec": codec_rps,
+            "ingest_rows_per_sec": ingest_rps,
+            "scan_rows_per_sec": scan_rps,
+            "reference_ingest_rows_per_sec": 93.0,
+        }
+    )
+    # Diagnostics sidecar (r13, VERDICT r12 item 3): the one-line JSON
+    # outgrew the driver's tail-capture window in r11 (BENCH_r11 parsed
+    # null → no round-over-round PERF comparison), so the contract line
+    # now carries only the driver-consumed fields and everything
+    # diagnostic — spreads, probes, load snapshots, anchor cpu — lands
+    # in a sidecar file next to the repo (override via
+    # $SPARK_GRAFT_BENCH_SIDECAR).
+    sidecar = {
+        **contract,
+        "value_medians_normalized": round(
+            contract["value_medians"] / max(calib["machine_factor"], 1e-9), 4
+        ),
+        "total_mad": round(sum(s["mad"] for s in spreads.values()), 4),
+        "total_mad_frac": round(
+            sum(s["mad"] for s in spreads.values())
+            / max(contract["value_medians"], 1e-9),
+            4,
+        ),
+        "load_start": load_start,
+        "load_after_queries": load_after_queries,
+        **calib,
+        "query_spreads": spreads,
+        # load-insensitive anchor costs (VERDICT r11 task 1): min
+        # process-tree cpu_sec per anchor + the cpu-based rate — the
+        # adjudication channel when wall-derived rates move under load
+        "anchor_cpu_sec": anchor_cpu,
+        "gate_docs_per_cpu_sec": round(gate_docs / anchor_cpu["gate"], 1)
+        if anchor_cpu.get("gate")
+        else None,
+        "jpeg_assets_per_cpu_sec": round(codec_assets / anchor_cpu["jpeg"], 1)
+        if anchor_cpu.get("jpeg")
+        else None,
+        "ingest_rows_per_cpu_sec": round(n_rows / anchor_cpu["ingest"], 1)
+        if anchor_cpu.get("ingest")
+        else None,
+        "scan_rows_per_cpu_sec": round(n_rows / anchor_cpu["scan"], 1)
+        if anchor_cpu.get("scan")
+        else None,
+    }
+    sidecar_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_sidecar.json"
+        ),
+    )
+    try:
+        with open(sidecar_path, "w") as fh:
+            json.dump(sidecar, fh, indent=1)
+    except OSError:  # pragma: no cover - read-only checkout
+        pass
+    print(json.dumps(contract))
+
+
+def _contract_line(
+    timings: dict[str, float],
+    cpu_secs: dict[str, float],
+    spreads: dict[str, dict[str, float]],
+    calib: dict,
+    sf_val,
+) -> dict:
+    """The driver-consumed contract fields ONLY — this dict (plus the
+    four scalar anchor rates) is what bench.py prints as its one JSON
+    line. Keep it compact: the driver's tail-capture window is finite
+    and an unparseable line costs the whole round-over-round comparison
+    (tests/test_bench_contract.py pins the budget)."""
     total = round(sum(timings.values()), 4)
-    total_medians = round(
-        sum(s["median"] for s in spreads.values()), 4
-    )
-    total_mad = round(sum(s["mad"] for s in spreads.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "value_normalized": round(
-                    total / max(calib["machine_factor"], 1e-9), 4
-                ),
-                # Robust headline (VERDICT r7 task 1): sum of per-query
-                # MEDIANS next to best-of, with its aggregate MAD — the
-                # statistic that stayed monotone-improving through the
-                # r7 environmental drift while best-of moved 22%.
-                "value_medians": total_medians,
-                "value_medians_normalized": round(
-                    total_medians / max(calib["machine_factor"], 1e-9), 4
-                ),
-                "total_mad": total_mad,
-                "total_mad_frac": round(
-                    total_mad / max(total_medians, 1e-9), 4
-                ),
-                "load_start": load_start,
-                "load_after_queries": load_after_queries,
-                **calib,
-                "queries": timings,
-                "queries_cpu_sec": cpu_secs,
-                "total_cpu_sec": round(sum(cpu_secs.values()), 4),
-                "query_spreads": spreads,
-                "sf": sf_val,
-                "gate_docs_per_sec": gate_rps,
-                "jpeg_assets_per_sec": codec_rps,
-                "ingest_rows_per_sec": ingest_rps,
-                "scan_rows_per_sec": scan_rps,
-                # load-insensitive anchor costs (VERDICT r11 task 1):
-                # min process-tree cpu_sec per anchor + the cpu-based
-                # rate — the adjudication channel when wall-derived
-                # rates move under contention
-                "anchor_cpu_sec": anchor_cpu,
-                "gate_docs_per_cpu_sec": round(
-                    gate_docs / anchor_cpu["gate"], 1
-                ) if anchor_cpu.get("gate") else None,
-                "jpeg_assets_per_cpu_sec": round(
-                    codec_assets / anchor_cpu["jpeg"], 1
-                ) if anchor_cpu.get("jpeg") else None,
-                "ingest_rows_per_cpu_sec": round(
-                    n_rows / anchor_cpu["ingest"], 1
-                ) if anchor_cpu.get("ingest") else None,
-                "scan_rows_per_cpu_sec": round(
-                    n_rows / anchor_cpu["scan"], 1
-                ) if anchor_cpu.get("scan") else None,
-                "reference_ingest_rows_per_sec": 93.0,
-            }
-        )
-    )
+    total_medians = round(sum(s["median"] for s in spreads.values()), 4)
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "value_normalized": round(
+            total / max(calib["machine_factor"], 1e-9), 4
+        ),
+        # Robust headline (VERDICT r7 task 1): sum of per-query MEDIANS
+        # next to best-of — the statistic that stayed monotone through
+        # the r7 environmental drift while best-of moved 22%.
+        "value_medians": total_medians,
+        "machine_factor": calib["machine_factor"],
+        "normalization_reliable": calib["normalization_reliable"],
+        "queries": timings,
+        "queries_cpu_sec": cpu_secs,
+        "total_cpu_sec": round(sum(cpu_secs.values()), 4),
+        "sf": sf_val,
+    }
 
 
 if __name__ == "__main__":

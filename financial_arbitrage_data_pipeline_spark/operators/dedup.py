@@ -319,11 +319,18 @@ def _lsh_verified_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = with_minhash(with_shingles(crawl_union(spark, sf_dir)))
-    # Both derived tables feed two join branches each; persist so the
-    # shingle→hash pipeline runs once, not four times. (At warehouse scale
-    # the same move is writing the signature table out once per crawl.)
-    shingle_sets = corpus.select("doc_id", "shingles").persist()
-    bands = band_signatures(corpus).persist()
+    # Both derived tables feed two join branches each. r12 persisted
+    # them, but the persist (a) was never dropped, so repeat executions
+    # of the identical plan hit Spark's CacheManager and the bench's
+    # best-of reported a WARM number (VERDICT r12 item 4), and (b) buys
+    # nothing cold: the branches share their shuffle via ReusedExchange,
+    # so the un-persisted form is cold-equal on wall and cheaper on cpu
+    # (measured A/B at sf0.1, 2 rounds interleaved: persist 6.10 s /
+    # 16.0 cpu-sec vs none 6.04 s / 15.3 cpu-sec vs localCheckpoint
+    # 9.43 s). At warehouse scale the reuse move is writing the
+    # signature table out once per crawl, not caching it per query.
+    shingle_sets = corpus.select("doc_id", "shingles")
+    bands = band_signatures(corpus)
 
     # Band self-join build side pinned SHUFFLE_HASH like every other
     # O(docs) join side (SCALE.md §39): the bands relation is 4 rows/doc
@@ -1645,9 +1652,27 @@ def _suffix_ranks(docs: DataFrame) -> DataFrame:
             "i",
             F.dense_rank().over(w_rank).cast("long").alias("rank"),
         ).persist(StorageLevel.DISK_ONLY)
-        new.count()
+        # Early-fixpoint exit (r13, guide §1.2 "don't compute things you
+        # throw away"): once every document's ranks are pairwise
+        # distinct, dense_rank over (rank, r2) orders exactly by rank and
+        # every further round is the identity — the standard
+        # prefix-doubling termination. The probe IS the materializing
+        # action (replacing the bare count()), and it needs NO exchange:
+        # `new` is hash-partitioned by doc_id, which co-locates every
+        # (doc_id, rank) group, so the duplicate count is a per-partition
+        # hash aggregation over the just-persisted round. Round count
+        # drops from ceil(log2(max_len)) to the corpus's true
+        # convergence depth (text with short repeats converges in 3-5).
+        n_dup = (
+            new.groupBy("doc_id", "rank")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
         r.unpersist()
         r = new
+        if n_dup == 0:
+            break
     out = r.localCheckpoint()
     r.unpersist()
     return out

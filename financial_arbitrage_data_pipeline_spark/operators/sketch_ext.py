@@ -79,12 +79,22 @@ def bbit_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted once, band-bucket candidate join, shingle verification
     join only on candidates; the 1-bit columns add zero new shuffles."""
     corpus = with_minhash(with_shingles(crawl_union(spark, sf_dir)))
+    # No persist (r13): the r12 persist was never dropped, so repeat
+    # executions hit Spark's CacheManager (warm-biased bench, leaked
+    # blocks across the suite); cold it buys nothing — the signature
+    # pipeline is a narrow projection whose consumers share their
+    # shuffles via ReusedExchange (same A/B as minhash_lsh_dedup:
+    # persist 6.10 s vs none 6.04 s cold at sf0.1).
     sigs = corpus.select(
         "doc_id", "shingles", *[f"mh{i}" for i in range(N_MINHASH)]
-    ).persist()
+    )
     bands = band_signatures(corpus)
 
-    a, b = bands.alias("a"), bands.alias("b")
+    # Band self-join build side pinned SHUFFLE_HASH like every other
+    # O(docs) join side (SCALE.md §39) — this site missed the r12 pin:
+    # the bands relation is 4 rows/doc and Catalyst's size estimate can
+    # elect to broadcast it, the 100 TB driver-OOM class.
+    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
     cand = (
         a.join(
             b,

@@ -208,15 +208,21 @@ def create_bucketed_table(
     `_commit_log.jsonl` — an UNDO LOG sized by what changed, never by
     the table. `read_merge_table_asof` reconstructs any committed
     version; `vacuum_merge_history` truncates retention."""
-    if df.take(1):
-        (
-            df.withColumn("__bucket__", _bucket_of(F.col(key), n_buckets))
-            .repartition("__bucket__")
-            .write.mode("overwrite")
-            .partitionBy("__bucket__")
-            .parquet(target_dir)
-        )
-    else:
+    # One write job, no emptiness pre-probe (r13, guide §1.2: the old
+    # `df.take(1)` ran a whole extra job per table creation just to pick
+    # the empty-seed layout). A partitionBy write of an empty frame
+    # produces no `__bucket__=` directories, so emptiness is detected
+    # from the written layout and the empty-schema fallback runs then.
+    (
+        df.withColumn("__bucket__", _bucket_of(F.col(key), n_buckets))
+        .repartition("__bucket__")
+        .write.mode("overwrite")
+        .partitionBy("__bucket__")
+        .parquet(target_dir)
+    )
+    if not any(
+        e.startswith("__bucket__=") for e in os.listdir(target_dir)
+    ):  # empty seed: write the schema into bucket 0 so the layout reads
         df.write.mode("overwrite").parquet(
             os.path.join(target_dir, "__bucket__=0")
         )
@@ -1037,6 +1043,50 @@ def _merge_bucketed(
     redelivery re-applies, nothing lost); after it lands, cleanup rolls
     forward (marker present — redelivery skips, nothing double-applied)."""
     recover_merge_table(target_dir, ignore_lock=True)  # caller holds the lock
+    # The updates plan is executed TWICE per merge — once for the
+    # touched-bucket collect, once as the join side of the rewrite. For
+    # expensive update pipelines (the bitemporal/asof queries derive
+    # updates from a lineitem aggregation + join) that doubles the
+    # merge's compute, so persist across the two jobs and drop the cache
+    # before returning (guide §5: persist only for genuine reuse,
+    # unpersist when done). Updates are delta-sized by the merge
+    # contract, so the cache is O(delta), never O(table). Callers that
+    # persisted their own updates keep ownership — we neither re-persist
+    # nor unpersist theirs.
+    lvl = updates.storageLevel
+    we_cached = not (lvl.useMemory or lvl.useDisk)
+    if we_cached:
+        updates.persist()
+    try:
+        _merge_bucketed_inner(
+            spark,
+            target_dir,
+            updates,
+            key,
+            set_exprs,
+            insert_missing,
+            extra_files,
+            n_buckets,
+            evolve_schema,
+            evolve_cols,
+        )
+    finally:
+        if we_cached:
+            updates.unpersist()
+
+
+def _merge_bucketed_inner(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key: str,
+    set_exprs: dict[str, Column],
+    insert_missing: bool,
+    extra_files: dict[str, str] | None,
+    n_buckets: int,
+    evolve_schema: bool = False,
+    evolve_cols: list[str] | None = None,
+) -> None:
     touched = sorted(
         r[0]
         for r in updates.select(
@@ -1699,22 +1749,34 @@ def bitemporal_ticket_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         status1 = F.when(F.col("fq") >= F.col("qty"), "filled").otherwise(
             "partially_filled"
         )
-        closes = b1.select(
-            (F.col("ticket_id") * 4).alias("skey"),
-            F.lit(None).cast("long").alias("ticket_id"),
-            F.lit(None).cast("long").alias("qty"),
-            F.lit(None).cast("string").alias("status"),
-            F.lit(None).cast("long").alias("valid_from"),
-            F.lit(_BT_CLOSE_DAY).cast("long").alias("valid_to"),
-        )
-        inserts = b1.select(
-            (F.col("ticket_id") * 4 + 1).alias("skey"),
-            "ticket_id",
-            "qty",
-            status1.alias("status"),
-            F.lit(_BT_CLOSE_DAY).cast("long").alias("valid_from"),
-            F.lit(_BT_OPEN_END).cast("long").alias("valid_to"),
-        )
+        # closes ∪ inserts as ONE pass over b1 (r13, guide §2.4): the
+        # two-branch union re-ran the lineitem aggregation + ticket join
+        # once per branch (no exchange reuse across union arms); emitting
+        # both SCD2 rows per b1 row through a 2-element explode computes
+        # b1 exactly once. Same row multiset as the old
+        # closes.unionByName(inserts).
+        updates1 = b1.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("ticket_id") * 4).alias("skey"),
+                        F.lit(None).cast("long").alias("ticket_id"),
+                        F.lit(None).cast("long").alias("qty"),
+                        F.lit(None).cast("string").alias("status"),
+                        F.lit(None).cast("long").alias("valid_from"),
+                        F.lit(_BT_CLOSE_DAY).cast("long").alias("valid_to"),
+                    ),
+                    F.struct(
+                        (F.col("ticket_id") * 4 + 1).alias("skey"),
+                        F.col("ticket_id").alias("ticket_id"),
+                        F.col("qty").alias("qty"),
+                        status1.alias("status"),
+                        F.lit(_BT_CLOSE_DAY).cast("long").alias("valid_from"),
+                        F.lit(_BT_OPEN_END).cast("long").alias("valid_to"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.*")
         keep_or_set = {
             c: F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}"))
             for c in ("ticket_id", "qty", "status", "valid_from", "valid_to")
@@ -1722,7 +1784,7 @@ def bitemporal_ticket_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_into_parquet(  # tx version 1: the SCD2 transition
             spark,
             tickets_dir,
-            closes.unionByName(inserts),
+            updates1,
             key="skey",
             set_exprs=keep_or_set,
             insert_missing=True,
@@ -1755,32 +1817,53 @@ def bitemporal_ticket_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             insert_missing=False,
         )
 
-        def probe(version: int, day: int) -> DataFrame:
+        # One scan + one aggregation per TX VERSION instead of one per
+        # (version, day) probe (r13, guide §2.4: two aggregations keyed
+        # the same way share one pass): explode the probe days over each
+        # as-of read and group by (day, status). Identical row multiset
+        # to the old per-probe union — each row lands in exactly the
+        # (day, status) groups whose validity filter it passed. The
+        # scan-level filter below is the pushable superset of the per-day
+        # predicates (any row surviving some day's filter satisfies it),
+        # keeping parquet pushdown that the exploded column would defeat.
+        lo, hi = min(_BT_PROBE_DAYS), max(_BT_PROBE_DAYS)
+
+        def probe_version(version: int) -> DataFrame:
             state = read_merge_table_asof(spark, tickets_dir, version)
             return (
                 state.filter(
-                    (F.col("valid_from") <= day) & (F.lit(day) < F.col("valid_to"))
+                    (F.col("valid_from") <= hi) & (F.col("valid_to") > lo)
                 )
-                .groupBy("status")
+                .select(
+                    F.explode(
+                        F.array(
+                            *[F.lit(d).cast("long") for d in _BT_PROBE_DAYS]
+                        )
+                    ).alias("valid_day"),
+                    "status",
+                    "qty",
+                    "valid_from",
+                    "valid_to",
+                )
+                .filter(
+                    (F.col("valid_from") <= F.col("valid_day"))
+                    & (F.col("valid_day") < F.col("valid_to"))
+                )
+                .groupBy("valid_day", "status")
                 .agg(
                     F.count(F.lit(1)).cast("long").alias("n_tickets"),
                     F.sum("qty").cast("long").alias("total_qty"),
                 )
                 .select(
                     F.lit(version).cast("int").alias("tx_version"),
-                    F.lit(day).cast("long").alias("valid_day"),
+                    "valid_day",
                     "status",
                     "n_tickets",
                     "total_qty",
                 )
             )
 
-        out = None
-        for v in (1, 2):
-            for d in _BT_PROBE_DAYS:
-                p = probe(v, d)
-                out = p if out is None else out.unionByName(p)
-        return out.localCheckpoint()
+        return probe_version(1).unionByName(probe_version(2)).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

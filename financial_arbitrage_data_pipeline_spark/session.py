@@ -64,6 +64,35 @@ def get_spark(
         # to canonical BIGINT ns via sources.tables.canonicalize_events —
         # queries never assume a physical encoding.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Streaming checkpoint IO posture (r13, guide §7.3 diagnosis):
+        # without libhadoop native, the default FileContext-based
+        # checkpoint manager resolves every metadata op through Hadoop's
+        # Stat/Shell fallback — a fork+exec of `readlink`/`ls` PER CALL
+        # (measured: 28k forks / ~230 cpu-sec for ONE 5-batch
+        # stream-stream join at 32 state partitions; "process reaper"
+        # threads dominated the per-thread CPU profile). The
+        # FileSystem-based manager uses java.nio file status instead and
+        # has identical atomic-rename semantics on POSIX filesystems; the
+        # Spark 4.1 checksum wrapper doubles checkpoint metadata IO
+        # (sibling .checksum file per checkpoint file — a small-file
+        # multiplier at any scale) and is redundant under this engine's
+        # fresh-checkpoint-per-run lanes. Both stay env-overridable for
+        # deployments that checkpoint to HDFS/S3 and want the FileContext
+        # fail-if-exists rename or corruption detection back
+        # (measured A/B on streaming_click_attribution, local[32]:
+        # wall 21.4→9.9 s, cpu 308→76 s, forks 28k→3.9k).
+        .config(
+            "spark.sql.streaming.checkpointFileManagerClass",
+            os.environ.get(
+                "SPARK_GRAFT_CKPT_MANAGER",
+                "org.apache.spark.sql.execution.streaming.checkpointing."
+                "FileSystemBasedCheckpointFileManager",
+            ),
+        )
+        .config(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+            os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
