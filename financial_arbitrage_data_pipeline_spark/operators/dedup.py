@@ -653,7 +653,11 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `simhash_dedup_canonical` — O(docs) output at any replica density.
     Signature is one aggregation (60 conditional sums, all codegen);
     exact dups hash to identical signatures."""
-    sig = _simhash_signatures(crawl_union(spark, sf_dir)).persist()
+    # No persist (r13): the signature self-join shares its aggregation
+    # exchange via ReusedExchange within the single action, so the
+    # persist only registered a never-dropped CacheManager entry (warm
+    # bench bias + leaked blocks; same A/B class as minhash_lsh_dedup).
+    sig = _simhash_signatures(crawl_union(spark, sf_dir))
     cand = _simhash_band_self_join(sig)
     return (
         cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
@@ -764,7 +768,11 @@ def simhash_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf10. The oracle states the argmin quadratically; a hash match
     proves the banding loses no qualifying neighbor and the tie-break
     is deterministic."""
-    sig = _simhash_signatures(crawl_union(spark, sf_dir)).persist()
+    # No persist (r13): consumers share the signature aggregation's
+    # exchange via ReusedExchange within one action; the persist only
+    # leaked a CacheManager entry (warm bench bias, same class as
+    # minhash_lsh_dedup's measured-neutral persist drop).
+    sig = _simhash_signatures(crawl_union(spark, sf_dir))
     cand = _simhash_band_self_join(sig)
     # doc_a < doc_b by construction: doc_b's lowest-id qualifying
     # neighbor is min(doc_a) over its qualifying pairs
@@ -822,9 +830,11 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature table; the exact side reuses the verification join the
     dedup path already pays."""
     corpus = with_minhash(with_shingles(crawl_union(spark, sf_dir)))
+    # No persist (r13): same measured-neutral drop as minhash_lsh_dedup
+    # (the persist leaked a never-dropped CacheManager entry).
     sigs = corpus.select(
         "doc_id", "shingles", *[f"mh{i}" for i in range(N_MINHASH)]
-    ).persist()
+    )
     bands = band_signatures(corpus)
 
     # Band self-join build side pinned SHUFFLE_HASH like every other
@@ -1002,12 +1012,15 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant (not mass-conserving), which is the standard fixed-alpha
     power iteration restated over integers for exact verifiability."""
     pairs = _lsh_verified_pairs_shared(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .persist()
+    # edges is a narrow map over the SHARED localCheckpointed pair table
+    # — recomputing it per round costs one pass over checkpoint blocks,
+    # so the r12 persist bought nothing and leaked a CacheManager entry
+    # per query (r13, guide §5 "persist only when recomputing is more
+    # expensive than the memory pressure").
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select(
@@ -1123,8 +1136,10 @@ def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch cost is sig(delta) + a band-bucket join whose base side
     is partition-pruned by band_id — nothing rescans the corpus text."""
     corpus = with_minhash(with_shingles(_incremental_corpus(spark, sf_dir)))
-    shingle_sets = corpus.select("doc_id", "shingles").persist()
-    bands = band_signatures(corpus).persist()
+    # No persist (r13): same measured-neutral drop as minhash_lsh_dedup
+    # (the persists leaked never-dropped CacheManager entries).
+    shingle_sets = corpus.select("doc_id", "shingles")
+    bands = band_signatures(corpus)
 
     base_b = bands.filter(F.col("doc_id") < _INC_BASE_MAX)
     inc_b = bands.filter(F.col("doc_id") >= _INC_BASE_MAX)
@@ -1508,8 +1523,11 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification join over candidates only; the three 1-row summaries
     union — no cross-config interaction, no all-pairs anywhere."""
     corpus = with_minhash(with_shingles(crawl_union(spark, sf_dir)))
-    shingle_sets = corpus.select("doc_id", "shingles").persist()
-    sigs = corpus.persist()
+    # No persist (r13): each config's counts recompute the narrow
+    # shingle+minhash projection — measured neutral (the minhash A/B)
+    # and leak-free, vs two never-dropped CacheManager entries.
+    shingle_sets = corpus.select("doc_id", "shingles")
+    sigs = corpus
 
     results = None
     for b in _SENS_CONFIGS:
@@ -1950,12 +1968,15 @@ def dup_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: edges pre-partitioned by src co-locate every round's join;
     rounds are O(1) by declaration, not data-dependent."""
     pairs = _lsh_verified_pairs_shared(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .persist()
+    # edges is a narrow map over the SHARED localCheckpointed pair table
+    # — recomputing it per round costs one pass over checkpoint blocks,
+    # so the r12 persist bought nothing and leaked a CacheManager entry
+    # per query (r13, guide §5 "persist only when recomputing is more
+    # expensive than the memory pressure").
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -2054,12 +2075,15 @@ def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join and degree count; the node set shrinks monotonically so
     rounds get cheaper."""
     pairs = _lsh_verified_pairs_shared(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .persist()
+    # edges is a narrow map over the SHARED localCheckpointed pair table
+    # — recomputing it per round costs one pass over checkpoint blocks,
+    # so the r12 persist bought nothing and leaked a CacheManager entry
+    # per query (r13, guide §5 "persist only when recomputing is more
+    # expensive than the memory pressure").
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     nodes = edges.select(F.col("src").alias("doc_id")).distinct().localCheckpoint()
     for _ in range(_KCORE_ROUNDS):

@@ -81,23 +81,30 @@ def main() -> None:
         status1 = F.when(F.col("fq") >= F.col("qty"), "filled").otherwise(
             "partially_filled"
         )
-        closes = b1.select(
-            (F.col("ticket_id") * 4).alias("skey"),
-            F.lit(None).cast("long").alias("ticket_id"),
-            F.lit(None).cast("long").alias("qty"),
-            F.lit(None).cast("string").alias("status"),
-            F.lit(None).cast("long").alias("valid_from"),
-            F.lit(U._BT_CLOSE_DAY).cast("long").alias("valid_to"),
-        )
-        inserts = b1.select(
-            (F.col("ticket_id") * 4 + 1).alias("skey"),
-            "ticket_id",
-            "qty",
-            status1.alias("status"),
-            F.lit(U._BT_CLOSE_DAY).cast("long").alias("valid_from"),
-            F.lit(U._BT_OPEN_END).cast("long").alias("valid_to"),
-        )
-        updates = closes.unionByName(inserts)
+        # mirrors the r13 builder: one pass over b1, explode of the two
+        # SCD2 rows (the r12 closes/inserts union re-ran b1 per branch)
+        updates = b1.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("ticket_id") * 4).alias("skey"),
+                        F.lit(None).cast("long").alias("ticket_id"),
+                        F.lit(None).cast("long").alias("qty"),
+                        F.lit(None).cast("string").alias("status"),
+                        F.lit(None).cast("long").alias("valid_from"),
+                        F.lit(U._BT_CLOSE_DAY).cast("long").alias("valid_to"),
+                    ),
+                    F.struct(
+                        (F.col("ticket_id") * 4 + 1).alias("skey"),
+                        F.col("ticket_id").alias("ticket_id"),
+                        F.col("qty").alias("qty"),
+                        status1.alias("status"),
+                        F.lit(U._BT_CLOSE_DAY).cast("long").alias("valid_from"),
+                        F.lit(U._BT_OPEN_END).cast("long").alias("valid_to"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.*")
         keep_or_set = {
             c: F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}"))
             for c in ("ticket_id", "qty", "status", "valid_from", "valid_to")
@@ -142,11 +149,37 @@ def main() -> None:
             set_exprs=keep_or_set, insert_missing=False,
         )
 
-        # plan 2: the as-of probe aggregation exactly as the builder builds it
+        # plan 2: the as-of probe aggregation exactly as the r13 builder
+        # builds it — ONE exploded-day aggregation per tx version
+        lo, hi = min(U._BT_PROBE_DAYS), max(U._BT_PROBE_DAYS)
+        state = U.read_merge_table_asof(spark, tickets_dir, 1)
         probe_plan = explain(
-            U._bt_probe_rollup(spark, tickets_dir, 1)
-            if hasattr(U, "_bt_probe_rollup")
-            else _legacy_probe(spark, tickets_dir)
+            state.filter((F.col("valid_from") <= hi) & (F.col("valid_to") > lo))
+            .select(
+                F.explode(
+                    F.array(*[F.lit(d).cast("long") for d in U._BT_PROBE_DAYS])
+                ).alias("valid_day"),
+                "status",
+                "qty",
+                "valid_from",
+                "valid_to",
+            )
+            .filter(
+                (F.col("valid_from") <= F.col("valid_day"))
+                & (F.col("valid_day") < F.col("valid_to"))
+            )
+            .groupBy("valid_day", "status")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tickets"),
+                F.sum("qty").cast("long").alias("total_qty"),
+            )
+            .select(
+                F.lit(1).cast("int").alias("tx_version"),
+                "valid_day",
+                "status",
+                "n_tickets",
+                "total_qty",
+            )
         )
 
         path = os.path.join(out_dir, f"bitemporal_ticket_state_{suffix}.txt")
