@@ -41,6 +41,33 @@ def _configure(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "1m"),
     )
+    # r13 engine posture, all runtime-settable and result-invariant
+    # (mirrors session.py; the driver hands us a vanilla session):
+    # - InferFiltersFromGenerate re-evaluates expensive derived generator
+    #   inputs inside injected filters (measured 16x on cdc_shared_chunks);
+    # - the FileContext checkpoint manager + checksum siblings fork a
+    #   readlink/chmod subprocess per checkpoint metadata op when
+    #   libhadoop native is absent (measured ~28k forks per stateful
+    #   streaming query), which the streaming operators pay in every run.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        os.environ.get(
+            "SPARK_GRAFT_EXCLUDED_RULES",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        ),
+    )
+    spark.conf.set(
+        "spark.sql.streaming.checkpointFileManagerClass",
+        os.environ.get(
+            "SPARK_GRAFT_CKPT_MANAGER",
+            "org.apache.spark.sql.execution.streaming.checkpointing."
+            "FileSystemBasedCheckpointFileManager",
+        ),
+    )
+    spark.conf.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false"),
+    )
     try:
         # legacy-compat only: matters iff the testdata regenerates with
         # parquet TIMESTAMP(NANOS); the events scan itself is

@@ -46,12 +46,58 @@ SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed long exactly
 # ---------------------------------------------------------------------------
 
 
+# Scan-parallelism probe cache for crawl_union: the corpus's physical
+# split count is a property of (application, sf_dir, corpus fingerprint),
+# so the one-time .rdd conversion that measures it is not re-paid per
+# builder call. The FINGERPRINT in the value doubles as regeneration
+# detection: when the corpus at an sf_dir is rewritten in place, Spark's
+# session-shared FileStatusCache still serves the OLD file listing to
+# new reads (a path-based overwrite does not invalidate it), so the
+# first post-regen build must refreshByPath or it fails FAILED_READ_FILE
+# on vanished part files. r12 was accidentally shielded by the
+# never-unpersisted shingle caches (the overwrite recached those
+# relations, refreshing their file index); with the r13 persist sweep
+# the staleness must be handled where it belongs — at the corpus read.
+_CU_PARTS: dict[tuple[str, str], tuple[tuple, int]] = {}
+
+
 def crawl_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    fp = _corpus_fingerprint(sf_dir)
+    cached = _CU_PARTS.get(key)
+    if cached is not None and cached[0] != fp:
+        # corpus regenerated in place: drop the stale split count,
+        # Spark's cached file listing for the path, AND load_table's
+        # memoized resolved plan (its FileIndex pins the OLD listing —
+        # sources/tables.py documents that replaced paths need a fresh
+        # resolution)
+        docs_path = os.path.join(sf_dir, "documents.parquet")
+        spark.catalog.refreshByPath(docs_path)
+        getattr(spark, "_fadp_table_cache", {}).pop(docs_path, None)
+        cached = None
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     recrawl = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
     )
-    return docs.unionByName(recrawl)
+    union = docs.unionByName(recrawl)
+    # Parallelism FLOOR (r13, guide §2.5 input skew / §6 split sizing):
+    # the driver testdata ships documents as ONE small parquet file with
+    # one row group, so every downstream shingle/md5 map stage ran as
+    # 2 tasks on a 32-core box (event-log: minhash's two 5-6 s cold
+    # stages had tasks=2 — the per-row crypto-hash work was serialized,
+    # and minPartitionNum cannot split a single row group). One hash
+    # repartition of the ~600 KB corpus unlocks the cores. Strictly a
+    # floor: applied only when the scan yields fewer partitions than the
+    # cluster's parallelism, so at 100 TB (thousands of splits) it is
+    # inert and the corpus is never gratuitously reshuffled.
+    if cached is None:
+        cached = (fp, union.rdd.getNumPartitions())
+        _CU_PARTS[key] = cached
+    n = cached[1]
+    target = spark.sparkContext.defaultParallelism
+    if n < target:
+        union = union.repartition(target, "doc_id")
+    return union
 
 
 _CRAWL_UNION_SQL = """

@@ -55,6 +55,28 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "1m"),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate excluded (r13, guide §4.4's duplicated-
+        # evaluation class for pure SQL expressions): the rule injects
+        # `size(<generator input>) > 0` under every non-outer explode, and
+        # filter pushdown then SUBSTITUTES the generator input's full
+        # definition into that filter and drags it below
+        # repartitions/unions. In this engine generate inputs are always
+        # expensive DERIVED arrays (shingle sets, md5 cut points, chunk
+        # slices) computed in the same stage as the generate — the
+        # inference buys no scan pruning and re-evaluates the whole
+        # pipeline once per row in the (often scan-parallel, 2-task)
+        # pre-exchange stage. Measured at sf0.1: cdc_shared_chunks
+        # 19→1.2-4.9 s, ngram_jaccard_pairs 5.5→2.3-4.1 s, suffix family
+        # ~2× — zero plan benefit lost (no stored-array scans rely on it).
+        # Results are rule-invariant; env-overridable like every posture.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            os.environ.get(
+                "SPARK_GRAFT_EXCLUDED_RULES",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate",
+            ),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Legacy-compat: when testdata ships events.ts as parquet

@@ -440,10 +440,17 @@ def test_global_shuffle_order_has_no_global_window_funnel(spark, sf_dir):
 def test_ngram_duplicate_spans_keyed_aggs_no_join(spark, sf_dir):
     p = plan_of(spark, "ngram_duplicate_spans", sf_dir)
     assert "Join" not in p  # grams built in-row, no self-join
-    # distinct-doc counting expands to two KEYED aggregates — the
-    # (gram,doc) pre-aggregate and the per-gram final; both hash-keyed,
-    # nothing funnels
-    assert p.count("hashpartitioning(gram_hash") == 2
+    # distinct-doc counting expands to two KEYED aggregates. Since r13,
+    # crawl_union's parallelism-floor repartition hash-partitions the
+    # corpus by doc_id, which SATISFIES the (gram, doc) pre-aggregate's
+    # clustered distribution (partition keys ⊆ group keys) — so only the
+    # per-gram final aggregate pays an exchange, and the exploded gram
+    # rows are never shuffled (one exchange fewer than r12). Nothing
+    # funnels to a single partition either way.
+    assert 1 <= p.count("hashpartitioning(gram_hash") <= 2
+    assert "hashpartitioning(doc_id" in p or p.count(
+        "hashpartitioning(gram_hash"
+    ) == 2
     assert "SinglePartition" not in p
 
 
