@@ -118,6 +118,16 @@ def test_headline_builders_bounded_py4j_chatter(spark, sf_dir):
         GatewayClient.send_command = orig
 
     total = sum(per_query.values())
+    # Guard against vacuous passes (ADVICE r12): if a pyspark/py4j
+    # upgrade routes commands through a different client class, the
+    # patched counter stops counting and the cap would pass on zeros.
+    # Every builder makes at least SOME JVM calls, so a zero total means
+    # the instrumentation is dead, not that the builders got free.
+    assert total > 0, (
+        "py4j chatter counter registered zero calls — the patched "
+        "GatewayClient.send_command is no longer the command path; "
+        "re-baseline this test against the current py4j client class"
+    )
     assert total <= 3200, f"headline plan-build chatter regressed: {per_query}"
 
 
